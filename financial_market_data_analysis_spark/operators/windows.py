@@ -1,0 +1,214 @@
+"""W1-W8: the window-indicator library.
+
+Re-expresses the reference's eight MariaDB SQL views
+(create_database.py:76-190) as Spark window expressions, healing the
+two-engine split the reference needed for Spark 2.4
+(README.md:137-141).
+
+Semantics preserved deliberately (SURVEY.md §7.4):
+
+- Moving averages use ``period - 1 PRECEDING`` frames — exactly
+  ``period`` rows (create_database.py:80-81).
+- ATR and the stochastic oscillator hardcode ``14 PRECEDING`` —
+  **15**-row frames (create_database.py:144-145, 161).
+- Bollinger uses MySQL ``STD()`` = *population* stddev → ``stddev_pop``
+  (create_database.py:126-131).
+- Windows grow from row 1 — no warm-up NULLs.
+
+Scale note: the reference's views are unpartitioned
+``OVER (ORDER BY Timestamp)`` — a single-task sort at 100 TB. Every
+function here takes ``partition_cols``; pass a symbol/day column on a
+real cluster so each partition's window evaluates independently. The
+default (no partitioning) reproduces reference semantics for parity
+tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from financial_market_data_analysis_spark.functions.core import safe_div
+
+
+def trailing_window(
+    order_cols: Sequence[str | Column],
+    n_preceding: int,
+    partition_cols: Sequence[str | Column] = (),
+) -> WindowSpec:
+    """``ROWS BETWEEN n PRECEDING AND CURRENT ROW`` over an event-time
+    order; partitioned when ``partition_cols`` is given."""
+    w = Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
+    return w.orderBy(*order_cols).rowsBetween(-n_preceding, 0)
+
+
+def ordered_window(
+    order_cols: Sequence[str | Column],
+    partition_cols: Sequence[str | Column] = (),
+) -> WindowSpec:
+    w = Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
+    return w.orderBy(*order_cols)
+
+
+def moving_average(
+    df: DataFrame,
+    value_col: str,
+    periods: Sequence[int],
+    order_cols: Sequence[str | Column],
+    partition_cols: Sequence[str | Column] = (),
+    prefix: str | None = None,
+) -> DataFrame:
+    """W1/W2/W3 — ``AVG(x) OVER (... ROWS period-1 PRECEDING)`` per period.
+
+    Reference: create_database.py:76-118 (``vol_MA``, ``price_MA``,
+    ``delta_MA`` views); periods from config.py:40-42.
+    Column naming matches the views: ``{prefix}_MA{period}``.
+    """
+    prefix = prefix if prefix is not None else value_col
+    cols = {
+        f"{prefix}_MA{p}": F.avg(value_col).over(
+            trailing_window(order_cols, p - 1, partition_cols)
+        )
+        for p in periods
+    }
+    return df.withColumns(cols)
+
+
+def bollinger_bands(
+    df: DataFrame,
+    close_col: str,
+    order_cols: Sequence[str | Column],
+    period: int = 20,
+    num_std: float = 2.0,
+    partition_cols: Sequence[str | Column] = (),
+) -> DataFrame:
+    """W4 — Bollinger band *distances* (create_database.py:120-135).
+
+    ``upper_BB_dist = (avg + k*std) - close``;
+    ``lower_BB_dist = close - (avg - k*std)``.
+    MySQL ``STD()`` is population stddev → ``stddev_pop``.
+    """
+    w = trailing_window(order_cols, period - 1, partition_cols)
+    avg = F.avg(close_col).over(w)
+    # stddev_pop of a 1-row frame is 0.0 in both MySQL and Spark.
+    std = F.stddev_pop(close_col).over(w)
+    c = F.col(close_col)
+    return df.withColumns(
+        {
+            "upper_BB_dist": (avg + num_std * std) - c,
+            "lower_BB_dist": c - (avg - num_std * std),
+        }
+    )
+
+
+def stochastic_oscillator(
+    df: DataFrame,
+    close_col: str,
+    order_cols: Sequence[str | Column],
+    n_preceding: int = 14,
+    out_col: str = "stoch",
+    partition_cols: Sequence[str | Column] = (),
+) -> DataFrame:
+    """W5 — ``(close - MIN(close)) / (MAX(close) - MIN(close))`` over a
+    **15-row** frame (``14 PRECEDING`` hardcoded,
+    create_database.py:137-148). Flat window → division by zero → NULL,
+    matching MySQL."""
+    w = trailing_window(order_cols, n_preceding, partition_cols)
+    lo = F.min(close_col).over(w)
+    hi = F.max(close_col).over(w)
+    return df.withColumn(out_col, safe_div(F.col(close_col) - lo, hi - lo))
+
+
+def price_change(
+    df: DataFrame,
+    close_col: str,
+    order_cols: Sequence[str | Column],
+    offset: int = 1,
+    out_col: str = "price_change",
+    partition_cols: Sequence[str | Column] = (),
+) -> DataFrame:
+    """W6 — ``close - LAG(close, 1)`` (create_database.py:150-155).
+    First row: LAG is NULL → NULL, matching MySQL."""
+    w = ordered_window(order_cols, partition_cols)
+    return df.withColumn(out_col, F.col(close_col) - F.lag(close_col, offset).over(w))
+
+
+def average_true_range(
+    df: DataFrame,
+    high_col: str,
+    low_col: str,
+    order_cols: Sequence[str | Column],
+    n_preceding: int = 14,
+    out_col: str = "ATR",
+    partition_cols: Sequence[str | Column] = (),
+) -> DataFrame:
+    """W7 — ``AVG(high - low)`` over a **15-row** frame
+    (create_database.py:157-164)."""
+    w = trailing_window(order_cols, n_preceding, partition_cols)
+    return df.withColumn(out_col, F.avg(F.col(high_col) - F.col(low_col)).over(w))
+
+
+def forward_targets(
+    df: DataFrame,
+    close_col: str,
+    atr_col: str,
+    order_cols: Sequence[str | Column],
+    leads: Sequence[int] = (8, 15),
+    n_factors: Sequence[float] = (1.5, 3.0),
+    partition_cols: Sequence[str | Column] = (),
+) -> DataFrame:
+    """W8 — forward-looking binary targets (create_database.py:166-190).
+
+    ``up{i} = CASE WHEN LEAD(close, lead_i) >= close + n_i * ATR THEN 1
+    ELSE 0 END`` and symmetric ``down{i}``. NULL LEAD at the tail →
+    condition false → 0, matching MySQL CASE semantics.
+    """
+    w = ordered_window(order_cols, partition_cols)
+    c = F.col(close_col)
+    atr = F.col(atr_col)
+    cols: dict[str, Column] = {}
+    for i, (lead, n) in enumerate(zip(leads, n_factors), start=1):
+        led = F.lead(close_col, lead).over(w)
+        cols[f"up{i}"] = F.when(led >= c + n * atr, F.lit(1)).otherwise(F.lit(0))
+        cols[f"down{i}"] = F.when(led <= c - n * atr, F.lit(1)).otherwise(F.lit(0))
+    return df.withColumns(cols)
+
+
+def row_id(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    out_col: str = "id",
+    partition_cols: Sequence[str | Column] = (),
+) -> DataFrame:
+    """The warehouse ``AUTO_INCREMENT ID`` (create_database.py:69)
+    re-expressed as ``row_number() OVER (ORDER BY ts)`` — assigned at
+    query time, not ingest time (SURVEY.md §7.4)."""
+    w = ordered_window(order_cols, partition_cols)
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
+def indicator_suite(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    close_col: str = "close",
+    high_col: str = "high",
+    low_col: str = "low",
+    volume_col: str = "volume",
+    vol_periods: Sequence[int] = (6, 20),
+    price_periods: Sequence[int] = (20,),
+    partition_cols: Sequence[str | Column] = (),
+) -> DataFrame:
+    """The full W1-W8 view stack applied in one pass — the engine's
+    replacement for the reference's ``join_statement`` assembly
+    (create_database.py:240-258). One window spec family → Catalyst
+    evaluates all indicators in a single Window physical operator."""
+    df = moving_average(df, volume_col, vol_periods, order_cols, partition_cols, prefix="vol")
+    df = moving_average(df, close_col, price_periods, order_cols, partition_cols, prefix="price")
+    df = bollinger_bands(df, close_col, order_cols, partition_cols=partition_cols)
+    df = stochastic_oscillator(df, close_col, order_cols, partition_cols=partition_cols)
+    df = price_change(df, close_col, order_cols, partition_cols=partition_cols)
+    df = average_true_range(df, high_col, low_col, order_cols, partition_cols=partition_cols)
+    df = forward_targets(df, close_col, "ATR", order_cols, partition_cols=partition_cols)
+    return df

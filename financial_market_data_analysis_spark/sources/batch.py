@@ -1,0 +1,63 @@
+"""Batch sources: parquet table loaders over the driver's test tables.
+
+Maps the reference's JDBC point/range scans (S7 — predict.py:144-165,
+sql_pytorch_dataloader.py:97-105) onto parquet scans with Catalyst
+predicate pushdown; the table registry replaces the reference's
+``DESCRIBE``-based introspection (create_database.py:193-238) with
+``df.schema``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Columnar parquet scan; filters/projections push down via Catalyst.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects by
+    default; it is read as nanosecond longs (``nanosAsLong``) and exposed
+    both ways: ``ts_ns`` (long, exact — used for bucketing/ordering) and
+    ``ts`` (TimestampType at microsecond precision — used for
+    watermarks/windows).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return df.withColumns(
+            {
+                "ts_ns": F.col("ts").cast("long"),
+                "ts": F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")),
+            }
+        )
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so all operators are
+    SQL-addressable (SURVEY.md §3.2: the reference's view layer becomes
+    Spark temp views)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
