@@ -17,7 +17,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from financial_market_data_analysis_spark.functions import features as FE
 from financial_market_data_analysis_spark.operators import windows as W
+from financial_market_data_analysis_spark.operators.joins import asof_band_join
+from financial_market_data_analysis_spark.plans.book import (
+    book_from_events,
+    book_oracle_cte,
+)
 from financial_market_data_analysis_spark.plans.candles import (
     candles_from_events,
     candles_oracle_sql,
@@ -110,6 +116,167 @@ def _w8_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("bucket_start", "close", "up1", "down1", "up2", "down2")
 
 
+def _f1_wick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = FE.wick_features(_candles(spark, sf_dir))
+    return df.select("bucket_start", "open", "close", "candle_size", "wick_size", "wick_prct")
+
+
+def _f2_book_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-F6 over the synthetic 7-level book, then fillna(0) (P4)."""
+    book = book_from_events(load_table(spark, "events", sf_dir))
+    df = FE.book_weighted_average(book, "bid")
+    df = FE.book_weighted_average(df, "ask")
+    df = FE.order_volume_imbalance(df)
+    df = FE.delta_indicator(df)
+    df = FE.micro_price(df)
+    df = FE.bid_ask_spread(df)
+    out = df.select(
+        "event_id", "bids_ord_WA", "asks_ord_WA", "vol_imbalance", "delta",
+        "micro_price", "spread",
+    )
+    return out.na.fill(0)
+
+
+def _f7_relative_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    book = book_from_events(load_table(spark, "events", sf_dir))
+    df = FE.relative_price_levels(book)
+    return df.select(
+        "event_id",
+        *[f"bid_{i}" for i in range(1, 7)],
+        *[f"ask_{i}" for i in range(1, 7)],
+    )
+
+
+def _f8_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    df = FE.one_hot_calendar(FE.calendar_features(ev))
+    return df.select(
+        "event_id", "day_of_week", "week_of_month", "session_start",
+        "day_1", "day_2", "day_3", "day_4",
+        "week_1", "week_2", "week_3", "week_4",
+    )
+
+
+def _f13_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    df = FE.minmax_normalize(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return df.select(
+        "l_orderkey", "l_linenumber",
+        "l_quantity_norm", "l_extendedprice_norm", "l_discount_norm",
+    )
+
+
+def _j1_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — bucketed as-of band join between two feeds split out of the
+    event stream (reference semantics: equi-key on the 5-min bucket AND
+    a 3-minute band, spark_consumer.py:437-445)."""
+    ev = load_table(spark, "events", sf_dir)
+    deep = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("deep_id"),
+        F.col("ts_us").alias("deep_ts_us"),
+        F.col("value").alias("deep_val"),
+    )
+    quote = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts_us").alias("view_ts_us"),
+        F.col("value").alias("view_val"),
+    )
+    joined = asof_band_join(deep, quote, "deep_ts_us", "view_ts_us", band_seconds=180)
+    return joined.select("deep_id", "view_id", "deep_val", "view_val")
+
+
+def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2-class multi-join + grouped agg (TPC-H Q3 shape). The customer
+    side is dimension-sized → broadcast; lineitem⋈orders shuffles on
+    the order key."""
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1999-03-15").cast("timestamp")
+    )
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def _q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast star join: orders ⋈ customer ⋈ nation ⋈ region (all
+    dims broadcast — zero shuffle on the fact side until the final
+    agg)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def _a1_minmax_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — global MIN/MAX normalization params in one partial-agg pass
+    (sql_pytorch_dataloader.py:93-115 runs 2 full scans; here it's one)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    aggs = []
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return li.agg(*aggs)
+
+
+def _a2_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 — COUNT + SUM + AVG per group."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.avg("value").alias("avg_value"),
+    )
+
+
+def _d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — exact deduplication via hash groupBy (scales: one shuffle on
+    the dedup key, unlike dropDuplicates-over-108-columns)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select("user_id", "event_type").distinct()
+
+
+def _d2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — emitted-keys registry as a left_anti join: users who never
+    produced an error event (economic_indicators_spider.py:69-96's
+    set-difference, distributed)."""
+    ev = load_table(spark, "events", sf_dir)
+    users = ev.select("user_id").distinct()
+    err_users = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return users.join(err_users, "user_id", "left_anti")
+
+
+def _d3_latest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — latest data point per key (getMarketData.py:199-206's
+    take-latest, as max_by — no sort, no window)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.max("ts_us").alias("last_ts_us"),
+        F.max_by("value", "ts_us").alias("last_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -121,11 +288,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_price_change": _w6_price_change,
         "w7_atr": _w7_atr,
         "w8_targets": _w8_targets,
+        "f1_wick": _f1_wick,
+        "f2_book_features": _f2_book_features,
+        "f7_relative_levels": _f7_relative_levels,
+        "f8_calendar": _f8_calendar,
+        "f13_minmax_norm": _f13_minmax_norm,
+        "j1_interval_join": _j1_interval_join,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_region_revenue": _q5_region_revenue,
+        "a1_minmax_params": _a1_minmax_params,
+        "a2_event_stats": _a2_event_stats,
+        "d1_dedup_exact": _d1_dedup_exact,
+        "d2_anti_join": _d2_anti_join,
+        "d3_latest_point": _d3_latest_point,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracles (DuckDB ANSI SQL over pre-registered views)
+
+_BOOK_CTE = f"WITH book AS ({book_oracle_cte()})"
+
+
+def _wa_expr(side: str, levels: int = 7) -> str:
+    """Mirror of features.book_weighted_average's expression tree."""
+    num = " + ".join(
+        f"COALESCE(({side}_0 - {side}_{i}) * {side}_{i}_size, 0)" for i in range(levels)
+    )
+    den = " + ".join(f"COALESCE({side}_{i}_size, 0)" for i in range(levels))
+    return f"(({num}) / ({den}))"
+
+
+def _f2_oracle() -> str:
+    imb = "(bid_0_size / (bid_0_size + ask_0_size))"
+    asks = " + ".join(f"COALESCE(ask_{i}_size, 0)" for i in range(7))
+    bids = " + ".join(f"COALESCE(bid_{i}_size, 0)" for i in range(7))
+    return f"""
+        {_BOOK_CTE}
+        SELECT event_id,
+            COALESCE({_wa_expr("bid")}, 0) AS bids_ord_WA,
+            COALESCE({_wa_expr("ask")}, 0) AS asks_ord_WA,
+            COALESCE((bid_0_size - ask_0_size) / (bid_0_size + ask_0_size), 0)
+                AS vol_imbalance,
+            COALESCE(({asks}) - ({bids}), 0) AS delta,
+            COALESCE({imb} * ask_0 + (1 - {imb}) * bid_0, 0) AS micro_price,
+            COALESCE(CASE WHEN bid_0 <> 0 AND ask_0 <> 0
+                          THEN bid_0 - ask_0 ELSE 0 END, 0) AS spread
+        FROM book
+    """
+
+
+def _f7_oracle() -> str:
+    outs = []
+    for side in ("bid", "ask"):
+        for i in range(1, 7):
+            outs.append(
+                f"CASE WHEN {side}_{i} <> 0 THEN {side}_0 - {side}_{i} "
+                f"ELSE 0 END AS {side}_{i}"
+            )
+    sel = ",\n            ".join(outs)
+    return f"""
+        {_BOOK_CTE}
+        SELECT event_id,
+            {sel}
+        FROM book
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -205,5 +432,124 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN lead(close, 15) OVER w <= close - 3 * ATR THEN 1 ELSE 0 END AS down2
             FROM atr
             WINDOW w AS (ORDER BY bucket_start)
+        """,
+        "f1_wick": f"""
+            {_CANDLES_CTE}
+            SELECT bucket_start, open, close,
+                high - low AS candle_size,
+                CASE WHEN close >= open THEN high - close ELSE low - close END
+                    AS wick_size,
+                (CASE WHEN close >= open THEN high - close ELSE low - close END)
+                    / (high - low) AS wick_prct
+            FROM candles
+        """,
+        "f2_book_features": _f2_oracle(),
+        "f7_relative_levels": _f7_oracle(),
+        "f8_calendar": """
+            WITH cal AS (
+                SELECT event_id,
+                    CAST(isodow(ts) AS INT) AS day_of_week,
+                    CAST(ceil(date_part('day', ts) / 7) AS INT) AS week_of_month,
+                    CASE WHEN hour(ts) >= 11 AND minute(ts) >= 30
+                         THEN 0 ELSE 1 END AS session_start
+                FROM events
+            )
+            SELECT event_id, day_of_week, week_of_month, session_start,
+                CAST(day_of_week = 1 AS INT) AS day_1,
+                CAST(day_of_week = 2 AS INT) AS day_2,
+                CAST(day_of_week = 3 AS INT) AS day_3,
+                CAST(day_of_week = 4 AS INT) AS day_4,
+                CAST(week_of_month = 1 AS INT) AS week_1,
+                CAST(week_of_month = 2 AS INT) AS week_2,
+                CAST(week_of_month = 3 AS INT) AS week_3,
+                CAST(week_of_month = 4 AS INT) AS week_4
+            FROM cal
+        """,
+        "f13_minmax_norm": """
+            WITH p AS (
+                SELECT min(l_quantity) AS mn_q, max(l_quantity) AS mx_q,
+                       min(l_extendedprice) AS mn_e, max(l_extendedprice) AS mx_e,
+                       min(l_discount) AS mn_d, max(l_discount) AS mx_d
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                (l_quantity - mn_q) / (mx_q - mn_q) AS l_quantity_norm,
+                (l_extendedprice - mn_e) / (mx_e - mn_e) AS l_extendedprice_norm,
+                (l_discount - mn_d) / (mx_d - mn_d) AS l_discount_norm
+            FROM lineitem, p
+        """,
+        "j1_interval_join": """
+            WITH deep AS (
+                SELECT event_id AS deep_id, epoch_us(ts) AS deep_ts_us,
+                       value AS deep_val
+                FROM events WHERE event_type = 'purchase'
+            ),
+            quote AS (
+                SELECT event_id AS view_id, epoch_us(ts) AS view_ts_us,
+                       value AS view_val
+                FROM events WHERE event_type = 'view'
+            )
+            SELECT deep_id, view_id, deep_val, view_val
+            FROM deep JOIN quote
+              ON (deep_ts_us // 300000000) = (view_ts_us // 300000000)
+             AND view_ts_us >= deep_ts_us
+             AND view_ts_us <= deep_ts_us + 180000000
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1999-03-15'
+              AND l_shipdate > TIMESTAMP '1999-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                sum(o_totalprice) AS revenue,
+                count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "a1_minmax_params": """
+            SELECT
+                min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity,
+                min(l_extendedprice) AS min_l_extendedprice,
+                max(l_extendedprice) AS max_l_extendedprice,
+                min(l_discount) AS min_l_discount, max(l_discount) AS max_l_discount,
+                min(l_tax) AS min_l_tax, max(l_tax) AS max_l_tax
+            FROM lineitem
+        """,
+        "a2_event_stats": """
+            SELECT event_type,
+                count(*) AS n,
+                sum(value) AS sum_value,
+                avg(value) AS avg_value
+            FROM events
+            GROUP BY event_type
+        """,
+        "d1_dedup_exact": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "d2_anti_join": """
+            SELECT DISTINCT user_id FROM events e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM events x
+                WHERE x.user_id = e.user_id AND x.event_type = 'error'
+            )
+        """,
+        "d3_latest_point": """
+            SELECT user_id,
+                max(epoch_us(ts)) AS last_ts_us,
+                arg_max(value, epoch_us(ts)) AS last_value
+            FROM events
+            GROUP BY user_id
         """,
     }

@@ -1,0 +1,86 @@
+"""J1-J4: join operators (SURVEY.md §2.4).
+
+The one join whose semantics the engine must nail is J1 — the
+reference's stream-stream *interval (as-of band) join*: equality on a
+5-minute floored bucket AND ``other.ts ∈ [this.ts, this.ts + band]``
+(spark_consumer.py:437-477). The redundant bucket-equality key is the
+point: it turns a pure theta (range) join into an equi-join, so Spark
+hash-partitions both sides on the bucket and each task only compares
+rows within one bucket — the manual version of a binned range join.
+At 100 TB that is the difference between a shuffled hash join and a
+broadcast-nested-loop catastrophe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from financial_market_data_analysis_spark.plans.candles import (
+    BUCKET_SECONDS,
+    time_bucket,
+    time_bucket_us,
+)
+
+
+def asof_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    band_seconds: int = 180,
+    bucket_seconds: int = BUCKET_SECONDS,
+    how: str = "inner",
+    ts_unit: str = "us",
+    strict_bucket: bool = True,
+) -> DataFrame:
+    """J1 — bucketed interval join.
+
+    ``left ⋈ right ON bucket(left.ts) = bucket(right.ts) AND
+    right.ts BETWEEN left.ts AND left.ts + band``.
+
+    ``strict_bucket=True`` reproduces the reference exactly: pairs whose
+    band straddles a bucket boundary are dropped because the equi-key
+    differs (spark_consumer.py:440-445 — the reference accepts this
+    loss; its producer aligns feeds to the same 5-minute grid).
+    ``strict_bucket=False`` gives full band semantics by also probing
+    the next bucket: the left side is exploded onto {b, b+1} and the
+    band predicate then filters — still an equi-join, 2× left volume,
+    no correctness loss.
+
+    ``ts_unit="us"`` expects epoch-microsecond longs (exact integer
+    comparisons); ``"ts"`` expects TimestampType columns.
+    """
+    if ts_unit == "us":
+        lb = time_bucket_us(left_ts, bucket_seconds)
+        rb = time_bucket_us(right_ts, bucket_seconds)
+        band = F.lit(band_seconds * 1_000_000)
+    else:
+        lb = time_bucket(left_ts, bucket_seconds)
+        rb = time_bucket(right_ts, bucket_seconds)
+        band = F.expr(f"INTERVAL {band_seconds} SECONDS")
+
+    l = left.withColumn("__bucket", lb)
+    r = right.withColumn("__bucket", rb)
+
+    if not strict_bucket:
+        l = l.withColumn(
+            "__bucket",
+            F.explode(F.array(F.col("__bucket"), F.col("__bucket") + bucket_seconds)),
+        )
+
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col("l.__bucket") == F.col("r.__bucket"))
+        & (rt >= lt)
+        & (rt <= lt + band)
+    )
+    joined = l.alias("l").join(r.alias("r"), cond, how)
+    return joined.drop("__bucket")
+
+
+def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on: str | list[str], how: str = "inner") -> DataFrame:
+    """J2 — fact ⋈ small dimension with an explicit broadcast hint, the
+    scale-safe shape of the reference's view-assembly equi-joins
+    (create_database.py:240-258): no shuffle of the fact side."""
+    return fact.join(F.broadcast(dim), on, how)

@@ -30,13 +30,12 @@ def time_bucket(ts_col: str | Column, seconds: int = BUCKET_SECONDS) -> Column:
     return (F.floor(F.unix_timestamp(c) / seconds) * seconds).cast("long")
 
 
-def time_bucket_ns(ts_ns_col: str, seconds: int = BUCKET_SECONDS) -> Column:
-    """F10 over an epoch-nanoseconds long column (the ``events.ts``
-    storage type). Integer ``div`` keeps the arithmetic exact — epoch
-    nanos exceed double's 2^53 integer range, so float division could
-    mis-bucket values near a boundary."""
-    ns = seconds * 1_000_000_000
-    return F.expr(f"CAST(({ts_ns_col} div {ns}) * {seconds} AS BIGINT)")
+def time_bucket_us(ts_us_col: str, seconds: int = BUCKET_SECONDS) -> Column:
+    """F10 over an epoch-microseconds long column. Integer ``div`` keeps
+    the arithmetic exact — epoch micros exceed double's 2^53 integer
+    range, so float division could mis-bucket values near a boundary."""
+    us = seconds * 1_000_000
+    return F.expr(f"CAST(({ts_us_col} div {us}) * {seconds} AS BIGINT)")
 
 
 def candles_from_events(
@@ -52,8 +51,8 @@ def candles_from_events(
     the plan is scan → partial agg → single shuffle on bucket → final
     agg; no window functions, no sort.
     """
-    if "ts_ns" in events.columns:
-        bucket = time_bucket_ns("ts_ns", bucket_seconds).alias("bucket_start")
+    if "ts_us" in events.columns:
+        bucket = time_bucket_us("ts_us", bucket_seconds).alias("bucket_start")
     else:
         bucket = time_bucket(ts_col, bucket_seconds).alias("bucket_start")
     return events.groupBy(bucket).agg(

@@ -35,17 +35,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects by
     default; it is read as nanosecond longs (``nanosAsLong``) and exposed
-    both ways: ``ts_ns`` (long, exact — used for bucketing/ordering) and
-    ``ts`` (TimestampType at microsecond precision — used for
-    watermarks/windows).
+    two ways: ``ts_us`` (epoch-microseconds long — the engine's exact
+    event-time key) and ``ts`` (TimestampType — for watermarks/windows).
+    Microseconds, not nanoseconds, are canonical because TIMESTAMP
+    engines (DuckDB oracle included) truncate parquet nanos to µs — the
+    integer ``div 1000`` here reproduces that truncation exactly.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         return df.withColumns(
             {
-                "ts_ns": F.col("ts").cast("long"),
-                "ts": F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")),
+                "ts_us": F.expr("ts div 1000"),
+                "ts": F.timestamp_micros(F.expr("ts div 1000")),
             }
         )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
