@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of all benchmark queries (excluding
+session startup and a warm-up pass that triggers JVM/codegen warm-up and
+parquet footer caching).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from financial_market_data_analysis_spark import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark(app_name="fmda-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    # Warm-up: run the cheapest query once so JVM JIT / codegen / parquet
+    # footer caches don't get billed to the first measured query.
+    try:
+        qs["a2_event_stats"](spark, sf_dir).count()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            # count() forces full evaluation of every row without
+            # collecting results to the driver.
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # never let one query kill the bench
+            timings[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
