@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from financial_market_data_analysis_spark.functions import features as FE
+from financial_market_data_analysis_spark.functions.text import simhash32_sql
+from financial_market_data_analysis_spark.plans import extensions as X
 from financial_market_data_analysis_spark.operators import windows as W
 from financial_market_data_analysis_spark.operators.joins import asof_band_join
 from financial_market_data_analysis_spark.plans.book import (
@@ -301,6 +303,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_dedup_exact": _d1_dedup_exact,
         "d2_anti_join": _d2_anti_join,
         "d3_latest_point": _d3_latest_point,
+        # -- scale extensions: text / dedup / similarity ------------------
+        "x1_text_stats": X.q_text_stats,
+        "x2_lang_id": X.q_lang_id,
+        "x3_fingerprints": X.q_fingerprints,
+        "x4_simhash": X.q_simhash,
+        "x5_dedup_exact_docs": X.q_dedup_exact_docs,
+        "x6_minhash_lsh": X.q_minhash_lsh,
+        "x7_ngram_jaccard": X.q_ngram_jaccard,
+        "x8_ann_brute_topk": X.q_ann_brute_topk,
+        "x9_embed_neardup": X.q_embed_neardup,
     }
 
 
@@ -552,4 +564,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY user_id
         """,
+        "x1_text_stats": X.text_stats_oracle(),
+        "x2_lang_id": X.lang_id_oracle(),
+        "x3_fingerprints": X.fingerprints_oracle(),
+        "x4_simhash": simhash32_sql(),
+        "x5_dedup_exact_docs": X.dedup_exact_docs_oracle(),
+        "x6_minhash_lsh": X.minhash_lsh_oracle(),
+        "x7_ngram_jaccard": X.ngram_jaccard_oracle(),
+        "x8_ann_brute_topk": X.ann_brute_oracle(),
+        "x9_embed_neardup": X.embed_neardup_oracle(),
     }

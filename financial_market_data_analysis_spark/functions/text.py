@@ -1,0 +1,192 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, language ID, quality scoring, fingerprinting.
+
+Beyond the reference's surface (BASELINE.json north star): these are the
+document-level primitives a 100 TB corpus pipeline needs. Everything is
+native Column expressions (regexp/array functions — JVM-side, codegen),
+no Python UDFs, so a full-corpus pass is one scan with no serde.
+
+Shared constants (token pattern, stopword lists) are module-level so the
+DuckDB oracle SQL is generated from the same source of truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from financial_market_data_analysis_spark.functions.core import safe_div
+
+TOKEN_PATTERN = "[a-z0-9]+"
+PUNCT_PATTERN = r"[.,!?;:]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Order matters: ties resolve in this order.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "los", "de", "y", "es"),
+    "fr": ("le", "les", "et", "est", "un", "une"),
+}
+
+
+def tokens(text_col: str | Column = "text") -> Column:
+    """Lowercased alphanumeric tokens (the BPE-ish regex tokenizer)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # idx=0 → whole-match extraction (the pattern has no capture group)
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(text_col: str | Column = "text") -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(F.lower(c), F.lit(TOKEN_PATTERN)).cast("int")
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Occurrence count (with multiplicity) of ``words`` in the token
+    list — ``size(filter(...))``, row-local, no shuffle."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring feature block: lengths, punctuation density,
+    stopword ratio, mean token length."""
+    toks = tokens(text_col)
+    n_tok = token_count(text_col)
+    n_char = F.length(F.col(text_col)).cast("int")
+    punct = F.regexp_count(F.col(text_col), F.lit(PUNCT_PATTERN)).cast("int")
+    stop_en = _stopword_hits(toks, LANG_STOPWORDS["en"])
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "n_chars_obs": n_char,
+            "punct_count": punct,
+            "punct_ratio": safe_div(punct.cast("double"), n_char),
+            "stopword_count": stop_en,
+            "stopword_ratio": safe_div(stop_en.cast("double"), n_tok),
+            "mean_token_len": safe_div(
+                F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast(
+                    "double"
+                ),
+                n_tok,
+            ),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language ID: argmax over per-language stopword
+    occurrence counts, ties broken in LANG_STOPWORDS order."""
+    toks = tokens(text_col)
+    counts = {lang: _stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
+    langs = list(counts)
+    pred = F.lit(langs[-1])
+    # Build the CASE chain back-to-front so earlier languages win ties.
+    for lang in reversed(langs[:-1]):
+        later = [counts[x] for x in langs[langs.index(lang) + 1 :]]
+        cond = None
+        for lc in later:
+            c = counts[lang] >= lc
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: ``fp_exact`` (md5 of raw text — exact-dup
+    key) and ``fp_bag`` (md5 of the sorted distinct token bag —
+    word-order-insensitive near-exact key)."""
+    toks = tokens(text_col)
+    return df.withColumns(
+        {
+            "fp_exact": F.md5(F.col(text_col).cast("binary")),
+            "fp_bag": F.md5(
+                F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).cast("binary")
+            ),
+        }
+    )
+
+
+def simhash32(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """32-bit SimHash as a bit string.
+
+    Each token votes ±1 on 32 bit positions; the vote for position *i*
+    is the parity of the *i*-th hex digit of ``md5(token)``. The final
+    bit is 1 iff the summed vote is positive. The whole computation is a
+    row-local array fold (``aggregate`` over the token list) — zero
+    shuffle, linear scan, which is what makes SimHash the scale-path
+    near-dup sketch for a 100 TB corpus.
+    """
+    odd = F.array(*[F.lit(c) for c in "13579bdf"])
+
+    def tok_bits(t: Column) -> Column:
+        h = F.md5(t.cast("binary"))
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: F.when(F.array_contains(odd, F.substring(h, i, 1)), F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
+    zeros = F.transform(F.sequence(F.lit(1), F.lit(32)), lambda _: F.lit(0))
+    votes = F.aggregate(
+        tokens(text_col),
+        zeros,
+        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda a, b: a + b),
+    )
+    bits = F.concat_ws(
+        "", F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0")))
+    )
+    return df.withColumn(out_col, bits)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL fragments (generated from the same constants)
+
+
+def tokens_sql(text_expr: str = "text") -> str:
+    return f"regexp_extract_all(lower({text_expr}), '{TOKEN_PATTERN}')"
+
+
+def stopword_hits_sql(toks_expr: str, words: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({toks_expr}, t -> list_contains({arr}, t)))"
+
+
+def language_id_sql(toks_expr: str) -> str:
+    langs = list(LANG_STOPWORDS)
+    cases = []
+    for idx, lang in enumerate(langs[:-1]):
+        mine = stopword_hits_sql(toks_expr, LANG_STOPWORDS[lang])
+        conds = " AND ".join(
+            f"{mine} >= {stopword_hits_sql(toks_expr, LANG_STOPWORDS[other])}"
+            for other in langs[idx + 1 :]
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+
+
+def simhash32_sql(text_expr: str = "text") -> str:
+    """Mirror of ``simhash32`` via explode/group (oracle-side only; the
+    engine side stays row-local)."""
+    odd = "['1','3','5','7','9','b','d','f']"
+    return f"""
+        WITH sim AS (
+            SELECT doc_id, concat(string_agg(
+                       CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY pos)) AS simhash
+            FROM (
+                SELECT doc_id, pos, sum(CASE WHEN list_contains({odd},
+                           substr(md5(tok), pos, 1)) THEN 1 ELSE -1 END) AS vote
+                FROM (
+                    SELECT doc_id, unnest({tokens_sql(text_expr)}) AS tok
+                    FROM documents
+                ), generate_series(1, 32) AS g(pos)
+                GROUP BY doc_id, pos
+            )
+            GROUP BY doc_id
+        )
+        -- token-less docs never explode: default their sketch to all-zeros
+        SELECT d.doc_id, COALESCE(sim.simhash, repeat('0', 32)) AS simhash
+        FROM documents d LEFT JOIN sim ON d.doc_id = sim.doc_id
+    """

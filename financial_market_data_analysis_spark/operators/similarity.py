@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the 100 TB design brief:
+
+- **Brute-force cosine top-k** — exact baseline. The query set is tiny
+  → broadcast; the corpus streams through one scan; per-row cosine is a
+  JVM-side higher-order-function fold (no Python, no UDF); top-k is a
+  per-query window.
+- **Hyperplane-LSH ANN** — scale path. Each vector gets an n-bit
+  sign-pattern bucket from deterministic ±1 hyperplanes; search only
+  compares query and corpus vectors in the same bucket (equi-join on
+  the bucket key), trading recall for a ~2^n candidate reduction.
+
+The hyperplanes are derived from md5 hex-digit parities so the exact
+same planes are constructible in ANSI SQL for the DuckDB oracle (a
+production deployment would use seeded Gaussian planes via a pandas UDF;
+the topology — bucket, equi-join, re-rank — is what matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from financial_market_data_analysis_spark.functions.core import safe_div
+
+N_PLANES = 8
+
+
+def dot_expr(a: str | Column, b: str | Column) -> Column:
+    """Σ aᵢ·bᵢ as a left-to-right double fold — element order fixed, so
+    engines agree bit-for-bit."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: str | Column) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            ca, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_expr(a: str | Column, b: str | Column) -> Column:
+    return safe_div(dot_expr(a, b), norm_expr(a) * norm_expr(b))
+
+
+def hyperplane_bucket(vec_col: str | Column, n_planes: int = N_PLANES) -> Column:
+    """n-bit LSH bucket: bit p = sign(Σ_d r_{p,d}·v_d) where
+    r_{p,d} ∈ {−1, +1} comes from the parity of hex digit
+    ``(d mod 32)+1`` of ``md5('p:d')`` — deterministic, engine-portable."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    odd = F.array(*[F.lit(ch) for ch in "13579bdf"])
+
+    def plane_dot(p: int) -> Column:
+        def term(x: Column, i: Column) -> Column:
+            h = F.md5(F.concat(F.lit(f"{p}:"), i.cast("string")).cast("binary"))
+            digit = F.substring(h, (i % 32 + 1).cast("int"), 1)
+            sign = F.when(F.array_contains(odd, digit), F.lit(1.0)).otherwise(F.lit(-1.0))
+            return sign * x.cast("double")
+
+        # zip_with against the element index (1-based positions array)
+        idx = F.transform(c, lambda _, i: i)
+        return F.aggregate(
+            F.zip_with(c, idx, lambda x, i: term(x, i)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bits = [
+        F.when(plane_dot(p) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ]
+    return F.concat(*bits)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` is broadcast (tiny); the corpus is scanned once; the
+    top-k window partitions by query id, so ranking shuffles only
+    (query, candidate, score) triples — never the vectors.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        cosine_expr(vec_col, "__qvec").alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket
+    are scored — the candidate set shrinks ~2^n_planes-fold."""
+    cb = corpus.withColumn("__bucket", hyperplane_bucket(vec_col, n_planes))
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_bucket(vec_col, n_planes).alias("__bucket"),
+    )
+    scored = cb.join(F.broadcast(qb), "__bucket").select(
+        query_id_col,
+        id_col,
+        cosine_expr(vec_col, "__qvec").alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -1,0 +1,350 @@
+"""Scale-extension queries over the ``documents`` / ``embeddings``
+tables: text analysis, dedup family, similarity search — each paired
+with a DuckDB oracle generated from the same constants.
+
+Near-dup pipelines are exercised against an *augmented* corpus (the
+driver's tables contain no near-duplicates): every 50th document gets a
+suffixed copy, every 100th embedding an exact copy, built identically in
+Spark and SQL so both engines see the same synthetic dups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financial_market_data_analysis_spark.functions import text as T
+from financial_market_data_analysis_spark.operators import dedup as D
+from financial_market_data_analysis_spark.operators import similarity as S
+from financial_market_data_analysis_spark.sources.batch import load_table
+
+DUP_OFFSET = 1_000_000
+DOC_DUP_MOD = 50
+EMB_DUP_MOD = 100
+DUP_SUFFIX = " near duplicate suffix"
+N_QUERY_VECS = 5
+TOP_K = 10
+
+
+# ---------------------------------------------------------------------------
+# augmented corpora (engine + oracle twins)
+
+
+def docs_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    dups = d.filter(F.col("doc_id") % DOC_DUP_MOD == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(DUP_SUFFIX)).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(dups)
+
+
+DOCS_AUG_CTE = f"""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + {DUP_OFFSET}, text || '{DUP_SUFFIX}', lang, source, n_chars
+    FROM documents WHERE doc_id % {DOC_DUP_MOD} = 0
+"""
+
+
+def emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    dups = e.filter(F.col("vec_id") % EMB_DUP_MOD == 0).select(
+        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"), "embedding", "label"
+    )
+    return e.unionByName(dups)
+
+
+EMB_AUG_CTE = f"""
+    SELECT vec_id, embedding, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + {DUP_OFFSET}, embedding, label
+    FROM embeddings WHERE vec_id % {EMB_DUP_MOD} = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return T.text_stats(d).select(
+        "doc_id", "n_tokens", "n_chars_obs", "punct_count", "punct_ratio",
+        "stopword_count", "stopword_ratio", "mean_token_len",
+    )
+
+
+def text_stats_oracle() -> str:
+    toks = T.tokens_sql()
+    stop = T.stopword_hits_sql("toks", T.LANG_STOPWORDS["en"])
+    return f"""
+        WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents)
+        SELECT doc_id,
+            CAST(len(toks) AS INT) AS n_tokens,
+            CAST(length(text) AS INT) AS n_chars_obs,
+            CAST(len(regexp_extract_all(text, '{T.PUNCT_PATTERN}')) AS INT)
+                AS punct_count,
+            CAST(len(regexp_extract_all(text, '{T.PUNCT_PATTERN}')) AS DOUBLE)
+                / length(text) AS punct_ratio,
+            CAST({stop} AS INT) AS stopword_count,
+            CAST({stop} AS DOUBLE) / len(toks) AS stopword_ratio,
+            CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                 AS DOUBLE) / len(toks) AS mean_token_len
+        FROM t
+    """
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return T.language_id(d).select("doc_id", "lang", "lang_pred")
+
+
+def lang_id_oracle() -> str:
+    return f"""
+        WITH t AS (SELECT doc_id, lang, {T.tokens_sql()} AS toks FROM documents)
+        SELECT doc_id, lang, {T.language_id_sql("toks")} AS lang_pred
+        FROM t
+    """
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return T.fingerprints(d).select("doc_id", "fp_exact", "fp_bag")
+
+
+def fingerprints_oracle() -> str:
+    return f"""
+        SELECT doc_id,
+            md5(text) AS fp_exact,
+            md5(array_to_string(list_sort(list_distinct({T.tokens_sql()})), ' '))
+                AS fp_bag
+        FROM documents
+    """
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return T.simhash32(d).select("doc_id", "simhash")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(docs_augmented(spark, sf_dir))
+
+
+def dedup_exact_docs_oracle() -> str:
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE})
+        SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM aug GROUP BY md5(text)
+    """
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_dedup(docs_augmented(spark, sf_dir), threshold=0.5)
+
+
+def _shingles_sql(src: str) -> str:
+    n = D.SHINGLE
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+        SELECT DISTINCT doc_id, s AS shingle FROM (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+                i -> {gram})) AS s
+            FROM (SELECT doc_id, {T.tokens_sql()} AS toks FROM {src})
+        )
+    """
+
+
+def minhash_lsh_oracle(threshold: float = 0.5) -> str:
+    k, bs = D.N_MINHASH, D.BAND_SIZE
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE}),
+        sh AS ({_shingles_sql("aug")}),
+        mh AS (
+            SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
+            FROM sh, generate_series(0, {k - 1}) g(seed)
+            GROUP BY doc_id, seed
+        ),
+        bands AS (
+            SELECT doc_id, CAST(seed // {bs} AS INT) AS band,
+                   md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+            FROM mh GROUP BY doc_id, seed // {bs}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+            GROUP BY p.doc_a, p.doc_b
+        )
+        SELECT p.doc_a, p.doc_b,
+               COALESCE(i.n_inter, 0) AS n_inter,
+               sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE)
+                   AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE)
+              >= {threshold}
+    """
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard: candidate pairs share
+    (lang, source, n_chars//16) — cheap blocking instead of LSH."""
+    d = docs_augmented(spark, sf_dir)
+    keyed = d.withColumn("chars_bucket", F.expr("n_chars div 16"))
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", "chars_bucket"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", "chars_bucket"
+    )
+    pairs = (
+        a.join(b, ["lang", "source", "chars_bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    verified = D.jaccard_verify(pairs, d)
+    return verified.filter(F.col("jaccard") >= 0.2)
+
+
+def ngram_jaccard_oracle(threshold: float = 0.2) -> str:
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE}),
+        keyed AS (SELECT *, n_chars // 16 AS chars_bucket FROM aug),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM keyed a JOIN keyed b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.chars_bucket = b.chars_bucket
+             AND a.doc_id < b.doc_id
+        ),
+        sh AS ({_shingles_sql("aug")}),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+            GROUP BY p.doc_a, p.doc_b
+        )
+        SELECT p.doc_a, p.doc_b,
+               COALESCE(i.n_inter, 0) AS n_inter,
+               sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE)
+                   AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE)
+              >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+def _query_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    return S.brute_force_topk(corpus, _query_vecs(spark, sf_dir), k=TOP_K)
+
+
+_COS_SQL = """
+    (list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))))
+"""
+
+
+def ann_brute_oracle() -> str:
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings
+            WHERE vec_id < {N_QUERY_VECS}
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id, {_COS_SQL} AS cosine
+            FROM embeddings e, q
+        )
+        SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_neardup_pairs(emb_augmented(spark, sf_dir))
+
+
+EMB_DIM = 64  # fixed embedding dimensionality of the driver's table
+
+
+def _bucket_sql(vec: str, n_planes: int = S.N_PLANES, dim: int = EMB_DIM) -> str:
+    """Mirror of similarity.hyperplane_bucket: bit p from the sign of
+    Σ_d ±v[d], sign from md5('p:d') hex-digit parity (d 0-based).
+    ``generate_series`` bounds must be constant in DuckDB (no lateral
+    column args), hence the fixed ``dim``."""
+    odd = "['1','3','5','7','9','b','d','f']"
+    bits = []
+    for p in range(n_planes):
+        dot = (
+            f"(SELECT sum(CASE WHEN list_contains({odd}, "
+            f"substr(md5('{p}:' || (i - 1)), ((i - 1) % 32) + 1, 1)) "
+            f"THEN CAST({vec}[i] AS DOUBLE) ELSE -CAST({vec}[i] AS DOUBLE) END) "
+            f"FROM generate_series(1, {dim}) g(i))"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def embed_neardup_oracle(threshold: float = 0.95) -> str:
+    cos = """
+        (list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))
+    """
+    return f"""
+        WITH aug AS ({EMB_AUG_CTE}),
+        bucketed AS (
+            SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+            FROM aug
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {cos} >= {threshold}
+    """
