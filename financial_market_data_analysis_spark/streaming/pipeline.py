@@ -1,0 +1,155 @@
+"""The streaming pipeline: watermarks, stream-stream interval joins,
+dedup, and micro-batch sinks (T1-T9, K1-K5, J1, D1).
+
+The reference's spark_consumer.py builds five watermarked feeds, joins
+deep↔{vix, volume, cot, ind} with a bucket-equality + 3-minute-band
+predicate, dedups, fills nulls, and appends each micro-batch over JDBC
+while a second query emits a Kafka trigger signal
+(spark_consumer.py:435-502). This module re-expresses that topology
+with the *same transform library the batch path uses* — stream/batch
+unification is the engine's core design stance (SURVEY.md §7.1).
+
+Where the reference had to push all window aggregations to MariaDB
+(T9 — Spark 2.4 could not chain streaming aggregations,
+README.md:137-141), the engine uses **foreachBatch incremental
+materialization**: each micro-batch appends joined bars to a parquet
+warehouse; indicators (W1-W8) are computed over a bounded tail of that
+warehouse per batch — one system, transactional per epoch, and the
+indicator code is literally the batch library.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from financial_market_data_analysis_spark.operators.joins import asof_band_join
+
+WATERMARK = "5 minutes"  # spark_consumer.py:114 etc.
+BAND_SECONDS = 180  # 3-minute join tolerance, spark_consumer.py:440-442
+
+
+def watermarked(df: DataFrame, ts_col: str = "ts", delay: str = WATERMARK) -> DataFrame:
+    """T1 — bound event-time state (identical API batch-side no-op)."""
+    return df.withWatermark(ts_col, delay)
+
+
+def join_feeds(
+    deep: DataFrame,
+    others: dict[str, DataFrame],
+    ts_col: str = "ts",
+    band_seconds: int = BAND_SECONDS,
+) -> DataFrame:
+    """J1 ×N — chain the deep stream against every other feed with the
+    bucketed band join. Each feed must carry a distinct ``{name}_ts``
+    column before the join so the band predicates stay unambiguous
+    (mirrors spark_consumer.py:437-477's 4 sequential joins).
+
+    Works identically on batch DataFrames (tests) and watermarked
+    streaming DataFrames: the band condition is time-bound on both
+    sides, which is exactly what Spark requires to evict join state.
+    """
+    out = deep.withColumnRenamed(ts_col, "deep_ts")
+    for name, feed in others.items():
+        feed_ts = f"{name}_ts"
+        out = asof_band_join(
+            out,
+            feed.withColumnRenamed(ts_col, feed_ts),
+            "deep_ts",
+            feed_ts,
+            band_seconds=band_seconds,
+            ts_unit="ts",
+        ).drop(feed_ts)
+    return out
+
+
+def dedup_all_columns(df: DataFrame) -> DataFrame:
+    """D1 — the reference's ``dropDuplicates()`` over all columns
+    (spark_consumer.py:477). Kept for parity; at scale prefer
+    ``dedup_within_watermark`` below."""
+    return df.dropDuplicates()
+
+
+def dedup_within_watermark(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Scale path: key-scoped dedup with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+) — state holds one
+    entry per key per watermark window instead of every row seen."""
+    return df.dropDuplicatesWithinWatermark(list(keys))
+
+
+def parquet_append_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    post_batch: Callable[[DataFrame, int], None] | None = None,
+):
+    """K1 — the warehouse sink as foreachBatch → parquet append.
+
+    Replaces the reference's JDBC append (at-least-once, no idempotence,
+    spark_consumer.py:68-84): parquet append per epoch plus the
+    checkpoint gives effective exactly-once on restart for this
+    single-writer topology; ``post_batch`` is the hook where incremental
+    indicator materialization runs (T9 resolution).
+    """
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            # the reference used rdd.isEmpty() — an extra job; isEmpty()
+            # on the DataFrame is a limit-1 probe (spark_consumer.py:76)
+            return
+        batch.write.mode("append").parquet(path)
+        if post_batch is not None:
+            post_batch(batch, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def jdbc_append_sink(stream: DataFrame, url: str, table: str, checkpoint_dir: str, properties: dict[str, str] | None = None):
+    """K1 (reference-exact variant): foreachBatch JDBC append — kept as
+    an optional connector for MariaDB/MySQL targets."""
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.write.jdbc(url=url, table=table, mode="append", properties=properties or {})
+
+    return (
+        stream.writeStream.foreachBatch(_write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def incremental_indicators(
+    warehouse_path: str,
+    tail_rows: int = 64,
+    order_col: str = "deep_ts",
+) -> Callable[[DataFrame, int], None]:
+    """T9 — the post-batch hook: recompute W1-W8 over a bounded tail of
+    the materialized warehouse and write the indicator snapshot.
+
+    The tail bound (≥ the largest window frame, 20 rows for Bollinger +
+    15 for LEAD targets) is what makes this O(tail) per batch instead of
+    the reference's full-view re-evaluation per query (SURVEY.md §3.2).
+    """
+    from financial_market_data_analysis_spark.operators.windows import indicator_suite
+
+    def _hook(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        wh = spark.read.parquet(warehouse_path)
+        tail = (
+            wh.orderBy(F.desc(order_col)).limit(tail_rows).orderBy(order_col)
+        )
+        out = indicator_suite(tail, [order_col])
+        out.write.mode("overwrite").parquet(
+            os.path.join(warehouse_path + "_indicators")
+        )
+
+    return _hook

@@ -1,0 +1,221 @@
+"""Streaming semantics tests (SURVEY.md §5.3): JSON decode, stream/batch
+parity of the interval join, watermark late-data behavior, dedup, and
+the foreachBatch incremental-materialization sink."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_market_data_analysis_spark.functions.schemas import (
+    FEED_SCHEMAS,
+    warehouse_ddl,
+)
+from financial_market_data_analysis_spark.sources.batch import load_table
+from financial_market_data_analysis_spark.sources.kafka import json_decode_flatten
+from financial_market_data_analysis_spark.streaming import pipeline as P
+
+from conftest import SF_SMOKE
+
+
+def _sample_payload(feed: str) -> dict:
+    ts = "2020-01-06 09:30:00"
+    if feed == "vix":
+        return {"ts": ts, "vix": 13.5}
+    if feed == "volume":
+        return {"ts": ts, "open": 1.0, "high": 2.0, "low": 0.5, "close": 1.5, "volume": 100}
+    if feed == "cot":
+        return {
+            "ts": ts,
+            "asset": {"asset_long_pos": 1, "asset_short_pos": 2,
+                      "asset_long_pos_change": 0.1, "asset_short_pos_change": 0.2,
+                      "asset_long_open_int": 0.3, "asset_short_open_int": 0.4},
+            "leveraged": {"leveraged_long_pos": 5, "leveraged_short_pos": 6,
+                          "leveraged_long_pos_change": 0.5, "leveraged_short_pos_change": 0.6,
+                          "leveraged_long_open_int": 0.7, "leveraged_short_open_int": 0.8},
+        }
+    if feed == "ind":
+        return {
+            "ts": ts,
+            "nonfarm_payrolls": {"nonfarm_payrolls_actual": 150.0,
+                                 "nonfarm_payrolls_prev_actual_diff": -5.0,
+                                 "nonfarm_payrolls_forc_actual_diff": 0.0},
+            "core_cpi": {"core_cpi_actual": 0.2, "core_cpi_prev_actual_diff": 0.0,
+                         "core_cpi_forc_actual_diff": 0.1},
+            "unemployment_rate": {"unemployment_rate_actual": 3.6,
+                                  "unemployment_rate_prev_actual_diff": 0.1,
+                                  "unemployment_rate_forc_actual_diff": 0.0},
+        }
+    if feed == "deep":
+        d: dict = {"ts": ts}
+        for i in range(7):
+            d[f"bids_{i}"] = {f"bid_{i}": 100.0 - i, f"bid_{i}_size": 10 + i}
+            d[f"asks_{i}"] = {f"ask_{i}": 100.0 + i, f"ask_{i}_size": 20 + i}
+        return d
+    raise ValueError(feed)
+
+
+@pytest.mark.parametrize("feed", sorted(FEED_SCHEMAS))
+def test_json_decode_flatten(spark, feed):
+    schema = FEED_SCHEMAS[feed]()
+    raw = spark.createDataFrame(
+        [(json.dumps(_sample_payload(feed)),)], ["value"]
+    )
+    out = json_decode_flatten(raw, schema)
+    row = out.collect()[0]
+    # flattened: no struct columns remain; ts is a real timestamp
+    assert all("." not in c for c in out.columns)
+    assert out.schema["ts"].dataType.typeName() == "timestamp"
+    assert row["ts"] is not None
+    if feed == "deep":
+        assert row["bid_0"] == 100.0 and row["ask_6_size"] == 26
+    if feed == "cot":
+        assert row["leveraged_short_open_int"] == pytest.approx(0.8)
+
+
+def test_warehouse_ddl_single_source():
+    schemas = {name: FEED_SCHEMAS[name]() for name in ("vix", "volume", "deep")}
+    ddl = warehouse_ddl("stock_data_joined", schemas)
+    assert "bid_6_size INT" in ddl
+    assert "vix FLOAT" in ddl
+    assert ddl.count("FLOAT") + ddl.count("INT") > 20
+
+
+def _two_feeds(spark):
+    ev = load_table(spark, "events", SF_SMOKE)
+    deep = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("deep_id"), F.col("ts").alias("deep_ts"),
+        F.col("value").alias("deep_val"),
+    )
+    quote = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_val"),
+    )
+    return deep, quote
+
+
+def test_stream_batch_parity_interval_join(spark, tmp_path):
+    """The same asof_band_join, run (a) batch and (b) as a stream-stream
+    join over a file stream, must produce identical pairs."""
+    from financial_market_data_analysis_spark.operators.joins import asof_band_join
+
+    deep, quote = _two_feeds(spark)
+    batch = asof_band_join(deep, quote, "deep_ts", "view_ts", ts_unit="ts").select(
+        "deep_id", "view_id"
+    )
+    expected = {(r.deep_id, r.view_id) for r in batch.collect()}
+
+    deep_dir, quote_dir = str(tmp_path / "deep"), str(tmp_path / "quote")
+    deep.write.parquet(deep_dir)
+    quote.write.parquet(quote_dir)
+
+    s_deep = P.watermarked(
+        spark.readStream.schema(deep.schema).parquet(deep_dir), "deep_ts"
+    )
+    s_quote = P.watermarked(
+        spark.readStream.schema(quote.schema).parquet(quote_dir), "view_ts"
+    )
+    joined = asof_band_join(s_deep, s_quote, "deep_ts", "view_ts", ts_unit="ts").select(
+        "deep_id", "view_id"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("parity_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.deep_id, r.view_id)
+        for r in spark.sql("SELECT * FROM parity_join").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T5 — a row arriving >5 min behind the advanced watermark must not
+    re-open its already-finalized window (append-mode agg)."""
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+    df1 = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1.0), ("2024-01-01 10:20:00", 2.0)], ["ts_s", "v"]
+    ).select(F.to_timestamp("ts_s").alias("ts"), "v")
+    df1.write.mode("append").parquet(src)
+
+    agg = (
+        P.watermarked(spark.readStream.schema(df1.schema).parquet(src), "ts")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("wm_agg")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # late row for the long-closed 10:00 window
+        spark.createDataFrame([("2024-01-01 10:01:00", 99.0)], ["ts_s", "v"]).select(
+            F.to_timestamp("ts_s").alias("ts"), "v"
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # flush: a fresh event advances the watermark past both windows
+        spark.createDataFrame([("2024-01-01 11:00:00", 3.0)], ["ts_s", "v"]).select(
+            F.to_timestamp("ts_s").alias("ts"), "v"
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["w"].start.strftime("%H:%M"): r["n"] for r in spark.sql("SELECT * FROM wm_agg").collect()}
+    # the 10:00 window must have count 1 — the late 10:01 row was dropped
+    assert rows.get("10:00") == 1
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "dd_src")
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1), ("2024-01-01 10:00:00", 1), ("2024-01-01 10:02:00", 2)],
+        ["ts_s", "k"],
+    ).select(F.to_timestamp("ts_s").alias("ts"), "k")
+    df.write.parquet(src)
+    stream = P.watermarked(spark.readStream.schema(df.schema).parquet(src), "ts")
+    out = P.dedup_within_watermark(stream, ["k"])
+    q = (
+        out.writeStream.format("memory").queryName("dd_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT count(*) AS c FROM dd_out").collect()[0]["c"] == 2
+
+
+def test_parquet_append_sink_with_indicator_hook(spark, tmp_path):
+    """K1 + T9: micro-batches append to the warehouse; the post-batch
+    hook materializes the W1-W8 indicator tail."""
+    deep, _ = _two_feeds(spark)
+    bars = deep.select(
+        "deep_ts",
+        F.col("deep_val").alias("close"),
+        (F.col("deep_val") + 1).alias("high"),
+        (F.col("deep_val") - 1).alias("low"),
+        F.lit(100).alias("volume"),
+    )
+    src = str(tmp_path / "bars_src")
+    bars.write.parquet(src)
+    wh = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = spark.readStream.schema(bars.schema).parquet(src)
+    sink = P.parquet_append_sink(
+        stream, wh, ckpt, post_batch=P.incremental_indicators(wh)
+    )
+    q = sink.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert spark.read.parquet(wh).count() == bars.count()
+    ind = spark.read.parquet(wh + "_indicators")
+    assert "ATR" in ind.columns and "upper_BB_dist" in ind.columns
+    assert ind.count() > 0
