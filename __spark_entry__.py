@@ -279,6 +279,14 @@ def _d3_latest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_bars_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the whole reference dataflow (5 feeds → join → features
+    → indicators → targets) as one Spark plan. See plans/pipeline.py."""
+    from financial_market_data_analysis_spark.plans.pipeline import bars_joined
+
+    return bars_joined(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -313,6 +321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_ngram_jaccard": X.q_ngram_jaccard,
         "x8_ann_brute_topk": X.q_ann_brute_topk,
         "x9_embed_neardup": X.q_embed_neardup,
+        "x10_multimodal_features": X.q_multimodal_features,
+        "ml1_lag_matrix": X.q_ml_lag_matrix,
+        "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
+        "pipeline_bars_joined": _pipeline_bars_joined,
     }
 
 
@@ -573,4 +585,15 @@ def oracle_sql() -> dict[str, str]:
         "x7_ngram_jaccard": X.ngram_jaccard_oracle(),
         "x8_ann_brute_topk": X.ann_brute_oracle(),
         "x9_embed_neardup": X.embed_neardup_oracle(),
+        "x10_multimodal_features": X.multimodal_oracle(),
+        "ml1_lag_matrix": X.ml_lag_matrix_oracle(candles_oracle_sql()),
+        # ml2_train_metrics: MLlib training is not SQL-expressible →
+        # rows-only check by design
+        "pipeline_bars_joined": _pipeline_oracle(),
     }
+
+
+def _pipeline_oracle() -> str:
+    from financial_market_data_analysis_spark.plans.pipeline import bars_joined_oracle
+
+    return bars_joined_oracle()

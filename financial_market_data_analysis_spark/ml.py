@@ -1,0 +1,107 @@
+"""ML path: sliding-window featurization, min-max scaling, and a
+classifier on the forward-looking targets — the engine's stand-in for
+the reference's SQL-chunk dataloader + biGRU
+(sql_pytorch_dataloader.py, biGRU_model.py; MLlib per BASELINE.json's
+"Structured Streaming + MLlib" approach).
+
+Scale shape: the reference fetches chunks row-by-row over JDBC into
+torch tensors (sql_pytorch_dataloader.py:97-105, 227-236). Here the
+tensor-window assembly is a Spark window ``collect_list`` — one sorted
+pass, distributable by partition column — and normalization parameters
+come from one global aggregate broadcast back (functions/features.py
+``minmax_normalize``), not a per-chunk MIN/MAX query pair.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from financial_market_data_analysis_spark.operators.windows import trailing_window
+
+
+def sliding_window_vectors(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    window: int,
+    order_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+    out_col: str = "window_features",
+    keep_partial: bool = False,
+) -> DataFrame:
+    """The tensor window: ``window`` consecutive rows × features,
+    flattened to one array<double> per row (shape documented in
+    sql_pytorch_dataloader.py:8-18; window=30 train, 5 inference).
+
+    Each row's vector is ``[t-w+1 … t] × [f1 … fk]`` (time-major).
+    ``keep_partial=False`` drops warm-up rows whose window is short —
+    the reference's chunk loader likewise only emits full windows.
+    """
+    w = trailing_window(order_cols, window - 1, partition_cols)
+    per_t = F.array(*[F.col(c).cast("double") for c in feature_cols])
+    collected = F.collect_list(per_t).over(w)
+    df = df.withColumn(out_col, F.flatten(collected))
+    if not keep_partial:
+        df = df.filter(F.size(out_col) == window * len(feature_cols))
+    return df
+
+
+def lag_matrix(
+    df: DataFrame,
+    value_col: str,
+    window: int,
+    order_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Scalar-column variant of the tensor window: ``{col}_lag{j}`` for
+    j = 0..window-1 — the oracle-friendly (and MLlib-assembler-friendly)
+    flat layout."""
+    from financial_market_data_analysis_spark.operators.windows import ordered_window
+
+    w = ordered_window(order_cols, partition_cols)
+    cols = {
+        f"{value_col}_lag{j}": F.lag(value_col, j).over(w) for j in range(window)
+    }
+    return df.withColumns(cols)
+
+
+def train_target_classifier(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "up1",
+    train_fraction: float = 0.8,
+    order_col: str = "bucket_start",
+    seed: int = 42,
+):
+    """Train a logistic-regression classifier on a forward-target label
+    with a *time-based* split (the reference splits by chunk index —
+    sql_pytorch_dataloader.py:251-320 — which leaks less than random
+    but is still index-based; time split is the honest variant).
+
+    Returns (model, train_df, test_df, metrics_df).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import MinMaxScaler, VectorAssembler
+    from pyspark.ml import Pipeline
+
+    clean = df.dropna(subset=list(feature_cols) + [label_col])
+    cut = clean.approxQuantile(order_col, [train_fraction], 0.001)[0]
+    train = clean.filter(F.col(order_col) <= cut)
+    test = clean.filter(F.col(order_col) > cut)
+
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=list(feature_cols), outputCol="raw_features"),
+            MinMaxScaler(inputCol="raw_features", outputCol="features"),
+            LogisticRegression(labelCol=label_col, featuresCol="features"),
+        ]
+    )
+    model = pipe.fit(train)
+    pred = model.transform(test)
+    metrics = pred.agg(
+        F.avg((F.col("prediction") == F.col(label_col)).cast("double")).alias("accuracy"),
+        F.count(F.lit(1)).alias("n_test"),
+    )
+    return model, train, test, metrics

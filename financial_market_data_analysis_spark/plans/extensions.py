@@ -331,6 +331,77 @@ def _bucket_sql(vec: str, n_planes: int = S.N_PLANES, dim: int = EMB_DIM) -> str
     return " || ".join(bits)
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: documents-as-media → Arrow
+    mapInPandas decode stub → per-feature scalar rows."""
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    media = media_from_documents(load_table(spark, "documents", sf_dir))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("feature_idx", "feature_val")
+    )
+
+
+def multimodal_oracle() -> str:
+    from financial_market_data_analysis_spark.operators.multimodal import N_FAKE_FEATURES
+
+    return f"""
+        SELECT doc_id AS media_id,
+               CAST(j AS INT) AS feature_idx,
+               CAST(length(regexp_replace(md5(text || ':' || j),
+                    '[^13579bdf]', '', 'g')) AS INT) AS feature_val
+        FROM documents, generate_series(0, {N_FAKE_FEATURES - 1}) g(j)
+    """
+
+
+def q_ml_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tensor-window featurizer in oracle-friendly flat layout
+    (window=5, the reference's inference window — predict.py:71)."""
+    from financial_market_data_analysis_spark.ml import lag_matrix
+    from financial_market_data_analysis_spark.plans.candles import candles_from_events
+
+    c = candles_from_events(load_table(spark, "events", sf_dir))
+    out = lag_matrix(c, "close", 5, ["bucket_start"])
+    return out.select(
+        "bucket_start", "close_lag0", "close_lag1", "close_lag2",
+        "close_lag3", "close_lag4",
+    )
+
+
+def ml_lag_matrix_oracle(candles_cte: str) -> str:
+    lags = ",\n            ".join(
+        f"lag(close, {j}) OVER (ORDER BY bucket_start) AS close_lag{j}"
+        for j in range(5)
+    )
+    return f"""
+        WITH candles AS ({candles_cte})
+        SELECT bucket_start,
+            {lags}
+        FROM candles
+    """
+
+
+def q_ml_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: end-to-end MLlib pipeline (assemble → min-max →
+    logistic regression) on indicator features vs the up1 target."""
+    from financial_market_data_analysis_spark.ml import train_target_classifier
+    from financial_market_data_analysis_spark.operators.windows import indicator_suite
+    from financial_market_data_analysis_spark.plans.candles import candles_from_events
+
+    c = candles_from_events(load_table(spark, "events", sf_dir))
+    bars = indicator_suite(c, ["bucket_start"])
+    feature_cols = [
+        "close", "volume", "vol_MA6", "vol_MA20", "price_MA20",
+        "upper_BB_dist", "lower_BB_dist", "stoch", "price_change", "ATR",
+    ]
+    _, _, _, metrics = train_target_classifier(bars, feature_cols)
+    return metrics
+
+
 def embed_neardup_oracle(threshold: float = 0.95) -> str:
     cos = """
         (list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

@@ -1,0 +1,92 @@
+"""Unit tests for the ML featurizer and multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_market_data_analysis_spark.ml import (
+    sliding_window_vectors,
+    train_target_classifier,
+)
+from financial_market_data_analysis_spark.operators.multimodal import (
+    extract_features,
+    fake_decode_features,
+    frame_sample,
+    media_from_documents,
+)
+from financial_market_data_analysis_spark.operators.windows import indicator_suite
+from financial_market_data_analysis_spark.plans.candles import candles_from_events
+from financial_market_data_analysis_spark.sources.batch import load_table
+
+from conftest import SF_SMOKE
+
+
+def test_sliding_window_vectors_shape(spark):
+    c = candles_from_events(load_table(spark, "events", SF_SMOKE))
+    out = sliding_window_vectors(
+        c, ["close", "volume"], window=5, order_cols=["bucket_start"]
+    )
+    rows = out.select("window_features").limit(3).collect()
+    assert all(len(r.window_features) == 10 for r in rows)  # 5 steps × 2 feats
+    # full-window filter drops exactly window-1 warm-up rows
+    assert out.count() == c.count() - 4
+
+
+def test_sliding_window_time_major_order(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 6)], ["t", "v"]
+    )
+    out = sliding_window_vectors(df, ["v"], window=3, order_cols=["t"])
+    got = {r.t: r.window_features for r in out.collect()}
+    assert got[3] == [1.0, 2.0, 3.0]
+    assert got[5] == [3.0, 4.0, 5.0]
+
+
+def test_train_target_classifier_runs(spark):
+    c = candles_from_events(load_table(spark, "events", SF_SMOKE))
+    bars = indicator_suite(c, ["bucket_start"])
+    feats = ["close", "volume", "price_MA20", "ATR", "stoch"]
+    _, train, test, metrics = train_target_classifier(bars, feats)
+    m = metrics.collect()[0]
+    assert 0.0 <= m.accuracy <= 1.0
+    assert m.n_test > 0
+    # time split: every test bucket after every train bucket
+    assert (
+        train.agg(F.max("bucket_start")).collect()[0][0]
+        <= test.agg(F.min("bucket_start")).collect()[0][0]
+    )
+
+
+def test_fake_decode_deterministic():
+    a = fake_decode_features(b"hello")
+    b = fake_decode_features(b"hello")
+    assert a == b and len(a) == 8
+    assert all(0 <= v <= 32 for v in a)
+
+
+def test_extract_features_batch_contract(spark):
+    media = media_from_documents(load_table(spark, "documents", SF_SMOKE))
+    out = extract_features(media)
+    rows = out.limit(5).collect()
+    assert all(len(r.features) == 8 for r in rows)
+    assert out.count() == media.count()
+
+
+def test_extract_features_real_decoder_stubbed(spark):
+    media = media_from_documents(load_table(spark, "documents", SF_SMOKE))
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decoder="real")
+
+
+def test_frame_sample_grid(spark):
+    media = media_from_documents(load_table(spark, "documents", SF_SMOKE))
+    frames = frame_sample(media, every_ms=1000)
+    one = (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "duration_ms")
+        .limit(1)
+        .collect()[0]
+    )
+    n = frames.filter(F.col("media_id") == one.media_id).count()
+    assert n == one.duration_ms // 1000 + 1
