@@ -29,6 +29,7 @@ from financial_market_data_analysis_spark.plans.book import (
 from financial_market_data_analysis_spark.plans.candles import (
     candles_from_events,
     candles_oracle_sql,
+    time_bucket_us,
 )
 from financial_market_data_analysis_spark.sources.batch import load_table
 
@@ -116,6 +117,45 @@ def _w8_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = W.average_true_range(_candles(spark, sf_dir), "high", "low", _ORDER)
     df = W.forward_targets(df, "close", "ATR", _ORDER)
     return df.select("bucket_start", "close", "up1", "down1", "up2", "down2")
+
+
+def _w3_delta_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — the ``delta_MA`` view (create_database.py:106-118, period 12
+    from config.py:42): order-flow delta (F4) per 5-minute bucket, then
+    its 12-row moving average."""
+    book = book_from_events(load_table(spark, "events", sf_dir))
+    d = FE.delta_indicator(book)
+    per_bucket = d.groupBy(
+        time_bucket_us("ts_us").alias("bucket_start")
+    ).agg(F.avg("delta").alias("delta"))
+    out = W.moving_average(per_bucket, "delta", (12,), _ORDER, prefix="delta")
+    return out.select("bucket_start", "delta", "delta_MA12")
+
+
+def _w9_partitioned_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100×-scale path for W1-W8: per-symbol candles, indicator
+    suite with ``partition_cols=["symbol"]`` — each symbol's windows
+    evaluate as an independent task instead of one global sort
+    (SURVEY.md §7.3 'Global-ordered windows at scale')."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "symbol", F.col("event_type")
+    )
+    c = candles_from_events(ev, group_cols=("symbol",))
+    out = W.indicator_suite(c, _ORDER, partition_cols=["symbol"])
+    return out.select(
+        "symbol", "bucket_start", "close",
+        "vol_MA6", "vol_MA20", "price_MA20",
+        "upper_BB_dist", "lower_BB_dist", "stoch", "price_change", "ATR",
+        "up1", "down1", "up2", "down2",
+    )
+
+
+def _a5_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/T3 — sliding-window average (length 10 min, slide 5 min): the
+    reference's disabled Spark-2.4 design (spark_consumer.py:129-149),
+    working batch+stream on Spark 3.5."""
+    ev = load_table(spark, "events", sf_dir)
+    return W.sliding_window_agg(ev, "ts", "value", "600 seconds", "300 seconds")
 
 
 def _f1_wick(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,11 +333,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candles_5min": _candles_5min,
         "w1_vol_ma": _w1_vol_ma,
         "w2_price_ma": _w2_price_ma,
+        "w3_delta_ma": _w3_delta_ma,
         "w4_bollinger": _w4_bollinger,
         "w5_stochastic": _w5_stochastic,
         "w6_price_change": _w6_price_change,
         "w7_atr": _w7_atr,
         "w8_targets": _w8_targets,
+        "w9_partitioned_indicators": _w9_partitioned_indicators,
+        "a5_sliding_avg": _a5_sliding_avg,
         "f1_wick": _f1_wick,
         "f2_book_features": _f2_book_features,
         "f7_relative_levels": _f7_relative_levels,
@@ -322,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_ann_brute_topk": X.q_ann_brute_topk,
         "x9_embed_neardup": X.q_embed_neardup,
         "x10_multimodal_features": X.q_multimodal_features,
+        "x11_ann_lsh_topk": X.q_ann_lsh_topk,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "pipeline_bars_joined": _pipeline_bars_joined,
@@ -332,6 +376,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles (DuckDB ANSI SQL over pre-registered views)
 
 _BOOK_CTE = f"WITH book AS ({book_oracle_cte()})"
+
+
+def _delta_expr(levels: int = 7) -> str:
+    """Mirror of features.delta_indicator (F4): Σ ask sizes − Σ bid sizes."""
+    asks = " + ".join(f"COALESCE(ask_{i}_size, 0)" for i in range(levels))
+    bids = " + ".join(f"COALESCE(bid_{i}_size, 0)" for i in range(levels))
+    return f"(({asks}) - ({bids}))"
 
 
 def _wa_expr(side: str, levels: int = 7) -> str:
@@ -414,6 +465,19 @@ def oracle_sql() -> dict[str, str]:
                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS price_MA20
             FROM candles
         """,
+        "w3_delta_ma": f"""
+            {_BOOK_CTE},
+            d AS (
+                SELECT CAST(epoch(time_bucket(INTERVAL '300 seconds', ts))
+                            AS BIGINT) AS bucket_start,
+                       avg({_delta_expr()}) AS delta
+                FROM book GROUP BY 1
+            )
+            SELECT bucket_start, delta,
+                avg(delta) OVER (ORDER BY bucket_start
+                    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS delta_MA12
+            FROM d
+        """,
         "w4_bollinger": f"""
             {_CANDLES_CTE}
             SELECT bucket_start, close,
@@ -456,6 +520,69 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN lead(close, 15) OVER w <= close - 3 * ATR THEN 1 ELSE 0 END AS down2
             FROM atr
             WINDOW w AS (ORDER BY bucket_start)
+        """,
+        "w9_partitioned_indicators": """
+            WITH candles AS (
+                SELECT event_type AS symbol,
+                    CAST(epoch(time_bucket(INTERVAL '300 seconds', ts)) AS BIGINT)
+                        AS bucket_start,
+                    arg_min(value, event_id) AS open,
+                    max(value) AS high,
+                    min(value) AS low,
+                    arg_max(value, event_id) AS close,
+                    sum(value) AS volume,
+                    count(*) AS n_events
+                FROM events
+                GROUP BY 1, 2
+            ),
+            ind AS (
+                SELECT symbol, bucket_start, close, high, low,
+                    avg(volume) OVER (PARTITION BY symbol ORDER BY bucket_start
+                        ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS vol_MA6,
+                    avg(volume) OVER (PARTITION BY symbol ORDER BY bucket_start
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vol_MA20,
+                    avg(close) OVER w20 AS price_MA20,
+                    (avg(close) OVER w20 + 2 * stddev_pop(close) OVER w20) - close
+                        AS upper_BB_dist,
+                    close - (avg(close) OVER w20 - 2 * stddev_pop(close) OVER w20)
+                        AS lower_BB_dist,
+                    (close - min(close) OVER w15)
+                        / (max(close) OVER w15 - min(close) OVER w15) AS stoch,
+                    close - lag(close, 1) OVER (PARTITION BY symbol
+                        ORDER BY bucket_start) AS price_change,
+                    avg(high - low) OVER w15 AS ATR
+                FROM candles
+                WINDOW
+                    w20 AS (PARTITION BY symbol ORDER BY bucket_start
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+                    w15 AS (PARTITION BY symbol ORDER BY bucket_start
+                        ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+            )
+            SELECT symbol, bucket_start, close,
+                vol_MA6, vol_MA20, price_MA20,
+                upper_BB_dist, lower_BB_dist, stoch, price_change, ATR,
+                CASE WHEN lead(close, 8) OVER w >= close + 1.5 * ATR
+                     THEN 1 ELSE 0 END AS up1,
+                CASE WHEN lead(close, 8) OVER w <= close - 1.5 * ATR
+                     THEN 1 ELSE 0 END AS down1,
+                CASE WHEN lead(close, 15) OVER w >= close + 3 * ATR
+                     THEN 1 ELSE 0 END AS up2,
+                CASE WHEN lead(close, 15) OVER w <= close - 3 * ATR
+                     THEN 1 ELSE 0 END AS down2
+            FROM ind
+            WINDOW w AS (PARTITION BY symbol ORDER BY bucket_start)
+        """,
+        "a5_sliding_avg": """
+            SELECT window_start,
+                   window_start + 600 AS window_end,
+                   avg(value) AS avg_value,
+                   count(*) AS n
+            FROM (
+                SELECT (epoch_us(ts) // 300000000 - o) * 300 AS window_start,
+                       value
+                FROM events, (VALUES (0), (1)) t(o)
+            )
+            GROUP BY window_start
         """,
         "f1_wick": f"""
             {_CANDLES_CTE}
@@ -586,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
         "x8_ann_brute_topk": X.ann_brute_oracle(),
         "x9_embed_neardup": X.embed_neardup_oracle(),
         "x10_multimodal_features": X.multimodal_oracle(),
+        "x11_ann_lsh_topk": X.ann_lsh_oracle(),
         "ml1_lag_matrix": X.ml_lag_matrix_oracle(candles_oracle_sql()),
         # ml2_train_metrics: MLlib training is not SQL-expressible →
         # rows-only check by design

@@ -84,6 +84,14 @@ def book_weighted_average(
 
     The fold is horizontal — a Python ``sum`` over Column expressions,
     one row at a time — so it's pure codegen arithmetic, no aggregation.
+
+    Documented deviation from the reference: spark_consumer.py:327
+    guards price and size separately but leaves ``best`` un-guarded, so
+    a NULL best price with a populated deeper level poisons its sum to
+    NULL; here the whole ``(best − pᵢ)·sizeᵢ`` term coalesces to 0 —
+    a NULL best simply contributes nothing. Deliberate fix (the
+    reference behavior is a bug its synthetic feeds never hit), kept
+    consistent with the oracle's ``COALESCE((best − pᵢ)·sizeᵢ, 0)``.
     """
     out_col = out_col or f"{side}s_ord_WA"
     best = F.col(f"{side}_0")

@@ -11,10 +11,17 @@ Two tiers, per the 100 TB design brief:
   compares query and corpus vectors in the same bucket (equi-join on
   the bucket key), trading recall for a ~2^n candidate reduction.
 
-The hyperplanes are derived from md5 hex-digit parities so the exact
-same planes are constructible in ANSI SQL for the DuckDB oracle (a
-production deployment would use seeded Gaussian planes via a pandas UDF;
-the topology — bucket, equi-join, re-rank — is what matters).
+Two bucket constructions, same topology (bucket, equi-join, re-rank):
+
+- ``hyperplane_bucket`` — ±1 planes from md5 hex-digit parities:
+  bit-portable to ANSI SQL, but costs one md5 per (plane × element)
+  — keep for oracle-exact parity tests.
+- ``hyperplane_bucket_gaussian`` — the production path: a seeded
+  Gaussian plane matrix inlined as literal arrays; each plane dot is
+  one JVM ``zip_with``/``aggregate`` fold inside whole-stage codegen
+  (no md5, no Python, no Arrow). ~n_planes×dim fewer hash calls per
+  row. The same float literals are embedded in the DuckDB oracle, so
+  it stays hash-checkable.
 """
 
 from __future__ import annotations
@@ -66,7 +73,8 @@ def hyperplane_bucket(vec_col: str | Column, n_planes: int = N_PLANES) -> Column
             sign = F.when(F.array_contains(odd, digit), F.lit(1.0)).otherwise(F.lit(-1.0))
             return sign * x.cast("double")
 
-        # zip_with against the element index (1-based positions array)
+        # F.transform's lambda index is 0-based — matching the oracle's
+        # (i - 1) convention (DuckDB lists are 1-based, hence i-1 there)
         idx = F.transform(c, lambda _, i: i)
         return F.aggregate(
             F.zip_with(c, idx, lambda x, i: term(x, i)),
@@ -79,6 +87,73 @@ def hyperplane_bucket(vec_col: str | Column, n_planes: int = N_PLANES) -> Column
         for p in range(n_planes)
     ]
     return F.concat(*bits)
+
+
+def gaussian_planes(n_planes: int, dim: int, seed: int = 7):
+    """Seeded Gaussian plane matrix (n_planes × dim) — the standard
+    random-projection LSH construction. Deterministic per seed, so the
+    identical float literals can be inlined into a SQL oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def hyperplane_bucket_gaussian(
+    vec_col: str | Column,
+    n_planes: int = N_PLANES,
+    dim: int = 64,
+    seed: int = 7,
+) -> Column:
+    """Production bucket: bit p = sign(planes[p] · v) with the plane
+    matrix inlined as literal arrays. Each dot is one codegen'd
+    ``zip_with`` + ``aggregate`` fold — no md5, no Python workers.
+
+    On a cluster the literals ship once inside the serialized plan
+    (the broadcast-plane-matrix pattern without a pandas UDF)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = gaussian_planes(n_planes, dim, seed)
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(c, plane, lambda x, r: x.cast("double") * r),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def gaussian_bucket_sql(
+    vec: str, n_planes: int = N_PLANES, dim: int = 64, seed: int = 7
+) -> str:
+    """DuckDB twin of ``hyperplane_bucket_gaussian`` — the same seeded
+    plane literals (full ``repr`` round-trip precision), dot via
+    ``list_dot_product``."""
+    planes = gaussian_planes(n_planes, dim, seed)
+    bits = []
+    for p in range(n_planes):
+        arr = "[" + ", ".join(repr(float(v)) for v in planes[p]) + "]"
+        dot = f"list_dot_product(CAST({vec} AS DOUBLE[]), {arr})"
+        bits.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def bucket_expr(
+    vec_col: str | Column,
+    n_planes: int = N_PLANES,
+    method: str = "gaussian",
+    dim: int = 64,
+    seed: int = 7,
+) -> Column:
+    """Bucket dispatcher: ``method="gaussian"`` (production, codegen
+    folds) or ``"md5"`` (engine-portable parity variant)."""
+    if method == "gaussian":
+        return hyperplane_bucket_gaussian(vec_col, n_planes, dim, seed)
+    if method == "md5":
+        return hyperplane_bucket(vec_col, n_planes)
+    raise ValueError(f"unknown bucket method: {method}")
 
 
 def brute_force_topk(
@@ -121,14 +196,15 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n_planes: int = N_PLANES,
+    method: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket
     are scored — the candidate set shrinks ~2^n_planes-fold."""
-    cb = corpus.withColumn("__bucket", hyperplane_bucket(vec_col, n_planes))
+    cb = corpus.withColumn("__bucket", bucket_expr(vec_col, n_planes, method))
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        hyperplane_bucket(vec_col, n_planes).alias("__bucket"),
+        bucket_expr(vec_col, n_planes, method).alias("__bucket"),
     )
     scored = cb.join(F.broadcast(qb), "__bucket").select(
         query_id_col,

@@ -176,6 +176,39 @@ def forward_targets(
     return df.withColumns(cols)
 
 
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    length: str = "600 seconds",
+    slide: str = "300 seconds",
+) -> DataFrame:
+    """A5/T3 — sliding-window aggregation: the reference's abandoned
+    ``groupBy(F.window(ts, len, slide)).avg("VIX")`` design
+    (spark_consumer.py:129-149, disabled for the Spark 2.4 multi-agg
+    limitation; works directly on Spark 3.5+).
+
+    Identical code runs batch (tests/oracle) and streaming (with a
+    watermark upstream). Each row lands in ``len/slide`` windows; the
+    groupBy is partial-aggregatable, one shuffle on the window key.
+    Output keys are epoch seconds (timezone-proof, cheap to hash).
+    """
+    w = F.window(F.col(ts_col), length, slide)
+    return (
+        df.groupBy(w.alias("w"))
+        .agg(
+            F.avg(value_col).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            F.unix_timestamp(F.col("w.end")).cast("long").alias("window_end"),
+            "avg_value",
+            "n",
+        )
+    )
+
+
 def row_id(
     df: DataFrame,
     order_cols: Sequence[str | Column],
@@ -198,14 +231,23 @@ def indicator_suite(
     volume_col: str = "volume",
     vol_periods: Sequence[int] = (6, 20),
     price_periods: Sequence[int] = (20,),
+    delta_col: str | None = None,
+    delta_periods: Sequence[int] = (12,),
     partition_cols: Sequence[str | Column] = (),
 ) -> DataFrame:
     """The full W1-W8 view stack applied in one pass — the engine's
     replacement for the reference's ``join_statement`` assembly
     (create_database.py:240-258). One window spec family → Catalyst
-    evaluates all indicators in a single Window physical operator."""
+    evaluates all indicators in a single Window physical operator.
+
+    ``delta_col`` (the book's order-flow delta, F4) enables W3 — the
+    ``delta_MA`` view (create_database.py:106-118, period 12 from
+    config.py:42) — when the frame carries that column.
+    """
     df = moving_average(df, volume_col, vol_periods, order_cols, partition_cols, prefix="vol")
     df = moving_average(df, close_col, price_periods, order_cols, partition_cols, prefix="price")
+    if delta_col is not None:
+        df = moving_average(df, delta_col, delta_periods, order_cols, partition_cols, prefix="delta")
     df = bollinger_bands(df, close_col, order_cols, partition_cols=partition_cols)
     df = stochastic_oscillator(df, close_col, order_cols, partition_cols=partition_cols)
     df = price_change(df, close_col, order_cols, partition_cols=partition_cols)

@@ -44,18 +44,21 @@ def candles_from_events(
     value_col: str = "value",
     seq_col: str = "event_id",
     bucket_seconds: int = BUCKET_SECONDS,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Aggregate a (seq, ts, value) stream into OHLCV bars per bucket.
 
     All six aggregates are partial-aggregatable (map-side combine), so
     the plan is scan → partial agg → single shuffle on bucket → final
-    agg; no window functions, no sort.
+    agg; no window functions, no sort. ``group_cols`` adds per-series
+    keys (symbol) — the shape a 100 TB multi-symbol tick table needs so
+    every downstream window can partition by symbol.
     """
     if "ts_us" in events.columns:
         bucket = time_bucket_us("ts_us", bucket_seconds).alias("bucket_start")
     else:
         bucket = time_bucket(ts_col, bucket_seconds).alias("bucket_start")
-    return events.groupBy(bucket).agg(
+    return events.groupBy(*group_cols, bucket).agg(
         F.min_by(value_col, seq_col).alias("open"),
         F.max(value_col).alias("high"),
         F.min(value_col).alias("low"),

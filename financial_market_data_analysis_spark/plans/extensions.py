@@ -10,7 +10,7 @@ Spark and SQL so both engines see the same synthetic dups.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from financial_market_data_analysis_spark.functions import text as T
@@ -209,15 +209,31 @@ def minhash_lsh_oracle(threshold: float = 0.5) -> str:
     """
 
 
+BLOCK_CAP = 64  # max docs per (lang, source, chars_bucket) block
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked pairwise n-gram Jaccard: candidate pairs share
-    (lang, source, n_chars//16) — cheap blocking instead of LSH."""
+    (lang, source, n_chars//16) — cheap blocking instead of LSH.
+
+    Pair generation is O(block²), so blocks are CAPPED at ``BLOCK_CAP``
+    docs (deterministic row_number by doc_id): on a skewed real corpus
+    (90% en/web) an uncapped block degenerates toward all-pairs. The
+    LSH pipeline (x6) remains the advertised scale route; this is the
+    honest bounded variant of the blocking approach.
+    """
     d = docs_augmented(spark, sf_dir)
     keyed = d.withColumn("chars_bucket", F.expr("n_chars div 16"))
-    a = keyed.select(
+    wb = Window.partitionBy("lang", "source", "chars_bucket").orderBy("doc_id")
+    capped = (
+        keyed.withColumn("__rk", F.row_number().over(wb))
+        .filter(F.col("__rk") <= BLOCK_CAP)
+        .drop("__rk")
+    )
+    a = capped.select(
         F.col("doc_id").alias("doc_a"), "lang", "source", "chars_bucket"
     )
-    b = keyed.select(
+    b = capped.select(
         F.col("doc_id").alias("doc_b"), "lang", "source", "chars_bucket"
     )
     pairs = (
@@ -232,7 +248,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_oracle(threshold: float = 0.2) -> str:
     return f"""
         WITH aug AS ({DOCS_AUG_CTE}),
-        keyed AS (SELECT *, n_chars // 16 AS chars_bucket FROM aug),
+        keyed AS (
+            SELECT * FROM (
+                SELECT *, n_chars // 16 AS chars_bucket,
+                       row_number() OVER (
+                           PARTITION BY lang, source, n_chars // 16
+                           ORDER BY doc_id) AS __rk
+                FROM aug
+            ) WHERE __rk <= {BLOCK_CAP}
+        ),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM keyed a JOIN keyed b
@@ -307,7 +331,41 @@ def ann_brute_oracle() -> str:
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.embedding_neardup_pairs(emb_augmented(spark, sf_dir))
+    """Gaussian-plane LSH buckets (production path; the md5-parity
+    variant stays available via method="md5" for portability tests)."""
+    return D.embedding_neardup_pairs(emb_augmented(spark, sf_dir), method="gaussian")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: LSH bucket gate then exact cosine re-rank —
+    the scale path next to x8's exact baseline. With 8 planes the
+    candidate set shrinks ~2^8× before any cosine is computed."""
+    corpus = load_table(spark, "embeddings", sf_dir)
+    return S.lsh_topk(
+        corpus, _query_vecs(spark, sf_dir), k=TOP_K, method="gaussian"
+    )
+
+
+def ann_lsh_oracle() -> str:
+    bucket = S.gaussian_bucket_sql("embedding")
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding, {bucket} AS bucket
+            FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+        ),
+        c AS (
+            SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id, {_COS_SQL} AS cosine
+            FROM c e JOIN q ON e.bucket = q.bucket
+        )
+        SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """
 
 
 EMB_DIM = 64  # fixed embedding dimensionality of the driver's table
@@ -411,7 +469,7 @@ def embed_neardup_oracle(threshold: float = 0.95) -> str:
     return f"""
         WITH aug AS ({EMB_AUG_CTE}),
         bucketed AS (
-            SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+            SELECT vec_id, embedding, {S.gaussian_bucket_sql("embedding")} AS bucket
             FROM aug
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine

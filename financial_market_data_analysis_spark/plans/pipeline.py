@@ -115,7 +115,7 @@ def bars_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).drop("ts")
 
-    bars = indicator_suite(bars, ["bucket_start"])
+    bars = indicator_suite(bars, ["bucket_start"], delta_col="delta")
     out_cols = [
         "bucket_start", "open", "high", "low", "close", "volume",
         "candle_size", "wick_size", "wick_prct",
@@ -125,7 +125,8 @@ def bars_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_of_week", "week_of_month", "session_start",
         "day_1", "day_2", "day_3", "day_4",
         "week_1", "week_2", "week_3", "week_4",
-        "vol_MA6", "vol_MA20", "price_MA20", "upper_BB_dist", "lower_BB_dist",
+        "vol_MA6", "vol_MA20", "price_MA20", "delta_MA12",
+        "upper_BB_dist", "lower_BB_dist",
         "stoch", "price_change", "ATR", "up1", "down1", "up2", "down2",
     ]
     return bars.select(*out_cols).na.fill(0)
@@ -233,6 +234,8 @@ def bars_joined_oracle() -> str:
                     ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS vol_MA6,
                 avg(volume) OVER (ORDER BY bucket_start
                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vol_MA20,
+                avg(delta) OVER (ORDER BY bucket_start
+                    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS delta_MA12,
                 avg(close) OVER w20 AS price_MA20,
                 (avg(close) OVER w20 + 2 * stddev_pop(close) OVER w20) - close
                     AS upper_BB_dist,
@@ -269,7 +272,8 @@ def bars_joined_oracle() -> str:
                vix, cot_pos, cot_chg, ind_actual, ind_count,
                day_of_week, week_of_month, session_start,
                day_1, day_2, day_3, day_4, week_1, week_2, week_3, week_4,
-               vol_MA6, vol_MA20, price_MA20, upper_BB_dist, lower_BB_dist,
+               vol_MA6, vol_MA20, price_MA20, delta_MA12,
+               upper_BB_dist, lower_BB_dist,
                COALESCE(stoch, 0) AS stoch,
                COALESCE(price_change, 0) AS price_change, ATR,
                up1, down1, up2, down2

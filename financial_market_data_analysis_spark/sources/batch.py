@@ -43,6 +43,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Calendar fields (hour/weekday/...) read TimestampType through
+        # the session timezone; pin UTC here so correctness does not
+        # silently depend on the host TZ when the caller's session
+        # didn't set it (the engine's own get_spark also pins UTC).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         return df.withColumns(
             {

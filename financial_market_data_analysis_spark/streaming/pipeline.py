@@ -80,11 +80,21 @@ def dedup_within_watermark(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     return df.dropDuplicatesWithinWatermark(list(keys))
 
 
+def _apply_trigger(writer, trigger: dict | None):
+    """K5/T8 — the engine's pacing knob. ``trigger`` is passed straight
+    to ``DataStreamWriter.trigger``: ``{"processingTime": "5 minutes"}``
+    mirrors the reference's 300 s producer cadence (producer.py:257-258),
+    ``{"availableNow": True}`` drains-and-stops (tests/backfill)."""
+    return writer.trigger(**trigger) if trigger else writer
+
+
 def parquet_append_sink(
     stream: DataFrame,
     path: str,
     checkpoint_dir: str,
     post_batch: Callable[[DataFrame, int], None] | None = None,
+    trigger: dict | None = None,
+    partition_by: Sequence[str] = (),
 ):
     """K1 — the warehouse sink as foreachBatch → parquet append.
 
@@ -93,6 +103,12 @@ def parquet_append_sink(
     checkpoint gives effective exactly-once on restart for this
     single-writer topology; ``post_batch`` is the hook where incremental
     indicator materialization runs (T9 resolution).
+
+    ``partition_by`` (e.g. a date bucket) makes the warehouse
+    partition-pruned: readers that want the tail touch only the last
+    partition directories instead of scanning the full history — the
+    difference between O(tail) and O(warehouse) per micro-batch at
+    100 TB.
     """
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
@@ -100,18 +116,29 @@ def parquet_append_sink(
             # the reference used rdd.isEmpty() — an extra job; isEmpty()
             # on the DataFrame is a limit-1 probe (spark_consumer.py:76)
             return
-        batch.write.mode("append").parquet(path)
+        w = batch.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         if post_batch is not None:
             post_batch(batch, epoch_id)
 
-    return (
+    return _apply_trigger(
         stream.writeStream.foreachBatch(_write)
         .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
+        .option("checkpointLocation", checkpoint_dir),
+        trigger,
     )
 
 
-def jdbc_append_sink(stream: DataFrame, url: str, table: str, checkpoint_dir: str, properties: dict[str, str] | None = None):
+def jdbc_append_sink(
+    stream: DataFrame,
+    url: str,
+    table: str,
+    checkpoint_dir: str,
+    properties: dict[str, str] | None = None,
+    trigger: dict | None = None,
+):
     """K1 (reference-exact variant): foreachBatch JDBC append — kept as
     an optional connector for MariaDB/MySQL targets."""
 
@@ -120,10 +147,11 @@ def jdbc_append_sink(stream: DataFrame, url: str, table: str, checkpoint_dir: st
             return
         batch.write.jdbc(url=url, table=table, mode="append", properties=properties or {})
 
-    return (
+    return _apply_trigger(
         stream.writeStream.foreachBatch(_write)
         .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
+        .option("checkpointLocation", checkpoint_dir),
+        trigger,
     )
 
 
