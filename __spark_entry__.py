@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_simhash": X.q_simhash,
         "x5_dedup_exact_docs": X.q_dedup_exact_docs,
         "x6_minhash_lsh": X.q_minhash_lsh,
+        "x6b_minhash_xxhash": X.q_minhash_xxhash,  # rows-only (no xxhash64 in SQL)
         "x7_ngram_jaccard": X.q_ngram_jaccard,
         "x8_ann_brute_topk": X.q_ann_brute_topk,
         "x9_embed_neardup": X.q_embed_neardup,

@@ -151,6 +151,17 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(docs_augmented(spark, sf_dir), threshold=0.5)
 
 
+def q_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-hash variant of x6: identical topology, xxhash64
+    minhashes/band hashes instead of md5 hex strings. No SQL oracle
+    (DuckDB has no xxhash64) → rows-only check; the exact-Jaccard
+    verify stage still guarantees every emitted pair is a true
+    near-dup at the same threshold."""
+    return D.minhash_lsh_dedup(
+        docs_augmented(spark, sf_dir), threshold=0.5, hash_method="xxhash64"
+    )
+
+
 def _shingles_sql(src: str) -> str:
     n = D.SHINGLE
     gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
@@ -240,9 +251,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["lang", "source", "chars_bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
-    verified = D.jaccard_verify(pairs, d)
-    return verified.filter(F.col("jaccard") >= 0.2)
+    # verify cost is bounded to candidate docs: only docs appearing in a
+    # pair pay the tokenize→shingle→explode cost (r2 verdict item #5 —
+    # previously the WHOLE augmented corpus was re-shingled here).
+    cand = D.ensure_parallelism(
+        d.join(F.broadcast(D.candidate_ids(pairs)), "doc_id")
+    )
+    sh = D.shingle_table(cand).persist()
+    verified = D.jaccard_verify(pairs, d, shingles=sh)
+    out = verified.filter(F.col("jaccard") >= 0.2).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def ngram_jaccard_oracle(threshold: float = 0.2) -> str:
