@@ -110,9 +110,25 @@ def hyperplane_bucket_gaussian(
     ``zip_with`` + ``aggregate`` fold — no md5, no Python workers.
 
     On a cluster the literals ship once inside the serialized plan
-    (the broadcast-plane-matrix pattern without a pandas UDF)."""
+    (the broadcast-plane-matrix pattern without a pandas UDF).
+
+    Cross-engine parity assumption (documented per the r2 advice): both
+    Spark's sequential double fold and the oracle's dot product must
+    produce the identical IEEE sum. A plane dot within a few ULPs of 0
+    could flip its sign bit under a different summation order/FMA; the
+    test suite asserts a margin away from 0 on the fixture data so a
+    parity break is diagnosable rather than nondeterministic.
+
+    A vector whose length differs from ``dim`` raises at runtime
+    (otherwise ``zip_with`` would NULL-pad, silently folding the dot to
+    NULL and landing every bit in the '0' branch while the SQL twin
+    errors — the engines would diverge without a signal)."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     planes = gaussian_planes(n_planes, dim, seed)
+    guard = F.assert_true(
+        F.size(c) == dim,
+        F.concat(F.lit(f"embedding dim != {dim}: got "), F.size(c).cast("string")),
+    )
     bits = []
     for p in range(n_planes):
         plane = F.array(*[F.lit(float(v)) for v in planes[p]])
@@ -122,7 +138,9 @@ def hyperplane_bucket_gaussian(
             lambda acc, x: acc + x,
         )
         bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    # assert_true yields NULL when the check passes -> coalesce returns
+    # the bucket; a wrong-length vector raises instead of mis-bucketing.
+    return F.coalesce(guard.cast("string"), F.concat(*bits))
 
 
 def gaussian_bucket_sql(

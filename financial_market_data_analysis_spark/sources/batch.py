@@ -44,9 +44,21 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Calendar fields (hour/weekday/...) read TimestampType through
-        # the session timezone; pin UTC here so correctness does not
-        # silently depend on the host TZ when the caller's session
-        # didn't set it (the engine's own get_spark also pins UTC).
+        # the session timezone; event-time semantics require UTC. The
+        # engine's own get_spark pins it at session build; a foreign
+        # session (e.g. the driver's vanilla one) gets it pinned here
+        # too — loudly, not silently, if it had a different deliberate
+        # setting (r2 advice: no hidden config mutation).
+        tz = spark.conf.get("spark.sql.session.timeZone", None)
+        if tz not in (None, "UTC", "Etc/UTC"):
+            import warnings
+
+            warnings.warn(
+                f"load_table('events') overrides session timeZone {tz!r} -> 'UTC' "
+                "(event-time operators assume UTC); build the session via "
+                "get_spark() to pin it up front",
+                stacklevel=2,
+            )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         return df.withColumns(

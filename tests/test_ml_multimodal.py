@@ -90,3 +90,37 @@ def test_frame_sample_grid(spark):
     )
     n = frames.filter(F.col("media_id") == one.media_id).count()
     assert n == one.duration_ms // 1000 + 1
+
+
+def test_gaussian_bucket_dim_guard(spark):
+    """A vector whose length differs from the plane dim must raise, not
+    silently land in the all-zeros bucket (r2 advice)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from financial_market_data_analysis_spark.operators.similarity import (
+        hyperplane_bucket_gaussian,
+    )
+
+    bad = spark.createDataFrame([([1.0, 2.0, 3.0],)], ["embedding"])
+    with pytest.raises(SparkRuntimeException, match="embedding dim"):
+        bad.select(hyperplane_bucket_gaussian("embedding", dim=64)).collect()
+
+
+def test_gaussian_plane_dot_margin(spark):
+    """Engine/oracle bucket parity relies on identical IEEE sums; a
+    plane dot within a few ULPs of 0 could flip its sign bit under a
+    different summation order. Assert the fixture data keeps a real
+    margin from 0 so a future parity break is diagnosable (r2 advice)."""
+    from financial_market_data_analysis_spark.operators.similarity import (
+        dot_expr,
+        gaussian_planes,
+    )
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    planes = gaussian_planes(8, 64, seed=7)
+    dots = [
+        F.abs(dot_expr("embedding", F.array(*[F.lit(float(v)) for v in p])))
+        for p in planes
+    ]
+    min_abs = emb.select(F.least(*dots).alias("m")).agg(F.min("m")).collect()[0][0]
+    assert min_abs > 1e-9, f"plane dot too close to 0: {min_abs}"
