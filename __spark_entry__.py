@@ -327,6 +327,17 @@ def _pipeline_bars_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bars_joined(spark, sf_dir)
 
 
+def _pipeline_full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL-WIDTH warehouse row: 117 feature columns through the
+    real schema registry (28 book + 12 COT + 39 indicator + candle +
+    VIX + calendar + W1-W8) — the reference's ~109-column
+    stock_data_joined point (create_database.py:69-73, SURVEY §1.4).
+    See plans/full_row.py."""
+    from financial_market_data_analysis_spark.plans.full_row import full_row
+
+    return full_row(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -370,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "pipeline_bars_joined": _pipeline_bars_joined,
+        "pipeline_full_row": _pipeline_full_row,
     }
 
 
@@ -719,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
         # ml2_train_metrics: MLlib training is not SQL-expressible →
         # rows-only check by design
         "pipeline_bars_joined": _pipeline_oracle(),
+        "pipeline_full_row": _full_row_oracle(),
     }
 
 
@@ -726,3 +739,9 @@ def _pipeline_oracle() -> str:
     from financial_market_data_analysis_spark.plans.pipeline import bars_joined_oracle
 
     return bars_joined_oracle()
+
+
+def _full_row_oracle() -> str:
+    from financial_market_data_analysis_spark.plans.full_row import full_row_oracle
+
+    return full_row_oracle()

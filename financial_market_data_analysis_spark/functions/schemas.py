@@ -27,10 +27,22 @@ from pyspark.sql.types import (
 BID_LEVELS = 7
 ASK_LEVELS = 7
 
-# config.py:52-65 — economic-calendar events (snake_cased) × value kinds
+# config.py:52-65 — the reference's full 13-event economic calendar
+# (snake_cased event_list_repl) × value kinds; 13 × 3 = 39 indicator
+# columns in the warehouse row (SURVEY.md §1.4)
 INDICATOR_EVENTS = (
-    "nonfarm_payrolls",
+    "crude_oil_inventories",
+    "ism_non_manufacturing_pmi",
+    "ism_non_manufacturing_employment",
+    "services_pmi",
+    "adp_nonfarm_employment_change",
     "core_cpi",
+    "fed_interest_rate_decision",
+    "building_permits",
+    "core_retail_sales",
+    "retail_sales",
+    "jolts_job_openings",
+    "nonfarm_payrolls",
     "unemployment_rate",
 )
 INDICATOR_VALUES = ("actual", "prev_actual_diff", "forc_actual_diff")

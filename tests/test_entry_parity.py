@@ -33,3 +33,30 @@ def test_query_matches_oracle(spark, duck, name):
         return
     oracle = run_duck(duck, ORACLES[name])
     assert_frame_parity(df, oracle)
+
+
+def test_full_row_width_and_registry_columns(spark):
+    """The full-width warehouse row must carry the reference's ~109+
+    feature families end to end (SURVEY.md §1.4): 12 COT columns, 39
+    indicator columns (13 events x 3 values), 26 book columns, and the
+    window-indicator/target suite."""
+    from financial_market_data_analysis_spark.functions.schemas import (
+        INDICATOR_EVENTS,
+        INDICATOR_VALUES,
+    )
+    from financial_market_data_analysis_spark.plans.full_row import (
+        COT_COLS,
+        IND_COLS,
+        full_row,
+    )
+
+    assert len(INDICATOR_EVENTS) == 13 and len(INDICATOR_VALUES) == 3
+    assert len(COT_COLS) == 12 and len(IND_COLS) == 39
+
+    df = full_row(spark, SF_SMOKE)
+    assert len(df.columns) >= 110
+    for c in ("asset_long_pos", "leveraged_short_open_int",
+              "fed_interest_rate_decision_actual", "jolts_job_openings_forc_actual_diff",
+              "bid_6_size", "ask_3", "delta_MA12", "up2"):
+        assert c in df.columns, c
+    assert df.count() > 0
