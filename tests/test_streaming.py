@@ -219,3 +219,83 @@ def test_parquet_append_sink_with_indicator_hook(spark, tmp_path):
     ind = spark.read.parquet(wh + "_indicators")
     assert "ATR" in ind.columns and "upper_BB_dist" in ind.columns
     assert ind.count() > 0
+
+
+def test_incremental_indicators_partition_pruned_and_frame_correct(spark, tmp_path):
+    """T9 at scale: the warehouse is partitioned by a date bucket, the
+    hook reads ONLY tail partitions (bounded inputFiles), and the
+    indicator snapshot equals a full-warehouse batch recompute on every
+    snapshot row (the r2 edge defect), with the LEAD-incomplete tail
+    rows explicitly flagged."""
+    from financial_market_data_analysis_spark.operators.windows import indicator_suite
+
+    deep, _ = _two_feeds(spark)
+    bars = deep.select(
+        "deep_ts",
+        F.col("deep_val").alias("close"),
+        (F.col("deep_val") + 1).alias("high"),
+        (F.col("deep_val") - 1).alias("low"),
+        F.lit(100).alias("volume"),
+        F.datediff(F.col("deep_ts"), F.lit("1970-01-01").cast("date")).alias(
+            "date_bucket"
+        ),
+    )
+    src = str(tmp_path / "bars_src")
+    bars.write.parquet(src)
+    wh = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+
+    tail_rows = 20
+    stream = spark.readStream.schema(bars.schema).parquet(src)
+    sink = P.parquet_append_sink(
+        stream, wh, ckpt,
+        post_batch=P.incremental_indicators(
+            wh, tail_rows=tail_rows, order_col="deep_ts",
+            partition_col="date_bucket", partition_lookback=9,
+        ),
+        partition_by=["date_bucket"],
+    )
+    q = sink.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    # partition layout + pruning: the tail read touches a strict subset
+    # of the warehouse files (partition pruning on date_bucket)
+    all_files = spark.read.parquet(wh).inputFiles()
+    newest = spark.read.parquet(wh).agg(F.max("date_bucket")).first()[0]
+    pruned = spark.read.parquet(wh).filter(
+        F.col("date_bucket") >= newest - 9
+    )
+    # input_file_name() over the executed rows = files actually read
+    # after partition pruning (inputFiles() ignores pushed filters)
+    read_files = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(read_files) < len(all_files)
+    assert all("date_bucket=" in f for f in read_files)
+
+    # frame correctness: snapshot == full-warehouse recompute, row for row
+    snap = spark.read.parquet(wh + "_indicators")
+    assert snap.count() == tail_rows
+    full = indicator_suite(spark.read.parquet(wh), ["deep_ts"])
+    ind_cols = ["vol_MA6", "vol_MA20", "price_MA20", "upper_BB_dist",
+                "lower_BB_dist", "stoch", "price_change", "ATR",
+                "up1", "down1", "up2", "down2"]
+    joined = snap.alias("s").join(full.alias("f"), "deep_ts").select(
+        *[F.col(f"s.{c}").alias(f"s_{c}") for c in ind_cols],
+        *[F.col(f"f.{c}").alias(f"f_{c}") for c in ind_cols],
+    ).collect()
+    assert len(joined) == tail_rows
+    for r in joined:
+        for c in ind_cols:
+            s, f = r[f"s_{c}"], r[f"f_{c}"]
+            if s is None or f is None:
+                assert s == f, c
+            else:
+                assert abs(s - f) < 1e-9, (c, s, f)
+
+    # the last MAX_LEAD rows are flagged not-final
+    flags = spark.read.parquet(wh + "_indicators").select(
+        "deep_ts", "targets_complete"
+    ).orderBy("deep_ts").collect()
+    assert [r.targets_complete for r in flags[-P.MAX_LEAD:]] == [False] * P.MAX_LEAD
+    assert all(r.targets_complete for r in flags[:-P.MAX_LEAD])
