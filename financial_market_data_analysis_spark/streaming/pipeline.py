@@ -239,3 +239,62 @@ def incremental_indicators(
         )
 
     return _hook
+
+
+def compose_hooks(
+    *hooks: Callable[[DataFrame, int], None],
+) -> Callable[[DataFrame, int], None]:
+    """Chain post-batch hooks (e.g. indicator materialization, then
+    inference over the fresh snapshot) — the engine's analog of the
+    reference running spark_consumer + predict.py as separate processes
+    stitched by a Kafka signal and a 15 s sleep (predict.py:141)."""
+
+    def _hook(batch: DataFrame, epoch_id: int) -> None:
+        for h in hooks:
+            h(batch, epoch_id)
+
+    return _hook
+
+
+def streaming_predictions(
+    model,
+    indicators_path: str,
+    predictions_path: str,
+    order_col: str = "deep_ts",
+    feature_cols: Sequence[str] = (),
+    keep_cols: Sequence[str] = (),
+) -> Callable[[DataFrame, int], None]:
+    """The predict.py analog (predict.py:124-197): per micro-batch,
+    score the freshly materialized indicator snapshot with a fitted
+    MLlib PipelineModel and append the prediction signal.
+
+    What the reference does with a Kafka trigger topic, a 15 s
+    MySQL-visibility sleep, a point lookup, saved norm-params and a
+    torch forward pass collapses here into one transactional hook:
+    the snapshot is already consistent (written by the preceding hook
+    in the same epoch), normalization lives inside the PipelineModel
+    (MinMaxScaler stage — predict.py:121-122's saved params), and the
+    emitted (key, prediction) rows are the 'prediction' topic payload
+    (a Kafka sink variant would just add to_json + kafka format, K2).
+
+    Only rows belonging to the CURRENT batch are scored (semi-join on
+    the batch keys), mirroring the reference's score-the-new-point
+    semantics and keeping the append idempotent per epoch.
+    """
+
+    def _hook(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        snap = spark.read.parquet(indicators_path)
+        if feature_cols:
+            snap = snap.na.drop(subset=list(feature_cols))
+        scored = model.transform(snap)
+        fresh = scored.join(
+            batch.select(order_col).distinct(), order_col, "left_semi"
+        )
+        out = fresh.select(
+            order_col, *keep_cols,
+            F.col("prediction").cast("double").alias("prediction"),
+        ).withColumn("epoch_id", F.lit(epoch_id))
+        out.write.mode("append").parquet(predictions_path)
+
+    return _hook

@@ -299,3 +299,57 @@ def test_incremental_indicators_partition_pruned_and_frame_correct(spark, tmp_pa
     ).orderBy("deep_ts").collect()
     assert [r.targets_complete for r in flags[-P.MAX_LEAD:]] == [False] * P.MAX_LEAD
     assert all(r.targets_complete for r in flags[:-P.MAX_LEAD])
+
+
+def test_streaming_inference_predictions(spark, tmp_path):
+    """The predict.py analog end to end: train an MLlib pipeline on a
+    batch warehouse, then stream fresh bars through the sink with the
+    indicator hook + prediction hook chained, and assert prediction
+    rows appear for the fresh keys."""
+    from financial_market_data_analysis_spark.ml import train_target_classifier
+    from financial_market_data_analysis_spark.operators.windows import indicator_suite
+
+    deep, _ = _two_feeds(spark)
+    bars = deep.select(
+        "deep_ts",
+        F.col("deep_val").alias("close"),
+        (F.col("deep_val") + 1).alias("high"),
+        (F.col("deep_val") - 1).alias("low"),
+        F.lit(100).alias("volume"),
+    )
+    feature_cols = ["close", "volume", "vol_MA6", "vol_MA20", "price_MA20",
+                    "upper_BB_dist", "lower_BB_dist", "ATR"]
+
+    # train on the batch half (the reference trains offline, predict.py
+    # serves online — same split here)
+    hist = indicator_suite(bars, ["deep_ts"]).withColumn(
+        "bucket_start", F.unix_timestamp("deep_ts")
+    )
+    model, _, _, _ = train_target_classifier(hist, feature_cols)
+
+    src = str(tmp_path / "bars_src")
+    bars.write.parquet(src)
+    wh = str(tmp_path / "warehouse")
+    pred = str(tmp_path / "predictions")
+
+    stream = spark.readStream.schema(bars.schema).parquet(src)
+    sink = P.parquet_append_sink(
+        stream, wh, str(tmp_path / "ckpt"),
+        post_batch=P.compose_hooks(
+            P.incremental_indicators(wh, tail_rows=30, order_col="deep_ts"),
+            P.streaming_predictions(
+                model, wh + "_indicators", pred,
+                order_col="deep_ts", feature_cols=feature_cols,
+            ),
+        ),
+    )
+    q = sink.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(pred)
+    assert out.count() > 0
+    assert set(out.columns) >= {"deep_ts", "prediction", "epoch_id"}
+    assert out.filter(~F.col("prediction").isin(0.0, 1.0)).count() == 0
+    # every predicted key is a real warehouse bar
+    wh_keys = spark.read.parquet(wh).select("deep_ts")
+    assert out.join(wh_keys, "deep_ts", "left_anti").count() == 0
