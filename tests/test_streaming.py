@@ -353,3 +353,85 @@ def test_streaming_inference_predictions(spark, tmp_path):
     # every predicted key is a real warehouse bar
     wh_keys = spark.read.parquet(wh).select("deep_ts")
     assert out.join(wh_keys, "deep_ts", "left_anti").count() == 0
+
+
+def test_left_outer_stream_join_null_padding(spark, tmp_path):
+    """J4 — the reference's designed-but-disabled left-outer
+    stream-stream join (spark_consumer.py:144-149): an unmatched left
+    row must be emitted null-padded once the watermark passes its
+    band, not silently dropped."""
+    from financial_market_data_analysis_spark.operators.joins import asof_band_join
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+
+    def _write(path, rows, col):
+        spark.createDataFrame(rows, ["ts_s", col]).select(
+            F.to_timestamp("ts_s").alias(f"{col}_ts"), col
+        ).write.mode("append").parquet(path)
+
+    _write(ldir, [("2024-01-01 10:00:00", 1.0), ("2024-01-01 10:02:00", 2.0)], "lval")
+    _write(rdir, [("2024-01-01 10:01:00", 10.0)], "rval")
+
+    lschema = spark.read.parquet(ldir).schema
+    rschema = spark.read.parquet(rdir).schema
+    sl = P.watermarked(spark.readStream.schema(lschema).parquet(ldir), "lval_ts")
+    sr = P.watermarked(spark.readStream.schema(rschema).parquet(rdir), "rval_ts")
+    joined = asof_band_join(
+        sl, sr, "lval_ts", "rval_ts", ts_unit="ts", how="left_outer"
+    ).select("lval_ts", "lval", "rval")
+    q = (
+        joined.writeStream.format("memory").queryName("oj")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past 10:02 + band on BOTH sides
+        _write(ldir, [("2024-01-01 10:30:00", 3.0)], "lval")
+        _write(rdir, [("2024-01-01 10:30:00", 30.0)], "rval")
+        q.processAllAvailable()
+        _write(ldir, [("2024-01-01 11:00:00", 4.0)], "lval")
+        _write(rdir, [("2024-01-01 11:00:00", 40.0)], "rval")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r.lval, r.rval) for r in spark.sql("SELECT * FROM oj").collect()
+    }
+    assert (1.0, 10.0) in rows          # matched within band
+    assert (2.0, None) in rows          # expired unmatched -> null-padded
+
+
+def test_parquet_sink_restart_no_duplicates(spark, tmp_path):
+    """T7 — kill-and-restart: the checkpointed parquet sink must resume
+    exactly where it stopped — already-committed files are not
+    re-appended, new files are picked up (the exactly-once story the
+    reference's at-least-once JDBC append lacks)."""
+    deep, _ = _two_feeds(spark)
+    bars = deep.select("deep_ts", F.col("deep_val").alias("close")).limit(50)
+    src = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    schema = bars.schema
+
+    first = bars.limit(30)
+    first.write.mode("append").parquet(src)
+
+    def _run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = P.parquet_append_sink(stream, wh, ckpt).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    _run()
+    n1 = spark.read.parquet(wh).count()
+    assert n1 == 30
+
+    # "kill" (query already terminated), add data, restart on same ckpt
+    bars.subtract(first).write.mode("append").parquet(src)
+    _run()
+    n2 = spark.read.parquet(wh).count()
+    assert n2 == 50
+    assert spark.read.parquet(wh).select("deep_ts").distinct().count() == 50
+
+    # restart with nothing new: no re-processing, no duplicates
+    _run()
+    assert spark.read.parquet(wh).count() == 50
