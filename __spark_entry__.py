@@ -158,6 +158,18 @@ def _a5_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sliding_window_agg(ev, "ts", "value", "600 seconds", "300 seconds")
 
 
+def _a6_sliding_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/T3's join-back half — every event annotated with the sliding
+    moving average of each window it falls in (the reference's disabled
+    leftOuter design, spark_consumer.py:144-149), as an exploded
+    equi-join on the window-start key (no range join)."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "value")
+    out = W.sliding_join_back(ev, "ts", "value", 600, 300)
+    return out.select(
+        "event_id", "window_start", "window_end", "value", "avg_value", "n"
+    )
+
+
 def _f1_wick(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = FE.wick_features(_candles(spark, sf_dir))
     return df.select("bucket_start", "open", "close", "candle_size", "wick_size", "wick_prct")
@@ -352,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_targets": _w8_targets,
         "w9_partitioned_indicators": _w9_partitioned_indicators,
         "a5_sliding_avg": _a5_sliding_avg,
+        "a6_sliding_joinback": _a6_sliding_joinback,
         "f1_wick": _f1_wick,
         "f2_book_features": _f2_book_features,
         "f7_relative_levels": _f7_relative_levels,
@@ -596,6 +609,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM events, (VALUES (0), (1)) t(o)
             )
             GROUP BY window_start
+        """,
+        "a6_sliding_joinback": """
+            WITH agg AS (
+                SELECT window_start,
+                       window_start + 600 AS window_end,
+                       avg(value) AS avg_value,
+                       count(*) AS n
+                FROM (
+                    SELECT (epoch_us(ts) // 300000000 - o) * 300 AS window_start,
+                           value
+                    FROM events, (VALUES (0), (1)) t(o)
+                )
+                GROUP BY window_start
+            ),
+            ev AS (
+                SELECT event_id, value,
+                       (epoch_us(ts) // 300000000 - o) * 300 AS window_start
+                FROM events, (VALUES (0), (1)) t(o)
+            )
+            SELECT ev.event_id, ev.window_start, agg.window_end,
+                   ev.value, agg.avg_value, agg.n
+            FROM ev JOIN agg USING (window_start)
         """,
         "f1_wick": f"""
             {_CANDLES_CTE}

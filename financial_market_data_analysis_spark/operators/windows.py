@@ -209,6 +209,45 @@ def sliding_window_agg(
     )
 
 
+def sliding_join_back(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    length_seconds: int = 600,
+    slide_seconds: int = 300,
+) -> DataFrame:
+    """A5/T3's second half — join the sliding-window aggregate BACK to
+    the row stream, so every event carries the moving average of each
+    window it falls in (the reference's abandoned leftOuter design,
+    spark_consumer.py:144-149).
+
+    Scale shape: instead of a range join (event.ts ∈ [start, end)),
+    each event is exploded onto its ``length/slide`` window-start keys
+    and equi-joined — hash-partitionable on the window key, no
+    broadcast-nested-loop. Works identically on batch frames; in
+    streaming, pair it with the foreachBatch-materialized aggregate
+    (the same pattern as the T9 indicator materialization) since
+    aggregate-then-join remains a restricted chain for live
+    stream-stream topologies.
+    """
+    agg = sliding_window_agg(
+        df, ts_col, value_col,
+        f"{length_seconds} seconds", f"{slide_seconds} seconds",
+    )
+    n = length_seconds // slide_seconds
+    starts = F.array(
+        *[
+            F.expr(
+                f"(unix_timestamp({ts_col}) div {slide_seconds}) * {slide_seconds}"
+                f" - {k * slide_seconds}"
+            )
+            for k in range(n)
+        ]
+    )
+    ev = df.withColumn("window_start", F.explode(starts))
+    return ev.join(agg, "window_start")
+
+
 def row_id(
     df: DataFrame,
     order_cols: Sequence[str | Column],

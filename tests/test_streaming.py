@@ -435,3 +435,46 @@ def test_parquet_sink_restart_no_duplicates(spark, tmp_path):
     # restart with nothing new: no re-processing, no duplicates
     _run()
     assert spark.read.parquet(wh).count() == 50
+
+
+def test_sliding_window_agg_streaming_parity(spark, tmp_path):
+    """T3 — the sliding-window aggregate run as an ACTUAL streaming
+    query (watermark upstream, append mode): every finalized window the
+    stream emits must equal the batch computation of the same operator
+    on the same data."""
+    from financial_market_data_analysis_spark.operators.windows import (
+        sliding_window_agg,
+    )
+
+    ev = load_table(spark, "events", SF_SMOKE).select("ts", "value")
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    src = str(tmp_path / "sw_src")
+    # two time-ordered files so the second batch's watermark finalizes
+    # the first batch's windows
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = sliding_window_agg(P.watermarked(stream, "ts"), "ts", "value",
+                             "600 seconds", "300 seconds")
+    q = (
+        agg.writeStream.format("memory").queryName("sw_agg")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.sql("SELECT * FROM sw_agg").collect()
+    assert len(emitted) > 0
+    batch = {
+        r.window_start: (r.avg_value, r.n)
+        for r in sliding_window_agg(ev, "ts", "value",
+                                    "600 seconds", "300 seconds").collect()
+    }
+    for r in emitted:
+        b_avg, b_n = batch[r.window_start]
+        assert r.n == b_n, (r.window_start, r.n, b_n)
+        assert abs(r.avg_value - b_avg) < 1e-9
