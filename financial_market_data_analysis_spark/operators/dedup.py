@@ -106,10 +106,17 @@ def shingle_arrays(
     than n tokens) are dropped, matching the explode-based semantics
     where they simply produce no rows.
     """
-    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # The no-shingle filter is expressed on the TOKEN COUNT, before the
+    # shingle transform: a filter on size(sh_arr) gets pushed below the
+    # upstream repartition/scan and re-evaluates the whole shingle
+    # expression per row on the (possibly 1-2 partition) source — the
+    # pushed-down twin of this predicate costs one regexp per row.
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") >= SHINGLE
+    )
     return toks_df.select(
         F.col(id_col), _shingles(F.col("__toks")).alias("sh_arr")
-    ).filter(F.size("sh_arr") > 0)
+    )
 
 
 def _minhash_expr(sh_arr: Column, seed: int, hash_method: str = "md5") -> Column:
