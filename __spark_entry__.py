@@ -170,6 +170,14 @@ def _a6_sliding_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t4_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — per-user session windows (30-min inactivity gap) via the
+    built-in session_window; oracle is the gaps-and-islands SQL, so the
+    built-in's merge semantics are proven ANSI-equivalent."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+    return W.session_windows(ev, "ts", ("user_id",), "30 minutes")
+
+
 def _f1_wick(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = FE.wick_features(_candles(spark, sf_dir))
     return df.select("bucket_start", "open", "close", "candle_size", "wick_size", "wick_prct")
@@ -365,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w9_partitioned_indicators": _w9_partitioned_indicators,
         "a5_sliding_avg": _a5_sliding_avg,
         "a6_sliding_joinback": _a6_sliding_joinback,
+        "t4_session_windows": _t4_session_windows,
         "f1_wick": _f1_wick,
         "f2_book_features": _f2_book_features,
         "f7_relative_levels": _f7_relative_levels,
@@ -391,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_embed_neardup": X.q_embed_neardup,
         "x10_multimodal_features": X.q_multimodal_features,
         "x11_ann_lsh_topk": X.q_ann_lsh_topk,
+        "x12_ann_ivf_topk": X.q_ann_ivf_topk,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "pipeline_bars_joined": _pipeline_bars_joined,
@@ -632,6 +642,28 @@ def oracle_sql() -> dict[str, str]:
                    ev.value, agg.avg_value, agg.n
             FROM ev JOIN agg USING (window_start)
         """,
+        "t4_session_windows": """
+            WITH e AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                >= 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sess
+                FROM e
+            )
+            SELECT user_id,
+                   epoch_us(min(ts)) // 1000000 AS session_start,
+                   epoch_us(max(ts)) // 1000000 AS session_last,
+                   count(*) AS n_events,
+                   sum(value) AS sum_value
+            FROM s GROUP BY user_id, sess
+        """,
         "f1_wick": f"""
             {_CANDLES_CTE}
             SELECT bucket_start, open, close,
@@ -762,6 +794,7 @@ def oracle_sql() -> dict[str, str]:
         "x9_embed_neardup": X.embed_neardup_oracle(),
         "x10_multimodal_features": X.multimodal_oracle(),
         "x11_ann_lsh_topk": X.ann_lsh_oracle(),
+        "x12_ann_ivf_topk": X.ann_ivf_oracle(),
         "ml1_lag_matrix": X.ml_lag_matrix_oracle(candles_oracle_sql()),
         # ml2_train_metrics: MLlib training is not SQL-expressible →
         # rows-only check by design

@@ -206,6 +206,80 @@ def brute_force_topk(
     )
 
 
+def ivf_assignments(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its
+    nearest-centroid cell (max cosine, ties to the lowest centroid id).
+
+    Scale shape: the centroid table is tiny → broadcast; scoring is a
+    map-side cross join; the argmax is a partial-aggregatable
+    ``max_by`` grouped on the vector's own key, so the shuffle carries
+    ONE row per vector (the K candidate scores collapse map-side) —
+    no window over the K×N blow-up.
+    """
+    c = centroids.select(
+        F.col(centroid_id), F.col(vec_col).alias("__cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
+        "__cos", cosine_expr(vec_col, "__cvec")
+    )
+    pick = F.expr(
+        f"max_by({centroid_id}, struct(__cos, -{centroid_id}))"
+    ).alias(centroid_id)
+    return scored.groupBy(id_col, vec_col).agg(pick)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus vectors whose coarse
+    cell is among the query's ``nprobe`` nearest centroids — the
+    inverted-file ANN layout next to the LSH variant (``lsh_topk``).
+    Candidate volume shrinks ~K/nprobe-fold; recall is tunable via
+    ``nprobe`` without touching the stored assignment."""
+    cells = ivf_assignments(corpus, centroids, id_col, vec_col)
+    qc = centroids.select(
+        F.col("centroid_id"), F.col(vec_col).alias("__cvec")
+    )
+    qs = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    q_scored = qs.crossJoin(F.broadcast(qc)).withColumn(
+        "__qcos", cosine_expr("__qvec", "__cvec")
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__qcos"), F.col("centroid_id")
+    )
+    probes = (
+        q_scored.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= nprobe)
+        .select(query_id_col, "__qvec", "centroid_id")
+    )
+    scored = cells.join(F.broadcast(probes), "centroid_id").select(
+        query_id_col,
+        id_col,
+        cosine_expr(vec_col, "__qvec").alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

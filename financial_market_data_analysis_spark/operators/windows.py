@@ -209,6 +209,43 @@ def sliding_window_agg(
     )
 
 
+def session_windows(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    gap: str = "30 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """T4 — session windows (absent in the reference; an engine
+    extension): per-key activity sessions that close after ``gap`` of
+    silence, via the built-in ``F.session_window`` (streaming-capable
+    with a watermark upstream — state closes as the watermark passes
+    each session's end).
+
+    Scale shape: one partial-aggregatable shuffle on (key, session);
+    the oracle twin is the classic gaps-and-islands SQL (LAG + running
+    sum of gap breaks), proving the semantics match ANSI SQL exactly.
+    Output keys are epoch seconds for cross-engine hashing.
+    """
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(*key_cols, w.alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            *key_cols,
+            F.unix_timestamp("first_ts").alias("session_start"),
+            F.unix_timestamp("last_ts").alias("session_last"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sliding_join_back(
     df: DataFrame,
     ts_col: str = "ts",

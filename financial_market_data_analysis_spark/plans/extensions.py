@@ -367,6 +367,70 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CENTROID_MOD = 101  # deterministic coarse-centroid sample: vec_id % 101 = 0
+IVF_NPROBE = 2
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus against a deterministic
+    centroid sample, probe the query's 2 nearest cells, exact re-rank —
+    the inverted-file scale path next to x11's LSH gate."""
+    corpus = load_table(spark, "embeddings", sf_dir)
+    return S.ivf_topk(
+        corpus, _query_vecs(spark, sf_dir), _centroids(spark, sf_dir),
+        k=TOP_K, nprobe=IVF_NPROBE,
+    )
+
+
+_COS_AC = """
+    (list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))))
+"""
+
+
+def ann_ivf_oracle() -> str:
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS centroid_id, embedding FROM embeddings
+            WHERE vec_id % {CENTROID_MOD} = 0
+        ),
+        assign AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_COS_AC} DESC, c.centroid_id) AS rk
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rk = 1
+        ),
+        probes AS (
+            SELECT query_id, embedding, centroid_id FROM (
+                SELECT e.vec_id AS query_id, e.embedding, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_COS_AC} DESC, c.centroid_id) AS rk
+                FROM embeddings e CROSS JOIN cent c
+                WHERE e.vec_id < {N_QUERY_VECS}
+            ) WHERE rk <= {IVF_NPROBE}
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id, {_COS_SQL} AS cosine
+            FROM assign e JOIN probes q ON e.centroid_id = q.centroid_id
+        )
+        SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """
+
+
 def ann_lsh_oracle() -> str:
     bucket = S.gaussian_bucket_sql("embedding")
     return f"""

@@ -131,6 +131,17 @@ def parquet_append_sink(
     )
 
 
+def console_sink(stream: DataFrame, trigger: dict | None = None, num_rows: int = 20):
+    """K3 — the debug console sink (the reference keeps one commented
+    out, spark_consumer.py:504-506)."""
+    return _apply_trigger(
+        stream.writeStream.format("console")
+        .option("numRows", str(num_rows))
+        .outputMode("append"),
+        trigger,
+    )
+
+
 def jdbc_append_sink(
     stream: DataFrame,
     url: str,
