@@ -478,3 +478,40 @@ def test_sliding_window_agg_streaming_parity(spark, tmp_path):
         b_avg, b_n = batch[r.window_start]
         assert r.n == b_n, (r.window_start, r.n, b_n)
         assert abs(r.avg_value - b_avg) < 1e-9
+
+
+def test_session_windows_streaming_parity(spark, tmp_path):
+    """T4 — session_windows under a watermark: every finalized session
+    the stream emits must equal the batch computation."""
+    from financial_market_data_analysis_spark.operators.windows import (
+        session_windows,
+    )
+
+    ev = load_table(spark, "events", SF_SMOKE).select("user_id", "ts", "value")
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    src = str(tmp_path / "sess_src")
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = session_windows(P.watermarked(stream, "ts"), "ts", ("user_id",))
+    q = (
+        agg.writeStream.format("memory").queryName("sess_agg")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.sql("SELECT * FROM sess_agg").collect()
+    assert len(emitted) > 0
+    batch = {
+        (r.user_id, r.session_start): (r.session_last, r.n_events, r.sum_value)
+        for r in session_windows(ev, "ts", ("user_id",)).collect()
+    }
+    for r in emitted:
+        last, n, s = batch[(r.user_id, r.session_start)]
+        assert (r.session_last, r.n_events) == (last, n)
+        assert abs(r.sum_value - s) < 1e-9
