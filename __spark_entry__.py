@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from financial_market_data_analysis_spark.functions import features as FE
-from financial_market_data_analysis_spark.functions.text import simhash32_sql
+from financial_market_data_analysis_spark.functions.text import (
+    rolling_fp_sql,
+    simhash32_sql,
+)
 from financial_market_data_analysis_spark.plans import extensions as X
 from financial_market_data_analysis_spark.operators import windows as W
 from financial_market_data_analysis_spark.operators.joins import asof_band_join
@@ -401,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x10_multimodal_features": X.q_multimodal_features,
         "x11_ann_lsh_topk": X.q_ann_lsh_topk,
         "x12_ann_ivf_topk": X.q_ann_ivf_topk,
+        "x13_rolling_fingerprint": X.q_rolling_fp,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "pipeline_bars_joined": _pipeline_bars_joined,
@@ -795,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         "x10_multimodal_features": X.multimodal_oracle(),
         "x11_ann_lsh_topk": X.ann_lsh_oracle(),
         "x12_ann_ivf_topk": X.ann_ivf_oracle(),
+        "x13_rolling_fingerprint": rolling_fp_sql(),
         "ml1_lag_matrix": X.ml_lag_matrix_oracle(candles_oracle_sql()),
         # ml2_train_metrics: MLlib training is not SQL-expressible →
         # rows-only check by design

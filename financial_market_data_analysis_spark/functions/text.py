@@ -108,6 +108,80 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+ROLL_BASE = 31
+ROLL_MOD = 2_147_483_647  # 2^31 - 1; base*mod + 255 < 2^63, no overflow
+WINNOW_K = 16  # k-gram length for the winnowing fingerprint
+
+
+def _char_codes(text_col: str | Column) -> Column:
+    """Per-character code points as bigints — the rolling-hash input.
+    Empty fragments from the char split are dropped (engine/SQL split
+    conventions differ on boundary empties)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    chars = F.filter(F.split(c, ""), lambda ch: ch != "")
+    return F.transform(chars, lambda ch: F.ascii(ch).cast("bigint"))
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprints (Rabin–Karp polynomial fold):
+
+    - ``fp_roll`` — the whole-document rolling hash
+      ``h ← (h·B + code) mod M`` over character codes: one row-local
+      left fold, zero shuffle, O(doc length).
+    - ``fp_winnow`` — winnowing-style selection: the MIN of the rolling
+      hashes of all ``WINNOW_K``-char grams, robust to local edits
+      (Schleimer et al.'s winnowing idea reduced to min-sampling, the
+      standard content-defined fingerprint for near-dup detection).
+
+    Both are pure arithmetic folds (no hashing builtins), so the DuckDB
+    oracle evaluates the IDENTICAL integer recurrence via
+    ``list_reduce`` — bit-exact cross-engine.
+    """
+    zero = F.lit(0).cast("bigint")
+    # project codes once: the fold lambdas must reference a bound column,
+    # not re-inline the split per element (same hazard as the shingle op)
+    tmp = df.withColumn("__codes", _char_codes(text_col))
+    codes_c = F.col("__codes")
+    roll_c = F.aggregate(codes_c, zero, lambda a, x: (a * ROLL_BASE + x) % ROLL_MOD)
+    ng_c = F.size(codes_c) - (WINNOW_K - 1)
+    grams_c = F.transform(
+        F.sequence(F.lit(1), F.greatest(ng_c, F.lit(0))),
+        lambda i: F.aggregate(
+            F.slice(codes_c, i, WINNOW_K), zero,
+            lambda a, x: (a * ROLL_BASE + x) % ROLL_MOD,
+        ),
+    )
+    winnow_c = F.when(ng_c >= 1, F.array_min(grams_c)).otherwise(roll_c)
+    return tmp.withColumns({"fp_roll": roll_c, "fp_winnow": winnow_c}).drop("__codes")
+
+
+def rolling_fp_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of ``rolling_fingerprint`` — same integer recurrence
+    via 2-arg ``list_reduce`` with a prepended 0 seed (DuckDB's reduce
+    uses the first element as the accumulator seed)."""
+    codes = (
+        f"list_transform(list_filter(string_split({text_expr}, ''), c -> c <> ''),"
+        f" c -> CAST(ascii(c) AS BIGINT))"
+    )
+    fold = f"(a, b) -> (a * {ROLL_BASE} + b) % {ROLL_MOD}"
+    roll = f"list_reduce(list_prepend(CAST(0 AS BIGINT), codes), {fold})"
+    gram = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_slice(codes, i, i + {WINNOW_K - 1})), {fold})"
+    )
+    return f"""
+        WITH c AS (SELECT doc_id, {codes} AS codes FROM documents)
+        SELECT doc_id,
+            {roll} AS fp_roll,
+            CASE WHEN len(codes) - {WINNOW_K - 1} >= 1
+                 THEN list_min(list_transform(
+                     generate_series(1, len(codes) - {WINNOW_K - 1}),
+                     i -> {gram}))
+                 ELSE {roll} END AS fp_winnow
+        FROM c
+    """
+
+
 def simhash32(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
     """32-bit SimHash as a bit string.
 

@@ -131,6 +131,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.simhash32(d).select("doc_id", "simhash")
 
 
+def q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return T.rolling_fingerprint(d).select("doc_id", "fp_roll", "fp_winnow")
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 

@@ -515,3 +515,35 @@ def test_session_windows_streaming_parity(spark, tmp_path):
         last, n, s = batch[(r.user_id, r.session_start)]
         assert (r.session_last, r.n_events) == (last, n)
         assert abs(r.sum_value - s) < 1e-9
+
+
+def test_stateful_stream_on_rocksdb_state_store(spark, tmp_path):
+    """The RocksDB state-store scale path actually runs in this
+    environment: a watermarked dedup (stateful) query executes with the
+    provider switched per-query."""
+    from financial_market_data_analysis_spark.session import ROCKSDB_PROVIDER
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        src = str(tmp_path / "rdb_src")
+        df = spark.createDataFrame(
+            [("2024-01-01 10:00:00", 1), ("2024-01-01 10:00:00", 1),
+             ("2024-01-01 10:02:00", 2)],
+            ["ts_s", "k"],
+        ).select(F.to_timestamp("ts_s").alias("ts"), "k")
+        df.write.parquet(src)
+        stream = P.watermarked(spark.readStream.schema(df.schema).parquet(src), "ts")
+        out = P.dedup_within_watermark(stream, ["k"])
+        q = (
+            out.writeStream.format("memory").queryName("rdb_out")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        assert spark.sql("SELECT count(*) AS c FROM rdb_out").collect()[0]["c"] == 2
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
