@@ -547,3 +547,75 @@ def test_stateful_stream_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_five_feed_pipeline_end_to_end(spark, tmp_path):
+    """The reference's whole consumer topology (spark_consumer.py:88-488)
+    over the REAL feed schemas: 5 JSON streams -> schema decode/flatten
+    -> watermark -> deep x {vix,volume,cot,ind} interval joins -> dedup
+    -> parquet warehouse. One wide row per deep event."""
+    import datetime as dt
+
+    feeds = ["deep", "vix", "volume", "cot", "ind"]
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    n_buckets = 8
+
+    def payload(feed, ts):
+        p = _sample_payload(feed)
+        p["ts"] = ts.strftime("%Y-%m-%d %H:%M:%S")
+        return p
+
+    dirs = {}
+    for feed in feeds:
+        rows = []
+        for b in range(n_buckets):
+            # deep at bucket start; others 30 s later -> same 5-min
+            # bucket, inside the 3-min band
+            off = 0 if feed == "deep" else 30
+            ts = base + dt.timedelta(minutes=5 * b, seconds=off)
+            rows.append((json.dumps(payload(feed, ts)),))
+        d = str(tmp_path / feed)
+        spark.createDataFrame(rows, ["value"]).write.parquet(d)
+        dirs[feed] = d
+
+    streams = {}
+    for feed in feeds:
+        raw = spark.readStream.schema("value string").parquet(dirs[feed])
+        streams[feed] = P.watermarked(
+            json_decode_flatten(raw, FEED_SCHEMAS[feed]()), "ts"
+        )
+
+    joined = P.join_feeds(
+        streams["deep"],
+        {k: streams[k] for k in ("vix", "volume", "cot", "ind")},
+    )
+    deduped = P.dedup_within_watermark(joined, ["deep_ts"])
+
+    wh = str(tmp_path / "wh")
+    q = (
+        P.parquet_append_sink(deduped, wh, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(wh)
+    assert out.count() == n_buckets
+    # one column family per feed made it through the join
+    for c in ("bid_0", "ask_6_size",            # deep
+              "vix",                             # vix
+              "close", "volume",                 # candle
+              "asset_long_pos", "leveraged_short_open_int",   # cot 12
+              "nonfarm_payrolls_actual", "core_cpi_forc_actual_diff"):  # ind
+        assert c in out.columns, c
+    # the 13-event registry flows through: 39 indicator leaf columns
+    from financial_market_data_analysis_spark.functions.schemas import (
+        INDICATOR_EVENTS,
+        INDICATOR_VALUES,
+    )
+    for ev in INDICATOR_EVENTS:
+        for v in INDICATOR_VALUES:
+            assert f"{ev}_{v}" in out.columns
+    row = out.orderBy("deep_ts").first()
+    assert row["vix"] == pytest.approx(13.5)
+    assert row["asset_long_pos"] == 1
