@@ -250,6 +250,21 @@ def _j1_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("deep_id", "view_id", "deep_val", "view_val")
 
 
+def _j2_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: events (5 heavily-hot event_type keys)
+    joined to a per-type dimension through (key, salt) so each hot key
+    spreads over 8 reducers. Result is provably identical to the plain
+    join (this oracle)."""
+    from financial_market_data_analysis_spark.operators.joins import salted_skew_join
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_n"), F.avg("value").alias("type_avg")
+    )
+    out = salted_skew_join(ev, dim, "event_type", n_salts=8)
+    return out.select("event_id", "event_type", "type_n", "type_avg")
+
+
 def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2-class multi-join + grouped agg (TPC-H Q3 shape). The customer
     side is dimension-sized → broadcast; lineitem⋈orders shuffles on
@@ -383,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_calendar": _f8_calendar,
         "f13_minmax_norm": _f13_minmax_norm,
         "j1_interval_join": _j1_interval_join,
+        "j2_salted_join": _j2_salted_join,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_region_revenue": _q5_region_revenue,
         "a1_minmax_params": _a1_minmax_params,
@@ -729,6 +745,14 @@ def oracle_sql() -> dict[str, str]:
               ON (deep_ts_us // 300000000) = (view_ts_us // 300000000)
              AND view_ts_us >= deep_ts_us
              AND view_ts_us <= deep_ts_us + 180000000
+        """,
+        "j2_salted_join": """
+            WITH dim AS (
+                SELECT event_type, count(*) AS type_n, avg(value) AS type_avg
+                FROM events GROUP BY event_type
+            )
+            SELECT event_id, event_type, type_n, type_avg
+            FROM events JOIN dim USING (event_type)
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey,

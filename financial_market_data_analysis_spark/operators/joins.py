@@ -84,3 +84,27 @@ def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on: str | list[str], how
     scale-safe shape of the reference's view-assembly equi-joins
     (create_database.py:240-258): no shuffle of the fact side."""
     return fact.join(F.broadcast(dim), on, how)
+
+
+def salted_skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-mitigated equi-join: the LEFT (skewed) side gets a random-
+    free deterministic salt (``hash(row) pmod n``), the RIGHT side is
+    replicated once per salt value, and the join key becomes
+    (key, salt) — a hot key's rows now spread over ``n_salts`` tasks
+    instead of hammering one reducer.
+
+    Results are identical to ``left.join(right, on)`` (oracle-checked);
+    use when AQE's runtime skew splitting isn't available or the skew
+    is known up front. Cost: right side shuffled ``n_salts`` ×.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l = left.withColumn("__salt", salt.cast("int"))
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l.join(r, [on, "__salt"]).drop("__salt")

@@ -70,6 +70,28 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist a table hash-bucketed (and sorted) on its join key.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT an Exchange — the co-located join the reference's MariaDB
+    side can't express and the single biggest shuffle eliminator for a
+    repeatedly-joined 100 TB fact table (asserted shuffle-free in
+    tests). ``path`` makes it an external table (files land there, only
+    metadata in the session catalog).
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key).sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
 

@@ -1,0 +1,81 @@
+"""Scale-path plan assertions: the shapes that matter at 100 TB —
+bucketed co-located joins (no shuffle), salted skew joins (result
+parity), and plan-quality checks (broadcasts, pushdown) on the
+assembled pipelines."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_market_data_analysis_spark.operators.joins import salted_skew_join
+from financial_market_data_analysis_spark.sources.batch import (
+    load_table,
+    write_bucketed,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the same key/count must join with ZERO
+    Exchange operators — the co-located join that keeps a repeatedly
+    joined fact table from reshuffling per query."""
+    li = load_table(spark, "lineitem", SF_SMOKE).select("l_orderkey", "l_quantity")
+    orders = load_table(spark, "orders", SF_SMOKE).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8, str(tmp_path / "bl"))
+    write_bucketed(orders, "b_orders", "l_orderkey", 8, str(tmp_path / "bo"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_lineitem").join(spark.table("b_orders"), "l_orderkey")
+        n = j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:800]
+        assert n == li.join(orders, "l_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join semantics: every (row, dim) pair of
+    the plain join appears exactly once."""
+    ev = load_table(spark, "events", SF_SMOKE).select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_n"))
+    salted = salted_skew_join(ev, dim, "event_type", n_salts=8)
+    plain = ev.join(dim, "event_type")
+    assert salted.count() == plain.count()
+    assert (
+        salted.select("event_id", "type_n")
+        .exceptAll(plain.select("event_id", "type_n"))
+        .count()
+        == 0
+    )
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The salt must actually split a hot key across partitions: with
+    one dominant key, the salted shuffle key space has ~n_salts
+    distinct values for it."""
+    ev = load_table(spark, "events", SF_SMOKE).select("event_id", "event_type")
+    hot = ev.withColumn("event_type", F.lit("hot"))  # 100% skew
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]), F.lit(8))
+    n_distinct = hot.select(salt.alias("s")).distinct().count()
+    assert n_distinct == 8
+
+
+def test_full_row_plan_quality(spark):
+    """The flagship wide-row plan keeps its scale shape: every feed
+    join broadcasts (no sort-merge), filters reach the scans, and the
+    indicator suite fuses into at most 2 Window operators."""
+    from financial_market_data_analysis_spark.plans.full_row import full_row
+
+    df = full_row(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("Window") <= 2
+    assert "PushedFilters" in plan or "DataFilters" in plan
