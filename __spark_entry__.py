@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from financial_market_data_analysis_spark.functions import features as FE
 from financial_market_data_analysis_spark.functions.text import (
+    quality_filter_sql,
     rolling_fp_sql,
     simhash32_sql,
 )
@@ -421,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11_ann_lsh_topk": X.q_ann_lsh_topk,
         "x12_ann_ivf_topk": X.q_ann_ivf_topk,
         "x13_rolling_fingerprint": X.q_rolling_fp,
+        "x14_quality_filter": X.q_quality_filter,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "pipeline_bars_joined": _pipeline_bars_joined,
@@ -824,6 +826,7 @@ def oracle_sql() -> dict[str, str]:
         "x11_ann_lsh_topk": X.ann_lsh_oracle(),
         "x12_ann_ivf_topk": X.ann_ivf_oracle(),
         "x13_rolling_fingerprint": rolling_fp_sql(),
+        "x14_quality_filter": quality_filter_sql(),
         "ml1_lag_matrix": X.ml_lag_matrix_oracle(candles_oracle_sql()),
         # ml2_train_metrics: MLlib training is not SQL-expressible →
         # rows-only check by design

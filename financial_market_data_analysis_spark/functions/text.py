@@ -75,6 +75,75 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# C4/Gopher-style quality gates (tuned to the fixture distributions:
+# token-count p5 ≈ 16, stopword-ratio median ≈ 0.06, mean token length
+# p95 ≈ 4.8 — each rule fails a real slice of the corpus)
+QUALITY_MIN_TOKENS = 20
+QUALITY_MIN_STOPWORD_RATIO = 0.02
+QUALITY_MAX_MEAN_TOKEN_LEN = 8.0
+QUALITY_MAX_PUNCT_RATIO = 0.1
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The training-corpus cleaning step: compose the quality stats into
+    keep/drop decisions with machine-readable reasons (the C4-style
+    heuristic filter — too short, stopword-poor i.e. likely non-prose,
+    gibberish-long tokens, punctuation-heavy).
+
+    Row-local: one scan, no shuffle; ``fail_reasons`` is a ','-joined
+    string in fixed rule order (``concat_ws`` skips the NULLs of
+    passing rules), ``kept`` is its emptiness — both exactly
+    reproducible in ANSI SQL for the oracle.
+    """
+    s = text_stats(df, text_col)
+    rules = [
+        ("too_short", F.col("n_tokens") < QUALITY_MIN_TOKENS),
+        ("low_stopword", F.col("stopword_ratio") < QUALITY_MIN_STOPWORD_RATIO),
+        ("long_tokens", F.col("mean_token_len") > QUALITY_MAX_MEAN_TOKEN_LEN),
+        ("high_punct", F.col("punct_ratio") > QUALITY_MAX_PUNCT_RATIO),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return s.withColumns(
+        {"fail_reasons": reasons, "kept": (reasons == "").cast("int")}
+    )
+
+
+def quality_filter_sql() -> str:
+    toks = tokens_sql()
+    stop = stopword_hits_sql("toks", LANG_STOPWORDS["en"])
+    return f"""
+        WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+        s AS (
+            SELECT doc_id,
+                len(toks) AS n_tokens,
+                CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)
+                    / length(text) AS punct_ratio,
+                CAST({stop} AS DOUBLE) / len(toks) AS stopword_ratio,
+                CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                     AS DOUBLE) / len(toks) AS mean_token_len
+            FROM t
+        ),
+        r AS (
+            SELECT doc_id,
+                concat_ws(',',
+                    CASE WHEN n_tokens < {QUALITY_MIN_TOKENS}
+                         THEN 'too_short' END,
+                    CASE WHEN stopword_ratio < {QUALITY_MIN_STOPWORD_RATIO}
+                         THEN 'low_stopword' END,
+                    CASE WHEN mean_token_len > {QUALITY_MAX_MEAN_TOKEN_LEN}
+                         THEN 'long_tokens' END,
+                    CASE WHEN punct_ratio > {QUALITY_MAX_PUNCT_RATIO}
+                         THEN 'high_punct' END) AS fail_reasons
+            FROM s
+        )
+        SELECT doc_id, fail_reasons,
+               CAST(fail_reasons = '' AS INT) AS kept
+        FROM r
+    """
+
+
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Stopword-hit language ID: argmax over per-language stopword
     occurrence counts, ties broken in LANG_STOPWORDS order."""

@@ -136,6 +136,11 @@ def q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.rolling_fingerprint(d).select("doc_id", "fp_roll", "fp_winnow")
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return T.quality_filter(d).select("doc_id", "fail_reasons", "kept")
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 
