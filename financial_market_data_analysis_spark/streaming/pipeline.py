@@ -252,6 +252,70 @@ def incremental_indicators(
     return _hook
 
 
+def stateful_moving_average(
+    stream: DataFrame,
+    key_cols: Sequence[str] = ("symbol",),
+    ts_col: str = "ts",
+    value_col: str = "close",
+    period: int = 20,
+    out_col: str | None = None,
+) -> DataFrame:
+    """T9 option (b) — a TRUE single-pass streaming indicator: per-key
+    moving average via ``applyInPandasWithState``, keeping only the last
+    ``period − 1`` values as state. No warehouse re-read per batch (the
+    foreachBatch materialization path), no second engine (the
+    reference's MariaDB views): each row is emitted exactly once with
+    its MA, state is O(period) per key.
+
+    Semantics match the batch ``moving_average`` (growing head frames,
+    ``period``-row trailing window) for in-order arrival per key; rows
+    inside a micro-batch are sorted by event time before folding.
+    Arrow-batched pandas — the one place Python executes, and it is
+    per-group vectorized, not per-row.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    out_name = out_col or f"{value_col}_MA{period}"
+    key_fields = [stream.schema[k] for k in key_cols]
+    out_schema = StructType(
+        key_fields
+        + [
+            stream.schema[ts_col],
+            StructField(value_col, DoubleType()),
+            StructField(out_name, DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("tail", ArrayType(DoubleType()))])
+    col_order = list(key_cols) + [ts_col, value_col, out_name]
+
+    def fn(key, pdf_iter, state):
+        tail = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdf_iter)).sort_values(ts_col)
+        vals = [float(v) for v in rows[value_col]]
+        hist = list(tail)
+        mas = []
+        for v in vals:
+            hist.append(v)
+            win = hist[-period:]
+            mas.append(sum(win) / len(win))
+        state.update((hist[-(period - 1):] if period > 1 else [],))
+        out = pd.DataFrame({ts_col: rows[ts_col].values, value_col: vals, out_name: mas})
+        for i, k in enumerate(key_cols):
+            out[k] = key[i]
+        yield out[col_order]
+
+    return stream.groupBy(*[F.col(k) for k in key_cols]).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def compose_hooks(
     *hooks: Callable[[DataFrame, int], None],
 ) -> Callable[[DataFrame, int], None]:

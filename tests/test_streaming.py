@@ -619,3 +619,45 @@ def test_five_feed_pipeline_end_to_end(spark, tmp_path):
     row = out.orderBy("deep_ts").first()
     assert row["vix"] == pytest.approx(13.5)
     assert row["asset_long_pos"] == 1
+
+
+def test_stateful_moving_average_matches_batch(spark, tmp_path):
+    """T9 single-pass path: the applyInPandasWithState moving average,
+    fed two time-ordered micro-batches, must equal the batch
+    partitioned window MA row for row — state carries exactly the
+    period-1 tail across the batch boundary."""
+    from financial_market_data_analysis_spark.operators.windows import moving_average
+
+    ev = load_table(spark, "events", SF_SMOKE).select(
+        F.col("event_type").alias("symbol"), "ts",
+        F.col("value").alias("close"),
+    )
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    src = str(tmp_path / "sma_src")
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = P.stateful_moving_average(stream, ("symbol",), "ts", "close", period=6)
+    q = (
+        out.writeStream.format("memory").queryName("sma_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM sma_out")
+    expected = moving_average(
+        ev, "close", (6,), ["ts"], partition_cols=["symbol"], prefix="close"
+    )
+    assert got.count() == ev.count()
+    j = got.alias("g").join(
+        expected.alias("e"), ["symbol", "ts"]
+    ).select("g.close_MA6", "e.close_MA6")
+    rows = j.collect()
+    assert len(rows) == ev.count()
+    for r in rows:
+        assert abs(r[0] - r[1]) < 1e-9
