@@ -357,18 +357,29 @@ def embedding_neardup_pairs(
     """
     from financial_market_data_analysis_spark.operators.similarity import (
         bucket_expr,
-        cosine_expr,
+        dot_expr,
+        norm_expr,
     )
 
+    # bucket AND norm are projected once per vector — the within-bucket
+    # pair cosine is then a single dot fold (not dot + 2 norm refolds)
     b = emb.select(
-        F.col(id_col), F.col(vec_col), bucket_expr(vec_col, n_planes, method).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        bucket_expr(vec_col, n_planes, method).alias("bucket"),
+        norm_expr(vec_col).alias("__n"),
     )
     left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        "bucket", F.col("__n").alias("__na"),
     )
     right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        "bucket", F.col("__n").alias("__nb"),
     )
     pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    out = pairs.withColumn("cosine", cosine_expr("vec_a", "vec_b"))
+    out = pairs.withColumn(
+        "cosine",
+        safe_div(dot_expr("vec_a", "vec_b"), F.col("__na") * F.col("__nb")),
+    )
     return out.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

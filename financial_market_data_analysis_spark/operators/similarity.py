@@ -189,12 +189,18 @@ def brute_force_topk(
     (query, candidate, score) triples — never the vectors.
     """
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm_expr(vec_col).alias("__qnorm"),
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    # norms are projected ONCE per corpus row / query row — cosine per
+    # candidate pair is then one dot fold, not three (the naive
+    # cosine_expr recomputes both norms per pair: 3x the FLOPs).
+    c = corpus.withColumn("__norm", norm_expr(vec_col))
+    scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        cosine_expr(vec_col, "__qvec").alias("cosine"),
+        safe_div(dot_expr(vec_col, "__qvec"), F.col("__norm") * F.col("__qnorm")).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.col(id_col)
@@ -223,10 +229,15 @@ def ivf_assignments(
     no window over the K×N blow-up.
     """
     c = centroids.select(
-        F.col(centroid_id), F.col(vec_col).alias("__cvec")
+        F.col(centroid_id),
+        F.col(vec_col).alias("__cvec"),
+        norm_expr(vec_col).alias("__cnorm"),
     )
-    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
-        "__cos", cosine_expr(vec_col, "__cvec")
+    scored = corpus.withColumn("__vnorm", norm_expr(vec_col)).crossJoin(
+        F.broadcast(c)
+    ).withColumn(
+        "__cos",
+        safe_div(dot_expr(vec_col, "__cvec"), F.col("__vnorm") * F.col("__cnorm")),
     )
     pick = F.expr(
         f"max_by({centroid_id}, struct(__cos, -{centroid_id}))"
@@ -257,7 +268,7 @@ def ivf_topk(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )
     q_scored = qs.crossJoin(F.broadcast(qc)).withColumn(
-        "__qcos", cosine_expr("__qvec", "__cvec")
+        "__qcos", cosine_expr("__qvec", "__cvec")  # queries × K: tiny
     )
     wq = Window.partitionBy(query_id_col).orderBy(
         F.desc("__qcos"), F.col("centroid_id")
@@ -267,10 +278,15 @@ def ivf_topk(
         .filter(F.col("__rk") <= nprobe)
         .select(query_id_col, "__qvec", "centroid_id")
     )
-    scored = cells.join(F.broadcast(probes), "centroid_id").select(
+    probes = probes.withColumn("__qnorm", norm_expr("__qvec"))
+    scored = cells.withColumn("__vnorm", norm_expr(vec_col)).join(
+        F.broadcast(probes), "centroid_id"
+    ).select(
         query_id_col,
         id_col,
-        cosine_expr(vec_col, "__qvec").alias("cosine"),
+        safe_div(
+            dot_expr(vec_col, "__qvec"), F.col("__vnorm") * F.col("__qnorm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
@@ -292,16 +308,24 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket
     are scored — the candidate set shrinks ~2^n_planes-fold."""
-    cb = corpus.withColumn("__bucket", bucket_expr(vec_col, n_planes, method))
+    cb = corpus.withColumns(
+        {
+            "__bucket": bucket_expr(vec_col, n_planes, method),
+            "__vnorm": norm_expr(vec_col),
+        }
+    )
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         bucket_expr(vec_col, n_planes, method).alias("__bucket"),
+        norm_expr(vec_col).alias("__qnorm"),
     )
     scored = cb.join(F.broadcast(qb), "__bucket").select(
         query_id_col,
         id_col,
-        cosine_expr(vec_col, "__qvec").alias("cosine"),
+        safe_div(
+            dot_expr(vec_col, "__qvec"), F.col("__vnorm") * F.col("__qnorm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
