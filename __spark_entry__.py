@@ -19,9 +19,11 @@ from pyspark.sql import functions as F
 
 from financial_market_data_analysis_spark.functions import features as FE
 from financial_market_data_analysis_spark.functions.text import (
+    hash_split_sql,
     quality_filter_sql,
     rolling_fp_sql,
     simhash32_sql,
+    vocab_topk_sql,
 )
 from financial_market_data_analysis_spark.plans import extensions as X
 from financial_market_data_analysis_spark.operators import windows as W
@@ -423,6 +425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_ann_ivf_topk": X.q_ann_ivf_topk,
         "x13_rolling_fingerprint": X.q_rolling_fp,
         "x14_quality_filter": X.q_quality_filter,
+        "x15_simhash_neardup": X.q_simhash_neardup,
+        "x16_dedup_clusters": X.q_dedup_clusters,
+        "x17_split_assign": X.q_split_assign,
+        "x18_vocab_topk": X.q_vocab_topk,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "pipeline_bars_joined": _pipeline_bars_joined,
@@ -827,6 +833,10 @@ def oracle_sql() -> dict[str, str]:
         "x12_ann_ivf_topk": X.ann_ivf_oracle(),
         "x13_rolling_fingerprint": rolling_fp_sql(),
         "x14_quality_filter": quality_filter_sql(),
+        "x15_simhash_neardup": X.simhash_neardup_oracle(),
+        "x16_dedup_clusters": X.dedup_clusters_oracle(),
+        "x17_split_assign": hash_split_sql(),
+        "x18_vocab_topk": vocab_topk_sql(),
         "ml1_lag_matrix": X.ml_lag_matrix_oracle(candles_oracle_sql()),
         # ml2_train_metrics: MLlib training is not SQL-expressible →
         # rows-only check by design

@@ -310,12 +310,13 @@ def language_id_sql(toks_expr: str) -> str:
     return "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
 
 
-def simhash32_sql(text_expr: str = "text") -> str:
+def simhash32_sql(text_expr: str = "text", src: str = "documents") -> str:
     """Mirror of ``simhash32`` via explode/group (oracle-side only; the
-    engine side stays row-local)."""
+    engine side stays row-local). ``src`` names the table/CTE holding
+    (doc_id, text) so callers can hash an augmented corpus."""
     odd = "['1','3','5','7','9','b','d','f']"
     return f"""
-        WITH sim AS (
+        WITH simagg AS (
             SELECT doc_id, concat(string_agg(
                        CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY pos)) AS simhash
             FROM (
@@ -323,13 +324,98 @@ def simhash32_sql(text_expr: str = "text") -> str:
                            substr(md5(tok), pos, 1)) THEN 1 ELSE -1 END) AS vote
                 FROM (
                     SELECT doc_id, unnest({tokens_sql(text_expr)}) AS tok
-                    FROM documents
+                    FROM {src}
                 ), generate_series(1, 32) AS g(pos)
                 GROUP BY doc_id, pos
             )
             GROUP BY doc_id
         )
         -- token-less docs never explode: default their sketch to all-zeros
-        SELECT d.doc_id, COALESCE(sim.simhash, repeat('0', 32)) AS simhash
-        FROM documents d LEFT JOIN sim ON d.doc_id = sim.doc_id
+        SELECT d.doc_id, COALESCE(simagg.simhash, repeat('0', 32)) AS simhash
+        FROM {src} d LEFT JOIN simagg ON d.doc_id = simagg.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level training-data ops: vocabulary stats, deterministic splits
+
+SPLIT_VAL_BUCKETS = ("c", "d")
+SPLIT_TEST_BUCKETS = ("e", "f")
+
+
+def hash_split(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "split"
+) -> DataFrame:
+    """Deterministic train/val/test assignment from a content-free hash
+    of the document id: first hex digit of md5(id) → 16 buckets, split
+    12/2/2 (75% train, 12.5% val, 12.5% test).
+
+    Hash-bucket splits are the scale-correct way to partition a 100 TB
+    corpus: the assignment is a row-local projection (no shuffle, no
+    sampling state, no seed coordination across executors), it is
+    stable under re-runs and under corpus growth (a doc never changes
+    split), and downstream joins against the split column are plain
+    predicates that prune at the scan. md5-hex is used instead of
+    ``hash()`` so the DuckDB oracle can reproduce the bucket exactly
+    (same trick as ``fingerprints``).
+    """
+    bucket = F.substring(
+        F.md5(F.col(id_col).cast("string").cast("binary")), 1, 1
+    )
+    split = (
+        F.when(bucket.isin(*SPLIT_VAL_BUCKETS), F.lit("val"))
+        .when(bucket.isin(*SPLIT_TEST_BUCKETS), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumns({"bucket": bucket, out_col: split})
+
+
+def hash_split_sql(id_expr: str = "doc_id", src: str = "documents") -> str:
+    val = ", ".join(f"'{b}'" for b in SPLIT_VAL_BUCKETS)
+    test = ", ".join(f"'{b}'" for b in SPLIT_TEST_BUCKETS)
+    return f"""
+        SELECT doc_id,
+               substr(md5(CAST({id_expr} AS VARCHAR)), 1, 1) AS bucket,
+               CASE WHEN substr(md5(CAST({id_expr} AS VARCHAR)), 1, 1)
+                         IN ({val}) THEN 'val'
+                    WHEN substr(md5(CAST({id_expr} AS VARCHAR)), 1, 1)
+                         IN ({test}) THEN 'test'
+                    ELSE 'train' END AS split
+        FROM {src}
+    """
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 25
+) -> DataFrame:
+    """Top-k corpus vocabulary: per-token total term frequency (``tf``)
+    and document frequency (``df``), ties broken by token text.
+
+    Scale shape: one explode → one hash aggregate. ``tf`` and ``df``
+    share the single shuffle on the token key (count + count-distinct
+    in the same grouped agg; Spark plans the distinct as an expand,
+    still partially aggregated map-side). The final top-k is a
+    ``TakeOrderedAndProject`` — each partition ships only its k-row
+    head to the driver merge, never a global sort of the vocabulary.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(id_col).alias("df"),
+    )
+    return agg.orderBy(F.desc("tf"), "token").limit(k)
+
+
+def vocab_topk_sql(
+    text_expr: str = "text", src: str = "documents", k: int = 25
+) -> str:
+    return f"""
+        SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM (
+            SELECT doc_id, unnest({tokens_sql(text_expr)}) AS token
+            FROM {src}
+        )
+        GROUP BY token
+        ORDER BY tf DESC, token
+        LIMIT {k}
     """

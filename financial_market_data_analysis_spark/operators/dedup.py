@@ -383,3 +383,153 @@ def embedding_neardup_pairs(
         safe_div(dot_expr("vec_a", "vec_b"), F.col("__na") * F.col("__nb")),
     )
     return out.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit SimHash → band equi-join →
+    Hamming verify. Returns (id_a, id_b, hamming).
+
+    Banding recall is EXACT here, not probabilistic: two 32-bit
+    sketches within ``max_hamming`` bit flips must agree on at least
+    one of ``n_bands`` disjoint bands whenever n_bands > max_hamming
+    (pigeonhole) — so unlike MinHash-LSH there are no false-negative
+    candidates to tune away.
+
+    Scale shape mirrors the fixed x6 plan: the per-doc SimHash fold
+    (the dominant CPU — one md5 + 32 votes per token) is persisted so
+    the band self-join evaluates it ONCE, not once per side; candidate
+    pairs carry the two 32-char sketches through the join, so the
+    verify is a row-local zip_with popcount — no second corpus scan.
+    At 100 TB the 8-bit bands (256 buckets) would over-collide; widen
+    the sketch (e.g. simhash-64, 16-bit bands) rather than the band
+    count so the pigeonhole guarantee survives.
+    """
+    from financial_market_data_analysis_spark.functions.text import simhash32
+
+    if 32 % n_bands != 0:
+        raise ValueError(f"n_bands={n_bands} must divide 32")
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} <= max_hamming={max_hamming}: banding "
+            "would drop true near-dups (needs n_bands > max_hamming)"
+        )
+    width = 32 // n_bands
+    sim = (
+        simhash32(ensure_parallelism(df), text_col)
+        .select(F.col(id_col), "simhash")
+        .persist()
+    )
+    bands = sim.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.substring("simhash", i * width + 1, width).alias("band"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band_idx", "b.band")
+    left = bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "band_idx",
+        "band",
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "band_idx",
+        "band",
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    chars = lambda c: F.filter(F.split(F.col(c), ""), lambda ch: ch != "")
+    hamming = F.aggregate(
+        F.zip_with(chars("sh_a"), chars("sh_b"), lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    ).cast("int")
+    out = (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .localCheckpoint(eager=True)
+    )
+    sim.unpersist()
+    return out
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup-cluster resolution: connected components over a near-dup
+    pair table via min-label propagation. Returns (doc_id, cluster_id)
+    for every node in the edge set; cluster_id is the component's
+    minimum doc id (the canonical "keeper" in a dedup pipeline).
+
+    Each round every node takes the min of its own label and its
+    neighbors' labels — converges in O(component diameter) rounds,
+    which for dedup graphs (dense clusters of copies, tiny diameter)
+    is 2-3. Per round: one equi-join on the edge key + one groupBy —
+    both partial-aggregatable shuffles on node id. ``localCheckpoint``
+    truncates the lineage each round so the plan doesn't grow, and the
+    symmetrized edge table is checkpointed once and reused. The loop's
+    only driver-side action is the scalar convergence count — there is
+    no ``collect()`` of node data (the iterative structure is the
+    same large-star/small-star shape published for MapReduce CC).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["a"] == labels["id"])
+            .groupBy(F.col("b").alias("id2"))
+            .agg(F.min("cluster_id").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr", "cluster_id")).alias(
+                    "new_cluster"
+                ),
+                "cluster_id",
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(
+            F.col("new_cluster") != F.col("cluster_id")
+        ).count()
+        labels = new_labels.select(
+            "id", F.col("new_cluster").alias("cluster_id")
+        )
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")

@@ -572,3 +572,101 @@ def embed_neardup_oracle(threshold: float = 0.95) -> str:
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE {cos} >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup, dedup clusters, deterministic splits, vocabulary
+
+# 4 bands with max_hamming=2 keeps the pigeonhole recall guarantee
+# (n_bands > max_hamming) while staying selective on the synthetic
+# corpus: at sf0.01, <=2 finds 119 pairs / 51 clusters (vs 440 pairs
+# collapsing into one giant component at <=3 — the fixture vocabulary
+# is small, so random docs sit unusually close in simhash space).
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 2
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_neardup_pairs(
+        docs_augmented(spark, sf_dir),
+        n_bands=SIMHASH_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
+
+
+def _simhash_pairs_cte() -> str:
+    """Oracle CTE chain aug → sim → bands → neardup, shared by the
+    x15 pair query and the x16 cluster query."""
+    width = 32 // SIMHASH_BANDS
+    return f"""
+        aug AS ({DOCS_AUG_CTE}),
+        sim AS ({T.simhash32_sql('text', 'aug')}),
+        bands AS (
+            SELECT doc_id, simhash, b AS band_idx,
+                   substr(simhash, CAST(b * {width} + 1 AS INT), {width}) AS band
+            FROM sim, generate_series(0, {SIMHASH_BANDS - 1}) AS g(b)
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                   x.simhash AS sh_a, y.simhash AS sh_b
+            FROM bands x JOIN bands y USING (band_idx, band)
+            WHERE x.doc_id < y.doc_id
+        ),
+        neardup AS (
+            SELECT id_a, id_b,
+                   CAST(list_sum(list_transform(range(1, 33),
+                        i -> CASE WHEN substr(sh_a, CAST(i AS INT), 1)
+                                    <> substr(sh_b, CAST(i AS INT), 1)
+                             THEN 1 ELSE 0 END)) AS INT) AS hamming
+            FROM cand
+        )
+    """
+
+
+def simhash_neardup_oracle() -> str:
+    return f"""
+        WITH {_simhash_pairs_cte()}
+        SELECT id_a, id_b, hamming FROM neardup
+        WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over the x15 near-dup pairs: each doc in a
+    near-dup relation gets its component's min doc_id as cluster_id
+    (transitive closure — A~B, B~C puts A,B,C in one cluster even when
+    A,C never banded together)."""
+    pairs = D.simhash_neardup_pairs(
+        docs_augmented(spark, sf_dir),
+        n_bands=SIMHASH_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
+    return D.connected_components(pairs)
+
+
+def dedup_clusters_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_simhash_pairs_cte()},
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM neardup
+            WHERE hamming <= {SIMHASH_MAX_HAMMING}
+            UNION
+            SELECT id_b, id_a FROM neardup
+            WHERE hamming <= {SIMHASH_MAX_HAMMING}
+        ),
+        reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+        )
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return T.hash_split(d).select("doc_id", "bucket", "split")
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.vocab_topk(load_table(spark, "documents", sf_dir))

@@ -1,0 +1,102 @@
+"""Semantic tests for the corpus-pipeline operators added in round 3:
+SimHash near-dup banding, dedup-cluster resolution, deterministic
+splits, vocabulary top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_market_data_analysis_spark.functions.text import (
+    hash_split,
+    simhash32,
+    vocab_topk,
+)
+from financial_market_data_analysis_spark.operators.dedup import (
+    connected_components,
+    simhash_neardup_pairs,
+)
+
+
+def test_simhash_banding_recall_is_exact(spark):
+    """With n_bands > max_hamming the banded candidate set must contain
+    EVERY pair within the Hamming budget (pigeonhole) — compare against
+    a brute-force all-pairs Hamming scan on a small corpus."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon tok{i % 7} zeta eta") for i in range(40)]
+        + [(100, "alpha beta gamma delta epsilon tok1 zeta eta")],  # dup of i=1
+        "doc_id long, text string",
+    )
+    banded = {
+        (r.id_a, r.id_b)
+        for r in simhash_neardup_pairs(docs, n_bands=4, max_hamming=2).collect()
+    }
+    sim = simhash32(docs).select("doc_id", "simhash")
+    a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    ch = lambda c: F.filter(F.split(F.col(c), ""), lambda x: x != "")
+    ham = F.aggregate(
+        F.zip_with(ch("sh_a"), ch("sh_b"), lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("h", ham)
+        .filter(F.col("h") <= 2)
+        .collect()
+    }
+    assert banded == brute
+    assert (1, 100) in banded  # the injected exact dup (hamming 0)
+
+
+def test_simhash_banding_rejects_unsafe_config(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(docs, n_bands=4, max_hamming=4)
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(docs, n_bands=5, max_hamming=2)
+
+
+def test_connected_components_transitive_closure(spark):
+    """A~B, B~C must cluster A,B,C together even though A,C never share
+    an edge; disjoint components keep separate labels; a long chain
+    still converges (diameter > 2 rounds of propagation)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
+    }
+
+
+def test_hash_split_is_stable_and_total(spark):
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    s1 = hash_split(docs).select("doc_id", "split")
+    s2 = hash_split(docs).select("doc_id", "split")
+    assert s1.exceptAll(s2).count() == 0  # deterministic, rerun-stable
+    counts = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # 12/2/2 hex buckets → expect ~75/12.5/12.5%; allow generous slack
+    assert counts["train"] > counts["val"] + counts["test"]
+
+
+def test_vocab_topk_tiebreak_is_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "zz aa zz aa mm"), (2, "aa zz mm qq")],
+        "doc_id long, text string",
+    )
+    rows = vocab_topk(docs, k=3).collect()
+    # tf: aa=3 zz=3 mm=2 qq=1 → ties break token-ascending
+    assert [(r.token, r.tf, r.df) for r in rows] == [
+        ("aa", 3, 2), ("zz", 3, 2), ("mm", 2, 2)
+    ]
