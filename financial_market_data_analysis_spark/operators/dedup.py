@@ -401,14 +401,29 @@ def simhash_neardup_pairs(
     (pigeonhole) — so unlike MinHash-LSH there are no false-negative
     candidates to tune away.
 
-    Scale shape mirrors the fixed x6 plan: the per-doc SimHash fold
-    (the dominant CPU — one md5 + 32 votes per token) is persisted so
-    the band self-join evaluates it ONCE, not once per side; candidate
-    pairs carry the two 32-char sketches through the join, so the
-    verify is a row-local zip_with popcount — no second corpus scan.
+    Scale shape — the join runs at SKETCH granularity, not doc
+    granularity. A 32-bit sketch space is tiny compared to any real
+    corpus, so many documents share a sketch (on low-entropy corpora,
+    most of them); banding the raw (doc, band) table self-joins those
+    identical-sketch groups quadratically. Instead:
+
+    1. one groupBy collapses docs → distinct sketches (+ member-id
+       lists); the per-doc SimHash fold (the dominant CPU — one md5 +
+       32 votes per token) runs exactly once, map-side combined;
+    2. identical-sketch groups emit their member pairs directly
+       (hamming 0) with a row-local combination expand — no join;
+    3. the band self-join and the zip_with Hamming popcount run over
+       DISTINCT sketch pairs only (≤ 2^32 rows however big the corpus
+       is), then candidate sketch pairs expand back to doc pairs by
+       exploding the two member lists.
+
     At 100 TB the 8-bit bands (256 buckets) would over-collide; widen
     the sketch (e.g. simhash-64, 16-bit bands) rather than the band
-    count so the pigeonhole guarantee survives.
+    count so the pigeonhole guarantee survives. A pathological
+    single-sketch group makes ``ids`` (and the emitted pair set)
+    quadratic — that blowup is inherent to emitting all pairs; cap it
+    by clustering instead (``connected_components``) when groups are
+    huge.
     """
     from financial_market_data_analysis_spark.functions.text import simhash32
 
@@ -420,13 +435,34 @@ def simhash_neardup_pairs(
             "would drop true near-dups (needs n_bands > max_hamming)"
         )
     width = 32 // n_bands
-    sim = (
+    sketches = (
         simhash32(ensure_parallelism(df), text_col)
-        .select(F.col(id_col), "simhash")
+        .groupBy("simhash")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
         .persist()
     )
-    bands = sim.select(
-        F.col(id_col),
+
+    # (2) intra-sketch pairs: all i<j member combinations, row-local.
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
+    intra = (
+        sketches.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .withColumn("hamming", F.lit(0).cast("int"))
+    )
+
+    # (3) cross-sketch candidates via banding, verified per sketch pair.
+    bands = sketches.select(
         "simhash",
         F.explode(
             F.array(
@@ -439,38 +475,42 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("b"),
-    ).select(id_col, "simhash", "b.band_idx", "b.band")
-    left = bands.select(
-        F.col(id_col).alias("id_a"),
-        F.col("simhash").alias("sh_a"),
-        "band_idx",
-        "band",
-    )
-    right = bands.select(
-        F.col(id_col).alias("id_b"),
-        F.col("simhash").alias("sh_b"),
-        "band_idx",
-        "band",
-    )
-    pairs = (
-        left.join(right, ["band_idx", "band"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    ).select("simhash", "b.band_idx", "b.band")
+    left = bands.select(F.col("simhash").alias("sh_a"), "band_idx", "band")
+    right = bands.select(F.col("simhash").alias("sh_b"), "band_idx", "band")
     chars = lambda c: F.filter(F.split(F.col(c), ""), lambda ch: ch != "")
     hamming = F.aggregate(
         F.zip_with(chars("sh_a"), chars("sh_b"), lambda x, y: (x != y).cast("int")),
         F.lit(0),
         lambda acc, d: acc + d,
     ).cast("int")
-    out = (
-        pairs.withColumn("hamming", hamming)
+    cand = (
+        left.join(right, ["band_idx", "band"])
+        .filter(F.col("sh_a") < F.col("sh_b"))
+        .select("sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .localCheckpoint(eager=True)
     )
-    sim.unpersist()
+    cross = (
+        cand.join(
+            sketches.select(F.col("simhash").alias("sh_a"), F.col("ids").alias("ids_a")),
+            "sh_a",
+        )
+        .join(
+            sketches.select(F.col("simhash").alias("sh_b"), F.col("ids").alias("ids_b")),
+            "sh_b",
+        )
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "hamming")
+        .select("ia", F.explode("ids_b").alias("ib"), "hamming")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    out = intra.unionByName(cross).localCheckpoint(eager=True)
+    sketches.unpersist()
     return out
 
 
@@ -486,10 +526,14 @@ def connected_components(
     minimum doc id (the canonical "keeper" in a dedup pipeline).
 
     Each round every node takes the min of its own label and its
-    neighbors' labels — converges in O(component diameter) rounds,
-    which for dedup graphs (dense clusters of copies, tiny diameter)
-    is 2-3. Per round: one equi-join on the edge key + one groupBy —
-    both partial-aggregatable shuffles on node id. ``localCheckpoint``
+    neighbors' labels, then a pointer-jumping step compresses label
+    chains (``l(v) ← l(l(v))`` — every label is itself a node id, so
+    one more self-join halves chain depth). Propagation alone needs
+    O(diameter) rounds; with the jump the loop converges in
+    O(log diameter), which keeps the round count — and on a local
+    bench, the fixed per-job latency — flat even when near-dup chains
+    are long. Per round: two equi-joins + one groupBy, all
+    partial-aggregatable shuffles on node id. ``localCheckpoint``
     truncates the lineage each round so the plan doesn't grow, and the
     symmetrized edge table is checkpointed once and reused. The loop's
     only driver-side action is the scalar convergence count — there is
@@ -514,13 +558,25 @@ def connected_components(
             .groupBy(F.col("b").alias("id2"))
             .agg(F.min("cluster_id").alias("nbr"))
         )
+        prop = labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left").select(
+            "id",
+            F.least(F.col("cluster_id"), F.coalesce("nbr", "cluster_id")).alias(
+                "mid_cluster"
+            ),
+            "cluster_id",
+        )
+        # pointer jump: replace each label with that label's own label
+        # (labels are node ids, so this is a self-join on the id key)
+        parent = prop.select(
+            F.col("id").alias("pid"), F.col("mid_cluster").alias("plabel")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left")
+            prop.join(parent, prop["mid_cluster"] == parent["pid"], "left")
             .select(
                 "id",
-                F.least(F.col("cluster_id"), F.coalesce("nbr", "cluster_id")).alias(
-                    "new_cluster"
-                ),
+                F.least(
+                    F.col("mid_cluster"), F.coalesce("plabel", "mid_cluster")
+                ).alias("new_cluster"),
                 "cluster_id",
             )
         ).localCheckpoint(eager=True)
