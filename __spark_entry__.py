@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as SW
 from pyspark.sql import functions as F
 
 from financial_market_data_analysis_spark.functions import features as FE
@@ -23,6 +24,7 @@ from financial_market_data_analysis_spark.functions.text import (
     quality_filter_sql,
     rolling_fp_sql,
     simhash32_sql,
+    tfidf_topk_sql,
     vocab_topk_sql,
 )
 from financial_market_data_analysis_spark.plans import extensions as X
@@ -333,6 +335,50 @@ def _a2_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family multi-level aggregation: ROLLUP over
+    (l_returnflag, l_linestatus) producing per-group, per-flag, and
+    grand-total rows in ONE pass. Spark plans this as a single Expand +
+    hash aggregate — partial aggregation still applies map-side, so the
+    rollup costs one shuffle, not three scans. ``grouping_id``
+    disambiguates subtotal rows from genuine NULL groups. Quantities
+    are integral doubles, so the sums are order-independent exact."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+def _w10_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k ranking: top-3 customers by order revenue within
+    each nation. The fact side aggregates per customer first (one
+    shuffle on o_custkey, map-side combined), dims broadcast, and the
+    per-nation rank is a bounded window. Revenue is rounded to cents
+    BEFORE ranking: the true sum has exactly 2 decimals, so rounding
+    erases summation-order ULP noise and the rank is deterministic
+    across engines (ties then break on c_custkey)."""
+    per_cust = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    w = SW.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        per_cust.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_name", "revenue", "n_orders", "rnk")
+    )
+
+
 def _d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 — exact deduplication via hash groupBy (scales: one shuffle on
     the dedup key, unlike dropDuplicates-over-108-columns)."""
@@ -406,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": _q5_region_revenue,
         "a1_minmax_params": _a1_minmax_params,
         "a2_event_stats": _a2_event_stats,
+        "a7_rollup": _a7_rollup,
+        "w10_topk_per_group": _w10_topk_per_group,
         "d1_dedup_exact": _d1_dedup_exact,
         "d2_anti_join": _d2_anti_join,
         "d3_latest_point": _d3_latest_point,
@@ -429,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x16_dedup_clusters": X.q_dedup_clusters,
         "x17_split_assign": X.q_split_assign,
         "x18_vocab_topk": X.q_vocab_topk,
+        "x19_tfidf_topk": X.q_tfidf_topk,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "pipeline_bars_joined": _pipeline_bars_joined,
@@ -802,6 +851,34 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
         """,
+        "a7_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty,
+                count(*) AS n_rows,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "w10_topk_per_group": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                    round(sum(o_totalprice), 2) AS revenue,
+                    count(*) AS n_orders
+                FROM orders
+                GROUP BY o_custkey
+            ),
+            ranked AS (
+                SELECT n_name, c_name, revenue, n_orders,
+                    CAST(row_number() OVER (
+                        PARTITION BY n_name
+                        ORDER BY revenue DESC, c_custkey
+                    ) AS INT) AS rnk
+                FROM per_cust
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT * FROM ranked WHERE rnk <= 3
+        """,
         "d1_dedup_exact": """
             SELECT DISTINCT user_id, event_type FROM events
         """,
@@ -837,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
         "x16_dedup_clusters": X.dedup_clusters_oracle(),
         "x17_split_assign": hash_split_sql(),
         "x18_vocab_topk": vocab_topk_sql(),
+        "x19_tfidf_topk": tfidf_topk_sql(),
         "ml1_lag_matrix": X.ml_lag_matrix_oracle(candles_oracle_sql()),
         # ml2_train_metrics: MLlib training is not SQL-expressible →
         # rows-only check by design

@@ -12,7 +12,7 @@ DuckDB oracle SQL is generated from the same source of truth.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from financial_market_data_analysis_spark.functions.core import safe_div
@@ -404,6 +404,76 @@ def vocab_topk(
         F.countDistinct(id_col).alias("df"),
     )
     return agg.orderBy(F.desc("tf"), "token").limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document TF-IDF top-k terms: the standard smooth variant
+    ``tf · (ln((N+1)/(df+1)) + 1)``, ranked per doc with token-text
+    tiebreak. Returns (id, token, tf, tfidf, rnk) for rnk ≤ k.
+
+    Scale shape: one explode → (doc, token) hash agg, map-side
+    combined; document frequency is a second agg over that table's
+    token key, so the corpus text is tokenized exactly once. The df
+    table is vocabulary-sized (≪ corpus) and joins back on the token
+    key; the doc count N joins as a broadcast 1-row aggregate (a
+    scalar subquery, not a driver-side ``count()`` baked into the
+    plan). The final top-k is a bounded per-doc window — rank state
+    never exceeds one doc's vocabulary. The score is rounded to 6
+    decimals BEFORE ranking so engine/oracle rank identically even if
+    ``ln`` differs in the last ULP.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    total = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "token", "tf", "tfidf", "rnk")
+    )
+
+
+def tfidf_topk_sql(text_expr: str = "text", src: str = "documents", k: int = 3) -> str:
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({tokens_sql(text_expr)}) AS token FROM {src}
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+        ),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        total AS (SELECT count(*) AS n_docs FROM {src}),
+        scored AS (
+            SELECT doc_id, token, tf,
+                   round(tf * (ln((n_docs + 1) / (df + 1)) + 1), 6) AS tfidf
+            FROM tf JOIN dfreq USING (token) CROSS JOIN total
+        ),
+        ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token
+            ) AS INT) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, token, tf, tfidf, rnk FROM ranked WHERE rnk <= {k}
+    """
 
 
 def vocab_topk_sql(

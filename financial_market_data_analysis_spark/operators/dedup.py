@@ -425,22 +425,8 @@ def simhash_neardup_pairs(
     by clustering instead (``connected_components``) when groups are
     huge.
     """
-    from financial_market_data_analysis_spark.functions.text import simhash32
-
-    if 32 % n_bands != 0:
-        raise ValueError(f"n_bands={n_bands} must divide 32")
-    if n_bands <= max_hamming:
-        raise ValueError(
-            f"n_bands={n_bands} <= max_hamming={max_hamming}: banding "
-            "would drop true near-dups (needs n_bands > max_hamming)"
-        )
-    width = 32 // n_bands
-    sketches = (
-        simhash32(ensure_parallelism(df), text_col)
-        .groupBy("simhash")
-        .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .persist()
-    )
+    _validate_bands(n_bands, max_hamming)
+    sketches = _simhash_sketches(df, id_col, text_col).persist()
 
     # (2) intra-sketch pairs: all i<j member combinations, row-local.
     ids = F.col("ids")
@@ -462,36 +448,7 @@ def simhash_neardup_pairs(
     )
 
     # (3) cross-sketch candidates via banding, verified per sketch pair.
-    bands = sketches.select(
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.substring("simhash", i * width + 1, width).alias("band"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("simhash", "b.band_idx", "b.band")
-    left = bands.select(F.col("simhash").alias("sh_a"), "band_idx", "band")
-    right = bands.select(F.col("simhash").alias("sh_b"), "band_idx", "band")
-    chars = lambda c: F.filter(F.split(F.col(c), ""), lambda ch: ch != "")
-    hamming = F.aggregate(
-        F.zip_with(chars("sh_a"), chars("sh_b"), lambda x, y: (x != y).cast("int")),
-        F.lit(0),
-        lambda acc, d: acc + d,
-    ).cast("int")
-    cand = (
-        left.join(right, ["band_idx", "band"])
-        .filter(F.col("sh_a") < F.col("sh_b"))
-        .select("sh_a", "sh_b")
-        .distinct()
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    cand = _sketch_band_edges(sketches, n_bands, max_hamming)
     cross = (
         cand.join(
             sketches.select(F.col("simhash").alias("sh_a"), F.col("ids").alias("ids_a")),
@@ -514,16 +471,73 @@ def simhash_neardup_pairs(
     return out
 
 
-def connected_components(
-    edges: DataFrame,
-    src: str = "id_a",
-    dst: str = "id_b",
-    max_iter: int = 25,
+def _validate_bands(n_bands: int, max_hamming: int) -> None:
+    if 32 % n_bands != 0:
+        raise ValueError(f"n_bands={n_bands} must divide 32")
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} <= max_hamming={max_hamming}: banding "
+            "would drop true near-dups (needs n_bands > max_hamming)"
+        )
+
+
+def _simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Collapse docs → distinct 32-bit sketches with member-id lists.
+    The per-doc SimHash fold (the dominant CPU — one md5 + 32 votes per
+    token) runs exactly once per document, map-side combined."""
+    from financial_market_data_analysis_spark.functions.text import simhash32
+
+    return (
+        simhash32(ensure_parallelism(df), text_col)
+        .groupBy("simhash")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+    )
+
+
+def _sketch_band_edges(
+    sketches: DataFrame, n_bands: int, max_hamming: int
 ) -> DataFrame:
-    """Dedup-cluster resolution: connected components over a near-dup
-    pair table via min-label propagation. Returns (doc_id, cluster_id)
-    for every node in the edge set; cluster_id is the component's
-    minimum doc id (the canonical "keeper" in a dedup pipeline).
+    """Verified near-dup edges between DISTINCT sketches: band
+    equi-join (pigeonhole-exact for max_hamming < n_bands) then a
+    zip_with Hamming popcount over ≤ 2^32 sketch pairs — never over
+    doc pairs. Returns (sh_a, sh_b, hamming)."""
+    width = 32 // n_bands
+    bands = sketches.select(
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.substring("simhash", i * width + 1, width).alias("band"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("simhash", "b.band_idx", "b.band")
+    left = bands.select(F.col("simhash").alias("sh_a"), "band_idx", "band")
+    right = bands.select(F.col("simhash").alias("sh_b"), "band_idx", "band")
+    chars = lambda c: F.filter(F.split(F.col(c), ""), lambda ch: ch != "")
+    hamming = F.aggregate(
+        F.zip_with(chars("sh_a"), chars("sh_b"), lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    ).cast("int")
+    return (
+        left.join(right, ["band_idx", "band"])
+        .filter(F.col("sh_a") < F.col("sh_b"))
+        .select("sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _min_label_propagation(sym: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Min-label propagation + pointer jumping over a symmetric,
+    already-materialized (a, b) edge table. Returns (id, cluster_id)
+    where cluster_id is the component's minimum node id.
 
     Each round every node takes the min of its own label and its
     neighbors' labels, then a pointer-jumping step compresses label
@@ -532,20 +546,18 @@ def connected_components(
     O(diameter) rounds; with the jump the loop converges in
     O(log diameter), which keeps the round count — and on a local
     bench, the fixed per-job latency — flat even when near-dup chains
-    are long. Per round: two equi-joins + one groupBy, all
-    partial-aggregatable shuffles on node id. ``localCheckpoint``
-    truncates the lineage each round so the plan doesn't grow, and the
-    symmetrized edge table is checkpointed once and reused. The loop's
-    only driver-side action is the scalar convergence count — there is
-    no ``collect()`` of node data (the iterative structure is the
-    same large-star/small-star shape published for MapReduce CC).
+    are long. Per round: three equi-joins + one groupBy, all
+    partial-aggregatable shuffles on node id, materialized by ONE
+    action — the convergence count runs over a LAZY ``localCheckpoint``
+    so it both fills the checkpoint blocks and returns the scalar in a
+    single job. The checkpoint truncation is load-bearing, not just an
+    optimization: the pointer jump self-joins the propagated frame, so
+    an untruncated logical plan would DOUBLE in size every round
+    (exponential — it OOMs the driver around round 10). The loop's
+    only driver-side action is that scalar count — there is no
+    ``collect()`` of node data (the iterative structure is the same
+    large-star/small-star shape published for MapReduce CC).
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -579,13 +591,81 @@ def connected_components(
                 ).alias("new_cluster"),
                 "cluster_id",
             )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(
-            F.col("new_cluster") != F.col("cluster_id")
-        ).count()
-        labels = new_labels.select(
-            "id", F.col("new_cluster").alias("cluster_id")
-        )
+        ).localCheckpoint(eager=False)
+        changed = new_labels.filter(F.col("new_cluster") != F.col("cluster_id")).count()
+        labels = new_labels.select("id", F.col("new_cluster").alias("cluster_id"))
         if changed == 0:
             break
+    return labels
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup-cluster resolution: connected components over a near-dup
+    pair table via min-label propagation (see
+    ``_min_label_propagation`` for the iteration shape). Returns
+    (doc_id, cluster_id) for every node in the edge set; cluster_id is
+    the component's minimum doc id (the canonical "keeper" in a dedup
+    pipeline)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = _min_label_propagation(sym, max_iter)
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def simhash_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive near-dup clusters straight from the corpus, fused at
+    SKETCH granularity. Equivalent to
+    ``connected_components(simhash_neardup_pairs(df))`` but never
+    materializes doc-level pairs: docs sharing a sketch are connected
+    by construction (hamming 0), so the component structure is fully
+    determined by the graph over DISTINCT sketches — band-verified
+    edges between sketches, plus a self-loop for every multi-doc
+    sketch (which puts those docs in the node set without emitting
+    their quadratic member pairs). After label propagation the sketch
+    components expand back to docs with one explode, and cluster_id is
+    re-anchored to the component's min doc id.
+
+    This is the scale path for pathological corpora: a sketch shared
+    by a million documents costs ``simhash_neardup_pairs`` ~5·10^11
+    emitted pairs, but costs this operator one node, one self-loop,
+    and a million output rows. Returns (id_col, cluster_id) for every
+    doc in some near-dup relation — identical rows to the pair-based
+    composition."""
+    _validate_bands(n_bands, max_hamming)
+    sketches = _simhash_sketches(df, id_col, text_col).persist()
+    edges = _sketch_band_edges(sketches, n_bands, max_hamming)
+    loops = sketches.filter(F.size("ids") >= 2).select(
+        F.col("simhash").alias("a"), F.col("simhash").alias("b")
+    )
+    sym = (
+        edges.select(F.col("sh_a").alias("a"), F.col("sh_b").alias("b"))
+        .union(edges.select(F.col("sh_b").alias("a"), F.col("sh_a").alias("b")))
+        .union(loops)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp = _min_label_propagation(sym, max_iter)
+    members = (
+        sketches.join(comp, sketches["simhash"] == comp["id"])
+        .select(F.explode("ids").alias(id_col), F.col("cluster_id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    sketches.unpersist()
+    comp_min = members.groupBy("comp").agg(F.min(id_col).alias("cluster_id"))
+    return members.join(comp_min, "comp").select(id_col, "cluster_id")

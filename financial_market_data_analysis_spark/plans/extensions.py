@@ -632,16 +632,18 @@ def simhash_neardup_oracle() -> str:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster resolution over the x15 near-dup pairs: each doc in a
-    near-dup relation gets its component's min doc_id as cluster_id
+    """Cluster resolution over the x15 near-dup relation: each doc in
+    a near-dup relation gets its component's min doc_id as cluster_id
     (transitive closure — A~B, B~C puts A,B,C in one cluster even when
-    A,C never banded together)."""
-    pairs = D.simhash_neardup_pairs(
+    A,C never banded together). Runs the fused sketch-granularity
+    operator, which never expands doc-level pairs; the pair-based
+    composition ``connected_components(simhash_neardup_pairs(...))``
+    is row-identical (asserted in tests/test_corpus_ops.py)."""
+    return D.simhash_dedup_clusters(
         docs_augmented(spark, sf_dir),
         n_bands=SIMHASH_BANDS,
         max_hamming=SIMHASH_MAX_HAMMING,
     )
-    return D.connected_components(pairs)
 
 
 def dedup_clusters_oracle() -> str:
@@ -670,3 +672,7 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.vocab_topk(load_table(spark, "documents", sf_dir))
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf_top_terms(load_table(spark, "documents", sf_dir))

@@ -13,6 +13,7 @@ from financial_market_data_analysis_spark.functions.text import (
 )
 from financial_market_data_analysis_spark.operators.dedup import (
     connected_components,
+    simhash_dedup_clusters,
     simhash_neardup_pairs,
 )
 
@@ -77,6 +78,29 @@ def test_connected_components_transitive_closure(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
     }
+
+
+def test_fused_clusters_match_pair_composition(spark):
+    """The sketch-granularity fused operator must emit row-identical
+    (doc_id, cluster_id) to connected_components over the doc-level
+    pair table — including docs connected only via a shared sketch
+    (self-loop path) and transitive cross-sketch chains."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon tok{i % 7} zeta eta") for i in range(40)]
+        + [(100, "alpha beta gamma delta epsilon tok1 zeta eta")],  # dup of i=1
+        "doc_id long, text string",
+    )
+    fused = {
+        (r.doc_id, r.cluster_id)
+        for r in simhash_dedup_clusters(docs, n_bands=4, max_hamming=2).collect()
+    }
+    composed = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(
+            simhash_neardup_pairs(docs, n_bands=4, max_hamming=2)
+        ).collect()
+    }
+    assert fused == composed and len(fused) > 0
 
 
 def test_hash_split_is_stable_and_total(spark):
