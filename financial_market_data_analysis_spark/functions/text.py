@@ -385,6 +385,116 @@ def hash_split_sql(id_expr: str = "doc_id", src: str = "documents") -> str:
     """
 
 
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, no lookaround.
+EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_PATTERN = r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII detection + redaction: count email/phone matches and emit
+    the md5 of the redacted text (emails → ``<EMAIL>``, phones →
+    ``<PHONE>``). Returns (id, n_emails, n_phones, redacted_md5).
+
+    Scale shape: pure row-local regexp projections — one corpus scan,
+    no shuffle, whole-stage codegen end to end. The digest stands in
+    for shipping the redacted payload through the comparison harness;
+    a real pipeline would write the redacted text column itself
+    (swap ``F.md5`` for the raw column), at identical cost shape.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"), PHONE_PATTERN, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_PATTERN)).cast("int").alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+
+
+def pii_scrub_sql(src: str = "documents", text_expr: str = "text") -> str:
+    return f"""
+        SELECT doc_id,
+            CAST(len(regexp_extract_all({text_expr}, '{EMAIL_PATTERN}')) AS INT)
+                AS n_emails,
+            CAST(len(regexp_extract_all({text_expr}, '{PHONE_PATTERN}')) AS INT)
+                AS n_phones,
+            md5(regexp_replace(
+                regexp_replace({text_expr}, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                '{PHONE_PATTERN}', '<PHONE>', 'g')) AS redacted_md5
+        FROM {src}
+    """
+
+
+# Per-stratum sampling rates for the rebalancing sampler: downsample
+# the over-represented language, keep the tail. Thresholds are the
+# first 8 hex digits of the rate scaled to 16^8, compared as strings.
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.75, "es": 0.75, "fr": 0.75, "zh": 1.0}
+SAMPLE_DEFAULT_FRACTION = 0.25
+
+
+def _hex_threshold(fraction: float) -> str:
+    if fraction >= 1.0:
+        return "g"  # lexicographically above every hex digit → keep all
+    return format(max(int(fraction * 16**8), 0), "08x")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    default_fraction: float = SAMPLE_DEFAULT_FRACTION,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling by content-free id
+    hash: a row survives iff the first 8 hex digits of md5(id) fall
+    below its stratum's threshold. The canonical corpus-rebalancing op
+    (downsample the dominant language, keep the tail).
+
+    This is the scale-correct way to subsample 100 TB: the decision is
+    a row-local projection + string compare — no shuffle, no sampling
+    state, no seed coordination across executors, no
+    ``sample()``-style RNG whose output depends on partitioning. The
+    same doc always gets the same verdict under re-runs, corpus
+    growth, and repartitioning, so incremental pipelines never churn
+    previously selected training data. Per-stratum rates are exact in
+    expectation by md5 uniformity; ``hash_split`` (train/val/test) is
+    the sibling op on a disjoint hash range, so split and sample
+    decisions stay independent.
+    """
+    fractions = SAMPLE_FRACTIONS if fractions is None else fractions
+    key = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8)
+    thr: Column = F.lit(_hex_threshold(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(_hex_threshold(frac))
+        ).otherwise(thr)
+    return df.withColumn("sample_key", key).filter(F.col("sample_key") < thr)
+
+
+def stratified_sample_sql(
+    strata_col: str = "lang",
+    id_expr: str = "doc_id",
+    src: str = "documents",
+    fractions: dict[str, float] | None = None,
+    default_fraction: float = SAMPLE_DEFAULT_FRACTION,
+) -> str:
+    fractions = SAMPLE_FRACTIONS if fractions is None else fractions
+    cases = " ".join(
+        f"WHEN '{stratum}' THEN '{_hex_threshold(frac)}'"
+        for stratum, frac in sorted(fractions.items())
+    )
+    thr = f"CASE {strata_col} {cases} ELSE '{_hex_threshold(default_fraction)}' END"
+    return f"""
+        SELECT {id_expr}, {strata_col},
+               substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8) AS sample_key
+        FROM {src}
+        WHERE substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8) < {thr}
+    """
+
+
 def vocab_topk(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 25
 ) -> DataFrame:

@@ -50,6 +50,40 @@ DOCS_AUG_CTE = f"""
 """
 
 
+def docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically inject synthetic emails/phones into a slice of
+    the corpus (the raw fixture has none), so the PII scrub query has
+    real positives to find. Engine/oracle twins, same shape as
+    ``docs_augmented``."""
+    d = load_table(spark, "documents", sf_dir)
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" mail user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" tel +10-555-0199")).otherwise(
+            F.lit("")
+        ),
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+PII_DOCS_CTE = """
+    SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' tel +10-555-0199' ELSE '' END AS text
+    FROM documents
+"""
+
+
 def emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     dups = e.filter(F.col("vec_id") % EMB_DUP_MOD == 0).select(
@@ -676,3 +710,16 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.tfidf_top_terms(load_table(spark, "documents", sf_dir))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return T.stratified_hash_sample(d).select("doc_id", "lang", "sample_key")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.pii_scrub(docs_with_pii(spark, sf_dir))
+
+
+def pii_scrub_oracle() -> str:
+    return f"WITH pii_aug AS ({PII_DOCS_CTE}) " + T.pii_scrub_sql(src="pii_aug")

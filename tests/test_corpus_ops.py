@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from financial_market_data_analysis_spark.functions.text import (
     hash_split,
     simhash32,
+    stratified_hash_sample,
     vocab_topk,
 )
 from financial_market_data_analysis_spark.operators.dedup import (
@@ -112,6 +113,25 @@ def test_hash_split_is_stable_and_total(spark):
     assert set(counts) == {"train", "val", "test"}
     # 12/2/2 hex buckets → expect ~75/12.5/12.5%; allow generous slack
     assert counts["train"] > counts["val"] + counts["test"]
+
+
+def test_stratified_sample_deterministic_and_rebalances(spark):
+    """Same doc → same verdict across re-runs; a fraction-1.0 stratum
+    keeps every row (the 'g' sentinel threshold); a 0.5 stratum lands
+    near half."""
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    s1 = stratified_hash_sample(docs)
+    s2 = stratified_hash_sample(docs)
+    assert s1.exceptAll(s2).count() == 0
+    rates = {
+        r["lang"]: r["n"]
+        for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert rates["zh"] == 1000  # fraction 1.0 → all kept
+    assert 400 < rates["en"] < 600  # fraction 0.5
 
 
 def test_vocab_topk_tiebreak_is_deterministic(spark):
