@@ -24,6 +24,7 @@ from financial_market_data_analysis_spark.functions.text import (
     quality_filter_sql,
     rolling_fp_sql,
     simhash32_sql,
+    repetition_signals_sql,
     stratified_sample_sql,
     tfidf_topk_sql,
     vocab_topk_sql,
@@ -481,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x19_tfidf_topk": X.q_tfidf_topk,
         "x20_stratified_sample": X.q_stratified_sample,
         "x21_pii_scrub": X.q_pii_scrub,
+        "x22_decontaminate": X.q_decontaminate,
+        "x23_repetition": X.q_repetition_signals,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "pipeline_bars_joined": _pipeline_bars_joined,
@@ -920,6 +923,8 @@ def oracle_sql() -> dict[str, str]:
         "x19_tfidf_topk": tfidf_topk_sql(),
         "x20_stratified_sample": stratified_sample_sql(),
         "x21_pii_scrub": X.pii_scrub_oracle(),
+        "x22_decontaminate": X.decontaminate_oracle(),
+        "x23_repetition": repetition_signals_sql(),
         "ml1_lag_matrix": X.ml_lag_matrix_oracle(candles_oracle_sql()),
         # ml2_train_metrics: MLlib training is not SQL-expressible →
         # rows-only check by design

@@ -495,6 +495,82 @@ def stratified_sample_sql(
     """
 
 
+def _all_grams(toks: Column, n: int) -> Column:
+    """NON-distinct token n-grams (repetition analysis needs
+    multiplicity; dedup's ``_shingles`` is the distinct sibling)."""
+    cnt = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition quality signals:
+    ``top_bigram_frac`` (fraction of all bigram occurrences taken by
+    the single most frequent bigram) and ``dup_trigram_frac``
+    (fraction of trigram occurrences that are repeats of an earlier
+    trigram). High values mark boilerplate/spam for corpus filtering.
+
+    Scale shape: entirely row-local — tokenize once, build gram arrays,
+    count with higher-order ``filter`` folds inside whole-stage
+    codegen. One corpus scan, zero shuffles. The per-row cost is
+    O(distinct_bigrams x total_bigrams), bounded by document length,
+    not corpus size. Short docs (< 3 tokens) yield NULL fractions via
+    ``try_divide``.
+    """
+    toks = tokens(text_col)
+    with_grams = df.select(
+        F.col(id_col),
+        _all_grams(toks, 2).alias("__big"),
+        _all_grams(toks, 3).alias("__tri"),
+    )
+    big, tri = F.col("__big"), F.col("__tri")
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(big),
+            lambda g: F.size(F.filter(big, lambda x: x == g)),
+        )
+    )
+    return with_grams.select(
+        F.col(id_col),
+        F.try_divide(top_count, F.size(big)).alias("top_bigram_frac"),
+        F.try_divide(
+            F.size(tri) - F.size(F.array_distinct(tri)), F.size(tri)
+        ).alias("dup_trigram_frac"),
+    )
+
+
+def _all_grams_sql(n: int) -> str:
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)),"
+        f" i -> {gram})"
+    )
+
+
+def repetition_signals_sql(src: str = "documents", text_expr: str = "text") -> str:
+    return f"""
+        SELECT doc_id,
+            CASE WHEN len(big) > 0 THEN
+                list_max(list_transform(list_distinct(big),
+                    g -> len(list_filter(big, x -> x = g)))) / len(big)
+            END AS top_bigram_frac,
+            CASE WHEN len(tri) > 0 THEN
+                (len(tri) - len(list_distinct(tri))) / len(tri)
+            END AS dup_trigram_frac
+        FROM (
+            SELECT doc_id, {_all_grams_sql(2)} AS big, {_all_grams_sql(3)} AS tri
+            FROM (SELECT doc_id, {tokens_sql(text_expr)} AS toks FROM {src})
+        )
+    """
+
+
 def vocab_topk(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 25
 ) -> DataFrame:

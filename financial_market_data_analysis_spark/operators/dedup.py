@@ -296,6 +296,46 @@ def candidate_ids(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+DECON_MIN_OVERLAP = 5  # shared shingles before a train doc is flagged
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_overlap: int = DECON_MIN_OVERLAP,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least ``min_overlap`` distinct token shingles with ANY benchmark
+    document. Returns (id, n_overlap) for flagged docs.
+
+    The canonical pre-training hygiene op (strip eval-set text from the
+    training corpus, cf. GPT-3/PaLM appendix methodology): membership is
+    n-gram overlap, not exact match, so paraphrased or embedded quotes
+    of a benchmark item are caught too.
+
+    Scale shape: the benchmark side is tiny relative to training data
+    (MBs of eval sets vs 100 TB of corpus), so its distinct shingle set
+    is BROADCAST — the training corpus is scanned once, shingled
+    row-locally, and filtered by a broadcast hash join with no shuffle
+    of the big side. The only shuffles are the small-side distinct and
+    the post-filter groupBy on surviving (id, shingle) hits, which is
+    bounded by the contamination volume, not the corpus size.
+    ``shingle_table`` emits per-doc DISTINCT shingles, so the count is
+    a distinct-overlap count without a count_distinct.
+    """
+    bench_sh = shingle_table(bench, id_col, text_col).select("shingle").distinct()
+    hits = shingle_table(train, id_col, text_col).join(
+        F.broadcast(bench_sh), "shingle"
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

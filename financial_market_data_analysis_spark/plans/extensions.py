@@ -723,3 +723,40 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pii_scrub_oracle() -> str:
     return f"WITH pii_aug AS ({PII_DOCS_CTE}) " + T.pii_scrub_sql(src="pii_aug")
+
+
+# Every 25th doc plays the "benchmark set"; the training side is the
+# augmented corpus minus those originals (but keeping their injected
+# near-dup copies, which are exactly the contamination to catch).
+DECON_BENCH_MOD = 25
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    bench = d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    train = docs_augmented(spark, sf_dir).filter(
+        ~((F.col("doc_id") % DECON_BENCH_MOD == 0) & (F.col("doc_id") < DUP_OFFSET))
+    )
+    return D.decontaminate(train, bench)
+
+
+def decontaminate_oracle() -> str:
+    m = DECON_BENCH_MOD
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE}),
+        train AS (
+            SELECT * FROM aug
+            WHERE NOT (doc_id % {m} = 0 AND doc_id < {DUP_OFFSET})
+        ),
+        bench AS (SELECT * FROM documents WHERE doc_id % {m} = 0),
+        tsh AS ({_shingles_sql("train")}),
+        bsh AS (SELECT DISTINCT shingle FROM ({_shingles_sql("bench")}) b)
+        SELECT doc_id, count(*) AS n_overlap
+        FROM tsh JOIN bsh USING (shingle)
+        GROUP BY doc_id
+        HAVING count(*) >= {D.DECON_MIN_OVERLAP}
+    """
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_signals(load_table(spark, "documents", sf_dir))

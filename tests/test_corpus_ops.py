@@ -144,3 +144,45 @@ def test_vocab_topk_tiebreak_is_deterministic(spark):
     assert [(r.token, r.tf, r.df) for r in rows] == [
         ("aa", 3, 2), ("zz", 3, 2), ("mm", 2, 2)
     ]
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    """A train doc quoting a bench doc's text is flagged; an unrelated
+    doc is not; the bench shingle side is broadcast (no big-side
+    shuffle)."""
+    from financial_market_data_analysis_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy sleeping dog today")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over the lazy "
+                "sleeping dog today and more"),
+            (2, "completely different words about market data engines"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = decontaminate(train, bench, min_overlap=5).collect()
+    assert [(r.doc_id) for r in rows] == [1]
+    assert rows[0].n_overlap >= 8
+    plan = decontaminate(train, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_signals_values_and_short_doc_nulls(spark):
+    from financial_market_data_analysis_spark.functions.text import (
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "hi")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    # bigrams of doc 1: [a b, b a, a b, b a, a b] -> top 3/5
+    assert abs(out[1].top_bigram_frac - 0.6) < 1e-12
+    # trigrams: [a b a, b a b, a b a, b a b] -> 2 repeats / 4
+    assert abs(out[1].dup_trigram_frac - 0.5) < 1e-12
+    assert out[2].top_bigram_frac is None
+    assert out[2].dup_trigram_frac is None
