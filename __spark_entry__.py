@@ -24,6 +24,7 @@ from financial_market_data_analysis_spark.functions.text import (
     quality_filter_sql,
     rolling_fp_sql,
     simhash32_sql,
+    pack_sequences_sql,
     repetition_signals_sql,
     stratified_sample_sql,
     tfidf_topk_sql,
@@ -484,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x21_pii_scrub": X.q_pii_scrub,
         "x22_decontaminate": X.q_decontaminate,
         "x23_repetition": X.q_repetition_signals,
+        "x24_pack_sequences": X.q_pack_sequences,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "pipeline_bars_joined": _pipeline_bars_joined,
@@ -925,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
         "x21_pii_scrub": X.pii_scrub_oracle(),
         "x22_decontaminate": X.decontaminate_oracle(),
         "x23_repetition": repetition_signals_sql(),
+        "x24_pack_sequences": pack_sequences_sql(),
         "ml1_lag_matrix": X.ml_lag_matrix_oracle(candles_oracle_sql()),
         # ml2_train_metrics: MLlib training is not SQL-expressible →
         # rows-only check by design

@@ -571,6 +571,66 @@ def repetition_signals_sql(src: str = "documents", text_expr: str = "text") -> s
     """
 
 
+PACK_TARGET_TOKENS = 2048  # token budget per packed training sequence
+PACK_SHARDS = 64  # independent packing streams (scale = parallelism)
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target: int = PACK_TARGET_TOKENS,
+    shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Greedy sequence packing for pre-training batches: concatenate
+    documents in id order until the token budget is crossed, emitting
+    (id, shard, n_tokens, pack_id) where ``pack_id`` is the bin whose
+    token range contains the document's START offset (boundary docs
+    belong to the pack they begin in).
+
+    Scale shape: a SINGLE global packing order would serialize 100 TB
+    through one window partition — instead docs are sharded by
+    ``id % shards`` and packed independently per shard, so the running
+    token sum is a per-shard window (shards-way parallel, one shuffle
+    on the shard key). Raising ``shards`` to O(cluster cores) keeps
+    every executor busy; determinism holds because shard assignment
+    and intra-shard order are pure functions of the id.
+    """
+    t = df.select(
+        F.col(id_col),
+        (F.col(id_col) % shards).cast("int").alias("shard"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.withColumn(
+        "pack_id", F.floor(start / F.lit(target)).cast("int")
+    )
+
+
+def pack_sequences_sql(
+    src: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    target: int = PACK_TARGET_TOKENS,
+    shards: int = PACK_SHARDS,
+) -> str:
+    return f"""
+        SELECT {id_expr}, shard, n_tokens,
+            CAST(floor((cum - n_tokens) / {target}) AS INT) AS pack_id
+        FROM (
+            SELECT {id_expr}, shard, n_tokens,
+                SUM(n_tokens) OVER (PARTITION BY shard ORDER BY {id_expr}) AS cum
+            FROM (
+                SELECT {id_expr},
+                    CAST({id_expr} % {shards} AS INT) AS shard,
+                    CAST(len({tokens_sql(text_expr)}) AS INT) AS n_tokens
+                FROM {src}
+            )
+        )
+    """
+
+
 def vocab_topk(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 25
 ) -> DataFrame:

@@ -579,63 +579,72 @@ def _min_label_propagation(sym: DataFrame, max_iter: int = 25) -> DataFrame:
     already-materialized (a, b) edge table. Returns (id, cluster_id)
     where cluster_id is the component's minimum node id.
 
-    Each round every node takes the min of its own label and its
-    neighbors' labels, then a pointer-jumping step compresses label
-    chains (``l(v) ← l(l(v))`` — every label is itself a node id, so
-    one more self-join halves chain depth). Propagation alone needs
-    O(diameter) rounds; with the jump the loop converges in
-    O(log diameter), which keeps the round count — and on a local
-    bench, the fixed per-job latency — flat even when near-dup chains
-    are long. Per round: three equi-joins + one groupBy, all
+    Each round every node takes the min label over its neighborhood
+    (self-loops added up front fold the node's own label into the same
+    groupBy — no separate keep-own-label join), then a pointer-jumping
+    step compresses label chains (``l(v) ← l(l(v))`` — every label is
+    itself a node id, so one more self-join halves chain depth).
+    Propagation alone needs O(diameter) rounds; with the jump the loop
+    converges in O(log diameter), which keeps the round count — and on
+    a local bench, the fixed per-job latency — flat even when near-dup
+    chains are long. Per round: two equi-joins + one groupBy, all
     partial-aggregatable shuffles on node id, materialized by ONE
-    action — the convergence count runs over a LAZY ``localCheckpoint``
-    so it both fills the checkpoint blocks and returns the scalar in a
-    single job. The checkpoint truncation is load-bearing, not just an
-    optimization: the pointer jump self-joins the propagated frame, so
-    an untruncated logical plan would DOUBLE in size every round
+    action — the convergence check (an exact decimal sum of the
+    per-node non-increasing labels, which strictly decreases until the
+    fixpoint) runs over a LAZY ``localCheckpoint`` so it both fills
+    the checkpoint blocks and returns the scalar in a single job. The
+    checkpoint truncation is load-bearing, not just an optimization:
+    the pointer jump self-joins the propagated frame, so an
+    untruncated logical plan would DOUBLE in size every round
     (exponential — it OOMs the driver around round 10). The loop's
-    only driver-side action is that scalar count — there is no
+    only driver-side action is that scalar agg — there is no
     ``collect()`` of node data (the iterative structure is the same
     large-star/small-star shape published for MapReduce CC).
     """
-    labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
+    nodes = sym.select(F.col("a")).distinct()
+    # Self-loops fold the node's OWN label into the neighbor-min
+    # groupBy, so each round needs no separate "keep my label" left
+    # join; the static edge table is pre-partitioned on the join key
+    # (localCheckpoint preserves the partitioning), so only the small
+    # per-round label frame shuffles into the join.
+    sym2 = (
+        sym.union(nodes.select(F.col("a"), F.col("a").alias("b")))
+        .repartition(F.col("a"))
         .localCheckpoint(eager=True)
     )
+    labels = nodes.select(
+        F.col("a").alias("id"), F.col("a").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    prev_sum = None
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["a"] == labels["id"])
-            .groupBy(F.col("b").alias("id2"))
-            .agg(F.min("cluster_id").alias("nbr"))
-        )
-        prop = labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left").select(
-            "id",
-            F.least(F.col("cluster_id"), F.coalesce("nbr", "cluster_id")).alias(
-                "mid_cluster"
-            ),
-            "cluster_id",
+        m = (
+            sym2.join(labels, sym2["a"] == labels["id"])
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("cluster_id").alias("l1"))
         )
         # pointer jump: replace each label with that label's own label
         # (labels are node ids, so this is a self-join on the id key)
-        parent = prop.select(
-            F.col("id").alias("pid"), F.col("mid_cluster").alias("plabel")
-        )
+        parent = m.select(F.col("id").alias("pid"), F.col("l1").alias("plabel"))
         new_labels = (
-            prop.join(parent, prop["mid_cluster"] == parent["pid"], "left")
+            m.join(parent, m["l1"] == parent["pid"], "left")
             .select(
                 "id",
-                F.least(
-                    F.col("mid_cluster"), F.coalesce("plabel", "mid_cluster")
-                ).alias("new_cluster"),
-                "cluster_id",
+                F.least(F.col("l1"), F.coalesce("plabel", "l1")).alias("cluster_id"),
             )
-        ).localCheckpoint(eager=False)
-        changed = new_labels.filter(F.col("new_cluster") != F.col("cluster_id")).count()
-        labels = new_labels.select("id", F.col("new_cluster").alias("cluster_id"))
-        if changed == 0:
+            .localCheckpoint(eager=False)
+        )
+        # Convergence via the exact label sum: labels are per-node
+        # non-increasing, so the sum strictly decreases until the
+        # fixpoint — one scalar agg doubles as the checkpoint's
+        # materializing action. decimal(38,0) keeps the sum exact with
+        # no ANSI long-overflow hazard at any node count.
+        s = new_labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if s == prev_sum:
             break
+        prev_sum = s
     return labels
 
 
@@ -651,9 +660,14 @@ def connected_components(
     (doc_id, cluster_id) for every node in the edge set; cluster_id is
     the component's minimum doc id (the canonical "keeper" in a dedup
     pipeline)."""
+    # Materialize the caller's edge plan once — the symmetrizing union
+    # references it twice, which would double-evaluate an arbitrary
+    # upstream candidate pipeline.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e.union(e.select(F.col("b"), F.col("a")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -689,15 +703,23 @@ def simhash_dedup_clusters(
     composition."""
     _validate_bands(n_bands, max_hamming)
     sketches = _simhash_sketches(df, id_col, text_col).persist()
-    edges = _sketch_band_edges(sketches, n_bands, max_hamming)
+    # Checkpoint the verified edge set BEFORE symmetrizing: the union
+    # below references it twice, and an unmaterialized plan would pay
+    # the band self-join + Hamming verify once per branch (the r2 x6
+    # lesson at sketch granularity).
+    edges = _sketch_band_edges(sketches, n_bands, max_hamming).localCheckpoint(
+        eager=True
+    )
     loops = sketches.filter(F.size("ids") >= 2).select(
         F.col("simhash").alias("a"), F.col("simhash").alias("b")
     )
+    # No .distinct(): the three branches are disjoint by construction
+    # (sh_a < sh_b forward, reversed, and a == b self-loops), and
+    # min-label propagation is idempotent under duplicate edges anyway.
     sym = (
         edges.select(F.col("sh_a").alias("a"), F.col("sh_b").alias("b"))
         .union(edges.select(F.col("sh_b").alias("a"), F.col("sh_a").alias("b")))
         .union(loops)
-        .distinct()
         .localCheckpoint(eager=True)
     )
     comp = _min_label_propagation(sym, max_iter)

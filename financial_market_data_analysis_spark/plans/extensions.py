@@ -760,3 +760,7 @@ def decontaminate_oracle() -> str:
 
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_signals(load_table(spark, "documents", sf_dir))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.pack_sequences(load_table(spark, "documents", sf_dir))

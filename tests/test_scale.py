@@ -79,3 +79,20 @@ def test_full_row_plan_quality(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("Window") <= 2
     assert "PushedFilters" in plan or "DataFilters" in plan
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """Sequence packing must never funnel the corpus through ONE window
+    partition: the running token sum is partitioned by the shard key
+    (hashpartitioning on shard), not a global SinglePartition sort."""
+    from financial_market_data_analysis_spark.functions.text import pack_sequences
+
+    d = load_table(spark, "documents", SF_SMOKE)
+    packed = pack_sequences(d, target=256)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:800]
+    assert "hashpartitioning(shard" in plan, plan[:800]
+    # every pack stays within one shard, and pack ids start at 0
+    agg = packed.groupBy("shard", "pack_id").count()
+    assert packed.filter(F.col("pack_id") < 0).count() == 0
+    assert agg.count() > packed.select("shard").distinct().count()
