@@ -24,6 +24,7 @@ from financial_market_data_analysis_spark.functions.text import (
     quality_filter_sql,
     rolling_fp_sql,
     simhash32_sql,
+    chunk_documents_sql,
     pack_sequences_sql,
     repetition_signals_sql,
     stratified_sample_sql,
@@ -486,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x22_decontaminate": X.q_decontaminate,
         "x23_repetition": X.q_repetition_signals,
         "x24_pack_sequences": X.q_pack_sequences,
+        "x25_chunk_docs": X.q_chunk_documents,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "pipeline_bars_joined": _pipeline_bars_joined,
@@ -928,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
         "x22_decontaminate": X.decontaminate_oracle(),
         "x23_repetition": repetition_signals_sql(),
         "x24_pack_sequences": pack_sequences_sql(),
+        "x25_chunk_docs": chunk_documents_sql(),
         "ml1_lag_matrix": X.ml_lag_matrix_oracle(candles_oracle_sql()),
         # ml2_train_metrics: MLlib training is not SQL-expressible →
         # rows-only check by design

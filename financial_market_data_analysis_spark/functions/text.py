@@ -631,6 +631,76 @@ def pack_sequences_sql(
     """
 
 
+CHUNK_TOKENS = 128  # tokens per chunk
+CHUNK_STRIDE = 96  # start-to-start distance → 32-token overlap
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-window chunks —
+    the standard preprocessing step in front of an embedding model
+    (every doc yields ≥ 1 chunk; the last chunk may be short). Returns
+    (id, chunk_idx, chunk_tokens, chunk_md5) where the digest stands
+    in for the chunk text through the comparison harness.
+
+    Scale shape: tokenize once, compute the chunk-start list with pure
+    integer math, and ``posexplode`` — row-local, one corpus scan, no
+    shuffle; output rows ≈ corpus_tokens / stride regardless of
+    document skew.
+    """
+    n = F.size(tokens(text_col))
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.floor((n - size + stride - 1) / F.lit(stride)) + 1
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: (i * stride + 1).cast("int")
+    )
+    t = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start"), size)
+    return t.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.size(chunk).alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
+    )
+
+
+def chunk_documents_sql(
+    src: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    size: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> str:
+    return f"""
+        SELECT {id_expr},
+            CAST(i - 1 AS INT) AS chunk_idx,
+            CAST(len(chunk) AS INT) AS chunk_tokens,
+            md5(array_to_string(chunk, ' ')) AS chunk_md5
+        FROM (
+            SELECT {id_expr}, i,
+                list_slice(toks, (i - 1) * {stride} + 1,
+                           (i - 1) * {stride} + {size}) AS chunk
+            FROM (
+                SELECT {id_expr}, toks, unnest(generate_series(1,
+                    CASE WHEN len(toks) <= {size} THEN 1
+                         ELSE (len(toks) - {size} + {stride} - 1) // {stride} + 1
+                    END)) AS i
+                FROM (SELECT {id_expr}, {tokens_sql(text_expr)} AS toks FROM {src})
+            )
+        )
+    """
+
+
 def vocab_topk(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 25
 ) -> DataFrame:

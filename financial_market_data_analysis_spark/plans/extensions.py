@@ -764,3 +764,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pack_sequences(load_table(spark, "documents", sf_dir))
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.chunk_documents(load_table(spark, "documents", sf_dir))

@@ -4,6 +4,7 @@ splits, vocabulary top-k."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from financial_market_data_analysis_spark.functions.text import (
@@ -186,3 +187,46 @@ def test_repetition_signals_values_and_short_doc_nulls(spark):
     assert abs(out[1].dup_trigram_frac - 0.5) < 1e-12
     assert out[2].top_bigram_frac is None
     assert out[2].dup_trigram_frac is None
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """200 tokens at size=128/stride=96 → two chunks of 128 and 104
+    tokens; a short doc yields exactly one (possibly short) chunk."""
+    from financial_market_data_analysis_spark.functions.text import chunk_documents
+
+    text = " ".join(f"tok{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "tiny doc")], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_id, r.chunk_idx): r.chunk_tokens
+        for r in chunk_documents(docs).collect()
+    }
+    assert rows == {(1, 0): 128, (1, 1): 104, (2, 0): 2}
+
+
+def test_pack_sequences_budget_invariant(spark):
+    """Within every (shard, pack), total tokens minus the boundary doc
+    stays under the target: a pack only overflows by the one document
+    that straddles its end."""
+    from financial_market_data_analysis_spark.functions.text import pack_sequences
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("w"), (F.col("id") % 37 + 1).cast("int"))
+        ).alias("text"),
+    )
+    packed = pack_sequences(docs, target=64, shards=8)
+    w = Window.partitionBy("shard", "pack_id").orderBy(F.desc("doc_id"))
+    per_pack = (
+        packed.withColumn("rn", F.row_number().over(w))
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.sum("n_tokens").alias("total"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_tokens"))).alias("last_doc"),
+        )
+    )
+    assert per_pack.filter(F.col("total") - F.col("last_doc") >= 64).count() == 0
+    # every doc is assigned exactly once
+    assert packed.count() == 300
