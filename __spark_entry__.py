@@ -488,6 +488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x23_repetition": X.q_repetition_signals,
         "x24_pack_sequences": X.q_pack_sequences,
         "x25_chunk_docs": X.q_chunk_documents,
+        "x26_audio_frames": X.q_audio_frames,
+        "x27_resize_geometry": X.q_resize_geometry,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "pipeline_bars_joined": _pipeline_bars_joined,
@@ -931,6 +933,8 @@ def oracle_sql() -> dict[str, str]:
         "x23_repetition": repetition_signals_sql(),
         "x24_pack_sequences": pack_sequences_sql(),
         "x25_chunk_docs": chunk_documents_sql(),
+        "x26_audio_frames": X.audio_frames_oracle(),
+        "x27_resize_geometry": X.resize_geometry_oracle(),
         "ml1_lag_matrix": X.ml_lag_matrix_oracle(candles_oracle_sql()),
         # ml2_train_metrics: MLlib training is not SQL-expressible →
         # rows-only check by design

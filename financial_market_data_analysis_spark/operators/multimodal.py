@@ -118,6 +118,64 @@ def frame_sample(
     )
 
 
+def audio_frames(
+    media: DataFrame,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Audio → STFT-style frame grid: one row per (frame_idx, start_ms)
+    with the standard ``n = floor((duration - frame) / hop) + 1``
+    frame count (clips shorter than one frame yield no rows). The grid
+    is pure column math — the sample extraction inside each frame is
+    the stubbed codec part, exactly like ``frame_sample`` for video."""
+    n_frames = F.expr(f"(duration_ms - {frame_ms}) div {hop_ms}").cast("int") + 1
+    return (
+        media.filter((F.col("kind") == "audio") & (F.col("duration_ms") >= frame_ms))
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_frames - 1),
+                    lambda i: (i * hop_ms).cast("int"),
+                )
+            ).alias("frame_idx", "start_ms"),
+        )
+    )
+
+
+def resize_geometry(
+    media: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Aspect-preserving letterbox resize plan for images: output dims
+    scaled by min(target_w/w, target_h/h) plus centering pad offsets.
+    All-integer math (``div``), so the geometry is bit-identical across
+    engines; the pixel resample itself is the stubbed codec step. This
+    is the metadata a batched GPU resize kernel consumes."""
+    imgs = media.filter(
+        (F.col("kind") == "image") & (F.col("width") > 0) & (F.col("height") > 0)
+    )
+    wide = F.col("width") * target_h >= F.col("height") * target_w
+    out_w = F.when(wide, F.lit(target_w)).otherwise(
+        F.expr(f"(width * {target_h}) div height").cast("int")
+    )
+    out_h = F.when(wide, F.expr(f"(height * {target_w}) div width").cast("int")).otherwise(
+        F.lit(target_h)
+    )
+    return imgs.select(
+        id_col,
+        "width",
+        "height",
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
+        ((F.lit(target_w) - out_w) / 2).cast("int").alias("pad_x"),
+        ((F.lit(target_h) - out_h) / 2).cast("int").alias("pad_y"),
+    )
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Test/oracle fixture: treat each document's text bytes as an
     opaque payload with synthesized metadata — same shape a real

@@ -768,3 +768,61 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.chunk_documents(load_table(spark, "documents", sf_dir))
+
+
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        audio_frames,
+        media_from_documents,
+    )
+
+    media = media_from_documents(load_table(spark, "documents", sf_dir))
+    return audio_frames(media)
+
+
+def audio_frames_oracle(frame_ms: int = 25, hop_ms: int = 10) -> str:
+    return f"""
+        SELECT media_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(i * {hop_ms} AS INT) AS start_ms
+        FROM (
+            SELECT doc_id AS media_id,
+                   unnest(generate_series(0,
+                       (n_chars * 10 - {frame_ms}) // {hop_ms})) AS i
+            FROM documents
+            WHERE doc_id % 3 = 1 AND n_chars * 10 >= {frame_ms}
+        )
+    """
+
+
+def q_resize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        media_from_documents,
+        resize_geometry,
+    )
+
+    media = media_from_documents(load_table(spark, "documents", sf_dir))
+    return resize_geometry(media)
+
+
+def resize_geometry_oracle(tw: int = 224, th: int = 224) -> str:
+    return f"""
+        SELECT media_id, width, height,
+               CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+               CAST(({tw} - out_w) // 2 AS INT) AS pad_x,
+               CAST(({th} - out_h) // 2 AS INT) AS pad_y
+        FROM (
+            SELECT media_id, width, height,
+                CASE WHEN width * {th} >= height * {tw} THEN {tw}
+                     ELSE (width * {th}) // height END AS out_w,
+                CASE WHEN width * {th} >= height * {tw}
+                     THEN (height * {tw}) // width ELSE {th} END AS out_h
+            FROM (
+                SELECT doc_id AS media_id,
+                       CAST(n_chars % 640 AS INT) AS width,
+                       CAST(n_chars % 480 AS INT) AS height
+                FROM documents WHERE doc_id % 3 = 0
+            )
+            WHERE width > 0 AND height > 0
+        )
+    """

@@ -124,3 +124,34 @@ def test_gaussian_plane_dot_margin(spark):
     ]
     min_abs = emb.select(F.least(*dots).alias("m")).agg(F.min("m")).collect()[0][0]
     assert min_abs > 1e-9, f"plane dot too close to 0: {min_abs}"
+
+
+def test_audio_frames_grid(spark):
+    from financial_market_data_analysis_spark.operators.multimodal import audio_frames
+
+    media = spark.createDataFrame(
+        [(1, "audio", 100), (2, "audio", 24), (3, "video", 500)],
+        "media_id long, kind string, duration_ms int",
+    )
+    rows = audio_frames(media).collect()
+    # 100ms clip at 25/10 → 8 frames starting 0..70; sub-frame clip and
+    # non-audio rows yield nothing
+    assert {r.media_id for r in rows} == {1}
+    assert [(r.frame_idx, r.start_ms) for r in sorted(rows, key=lambda r: r.frame_idx)] == [
+        (i, i * 10) for i in range(8)
+    ]
+
+
+def test_resize_geometry_letterbox(spark):
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        resize_geometry,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", 640, 480), (2, "image", 100, 400), (3, "image", 0, 10)],
+        "media_id long, kind string, width int, height int",
+    )
+    out = {r.media_id: r for r in resize_geometry(media).collect()}
+    assert 3 not in out  # degenerate dims filtered
+    assert (out[1].out_w, out[1].out_h, out[1].pad_x, out[1].pad_y) == (224, 168, 0, 28)
+    assert (out[2].out_w, out[2].out_h, out[2].pad_x, out[2].pad_y) == (56, 224, 84, 0)
