@@ -581,6 +581,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     target: int = PACK_TARGET_TOKENS,
     shards: int = PACK_SHARDS,
+    partition_extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """Greedy sequence packing for pre-training batches: concatenate
     documents in id order until the token budget is crossed, emitting
@@ -595,13 +596,19 @@ def pack_sequences(
     on the shard key). Raising ``shards`` to O(cluster cores) keeps
     every executor busy; determinism holds because shard assignment
     and intra-shard order are pure functions of the id.
+
+    ``partition_extra`` names additional packing-stream keys (e.g.
+    train/val/test split, language) — a sequence never mixes documents
+    across those boundaries, and the columns pass through to the
+    output.
     """
     t = df.select(
         F.col(id_col),
+        *partition_extra,
         (F.col(id_col) % shards).cast("int").alias("shard"),
         token_count(text_col).alias("n_tokens"),
     )
-    w = Window.partitionBy("shard").orderBy(id_col)
+    w = Window.partitionBy(*partition_extra, "shard").orderBy(id_col)
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
     return t.withColumn(
         "pack_id", F.floor(start / F.lit(target)).cast("int")

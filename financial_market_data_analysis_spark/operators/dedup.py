@@ -600,6 +600,12 @@ def _min_label_propagation(sym: DataFrame, max_iter: int = 25) -> DataFrame:
     only driver-side action is that scalar agg — there is no
     ``collect()`` of node data (the iterative structure is the same
     large-star/small-star shape published for MapReduce CC).
+
+    ``localCheckpoint`` trades fault tolerance for speed (blocks live on
+    executors); on a real cluster where a lost executor mid-loop must
+    not restart the whole iteration, switch to reliable
+    ``checkpoint()`` with ``sparkContext.setCheckpointDir`` on shared
+    storage — same truncation semantics, same call sites.
     """
     nodes = sym.select(F.col("a")).distinct()
     # Self-loops fold the node's OWN label into the neighbor-min

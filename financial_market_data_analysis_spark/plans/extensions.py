@@ -826,3 +826,73 @@ def resize_geometry_oracle(tw: int = 224, th: int = 224) -> str:
             WHERE width > 0 AND height > 0
         )
     """
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation flagship: quality filter → exact
+    dedup (min-id keeper) → language ID → hash train/val/test split →
+    per-(split, lang, shard) sequence packing, one composed plan.
+
+    Scale shape: the filter/lang/split stages are row-local projections
+    fused into the first scan; the only shuffles are the dedup groupBy
+    on the text digest, the keeper semi-join on doc_id, and the packing
+    window's (split, lang, shard) partition — each keyed, none global.
+    """
+    d = docs_augmented(spark, sf_dir)
+    kept = T.quality_filter(d).filter(F.col("kept") == 1)
+    keepers = D.exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    cur = kept.join(keepers, "doc_id")
+    lang = T.language_id(cur)
+    split = T.hash_split(lang)
+    return T.pack_sequences(
+        split, partition_extra=("split", "lang_pred")
+    ).select("doc_id", "split", "lang_pred", "shard", "n_tokens", "pack_id")
+
+
+def corpus_pipeline_oracle() -> str:
+    toks = T.tokens_sql()
+    stop = T.stopword_hits_sql("toks", T.LANG_STOPWORDS["en"])
+    val = ", ".join(f"'{b}'" for b in T.SPLIT_VAL_BUCKETS)
+    test = ", ".join(f"'{b}'" for b in T.SPLIT_TEST_BUCKETS)
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE}),
+        t AS (SELECT doc_id, text, {toks} AS toks FROM aug),
+        s AS (
+            SELECT doc_id, text, toks,
+                len(toks) AS n_tokens,
+                CAST(len(regexp_extract_all(text, '{T.PUNCT_PATTERN}')) AS DOUBLE)
+                    / length(text) AS punct_ratio,
+                CAST({stop} AS DOUBLE) / len(toks) AS stopword_ratio,
+                CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                     AS DOUBLE) / len(toks) AS mean_token_len
+            FROM t
+        ),
+        kept AS (
+            SELECT * FROM s
+            WHERE n_tokens >= {T.QUALITY_MIN_TOKENS}
+              AND stopword_ratio >= {T.QUALITY_MIN_STOPWORD_RATIO}
+              AND mean_token_len <= {T.QUALITY_MAX_MEAN_TOKEN_LEN}
+              AND punct_ratio <= {T.QUALITY_MAX_PUNCT_RATIO}
+        ),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        cur AS (SELECT kept.* FROM kept JOIN keepers USING (doc_id)),
+        sp AS (
+            SELECT doc_id,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ({val})
+                     THEN 'val'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ({test})
+                     THEN 'test' ELSE 'train' END AS split,
+                {T.language_id_sql("toks")} AS lang_pred,
+                CAST(doc_id % {T.PACK_SHARDS} AS INT) AS shard,
+                CAST(n_tokens AS INT) AS n_tokens
+            FROM cur
+        )
+        SELECT doc_id, split, lang_pred, shard, n_tokens,
+            CAST(floor((cum - n_tokens) / {T.PACK_TARGET_TOKENS}) AS INT)
+                AS pack_id
+        FROM (
+            SELECT *, SUM(n_tokens) OVER (
+                PARTITION BY split, lang_pred, shard ORDER BY doc_id) AS cum
+            FROM sp
+        )
+    """

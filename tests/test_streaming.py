@@ -661,3 +661,43 @@ def test_stateful_moving_average_matches_batch(spark, tmp_path):
     assert len(rows) == ev.count()
     for r in rows:
         assert abs(r[0] - r[1]) < 1e-9
+
+
+def test_corpus_curation_runs_in_streaming_mode(spark, tmp_path):
+    """The corpus-curation transforms (quality filter → language ID →
+    hash split) are row-local projections, so the SAME functions must
+    run unchanged under Structured Streaming with exact batch parity —
+    the write-once/run-both contract extended to the LLM-pipeline ops."""
+    from financial_market_data_analysis_spark.functions.text import (
+        hash_split,
+        language_id,
+        quality_filter,
+    )
+
+    docs = load_table(spark, "documents", SF_SMOKE).limit(200)
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.write.parquet(src)
+
+    def curate(df):
+        kept = quality_filter(df).filter(F.col("kept") == 1)
+        return hash_split(language_id(kept)).select(
+            "doc_id", "lang_pred", "split"
+        )
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        curate(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out)
+    batch = curate(docs)
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
