@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_dedup_exact_docs": X.q_dedup_exact_docs,
         "x6_minhash_lsh": X.q_minhash_lsh,
         "x6b_minhash_xxhash": X.q_minhash_xxhash,  # rows-only (no xxhash64 in SQL)
+        "x6c_minhash_oph": X.q_minhash_oph,
         "x7_ngram_jaccard": X.q_ngram_jaccard,
         "x8_ann_brute_topk": X.q_ann_brute_topk,
         "x9_embed_neardup": X.q_embed_neardup,
@@ -915,6 +916,7 @@ def oracle_sql() -> dict[str, str]:
         "x4_simhash": simhash32_sql(),
         "x5_dedup_exact_docs": X.dedup_exact_docs_oracle(),
         "x6_minhash_lsh": X.minhash_lsh_oracle(),
+        "x6c_minhash_oph": X.minhash_oph_oracle(),
         "x7_ngram_jaccard": X.ngram_jaccard_oracle(),
         "x8_ann_brute_topk": X.ann_brute_oracle(),
         "x9_embed_neardup": X.embed_neardup_oracle(),

@@ -219,11 +219,46 @@ def _shingles_sql(src: str) -> str:
     """
 
 
-def minhash_lsh_oracle(threshold: float = 0.5) -> str:
+def _oph_bands_cte() -> str:
+    """OPH band CTEs mirroring ``oph_band_structs``: one md5 per
+    shingle, first-hex-digit bucketing, rotation densification."""
+    k, bs = D.N_MINHASH, D.BAND_SIZE
+    bucket = (
+        "CASE substr(h, 1, 1) "
+        + " ".join(
+            f"WHEN '{ch}' THEN {i % k}"
+            for i, ch in enumerate("0123456789abcdef")
+        )
+        + " END"
+    )
+    slot_cols = ", ".join(
+        f"min(CASE WHEN bucket = {j} THEN h END) AS s{j}" for j in range(k)
+    )
+    filled = ", ".join(
+        "coalesce(" + ", ".join(f"s{(j + i) % k}" for i in range(k)) + f") AS f{j}"
+        for j in range(k)
+    )
+    comma_join = " || ',' || "
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({comma_join.join(f'f{j}' for j in range(b * bs, (b + 1) * bs))})"
+        f" AS band_hash FROM filled"
+        for b in range(k // bs)
+    )
+    return f"""
+        mh AS (
+            SELECT doc_id, {bucket} AS bucket, h
+            FROM (SELECT doc_id, md5(shingle) AS h FROM sh)
+        ),
+        slots AS (SELECT doc_id, {slot_cols} FROM mh GROUP BY doc_id),
+        filled AS (SELECT doc_id, {filled} FROM slots),
+        bands AS ({band_rows})
+    """
+
+
+def _seeded_bands_cte() -> str:
     k, bs = D.N_MINHASH, D.BAND_SIZE
     return f"""
-        WITH aug AS ({DOCS_AUG_CTE}),
-        sh AS ({_shingles_sql("aug")}),
         mh AS (
             SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
             FROM sh, generate_series(0, {k - 1}) g(seed)
@@ -233,7 +268,15 @@ def minhash_lsh_oracle(threshold: float = 0.5) -> str:
             SELECT doc_id, CAST(seed // {bs} AS INT) AS band,
                    md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
             FROM mh GROUP BY doc_id, seed // {bs}
-        ),
+        )
+    """
+
+
+def minhash_lsh_oracle(threshold: float = 0.5, bands_cte: str | None = None) -> str:
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE}),
+        sh AS ({_shingles_sql("aug")}),
+        {bands_cte if bands_cte is not None else _seeded_bands_cte()},
         pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
@@ -896,3 +939,17 @@ def corpus_pipeline_oracle() -> str:
             FROM sp
         )
     """
+
+
+def q_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation-hashing fast path of x6: one md5 per shingle
+    (instead of 8 seeded folds) bucketed into the signature slots, with
+    rotation densification — hex-portable, so unlike the xxhash64
+    variant it keeps a full value-hash oracle."""
+    return D.minhash_lsh_dedup(
+        docs_augmented(spark, sf_dir), threshold=0.5, hash_method="oph-md5"
+    )
+
+
+def minhash_oph_oracle() -> str:
+    return minhash_lsh_oracle(threshold=0.5, bands_cte=_oph_bands_cte())
