@@ -230,3 +230,25 @@ def test_pack_sequences_budget_invariant(spark):
     assert per_pack.filter(F.col("total") - F.col("last_doc") >= 64).count() == 0
     # every doc is assigned exactly once
     assert packed.count() == 300
+
+
+def test_oph_bands_densify_sparse_docs(spark):
+    """A 1-shingle doc fills only one OPH slot; rotation densification
+    must still produce non-null hashes for all 4 bands, and identical
+    texts must collide on every band."""
+    from financial_market_data_analysis_spark.operators.dedup import (
+        lsh_bands,
+        shingle_arrays,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    bands = lsh_bands(shingle_arrays(docs), hash_method="oph-md5").collect()
+    assert len(bands) == 8  # 2 docs x 4 bands
+    assert all(r.band_hash is not None for r in bands)
+    by_doc = {}
+    for r in bands:
+        by_doc.setdefault(r.doc_id, {})[r.band] = r.band_hash
+    assert by_doc[1] == by_doc[2]
