@@ -508,6 +508,9 @@ def _all_grams(toks: Column, n: int) -> Column:
     return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
+REP_MAX_TOKENS = 512  # quadratic-cost cap per document
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -520,11 +523,14 @@ def repetition_signals(
     Scale shape: entirely row-local — tokenize once, build gram arrays,
     count with higher-order ``filter`` folds inside whole-stage
     codegen. One corpus scan, zero shuffles. The per-row cost is
-    O(distinct_bigrams x total_bigrams), bounded by document length,
-    not corpus size. Short docs (< 3 tokens) yield NULL fractions via
-    ``try_divide``.
+    O(distinct_bigrams x total_bigrams) — quadratic in DOCUMENT length,
+    so a pathological multi-megabyte doc would stall its executor core;
+    the analysis window is therefore capped at the first
+    ``REP_MAX_TOKENS`` tokens (repetition signals are prefix-robust),
+    bounding the worst row at a constant. Short docs (< 3 tokens) yield
+    NULL fractions via ``try_divide``.
     """
-    toks = tokens(text_col)
+    toks = F.slice(tokens(text_col), 1, REP_MAX_TOKENS)
     with_grams = df.select(
         F.col(id_col),
         _all_grams(toks, 2).alias("__big"),
@@ -566,7 +572,10 @@ def repetition_signals_sql(src: str = "documents", text_expr: str = "text") -> s
             END AS dup_trigram_frac
         FROM (
             SELECT doc_id, {_all_grams_sql(2)} AS big, {_all_grams_sql(3)} AS tri
-            FROM (SELECT doc_id, {tokens_sql(text_expr)} AS toks FROM {src})
+            FROM (SELECT doc_id,
+                         list_slice({tokens_sql(text_expr)}, 1, {REP_MAX_TOKENS})
+                             AS toks
+                  FROM {src})
         )
     """
 
