@@ -318,6 +318,48 @@ def _q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — the query every
+    columnar engine must run at I/O speed. All four predicates push to
+    the parquet scan (PushedFilters), projection prunes to 4 columns,
+    and the agg is a single partial+final pass with no shuffle of row
+    data."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-06-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: grouped HAVING filter on the fact table, then
+    join back to orders/customer. The heavy groupBy shuffles on the
+    order key once; the surviving big-order keys are tiny and the
+    customer dim broadcasts."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
 def _a1_minmax_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — global MIN/MAX normalization params in one partial-agg pass
     (sql_pytorch_dataloader.py:93-115 runs 2 full scans; here it's one)."""
@@ -454,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_salted_join": _j2_salted_join,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_region_revenue": _q5_region_revenue,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q18_large_orders": _q18_large_orders,
         "a1_minmax_params": _a1_minmax_params,
         "a2_event_stats": _a2_event_stats,
         "a7_rollup": _a7_rollup,
@@ -847,6 +891,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT sum(l_extendedprice * l_discount) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+              AND l_shipdate < TIMESTAMP '1999-06-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q18_large_orders": """
+            SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+            FROM (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+            )
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "a1_minmax_params": """
             SELECT

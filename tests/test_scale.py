@@ -96,3 +96,21 @@ def test_pack_sequences_window_is_sharded(spark):
     agg = packed.groupBy("shard", "pack_id").count()
     assert packed.filter(F.col("pack_id") < 0).count() == 0
     assert agg.count() > packed.select("shard").distinct().count()
+
+
+def test_q6_predicates_reach_the_scan(spark):
+    """The scan-filter-agg query must push all its predicates into the
+    parquet scan and prune to the referenced columns — at 100 TB this
+    is the difference between reading 4 columns of matching row groups
+    and reading the table."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q6_forecast_revenue"](spark, SF_SMOKE)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan") :]
+    assert "PushedFilters" in scan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan.split("ReadSchema")[0], col
+    read_schema = scan.split("ReadSchema:")[1][:200]
+    assert "l_orderkey" not in read_schema  # untouched columns pruned
