@@ -360,6 +360,29 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _a8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats per group: p50/p95/p99 by explicit rank
+    selection (value at row ceil(q*n) of the sorted group) — exact and
+    engine-portable, unlike interpolated percentiles whose float
+    blending differs across engines. Scale: one window per group key;
+    at 100 TB swap in percentile_approx's KLL-style sketch (same
+    output shape) when a full per-group sort is too expensive."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    w = SW.partitionBy("event_type").orderBy("value")
+    d = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(SW.partitionBy("event_type"))
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in (0.5, 0.95, 0.99)])).alias("q")
+    return (
+        d.select("event_type", "value", "rn", "n", qs)
+        .filter(
+            F.col("rn")
+            == F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n")))
+        )
+        .select("event_type", "q", F.col("value").alias("q_value"))
+    )
+
+
 def _a1_minmax_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — global MIN/MAX normalization params in one partial-agg pass
     (sql_pytorch_dataloader.py:93-115 runs 2 full scans; here it's one)."""
@@ -498,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": _q5_region_revenue,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q18_large_orders": _q18_large_orders,
+        "a8_percentiles": _a8_percentiles,
         "a1_minmax_params": _a1_minmax_params,
         "a2_event_stats": _a2_event_stats,
         "a7_rollup": _a7_rollup,
@@ -909,6 +933,17 @@ def oracle_sql() -> dict[str, str]:
             )
             JOIN orders ON o_orderkey = l_orderkey
             JOIN customer ON o_custkey = c_custkey
+        """,
+        "a8_percentiles": """
+            SELECT event_type, q, value AS q_value
+            FROM (
+                SELECT event_type, value,
+                    row_number() OVER (PARTITION BY event_type ORDER BY value)
+                        AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            ), (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+            WHERE rn = greatest(1, ceil(q * n))
         """,
         "a1_minmax_params": """
             SELECT
