@@ -560,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x26_audio_frames": X.q_audio_frames,
         "x27_resize_geometry": X.q_resize_geometry,
         "x28_corpus_pipeline": X.q_corpus_pipeline,
+        "x29_zorder_key": X.q_zorder_key,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "pipeline_bars_joined": _pipeline_bars_joined,
@@ -1036,6 +1037,7 @@ def oracle_sql() -> dict[str, str]:
         "x26_audio_frames": X.audio_frames_oracle(),
         "x27_resize_geometry": X.resize_geometry_oracle(),
         "x28_corpus_pipeline": X.corpus_pipeline_oracle(),
+        "x29_zorder_key": X.zorder_key_oracle(),
         "ml1_lag_matrix": X.ml_lag_matrix_oracle(candles_oracle_sql()),
         # ml2_train_metrics: MLlib training is not SQL-expressible →
         # rows-only check by design

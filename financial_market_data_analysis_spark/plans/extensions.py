@@ -953,3 +953,26 @@ def q_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_oph_oracle() -> str:
     return minhash_lsh_oracle(threshold=0.5, bands_cte=_oph_bands_cte())
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout keys over (event_id low bits, scaled value):
+    the write-path clustering key for two-dimensional scan pruning."""
+    from financial_market_data_analysis_spark.sources.batch import z_value
+
+    ev = load_table(spark, "events", sf_dir)
+    x = (F.col("event_id") % 65536).cast("int")
+    y = F.floor(F.col("value") * 100).cast("int").bitwiseAND(F.lit(65535))
+    return ev.select(
+        "event_id", z_value(x, y).alias("z_key")
+    )
+
+
+def zorder_key_oracle() -> str:
+    from financial_market_data_analysis_spark.sources.batch import z_value_sql
+
+    z = z_value_sql(
+        "CAST(event_id % 65536 AS INT)",
+        "(CAST(floor(value * 100) AS INT) & 65535)",
+    )
+    return f"SELECT event_id, {z} AS z_key FROM events"

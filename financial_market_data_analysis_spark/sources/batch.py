@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLE_NAMES = (
@@ -102,3 +102,37 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     Spark temp views)."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+Z_BITS = 16  # bits per dimension in the interleaved key
+
+
+def z_value(x: Column, y: Column, bits: int = Z_BITS) -> Column:
+    """Morton/Z-order key: interleave the low ``bits`` of two
+    non-negative int columns (x even positions, y odd). Sorting/range-
+    partitioning data by this key before writing clusters rows that are
+    close in BOTH dimensions into the same files, so parquet min/max
+    stats prune scans filtered on either column — the data-layout
+    optimization behind multi-dimensional OPTIMIZE ZORDER commands,
+    expressed as a plain deterministic column (pure integer shifts/
+    masks, bit-identical in any engine).
+    """
+    x, y = x.cast("long"), y.cast("long")  # 2*bits exceeds int32
+    terms = []
+    for b in range(bits):
+        xb = F.shiftright(x, b).bitwiseAND(F.lit(1).cast("long"))
+        yb = F.shiftright(y, b).bitwiseAND(F.lit(1).cast("long"))
+        terms.append(F.shiftleft(xb, 2 * b).bitwiseOR(F.shiftleft(yb, 2 * b + 1)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def z_value_sql(x_expr: str, y_expr: str, bits: int = Z_BITS) -> str:
+    xb, yb = f"CAST({x_expr} AS BIGINT)", f"CAST({y_expr} AS BIGINT)"
+    terms = [
+        f"((({xb} >> {b}) & 1) << {2 * b}) | ((({yb} >> {b}) & 1) << {2 * b + 1})"
+        for b in range(bits)
+    ]
+    return "(" + " | ".join(f"({t})" for t in terms) + ")"

@@ -114,3 +114,14 @@ def test_q6_predicates_reach_the_scan(spark):
         assert col in scan.split("ReadSchema")[0], col
     read_schema = scan.split("ReadSchema:")[1][:200]
     assert "l_orderkey" not in read_schema  # untouched columns pruned
+
+
+def test_z_value_interleaves_bits(spark):
+    from financial_market_data_analysis_spark.sources.batch import z_value
+
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (65535, 65535)], "x int, y int"
+    )
+    got = [r.z for r in df.select(z_value(F.col("x"), F.col("y")).alias("z"))
+           .collect()]
+    assert got == [1, 2, 15, 2**32 - 1]
