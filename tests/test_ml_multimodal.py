@@ -155,3 +155,23 @@ def test_resize_geometry_letterbox(spark):
     assert 3 not in out  # degenerate dims filtered
     assert (out[1].out_w, out[1].out_h, out[1].pad_x, out[1].pad_y) == (224, 168, 0, 28)
     assert (out[2].out_w, out[2].out_h, out[2].pad_x, out[2].pad_y) == (56, 224, 84, 0)
+
+
+def test_model_save_load_round_trip(spark, tmp_path):
+    """The fitted pipeline must survive save → load with identical
+    predictions — the deployability contract between the training job
+    and the streaming-inference hook (which would load the model from
+    shared storage on a real cluster)."""
+    from pyspark.ml import PipelineModel
+
+    c = candles_from_events(load_table(spark, "events", SF_SMOKE))
+    bars = indicator_suite(c, ["bucket_start"])
+    feats = ["close", "volume", "price_MA20", "ATR", "stoch"]
+    model, _, test, _ = train_target_classifier(bars, feats)
+    path = str(tmp_path / "model")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+    orig = model.transform(test).select("bucket_start", "prediction")
+    redo = loaded.transform(test).select("bucket_start", "prediction")
+    assert orig.exceptAll(redo).count() == 0
+    assert orig.count() == redo.count() > 0
