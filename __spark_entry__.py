@@ -71,6 +71,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pricing summary aggregates per returnflag/linestatus."""
     li = load_table(spark, "lineitem", sf_dir)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -96,36 +97,43 @@ def _candles_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _w1_vol_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — volume moving averages MA6/MA20 (the vol_MA view)."""
     df = W.moving_average(_candles(spark, sf_dir), "volume", (6, 20), _ORDER, prefix="vol")
     return df.select("bucket_start", "volume", "vol_MA6", "vol_MA20")
 
 
 def _w2_price_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — close-price MA20 (the price_MA view)."""
     df = W.moving_average(_candles(spark, sf_dir), "close", (20,), _ORDER, prefix="price")
     return df.select("bucket_start", "close", "price_MA20")
 
 
 def _w4_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — Bollinger band distances via stddev_pop (bollinger_bands view)."""
     df = W.bollinger_bands(_candles(spark, sf_dir), "close", _ORDER)
     return df.select("bucket_start", "close", "upper_BB_dist", "lower_BB_dist")
 
 
 def _w5_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — stochastic oscillator over a 15-row frame (stochastic_oscillator view)."""
     df = W.stochastic_oscillator(_candles(spark, sf_dir), "close", _ORDER)
     return df.select("bucket_start", "close", "stoch")
 
 
 def _w6_price_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — LAG-based price change percentage (price_change view)."""
     df = W.price_change(_candles(spark, sf_dir), "close", _ORDER)
     return df.select("bucket_start", "close", "price_change")
 
 
 def _w7_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 — average true range over a 15-row frame (ATR view)."""
     df = W.average_true_range(_candles(spark, sf_dir), "high", "low", _ORDER)
     return df.select("bucket_start", "high", "low", "ATR")
 
 
 def _w8_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 — LEAD-derived binary prediction targets x4 (target view)."""
     df = W.average_true_range(_candles(spark, sf_dir), "high", "low", _ORDER)
     df = W.forward_targets(df, "close", "ATR", _ORDER)
     return df.select("bucket_start", "close", "up1", "down1", "up2", "down2")
@@ -191,6 +199,7 @@ def _t4_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _f1_wick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — candle wick percentage features."""
     df = FE.wick_features(_candles(spark, sf_dir))
     return df.select("bucket_start", "open", "close", "candle_size", "wick_size", "wick_prct")
 
@@ -212,6 +221,7 @@ def _f2_book_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _f7_relative_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — order-book price levels relative to the best price."""
     book = book_from_events(load_table(spark, "events", sf_dir))
     df = FE.relative_price_levels(book)
     return df.select(
@@ -222,6 +232,7 @@ def _f7_relative_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _f8_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9 — calendar features with manual one-hot encoding."""
     ev = load_table(spark, "events", sf_dir)
     df = FE.one_hot_calendar(FE.calendar_features(ev))
     return df.select(
@@ -232,6 +243,7 @@ def _f8_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _f13_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — min-max normalization against global aggregates."""
     li = load_table(spark, "lineitem", sf_dir)
     df = FE.minmax_normalize(li, ["l_quantity", "l_extendedprice", "l_discount"])
     return df.select(

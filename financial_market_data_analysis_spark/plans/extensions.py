@@ -105,6 +105,7 @@ EMB_AUG_CTE = f"""
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-quality stats (lengths, punctuation, stopword ratios)."""
     d = load_table(spark, "documents", sf_dir)
     return T.text_stats(d).select(
         "doc_id", "n_tokens", "n_chars_obs", "punct_count", "punct_ratio",
@@ -133,6 +134,7 @@ def text_stats_oracle() -> str:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-argmax language ID next to the labeled lang column."""
     d = load_table(spark, "documents", sf_dir)
     return T.language_id(d).select("doc_id", "lang", "lang_pred")
 
@@ -146,6 +148,7 @@ def lang_id_oracle() -> str:
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact and bag-of-tokens document fingerprints."""
     d = load_table(spark, "documents", sf_dir)
     return T.fingerprints(d).select("doc_id", "fp_exact", "fp_bag")
 
@@ -161,16 +164,19 @@ def fingerprints_oracle() -> str:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash sketch per document."""
     d = load_table(spark, "documents", sf_dir)
     return T.simhash32(d).select("doc_id", "simhash")
 
 
 def q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial-hash and winnowing fingerprints per document."""
     d = load_table(spark, "documents", sf_dir)
     return T.rolling_fingerprint(d).select("doc_id", "fp_roll", "fp_winnow")
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality filter with machine-readable fail reasons."""
     d = load_table(spark, "documents", sf_dir)
     return T.quality_filter(d).select("doc_id", "fail_reasons", "kept")
 
@@ -180,6 +186,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the augmented corpus (digest groupBy, min-id keeper)."""
     return D.exact_dedup(docs_augmented(spark, sf_dir))
 
 
@@ -192,6 +199,7 @@ def dedup_exact_docs_oracle() -> str:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification."""
     return D.minhash_lsh_dedup(docs_augmented(spark, sf_dir), threshold=0.5)
 
 
@@ -409,6 +417,7 @@ def _query_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over embeddings (broadcast query side)."""
     corpus = load_table(spark, "embeddings", sf_dir)
     return S.brute_force_topk(corpus, _query_vecs(spark, sf_dir), k=TOP_K)
 
@@ -664,6 +673,7 @@ SIMHASH_MAX_HAMMING = 2
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band-join near-dup pairs at sketch granularity."""
     return D.simhash_neardup_pairs(
         docs_augmented(spark, sf_dir),
         n_bands=SIMHASH_BANDS,
@@ -743,24 +753,29 @@ def dedup_clusters_oracle() -> str:
 
 
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test hash split assignment."""
     d = load_table(spark, "documents", sf_dir)
     return T.hash_split(d).select("doc_id", "bucket", "split")
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k by total term frequency."""
     return T.vocab_topk(load_table(spark, "documents", sf_dir))
 
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top terms over the corpus."""
     return T.tfidf_top_terms(load_table(spark, "documents", sf_dir))
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified hash sampling (corpus rebalancing)."""
     d = load_table(spark, "documents", sf_dir)
     return T.stratified_hash_sample(d).select("doc_id", "lang", "sample_key")
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection and redaction digests (email/phone patterns)."""
     return T.pii_scrub(docs_with_pii(spark, sf_dir))
 
 
@@ -775,6 +790,7 @@ DECON_BENCH_MOD = 25
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via shingle overlap (broadcast bench side)."""
     d = load_table(spark, "documents", sf_dir)
     bench = d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
     train = docs_augmented(spark, sf_dir).filter(
@@ -802,18 +818,22 @@ def decontaminate_oracle() -> str:
 
 
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top-bigram / dup-trigram fractions)."""
     return T.repetition_signals(load_table(spark, "documents", sf_dir))
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing over sharded windows."""
     return T.pack_sequences(load_table(spark, "documents", sf_dir))
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token-window document chunking."""
     return T.chunk_documents(load_table(spark, "documents", sf_dir))
 
 
 def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame grid from duration metadata (STFT-style framing)."""
     from financial_market_data_analysis_spark.operators.multimodal import (
         audio_frames,
         media_from_documents,
@@ -839,6 +859,7 @@ def audio_frames_oracle(frame_ms: int = 25, hop_ms: int = 10) -> str:
 
 
 def q_resize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving letterbox resize geometry for images."""
     from financial_market_data_analysis_spark.operators.multimodal import (
         media_from_documents,
         resize_geometry,
