@@ -495,9 +495,13 @@ def stratified_sample_sql(
     """
 
 
-def _all_grams(toks: Column, n: int) -> Column:
-    """NON-distinct token n-grams (repetition analysis needs
-    multiplicity; dedup's ``_shingles`` is the distinct sibling)."""
+def all_grams(toks: Column, n: int) -> Column:
+    """NON-distinct token n-grams as an array column — the shared gram
+    builder (repetition analysis keeps multiplicity; dedup's
+    ``_shingles`` wraps it in ``array_distinct``). ``element_at`` is
+    1-based, mirroring SQL list indexing; ``sequence(1, k)`` with
+    k < 1 counts DOWN in Spark, so short docs are guarded to an empty
+    array (matching SQL generate_series semantics)."""
     cnt = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), cnt),
@@ -533,8 +537,8 @@ def repetition_signals(
     toks = F.slice(tokens(text_col), 1, REP_MAX_TOKENS)
     with_grams = df.select(
         F.col(id_col),
-        _all_grams(toks, 2).alias("__big"),
-        _all_grams(toks, 3).alias("__tri"),
+        all_grams(toks, 2).alias("__big"),
+        all_grams(toks, 3).alias("__tri"),
     )
     big, tri = F.col("__big"), F.col("__tri")
     top_count = F.array_max(

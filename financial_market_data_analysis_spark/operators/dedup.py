@@ -31,7 +31,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from financial_market_data_analysis_spark.functions.core import safe_div
-from financial_market_data_analysis_spark.functions.text import tokens, tokens_sql
+from financial_market_data_analysis_spark.functions.text import (
+    all_grams,
+    tokens,
+    tokens_sql,
+)
 
 N_MINHASH = 8  # k signature rows
 BAND_SIZE = 2  # rows per band → b = 4 bands
@@ -57,26 +61,16 @@ def _shingles(toks: Column, n: int = SHINGLE) -> Column:
     built from an ALREADY-PROJECTED token-array column.
 
     ``toks`` must be a bound column (not the raw tokenizer expression):
-    the lambda below references it once per sequence element, and a
+    the gram lambda references it once per sequence element, and a
     non-attribute subexpression inside a higher-order function is
     re-evaluated per element — inlining the regexp tokenizer here costs
     ~3×n_shingles regex passes per row (the r2 x6 hot spot).
 
-    1-based ``element_at`` indexing mirrors SQL list indexing exactly.
-    Documents with fewer than n tokens yield an empty shingle set.
+    Documents with fewer than n tokens yield an empty shingle set; the
+    gram construction (and its short-doc guard) lives in
+    ``functions.text.all_grams``, shared with the repetition signals.
     """
-    cnt = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), cnt),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
-    # sequence(1, k) with k < 1 counts DOWN in Spark — guard short docs
-    # to an empty shingle set (matching SQL generate_series semantics).
-    return F.when(cnt >= 1, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.array_distinct(all_grams(toks, n))
 
 
 def shingle_table(
@@ -152,13 +146,11 @@ def _hex_bucket(h: Column, k: int) -> Column:
     return chain
 
 
-def oph_band_structs(
-    hashed_col: str, n_hashes: int, band_size: int
-) -> Column:
-    """One-permutation-hashing band array over a pre-hashed shingle
-    array column: slot j = min digest among shingles whose digest
-    bucket is j; empty slots are rotation-densified (Shrivastava &
-    Li's densified OPH); band hash = md5 of the slot pair.
+def oph_slots(hashed_col: str, n_hashes: int) -> Column:
+    """One-permutation-hashing signature slots over a pre-hashed
+    shingle array column: slot j = min digest among shingles whose
+    digest bucket is j (empty slots stay NULL; ``oph_filled_slot``
+    rotation-densifies them — Shrivastava & Li's densified OPH).
 
     vs the k-seed fold: ONE md5 per shingle instead of k, at the price
     of slightly noisier (still Jaccard-unbiased in expectation) band
@@ -168,18 +160,34 @@ def oph_band_structs(
     seeded fold (~3-4 s — post-r3, shuffle/verify overheads dominate,
     not the fold); the k-fold digest saving matters when shingles are
     long or k is large, which is exactly the 100 TB regime.
+
+    The bucket CASE chain evaluates ONCE per shingle: ``oph_bucketed``
+    hoists it into a (bucket, digest) struct-array COLUMN materialized
+    by its own projection (a multi-referenced non-cheap alias, which
+    CollapseProject keeps), so the k slot extractions here only pay an
+    int compare per element.
     """
-    slots = F.array(
+    bucketed = F.col(hashed_col)
+    return F.array(
         *[
             F.array_min(
-                F.filter(
-                    F.col(hashed_col), lambda h: _hex_bucket(h, n_hashes) == j
+                F.transform(
+                    F.filter(bucketed, lambda s: s["b"] == j),
+                    lambda s: s["h"],
                 )
             )
             for j in range(n_hashes)
         ]
     )
-    return slots
+
+
+def oph_bucketed(hashed: Column, n_hashes: int) -> Column:
+    """(bucket, digest) struct array — the one-pass bucketing input for
+    ``oph_slots``; alias this into a column of its own projection."""
+    return F.transform(
+        hashed,
+        lambda h: F.struct(_hex_bucket(h, n_hashes).alias("b"), h.alias("h")),
+    )
 
 
 def oph_filled_slot(slots_col: str, j: int, n_hashes: int) -> Column:
@@ -226,9 +234,11 @@ def lsh_bands(
         hashed = F.transform(
             F.col("sh_arr"), lambda s: F.md5(s.cast("binary"))
         )
-        pre = src.select(F.col(id_col), hashed.alias("__hs")).select(
-            F.col(id_col),
-            oph_band_structs("__hs", n_hashes, band_size).alias("__sl"),
+        pre = (
+            src.select(
+                F.col(id_col), oph_bucketed(hashed, n_hashes).alias("__hb")
+            )
+            .select(F.col(id_col), oph_slots("__hb", n_hashes).alias("__sl"))
         )
         structs = []
         for b in range(n_hashes // band_size):
@@ -667,10 +677,10 @@ def _min_label_propagation(sym: DataFrame, max_iter: int = 25) -> DataFrame:
     a local bench, the fixed per-job latency — flat even when near-dup
     chains are long. Per round: two equi-joins + one groupBy, all
     partial-aggregatable shuffles on node id, materialized by ONE
-    action — the convergence check (an exact decimal sum of the
-    per-node non-increasing labels, which strictly decreases until the
-    fixpoint) runs over a LAZY ``localCheckpoint`` so it both fills
-    the checkpoint blocks and returns the scalar in a single job. The
+    action — the convergence check (a changed-label count against the
+    previous round, valid for numeric and string label types alike)
+    runs over a LAZY ``localCheckpoint`` so it both fills the
+    checkpoint blocks and returns the scalar in a single job. The
     checkpoint truncation is load-bearing, not just an optimization:
     the pointer jump self-joins the propagated frame, so an
     untruncated logical plan would DOUBLE in size every round
@@ -699,7 +709,6 @@ def _min_label_propagation(sym: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = nodes.select(
         F.col("a").alias("id"), F.col("a").alias("cluster_id")
     ).localCheckpoint(eager=True)
-    prev_sum = None
     for _ in range(max_iter):
         m = (
             sym2.join(labels, sym2["a"] == labels["id"])
@@ -717,18 +726,22 @@ def _min_label_propagation(sym: DataFrame, max_iter: int = 25) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-        # Convergence via the exact label sum: labels are per-node
-        # non-increasing, so the sum strictly decreases until the
-        # fixpoint — one scalar agg doubles as the checkpoint's
-        # materializing action. decimal(38,0) keeps the sum exact with
-        # no ANSI long-overflow hazard at any node count.
-        s = new_labels.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        # Convergence = no label changed this round, counted by joining
+        # new against old on the node id — type-agnostic (labels may be
+        # numeric doc ids OR simhash bit strings, which rules out any
+        # numeric-sum shortcut), and the count doubles as the lazy
+        # checkpoint's materializing action.
+        changed = (
+            new_labels.join(
+                labels.select(F.col("id"), F.col("cluster_id").alias("__old")),
+                "id",
+            )
+            .filter(F.col("cluster_id") != F.col("__old"))
+            .count()
+        )
         labels = new_labels
-        if s == prev_sum:
+        if changed == 0:
             break
-        prev_sum = s
     return labels
 
 

@@ -252,3 +252,17 @@ def test_oph_bands_densify_sparse_docs(spark):
     for r in bands:
         by_doc.setdefault(r.doc_id, {})[r.band] = r.band_hash
     assert by_doc[1] == by_doc[2]
+
+
+def test_connected_components_with_string_node_ids(spark):
+    """The label-propagation loop must work for STRING node ids (the
+    fused SimHash path propagates 32-char bit-string labels, so any
+    numeric shortcut in the convergence check would overflow or
+    miscompare — the r3 review finding)."""
+    edges = spark.createDataFrame(
+        [("aaa", "bbb"), ("bbb", "ccc"), ("zzz", "yyy")],
+        "id_a string, id_b string",
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {"aaa": "aaa", "bbb": "aaa", "ccc": "aaa",
+                   "zzz": "yyy", "yyy": "yyy"}
