@@ -357,7 +357,10 @@ def hash_split(
     split), and downstream joins against the split column are plain
     predicates that prune at the scan. md5-hex is used instead of
     ``hash()`` so the DuckDB oracle can reproduce the bucket exactly
-    (same trick as ``fingerprints``).
+    (same trick as ``fingerprints``). This op owns the UNSALTED
+    ``md5(id)`` family; any other id-hash-keyed decision (e.g.
+    ``stratified_hash_sample``) must salt its hash or it will be
+    perfectly correlated with the split buckets.
     """
     bucket = F.substring(
         F.md5(F.col(id_col).cast("string").cast("binary")), 1, 1
@@ -386,8 +389,9 @@ def hash_split_sql(id_expr: str = "doc_id", src: str = "documents") -> str:
 
 
 # PII patterns kept to syntax shared by Java regex (Spark) and RE2
-# (DuckDB): character classes, bounded repetition, no lookaround.
-EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# (DuckDB): character classes (explicit A-Z — no engine-dependent
+# case-insensitivity flags), bounded repetition, no lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_PATTERN = r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
 
 
@@ -433,6 +437,9 @@ def pii_scrub_sql(src: str = "documents", text_expr: str = "text") -> str:
 # first 8 hex digits of the rate scaled to 16^8, compared as strings.
 SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.75, "es": 0.75, "fr": 0.75, "zh": 1.0}
 SAMPLE_DEFAULT_FRACTION = 0.25
+# Decorrelates the sample key from hash_split's unsalted md5(id):
+# every id-hash-keyed op must draw from its own salted hash family.
+SAMPLE_SALT = "#sample"
 
 
 def _hex_threshold(fraction: float) -> str:
@@ -460,12 +467,23 @@ def stratified_hash_sample(
     same doc always gets the same verdict under re-runs, corpus
     growth, and repartitioning, so incremental pipelines never churn
     previously selected training data. Per-stratum rates are exact in
-    expectation by md5 uniformity; ``hash_split`` (train/val/test) is
-    the sibling op on a disjoint hash range, so split and sample
-    decisions stay independent.
+    expectation by md5 uniformity. The sample key is SALTED
+    (``md5(id || '#sample')``) so it is statistically independent of
+    ``hash_split``'s unsalted ``md5(id)`` buckets — with a shared
+    hash, sampling at fraction f would keep only ids whose hash
+    prefix is below f and thereby empty out the upper split buckets
+    (val/test) entirely.
     """
     fractions = SAMPLE_FRACTIONS if fractions is None else fractions
-    key = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8)
+    key = F.substring(
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(SAMPLE_SALT)).cast(
+                "binary"
+            )
+        ),
+        1,
+        8,
+    )
     thr: Column = F.lit(_hex_threshold(default_fraction))
     for stratum, frac in sorted(fractions.items()):
         thr = F.when(
@@ -487,11 +505,12 @@ def stratified_sample_sql(
         for stratum, frac in sorted(fractions.items())
     )
     thr = f"CASE {strata_col} {cases} ELSE '{_hex_threshold(default_fraction)}' END"
+    key = f"substr(md5(CAST({id_expr} AS VARCHAR) || '{SAMPLE_SALT}'), 1, 8)"
     return f"""
         SELECT {id_expr}, {strata_col},
-               substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8) AS sample_key
+               {key} AS sample_key
         FROM {src}
-        WHERE substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8) < {thr}
+        WHERE {key} < {thr}
     """
 
 

@@ -135,15 +135,27 @@ def _minhash_expr(sh_arr: Column, seed: int, hash_method: str = "md5") -> Column
     raise ValueError(f"unknown hash_method: {hash_method}")
 
 
-def _hex_bucket(h: Column, k: int) -> Column:
-    """Bucket a hex digest by its first digit mod k — a 16-branch CASE
-    chain, the only hex→int mapping expressible identically in Spark
-    and ANSI SQL (no ``conv`` in DuckDB)."""
-    d = F.substring(h, 1, 1)
+def _hex_digit(d: Column) -> Column:
     chain = F.when(d == "0", 0)
     for i, ch in enumerate("123456789abcdef", start=1):
-        chain = chain.when(d == ch, i % k)
+        chain = chain.when(d == ch, i)
     return chain
+
+
+def _hex_bucket(h: Column, k: int) -> Column:
+    """Bucket a hex digest by its leading digit(s) mod k — 16-branch
+    CASE chains, the only hex→int mapping expressible identically in
+    Spark and ANSI SQL (no ``conv`` in DuckDB). One digit covers
+    k ≤ 16; larger k reads a second digit (two 16-branch chains, not
+    one 256-branch chain). k > 256 raises — a silent single-digit
+    bucket would leave OPH slots 16..k-1 permanently NULL and let
+    rotation densification quietly collapse recall to 16 slots."""
+    if k > 256:
+        raise ValueError(f"_hex_bucket supports at most 256 buckets, got {k}")
+    b = _hex_digit(F.substring(h, 1, 1))
+    if k > 16:
+        b = b * 16 + _hex_digit(F.substring(h, 2, 1))
+    return b % k
 
 
 def oph_slots(hashed_col: str, n_hashes: int) -> Column:

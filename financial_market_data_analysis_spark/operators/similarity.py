@@ -222,27 +222,43 @@ def ivf_assignments(
     """IVF coarse quantization: assign every vector to its
     nearest-centroid cell (max cosine, ties to the lowest centroid id).
 
-    Scale shape: the centroid table is tiny → broadcast; scoring is a
-    map-side cross join; the argmax is a partial-aggregatable
-    ``max_by`` grouped on the vector's own key, so the shuffle carries
-    ONE row per vector (the K candidate scores collapse map-side) —
-    no window over the K×N blow-up.
+    Scale shape: ZERO-shuffle. The K centroids collapse to a single
+    broadcast row carrying a (cid, cvec, cnorm) struct array; the
+    argmax over K is then a row-local ``array_max`` fold per corpus
+    vector — no K×N crossJoin rows, no groupBy re-shuffling the whole
+    corpus (the previous plan grouped on the embedding ARRAY itself,
+    paying an array-keyed shuffle of every vector). The output also
+    carries ``__vnorm`` so downstream scoring (``ivf_topk``) never
+    recomputes the corpus norms.
     """
-    c = centroids.select(
-        F.col(centroid_id),
-        F.col(vec_col).alias("__cvec"),
-        norm_expr(vec_col).alias("__cnorm"),
+    carr = centroids.select(
+        F.struct(
+            F.col(centroid_id).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            norm_expr(vec_col).alias("cnorm"),
+        ).alias("__c")
+    ).agg(F.collect_list("__c").alias("__cents"))
+    vnorm = F.col("__vnorm")
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            safe_div(
+                dot_expr(F.col(vec_col), c["cvec"]), vnorm * c["cnorm"]
+            ).alias("cos"),
+            (-c["cid"]).alias("negid"),
+            c["cid"].alias("cid"),
+        ),
     )
-    scored = corpus.withColumn("__vnorm", norm_expr(vec_col)).crossJoin(
-        F.broadcast(c)
-    ).withColumn(
-        "__cos",
-        safe_div(dot_expr(vec_col, "__cvec"), F.col("__vnorm") * F.col("__cnorm")),
+    return (
+        corpus.withColumn("__vnorm", norm_expr(vec_col))
+        .crossJoin(F.broadcast(carr))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            vnorm,
+            F.array_max(scored)["cid"].alias(centroid_id),
+        )
     )
-    pick = F.expr(
-        f"max_by({centroid_id}, struct(__cos, -{centroid_id}))"
-    ).alias(centroid_id)
-    return scored.groupBy(id_col, vec_col).agg(pick)
 
 
 def ivf_topk(
@@ -279,7 +295,7 @@ def ivf_topk(
         .select(query_id_col, "__qvec", "centroid_id")
     )
     probes = probes.withColumn("__qnorm", norm_expr("__qvec"))
-    scored = cells.withColumn("__vnorm", norm_expr(vec_col)).join(
+    scored = cells.join(  # cells already carries __vnorm — no recompute
         F.broadcast(probes), "centroid_id"
     ).select(
         query_id_col,

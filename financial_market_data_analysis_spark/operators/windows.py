@@ -259,19 +259,23 @@ def sliding_join_back(
     spark_consumer.py:144-149).
 
     Scale shape: instead of a range join (event.ts ∈ [start, end)),
-    each event is exploded onto its ``length/slide`` window-start keys
-    and equi-joined — hash-partitionable on the window key, no
-    broadcast-nested-loop. Works identically on batch frames; in
-    streaming, pair it with the foreachBatch-materialized aggregate
-    (the same pattern as the T9 indicator materialization) since
-    aggregate-then-join remains a restricted chain for live
+    each event is exploded onto its ``ceil(length/slide)`` candidate
+    window-start keys and equi-joined — hash-partitionable on the
+    window key, no broadcast-nested-loop. A row-local membership
+    filter (``start ≤ ts < start + length``) trims the candidates, so
+    the semantics are exact even when ``slide`` does not divide
+    ``length`` (with floor division an event near a bucket edge would
+    silently lose its earliest window). Works identically on batch
+    frames; in streaming, pair it with the foreachBatch-materialized
+    aggregate (the same pattern as the T9 indicator materialization)
+    since aggregate-then-join remains a restricted chain for live
     stream-stream topologies.
     """
     agg = sliding_window_agg(
         df, ts_col, value_col,
         f"{length_seconds} seconds", f"{slide_seconds} seconds",
     )
-    n = length_seconds // slide_seconds
+    n = -(-length_seconds // slide_seconds)  # ceil
     starts = F.array(
         *[
             F.expr(
@@ -281,7 +285,11 @@ def sliding_join_back(
             for k in range(n)
         ]
     )
-    ev = df.withColumn("window_start", F.explode(starts))
+    t = F.unix_timestamp(ts_col)
+    ev = df.withColumn("window_start", F.explode(starts)).filter(
+        (t >= F.col("window_start"))
+        & (t < F.col("window_start") + F.lit(length_seconds))
+    )
     return ev.join(agg, "window_start")
 
 

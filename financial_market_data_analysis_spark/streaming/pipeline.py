@@ -218,11 +218,20 @@ def incremental_indicators(
     they will change as new bars arrive, so training readers must
     filter on the flag.
 
-    ``partition_col`` should be the sink's ``partition_by`` date bucket;
-    the hook derives the newest bucket from the in-memory micro-batch
+    ``partition_col`` should be the sink's ``partition_by`` bucket —
+    integer, DATE, or TIMESTAMP (``partition_lookback`` counts buckets
+    for integers and DAYS for date/timestamp; other types raise); the
+    hook derives the newest bucket from the in-memory micro-batch
     (no warehouse scan) and prunes the read to the last
-    ``partition_lookback + 1`` buckets.
+    ``partition_lookback + 1`` buckets. If those buckets turn out to
+    hold fewer than ``tail_rows + MAX_PRECEDING`` rows (sparse
+    buckets: weekend gaps, thin early history), the hook falls back
+    to an unpruned tail read for that epoch rather than silently
+    computing indicators over truncated warm-up frames — the
+    fallback costs one bounded count per epoch on the pruned read.
     """
+    import datetime
+
     from financial_market_data_analysis_spark.operators.windows import indicator_suite
 
     def _hook(batch: DataFrame, epoch_id: int) -> None:
@@ -232,11 +241,23 @@ def incremental_indicators(
             newest = batch.agg(F.max(partition_col)).first()[0]
             if newest is None:
                 return
-            floor = newest - partition_lookback
+            if isinstance(newest, datetime.date):  # incl. datetime
+                floor = newest - datetime.timedelta(days=partition_lookback)
+            elif isinstance(newest, int) and not isinstance(newest, bool):
+                floor = newest - partition_lookback
+            else:
+                raise TypeError(
+                    f"partition_col {partition_col!r} has unsupported bucket "
+                    f"type {type(newest).__name__}; use an integer or "
+                    "date/timestamp bucket column"
+                )
+        need = tail_rows + MAX_PRECEDING
         ext = read_warehouse_tail(
-            spark, warehouse_path, order_col, tail_rows + MAX_PRECEDING,
-            partition_col, floor,
-        ).orderBy(order_col)
+            spark, warehouse_path, order_col, need, partition_col, floor,
+        )
+        if floor is not None and ext.count() < need:
+            ext = read_warehouse_tail(spark, warehouse_path, order_col, need)
+        ext = ext.orderBy(order_col)
         out = indicator_suite(ext, [order_col])
         rn_desc = F.row_number().over(Window.orderBy(F.desc(order_col)))
         out = (
@@ -354,7 +375,10 @@ def streaming_predictions(
 
     Only rows belonging to the CURRENT batch are scored (semi-join on
     the batch keys), mirroring the reference's score-the-new-point
-    semantics and keeping the append idempotent per epoch.
+    semantics. foreachBatch hooks run at-least-once, so the sink is
+    partitioned by ``epoch_id`` and written with dynamic partition
+    overwrite: a retried epoch REPLACES its own partition instead of
+    appending duplicate prediction rows — idempotent per epoch.
     """
 
     def _hook(batch: DataFrame, epoch_id: int) -> None:
@@ -370,6 +394,11 @@ def streaming_predictions(
             order_col, *keep_cols,
             F.col("prediction").cast("double").alias("prediction"),
         ).withColumn("epoch_id", F.lit(epoch_id))
-        out.write.mode("append").parquet(predictions_path)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(predictions_path)
+        )
 
     return _hook
