@@ -266,3 +266,39 @@ def test_connected_components_with_string_node_ids(spark):
     got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
     assert got == {"aaa": "aaa", "bbb": "aaa", "ccc": "aaa",
                    "zzz": "yyy", "yyy": "yyy"}
+
+
+def test_sample_then_split_keeps_all_splits(spark):
+    """Regression: the sample key is salted, so composing
+    stratified_hash_sample with hash_split must leave every split
+    populated. (With a shared unsalted hash, sampling at fraction f
+    keeps only ids whose hash prefix < f — which empties the val/test
+    buckets entirely for f ≤ 0.75.)"""
+    docs = spark.range(400).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.lit("en").alias("lang"),
+    )
+    kept = stratified_hash_sample(docs, fractions={"en": 0.5})
+    splits = {r["split"] for r in hash_split(kept).select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
+
+
+def test_hex_bucket_two_digit_span_and_guard(spark):
+    """OPH bucketing past 16 slots reads a second hex digit (slots
+    16..k-1 must be reachable), and k > 256 raises instead of silently
+    collapsing recall."""
+    import pytest as _pytest
+
+    from financial_market_data_analysis_spark.operators.dedup import _hex_bucket
+
+    hashes = spark.range(2000).select(
+        F.md5(F.col("id").cast("string").cast("binary")).alias("h")
+    )
+    buckets = hashes.select(_hex_bucket(F.col("h"), 32).alias("b"))
+    stats = buckets.agg(
+        F.countDistinct("b").alias("n"), F.min("b").alias("lo"), F.max("b").alias("hi")
+    ).first()
+    assert stats["n"] > 16  # the second digit is engaged
+    assert stats["lo"] >= 0 and stats["hi"] <= 31
+    with _pytest.raises(ValueError):
+        _hex_bucket(F.col("h"), 257)

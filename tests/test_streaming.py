@@ -701,3 +701,140 @@ def test_corpus_curation_runs_in_streaming_mode(spark, tmp_path):
     batch = curate(docs)
     assert streamed.count() == batch.count() > 0
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_incremental_indicators_sparse_bucket_fallback(spark, tmp_path):
+    """If the pruned tail partitions hold fewer rows than tail_rows +
+    warm-up (sparse newest bucket), the hook must fall back to an
+    unpruned read and still match a full-warehouse recompute — not
+    silently compute indicators over truncated frames."""
+    import datetime
+
+    from financial_market_data_analysis_spark.operators.windows import indicator_suite
+
+    rows = []
+    for day, n in [(1, 40), (2, 40), (3, 5)]:  # newest bucket: 5 rows only
+        for m in range(n):
+            ts = datetime.datetime(2024, 1, day, 10, m, 0)
+            rows.append((ts, 100.0 + day * 60 + m, day))
+    bars = spark.createDataFrame(
+        rows, "deep_ts timestamp, close double, date_bucket int"
+    ).select(
+        "deep_ts", "close",
+        (F.col("close") + 1).alias("high"),
+        (F.col("close") - 1).alias("low"),
+        F.lit(100).alias("volume"),
+        "date_bucket",
+    )
+    src = str(tmp_path / "bars_src")
+    bars.write.parquet(src)
+    wh = str(tmp_path / "warehouse")
+
+    tail_rows = 20  # need = 20 + 19 = 39 > the 5 rows lookback=0 prunes to
+    stream = spark.readStream.schema(bars.schema).parquet(src)
+    sink = P.parquet_append_sink(
+        stream, wh, str(tmp_path / "ckpt"),
+        post_batch=P.incremental_indicators(
+            wh, tail_rows=tail_rows, order_col="deep_ts",
+            partition_col="date_bucket", partition_lookback=0,
+        ),
+        partition_by=["date_bucket"],
+    )
+    q = sink.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    snap = spark.read.parquet(wh + "_indicators")
+    assert snap.count() == tail_rows
+    full = indicator_suite(spark.read.parquet(wh), ["deep_ts"])
+    ind_cols = ["vol_MA6", "vol_MA20", "price_MA20", "upper_BB_dist",
+                "lower_BB_dist", "stoch", "price_change", "ATR"]
+    joined = snap.alias("s").join(full.alias("f"), "deep_ts").select(
+        *[F.col(f"s.{c}").alias(f"s_{c}") for c in ind_cols],
+        *[F.col(f"f.{c}").alias(f"f_{c}") for c in ind_cols],
+    ).collect()
+    assert len(joined) == tail_rows
+    for r in joined:
+        for c in ind_cols:
+            s, f = r[f"s_{c}"], r[f"f_{c}"]
+            if s is None or f is None:
+                assert s == f, c
+            else:
+                assert abs(s - f) < 1e-9, (c, s, f)
+
+
+def test_streaming_predictions_epoch_retry_idempotent(spark, tmp_path):
+    """foreachBatch hooks run at-least-once: re-running the SAME epoch
+    (simulated crash-retry) must not duplicate prediction rows, and a
+    later epoch must not clobber earlier ones (per-epoch dynamic
+    partition overwrite)."""
+    from financial_market_data_analysis_spark.ml import train_target_classifier
+    from financial_market_data_analysis_spark.operators.windows import indicator_suite
+
+    deep, _ = _two_feeds(spark)
+    bars = deep.select(
+        "deep_ts",
+        F.col("deep_val").alias("close"),
+        (F.col("deep_val") + 1).alias("high"),
+        (F.col("deep_val") - 1).alias("low"),
+        F.lit(100).alias("volume"),
+    )
+    feature_cols = ["close", "volume", "vol_MA6", "vol_MA20", "price_MA20",
+                    "upper_BB_dist", "lower_BB_dist", "ATR"]
+    hist = indicator_suite(bars, ["deep_ts"]).withColumn(
+        "bucket_start", F.unix_timestamp("deep_ts")
+    )
+    model, _, _, _ = train_target_classifier(hist, feature_cols)
+
+    ind = str(tmp_path / "indicators")
+    hist.write.parquet(ind)
+    pred = str(tmp_path / "predictions")
+    hook = P.streaming_predictions(
+        model, ind, pred, order_col="deep_ts", feature_cols=feature_cols
+    )
+
+    hook(bars, 3)
+    n3 = spark.read.parquet(pred).count()
+    assert n3 > 0
+    hook(bars, 3)  # crash-retry of the same epoch
+    after_retry = spark.read.parquet(pred)
+    assert after_retry.count() == n3
+    assert after_retry.filter(F.col("epoch_id") == 3).count() == n3
+
+    hook(bars.limit(5), 4)  # next epoch appends its own partition
+    final = spark.read.parquet(pred)
+    assert final.filter(F.col("epoch_id") == 3).count() == n3
+    assert final.filter(F.col("epoch_id") == 4).count() > 0
+
+
+def test_sliding_join_back_nondivisible_slide(spark):
+    """slide ∤ length: every event appears exactly once per sliding
+    window that contains it — ceil(length/slide) candidate starts plus
+    a membership filter (floor division used to silently drop an edge
+    event's earliest window; blind ceil without the filter would
+    attach windows the event is not in)."""
+    import datetime
+
+    from financial_market_data_analysis_spark.operators.windows import (
+        sliding_join_back,
+    )
+
+    offsets = [0, 50, 250, 650, 950]
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)  # epoch-multiple of 300
+    ev = spark.createDataFrame(
+        [(base + datetime.timedelta(seconds=s), float(s)) for s in offsets],
+        "ts timestamp, value double",
+    )
+    out = sliding_join_back(ev, "ts", "value", 700, 300)
+    got = {(int(r["ts"].timestamp()), r["window_start"]) for r in out.collect()}
+
+    base_u = int(base.timestamp())
+    expected = set()
+    for s in offsets:
+        t = base_u + s
+        first = ((t - 700) // 300 + 1) * 300  # lowest aligned start > t-700
+        expected |= {
+            (t, st) for st in range(first, t + 1, 300) if st <= t < st + 700
+        }
+    assert got == expected
+    # spot-check: the edge event at +950 is in 3 windows (ceil(700/300))
+    assert len([g for g in got if g[0] == base_u + 950]) == 3
