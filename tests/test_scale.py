@@ -125,3 +125,42 @@ def test_z_value_interleaves_bits(spark):
     got = [r.z for r in df.select(z_value(F.col("x"), F.col("y")).alias("z"))
            .collect()]
     assert got == [1, 2, 15, 2**32 - 1]
+
+
+def test_ivf_assignment_corpus_never_shuffles(spark):
+    """IVF coarse quantization must be a row-local argmax over a
+    broadcast centroid array: the corpus branch carries NO
+    hashpartitioning exchange (the only exchange allowed is the tiny
+    SinglePartition collect of the centroids themselves). Grouping on
+    the embedding array — the previous shape — paid an array-keyed
+    shuffle of every corpus vector."""
+    from financial_market_data_analysis_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    e = load_table(spark, "embeddings", SF_SMOKE)
+    cents = e.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cells = ivf_assignments(e, cents)
+    assert cells.count() == e.count()  # one cell per vector, none dropped
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan[:1200]
+    # nearest-centroid semantics: a centroid vector maps to its own cell
+    self_rows = cells.filter(F.col("vec_id") % 7 == 0)
+    assert self_rows.filter(
+        F.col("centroid_id") != F.col("vec_id")
+    ).count() == 0
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """Benchmark decontamination joins a ~100 TB train corpus against a
+    small benchmark table: the bench side must broadcast (no
+    sort-merge shuffle of the train shingles)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["x22_decontaminate"](spark, SF_SMOKE)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:1200]
