@@ -33,13 +33,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Columnar parquet scan; filters/projections push down via Catalyst.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    default; it is read as nanosecond longs (``nanosAsLong``) and exposed
-    two ways: ``ts_us`` (epoch-microseconds long — the engine's exact
+    ``events.ts`` is exposed two ways regardless of the file's physical
+    type: ``ts_us`` (epoch-microseconds long — the engine's exact
     event-time key) and ``ts`` (TimestampType — for watermarks/windows).
-    Microseconds, not nanoseconds, are canonical because TIMESTAMP
-    engines (DuckDB oracle included) truncate parquet nanos to µs — the
-    integer ``div 1000`` here reproduces that truncation exactly.
+    The loader adapts to either on-disk layout the driver has shipped:
+
+    * parquet TIMESTAMP(NANOS) — Spark rejects it by default, so it is
+      read as nanosecond longs (``nanosAsLong``) and ``div 1000``-ed,
+      reproducing exactly the nanos→µs truncation TIMESTAMP engines
+      (DuckDB oracle included) apply;
+    * parquet timestamp[us] (isAdjustedToUTC either way) — read as
+      TIMESTAMP/TIMESTAMP_NTZ and cast under the UTC session timezone
+      (an instant-preserving identity), ``ts_us`` via ``unix_micros``.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -61,12 +66,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumns(
-            {
-                "ts_us": F.expr("ts div 1000"),
-                "ts": F.timestamp_micros(F.expr("ts div 1000")),
-            }
-        )
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):  # TIMESTAMP(NANOS) read as nanos longs
+            return df.withColumns(
+                {
+                    "ts_us": F.expr("ts div 1000"),
+                    "ts": F.timestamp_micros(F.expr("ts div 1000")),
+                }
+            )
+        ts = F.col("ts").cast("timestamp")  # NTZ→TS is identity under UTC session tz
+        return df.withColumns({"ts_us": F.unix_micros(ts), "ts": ts})
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
