@@ -721,7 +721,7 @@ def _min_label_propagation(sym: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = nodes.select(
         F.col("a").alias("id"), F.col("a").alias("cluster_id")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         m = (
             sym2.join(labels, sym2["a"] == labels["id"])
             .groupBy(F.col("b").alias("id"))
@@ -738,20 +738,34 @@ def _min_label_propagation(sym: DataFrame, max_iter: int = 25) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-        # Convergence = no label changed this round, counted by joining
-        # new against old on the node id — type-agnostic (labels may be
-        # numeric doc ids OR simhash bit strings, which rules out any
-        # numeric-sum shortcut), and the count doubles as the lazy
-        # checkpoint's materializing action.
+        prev = labels
+        labels = new_labels
+        # Convergence = no label changed vs the previous round, counted
+        # by joining new against old on the node id — type-agnostic
+        # (labels may be numeric doc ids OR simhash bit strings, which
+        # rules out any numeric-sum shortcut), and the count doubles as
+        # the lazy checkpoint's materializing action. Checked only every
+        # OTHER round: the blocking count is a full job barrier, and
+        # with pointer jumping the rounds are cheap enough that running
+        # one extra propagate+jump (folded into the next check's job)
+        # costs less than a barrier per round — this halves the
+        # sequential job count on a cluster. Skipped rounds leave the
+        # lazy checkpoint unmaterialized, so the check round's count
+        # materializes a two-round plan in ONE job (plan growth stays
+        # bounded: 2 rounds, not the unbounded self-join doubling the
+        # checkpoint exists to prevent). The final round always checks,
+        # so a max_iter exit still reports through ``labels`` the same
+        # frame shape either way.
+        if it % 2 == 0 and it != max_iter - 1:
+            continue
         changed = (
-            new_labels.join(
-                labels.select(F.col("id"), F.col("cluster_id").alias("__old")),
+            labels.join(
+                prev.select(F.col("id"), F.col("cluster_id").alias("__old")),
                 "id",
             )
             .filter(F.col("cluster_id") != F.col("__old"))
             .count()
         )
-        labels = new_labels
         if changed == 0:
             break
     return labels
