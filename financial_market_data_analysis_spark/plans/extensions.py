@@ -315,6 +315,45 @@ def minhash_lsh_oracle(threshold: float = 0.5, bands_cte: str | None = None) -> 
     """
 
 
+def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash dedup composed to deletion lists: connected components
+    over the x6 verified near-dup pairs, with per-cluster keeper
+    selection — the shape a production pipeline actually executes when
+    it deletes documents (pairs alone don't say WHICH copy survives a
+    transitive chain A~B~C). cluster_id is the component's min doc_id;
+    ``is_keeper`` marks the one row per cluster that is retained, so
+    ``filter(is_keeper = 0)`` is the deletion list."""
+    pairs = D.minhash_lsh_dedup(docs_augmented(spark, sf_dir), threshold=0.5)
+    comp = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    )
+
+
+def minhash_clusters_oracle(threshold: float = 0.5) -> str:
+    # ``verified``/``edges`` MUST be MATERIALIZED — the recursive
+    # closure would otherwise re-run the whole shingle→minhash→band
+    # pipeline per iteration (the x16 oracle lesson).
+    return f"""
+        WITH RECURSIVE verified AS MATERIALIZED ({minhash_lsh_oracle(threshold)}),
+        edges AS MATERIALIZED (
+            SELECT doc_a AS a, doc_b AS b FROM verified
+            UNION
+            SELECT doc_b, doc_a FROM verified
+        ),
+        reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+        )
+        SELECT id AS doc_id, min(r) AS cluster_id,
+               CAST(id = min(r) AS INT) AS is_keeper
+        FROM reach GROUP BY id
+    """
+
+
 BLOCK_CAP = 64  # max docs per (lang, source, chars_bucket) block
 
 
@@ -549,6 +588,85 @@ def ann_lsh_oracle() -> str:
     """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of both approximate ANN paths (x11 LSH gate, x12 IVF
+    probe) against x8's exact top-k — the quality number an approximate
+    index must publish next to its speedup (an ANN path without a
+    measured recall is unfinished at 100 TB: nothing tells you when the
+    bucket width / nprobe needs retuning as the corpus drifts).
+
+    Per (method, query): |approx_hits ∩ exact_topk| / k. Queries whose
+    approximate candidate set came back empty still emit a row (recall
+    0.0) via the left join — silent misses are the failure mode this
+    query exists to expose. The exact set is computed once and
+    localCheckpointed: it feeds both method joins and the query-id
+    spine, and re-running the brute-force crossJoin three times would
+    triple the most expensive scan in the plan."""
+    corpus = load_table(spark, "embeddings", sf_dir)
+    qv = _query_vecs(spark, sf_dir)
+    exact = (
+        S.brute_force_topk(corpus, qv, k=TOP_K)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    lsh = S.lsh_topk(corpus, qv, k=TOP_K).select("query_id", "vec_id")
+    ivf = S.ivf_topk(
+        corpus, qv, _centroids(spark, sf_dir), k=TOP_K, nprobe=IVF_NPROBE
+    ).select("query_id", "vec_id")
+    spine = exact.select("query_id").distinct()
+
+    def one(method: str, approx: DataFrame) -> DataFrame:
+        hits = (
+            exact.join(approx, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return (
+            spine.join(hits, "query_id", "left")
+            .na.fill({"n_hits": 0})
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.col("n_hits").cast("int").alias("n_hits"),
+                (F.col("n_hits") / F.lit(float(TOP_K))).alias("recall_at_k"),
+            )
+        )
+
+    return one("lsh", lsh).unionByName(one("ivf", ivf))
+
+
+def ann_recall_oracle() -> str:
+    # The three top-k subqueries are the x8/x11/x12 oracles verbatim,
+    # MATERIALIZED because each is referenced twice (hit join + spine).
+    return f"""
+        WITH exact AS MATERIALIZED ({ann_brute_oracle()}),
+        lsh AS MATERIALIZED ({ann_lsh_oracle()}),
+        ivf AS MATERIALIZED ({ann_ivf_oracle()}),
+        qs AS (SELECT DISTINCT query_id FROM exact),
+        hits_lsh AS (
+            SELECT e.query_id, count(*) AS n_hits
+            FROM exact e JOIN lsh l
+              ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+            GROUP BY e.query_id
+        ),
+        hits_ivf AS (
+            SELECT e.query_id, count(*) AS n_hits
+            FROM exact e JOIN ivf v
+              ON v.query_id = e.query_id AND v.vec_id = e.vec_id
+            GROUP BY e.query_id
+        )
+        SELECT 'lsh' AS method, q.query_id,
+               CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+               COALESCE(h.n_hits, 0) / CAST({TOP_K} AS DOUBLE) AS recall_at_k
+        FROM qs q LEFT JOIN hits_lsh h USING (query_id)
+        UNION ALL
+        SELECT 'ivf', q.query_id,
+               CAST(COALESCE(h.n_hits, 0) AS INT),
+               COALESCE(h.n_hits, 0) / CAST({TOP_K} AS DOUBLE)
+        FROM qs q LEFT JOIN hits_ivf h USING (query_id)
+    """
+
+
 EMB_DIM = 64  # fixed embedding dimensionality of the driver's table
 
 
@@ -734,9 +852,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_clusters_oracle() -> str:
+    # ``edges`` MUST be MATERIALIZED: DuckDB inlines plain CTEs, so the
+    # recursive ``reach`` below would otherwise re-evaluate the whole
+    # shingle→band→Hamming pipeline on EVERY closure iteration
+    # (measured 4.0 s → 0.31 s at sf0.01 from this one hint).
     return f"""
         WITH RECURSIVE {_simhash_pairs_cte()},
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT id_a AS a, id_b AS b FROM neardup
             WHERE hamming <= {SIMHASH_MAX_HAMMING}
             UNION

@@ -110,15 +110,20 @@ def indicator_agg_fragments() -> dict[str, str]:
 
 
 def _wide_feed(
-    events: DataFrame, event_type: str, frags: dict[str, str]
+    events: DataFrame,
+    event_type: str,
+    frags: dict[str, str],
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """One conditional-aggregation groupBy per feed: every column is a
     FILTER'd aggregate, so the whole wide block is a single
-    partial-aggregatable shuffle on the bucket key."""
+    partial-aggregatable shuffle on the bucket key (prefixed by
+    ``group_cols`` series keys on the partitioned-scale path)."""
     b = time_bucket_us("ts_us", PIPELINE_BUCKET_SECONDS).alias("bucket_start")
+    keys = [F.col(c) for c in group_cols] + [b]
     return (
         events.filter(F.col("event_type") == event_type)
-        .groupBy(b)
+        .groupBy(*keys)
         .agg(*[F.expr(frag).alias(name) for name, frag in frags.items()])
     )
 
@@ -159,12 +164,32 @@ FULL_ROW_COLS = (
 )
 
 
-def full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The assembled full-width warehouse row (117 feature columns)."""
+N_SYMBOLS = 4  # synthetic series count for the partitioned-scale variant
+
+
+def full_row(
+    spark: SparkSession, sf_dir: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The assembled full-width warehouse row (117 feature columns).
+
+    With ``group_cols`` (the partitioned-scale path, SURVEY.md §7.3)
+    every feed aggregates per (series, bucket), the five feed joins
+    co-key on (series, bucket), and the W1-W8 window stage partitions
+    by the series keys — NO global single-partition sort anywhere in
+    the plan (asserted by tests/test_scale.py). The reference-parity
+    default (no groups) keeps the single unpartitioned series the
+    MariaDB views define."""
     ev = load_table(spark, "events", sf_dir)
+    if group_cols:
+        # synthetic series key: events split into N_SYMBOLS series
+        ev = ev.withColumn(
+            "symbol", (F.col("user_id") % N_SYMBOLS).cast("int")
+        )
+    g = list(group_cols)
+    keys = g + ["bucket_start"]
 
     # order book: snapshot per bucket → 7-level book → features + depth
-    deep = _feed(ev, "deep")
+    deep = _feed(ev, "deep", group_cols)
     book = book_from_events(
         deep.withColumns(
             {
@@ -173,7 +198,9 @@ def full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
     ).drop("ts", "ts_us")
-    book = deep.select("bucket_start", "event_id").join(book, "event_id")
+    # event_id is unique per (series, bucket) snapshot, so the join key
+    # stays event_id alone; the series key rides along from the deep side
+    book = deep.select(*keys, "event_id").join(book, "event_id")
     for side in ("bid", "ask"):
         book = FE.book_weighted_average(book, side)
     book = FE.order_volume_imbalance(book)
@@ -182,44 +209,56 @@ def full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     book = FE.bid_ask_spread(book)
     book = FE.relative_price_levels(book)
     deep_wide = book.select(
-        "bucket_start", *BOOK_SIZE_COLS, *BOOK_REL_COLS, *BOOK_FEAT_COLS
+        *keys, *BOOK_SIZE_COLS, *BOOK_REL_COLS, *BOOK_FEAT_COLS
     )
 
-    candle = FE.wick_features(_feed(ev, "candle"))
-    vix = _feed(ev, "vix")
-    cot = _wide_feed(ev, "signup", cot_agg_fragments())
-    ind = _wide_feed(ev, "error", indicator_agg_fragments())
+    candle = FE.wick_features(_feed(ev, "candle", group_cols))
+    vix = _feed(ev, "vix", group_cols)
+    cot = _wide_feed(ev, "signup", cot_agg_fragments(), group_cols)
+    ind = _wide_feed(ev, "error", indicator_agg_fragments(), group_cols)
 
     bars = (
-        candle.join(deep_wide, "bucket_start")
-        .join(vix, "bucket_start")
-        .join(cot, "bucket_start")
-        .join(ind, "bucket_start")
+        candle.join(deep_wide, keys)
+        .join(vix, keys)
+        .join(cot, keys)
+        .join(ind, keys)
     )
     bars = FE.one_hot_calendar(
         FE.calendar_features(
             bars.withColumn("ts", F.timestamp_seconds("bucket_start"))
         )
     ).drop("ts")
-    bars = indicator_suite(bars, ["bucket_start"], delta_col="delta")
-    return bars.select(*FULL_ROW_COLS).na.fill(0)
+    bars = indicator_suite(
+        bars, ["bucket_start"], partition_cols=g, delta_col="delta"
+    )
+    return bars.select(*g, *FULL_ROW_COLS).na.fill(0)
 
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle — generated from the SAME fragment builders
 
 
-def _wide_feed_sql(event_type: str, frags: dict[str, str], bkt: str) -> str:
+def _wide_feed_sql(
+    event_type: str,
+    frags: dict[str, str],
+    bkt: str,
+    sym: str = "",
+    grp: str = "GROUP BY 1",
+) -> str:
     cols = ",\n                   ".join(
         f"{frag} AS {name}" for name, frag in frags.items()
     )
     return (
-        f"SELECT {bkt} AS bucket_start,\n                   {cols}\n"
-        f"            FROM events WHERE event_type = '{event_type}' GROUP BY 1"
+        f"SELECT {bkt} AS bucket_start,\n                   {sym}{cols}\n"
+        f"            FROM events WHERE event_type = '{event_type}' {grp}"
     )
 
 
-def full_row_oracle() -> str:
+def full_row_oracle(partitioned: bool = False) -> str:
+    """DuckDB mirror of ``full_row``. ``partitioned=True`` mirrors the
+    ``group_cols=("symbol",)`` engine variant: every feed aggregates per
+    (symbol, bucket), joins co-key on both, and every window adds
+    PARTITION BY symbol."""
     bs = PIPELINE_BUCKET_SECONDS
     bkt = f"CAST(epoch(time_bucket(INTERVAL '{bs} seconds', ts)) AS BIGINT)"
     book_inner = book_oracle_cte().replace("FROM events", "FROM deep_snap")
@@ -232,7 +271,13 @@ def full_row_oracle() -> str:
         for i in range(1, 7)
     )
     sizes = ", ".join(BOOK_SIZE_COLS)
-    final_cols = []
+    # partitioned-variant splices: a symbol projection + group key in
+    # every feed, a co-key join, and PARTITION BY in every window
+    sym = f"CAST(user_id % {N_SYMBOLS} AS INT) AS symbol,\n                   " if partitioned else ""
+    grp = "GROUP BY 1, 2" if partitioned else "GROUP BY 1"
+    using = "USING (symbol, bucket_start)" if partitioned else "USING (bucket_start)"
+    part = "PARTITION BY symbol " if partitioned else ""
+    final_cols = ["symbol"] if partitioned else []
     for c in FULL_ROW_COLS:
         if c == "bucket_start":
             final_cols.append(c)
@@ -242,18 +287,19 @@ def full_row_oracle() -> str:
     return f"""
         WITH deep_snap AS (
             SELECT {bkt} AS bucket_start,
-                   min(event_id) AS event_id,
+                   {sym}min(event_id) AS event_id,
                    arg_min(value, event_id) AS value,
                    arg_min(user_id, event_id) AS user_id,
                    make_timestamp({bkt} * 1000000) AS ts
-            FROM events WHERE event_type = 'purchase' GROUP BY 1
+            FROM events WHERE event_type = 'purchase' {grp}
         ),
         book AS (
-            SELECT b.*, d.bucket_start FROM ({book_inner}) b
+            SELECT b.*, d.bucket_start{", d.symbol" if partitioned else ""}
+            FROM ({book_inner}) b
             JOIN deep_snap d ON b.event_id = d.event_id
         ),
         deep_wide AS (
-            SELECT bucket_start, {sizes},
+            SELECT {"symbol, " if partitioned else ""}bucket_start, {sizes},
                 {rel},
                 {_wa_sql("bid")} AS bids_ord_WA,
                 {_wa_sql("ask")} AS asks_ord_WA,
@@ -266,39 +312,40 @@ def full_row_oracle() -> str:
         ),
         candle AS (
             SELECT {bkt} AS bucket_start,
-                   arg_min(value, event_id) AS open,
+                   {sym}arg_min(value, event_id) AS open,
                    max(value) AS high,
                    min(value) AS low,
                    arg_max(value, event_id) AS close,
                    count(*) AS volume
-            FROM events WHERE event_type = 'click' GROUP BY 1
+            FROM events WHERE event_type = 'click' {grp}
         ),
         vix AS (
-            SELECT {bkt} AS bucket_start, arg_min(value, event_id) AS vix
-            FROM events WHERE event_type = 'view' GROUP BY 1
+            SELECT {bkt} AS bucket_start, {sym}arg_min(value, event_id) AS vix
+            FROM events WHERE event_type = 'view' {grp}
         ),
         cot AS (
-            {_wide_feed_sql("signup", cot_agg_fragments(), bkt)}
+            {_wide_feed_sql("signup", cot_agg_fragments(), bkt, sym, grp)}
         ),
         ind AS (
-            {_wide_feed_sql("error", indicator_agg_fragments(), bkt)}
+            {_wide_feed_sql("error", indicator_agg_fragments(), bkt, sym, grp)}
         ),
         bars AS (
-            SELECT c.bucket_start, c.open, c.high, c.low, c.close, c.volume,
+            SELECT {"c.symbol, " if partitioned else ""}c.bucket_start,
+                   c.open, c.high, c.low, c.close, c.volume,
                    c.high - c.low AS candle_size,
                    CASE WHEN c.close >= c.open THEN c.high - c.close
                         ELSE c.low - c.close END AS wick_size,
                    (CASE WHEN c.close >= c.open THEN c.high - c.close
                          ELSE c.low - c.close END) / (c.high - c.low) AS wick_prct,
-                   d.* EXCLUDE (bucket_start),
+                   d.* EXCLUDE ({"symbol, " if partitioned else ""}bucket_start),
                    v.vix,
-                   t.* EXCLUDE (bucket_start),
-                   i.* EXCLUDE (bucket_start)
+                   t.* EXCLUDE ({"symbol, " if partitioned else ""}bucket_start),
+                   i.* EXCLUDE ({"symbol, " if partitioned else ""}bucket_start)
             FROM candle c
-            JOIN deep_wide d USING (bucket_start)
-            JOIN vix v USING (bucket_start)
-            JOIN cot t USING (bucket_start)
-            JOIN ind i USING (bucket_start)
+            JOIN deep_wide d {using}
+            JOIN vix v {using}
+            JOIN cot t {using}
+            JOIN ind i {using}
         ),
         cal AS (
             SELECT *,
@@ -325,11 +372,11 @@ def full_row_oracle() -> str:
         ),
         ind_w AS (
             SELECT *,
-                avg(volume) OVER (ORDER BY bucket_start
+                avg(volume) OVER ({part}ORDER BY bucket_start
                     ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS vol_MA6,
-                avg(volume) OVER (ORDER BY bucket_start
+                avg(volume) OVER ({part}ORDER BY bucket_start
                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vol_MA20,
-                avg(delta) OVER (ORDER BY bucket_start
+                avg(delta) OVER ({part}ORDER BY bucket_start
                     ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS delta_MA12,
                 avg(close) OVER w20 AS price_MA20,
                 (avg(close) OVER w20 + 2 * stddev_pop(close) OVER w20) - close
@@ -338,12 +385,13 @@ def full_row_oracle() -> str:
                     AS lower_BB_dist,
                 (close - min(close) OVER w15)
                     / (max(close) OVER w15 - min(close) OVER w15) AS stoch,
-                close - lag(close, 1) OVER (ORDER BY bucket_start) AS price_change,
+                close - lag(close, 1) OVER ({part}ORDER BY bucket_start)
+                    AS price_change,
                 avg(high - low) OVER w15 AS ATR
             FROM onehot
             WINDOW
-                w20 AS (ORDER BY bucket_start ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-                w15 AS (ORDER BY bucket_start ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+                w20 AS ({part}ORDER BY bucket_start ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+                w15 AS ({part}ORDER BY bucket_start ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
         ),
         tgt AS (
             SELECT *,
@@ -356,7 +404,7 @@ def full_row_oracle() -> str:
                 CASE WHEN lead(close, 15) OVER w <= close - 3 * ATR
                      THEN 1 ELSE 0 END AS down2
             FROM ind_w
-            WINDOW w AS (ORDER BY bucket_start)
+            WINDOW w AS ({part}ORDER BY bucket_start)
         )
         SELECT {final}
         FROM tgt

@@ -45,19 +45,24 @@ _FEED_TYPES = {
 }
 
 
-def _feed(events: DataFrame, kind: str) -> DataFrame:
+def _feed(events: DataFrame, kind: str, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-bucket feed aggregation. ``group_cols`` prepends series keys
+    (e.g. a symbol) to every groupBy — the partitioned-scale path where
+    each series aggregates and windows independently instead of one
+    global ordered stream (SURVEY.md §7.3)."""
     b = time_bucket_us("ts_us", PIPELINE_BUCKET_SECONDS).alias("bucket_start")
+    keys = [F.col(c) for c in group_cols] + [b]
     f = events.filter(F.col("event_type") == _FEED_TYPES[kind])
     if kind == "deep":
         # representative snapshot per bucket (earliest event), then the
         # synthetic 7-level book is derived from it
-        return f.groupBy(b).agg(
+        return f.groupBy(*keys).agg(
             F.min("event_id").alias("event_id"),
             F.min_by("value", "event_id").alias("value"),
             F.min_by("user_id", "event_id").alias("user_id"),
         )
     if kind == "candle":
-        return f.groupBy(b).agg(
+        return f.groupBy(*keys).agg(
             F.min_by("value", "event_id").alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
@@ -65,14 +70,14 @@ def _feed(events: DataFrame, kind: str) -> DataFrame:
             F.count(F.lit(1)).alias("volume"),
         )
     if kind == "vix":
-        return f.groupBy(b).agg(F.min_by("value", "event_id").alias("vix"))
+        return f.groupBy(*keys).agg(F.min_by("value", "event_id").alias("vix"))
     if kind == "cot":
-        return f.groupBy(b).agg(
+        return f.groupBy(*keys).agg(
             F.min_by("value", "event_id").alias("cot_pos"),
             F.avg("value").alias("cot_chg"),
         )
     if kind == "ind":
-        return f.groupBy(b).agg(
+        return f.groupBy(*keys).agg(
             F.sum("value").alias("ind_actual"),
             F.count(F.lit(1)).alias("ind_count"),
         )

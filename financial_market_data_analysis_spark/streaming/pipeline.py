@@ -88,6 +88,50 @@ def _apply_trigger(writer, trigger: dict | None):
     return writer.trigger(**trigger) if trigger else writer
 
 
+def epoch_idempotent_writer(
+    path: str,
+    partition_by: Sequence[str] = (),
+    epoch_col: str | None = "epoch_id",
+) -> Callable[[DataFrame, int], None]:
+    """The per-epoch warehouse write, exposed for direct testing of the
+    retry path. With ``epoch_col`` set (default), each micro-batch is
+    stamped with its epoch id and written via DYNAMIC partition
+    overwrite on (*partition_by, epoch_col): a retried epoch REPLACES
+    exactly its own partition directories — including a partial write
+    left by a mid-epoch crash — instead of appending duplicate bars.
+    This is the same pattern the prediction sink uses, now on the bars
+    warehouse; the reference's JDBC append is at-least-once with
+    dedup-hope (spark_consumer.py:68-84). ``epoch_col=None`` reverts to
+    the reference-exact plain append.
+
+    The epoch partition nests UNDER the user buckets, so date-bucket
+    partition pruning is untouched; the epoch dirs are small and a
+    periodic compaction job can fold them away (rewrite + drop the
+    column) without changing readers, which tolerate the extra column.
+    """
+
+    def _write(batch: DataFrame, epoch_id: int, *, skip_empty_probe: bool = False) -> None:
+        if not skip_empty_probe and batch.isEmpty():
+            # the reference used rdd.isEmpty() — an extra job; isEmpty()
+            # on the DataFrame is a limit-1 probe (spark_consumer.py:76)
+            return
+        if epoch_col is None:
+            w = batch.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+        else:
+            (
+                batch.withColumn(epoch_col, F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_by, epoch_col)
+                .parquet(path)
+            )
+
+    return _write
+
+
 def parquet_append_sink(
     stream: DataFrame,
     path: str,
@@ -95,14 +139,16 @@ def parquet_append_sink(
     post_batch: Callable[[DataFrame, int], None] | None = None,
     trigger: dict | None = None,
     partition_by: Sequence[str] = (),
+    epoch_col: str | None = "epoch_id",
 ):
-    """K1 — the warehouse sink as foreachBatch → parquet append.
+    """K1 — the warehouse sink as foreachBatch → idempotent parquet
+    write (see ``epoch_idempotent_writer``).
 
     Replaces the reference's JDBC append (at-least-once, no idempotence,
-    spark_consumer.py:68-84): parquet append per epoch plus the
-    checkpoint gives effective exactly-once on restart for this
-    single-writer topology; ``post_batch`` is the hook where incremental
-    indicator materialization runs (T9 resolution).
+    spark_consumer.py:68-84): per-epoch dynamic partition overwrite
+    plus the checkpoint gives exactly-once bars even when a partially
+    written epoch is retried; ``post_batch`` is the hook where
+    incremental indicator materialization runs (T9 resolution).
 
     ``partition_by`` (e.g. a date bucket) makes the warehouse
     partition-pruned: readers that want the tail touch only the last
@@ -110,16 +156,12 @@ def parquet_append_sink(
     difference between O(tail) and O(warehouse) per micro-batch at
     100 TB.
     """
+    write = epoch_idempotent_writer(path, partition_by, epoch_col)
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
-        if batch.isEmpty():
-            # the reference used rdd.isEmpty() — an extra job; isEmpty()
-            # on the DataFrame is a limit-1 probe (spark_consumer.py:76)
+        if batch.isEmpty():  # one limit-1 probe gates write AND hooks
             return
-        w = batch.write.mode("append")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
+        write(batch, epoch_id, skip_empty_probe=True)
         if post_batch is not None:
             post_batch(batch, epoch_id)
 

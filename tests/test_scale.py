@@ -81,6 +81,31 @@ def test_full_row_plan_quality(spark):
     assert "PushedFilters" in plan or "DataFilters" in plan
 
 
+def test_full_row_partitioned_has_no_global_sort(spark):
+    """The partitioned-scale wide row (group_cols=symbol) must never
+    funnel through a single partition: every Window partitions by
+    symbol (hashpartitioning), and no Exchange collapses to
+    SinglePartition — the shape that keeps the 117-column assembly
+    parallel at 100 TB where the parity variant's single global series
+    would serialize."""
+    from financial_market_data_analysis_spark.plans.full_row import full_row
+
+    df = full_row(spark, SF_SMOKE, group_cols=("symbol",))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:1200]
+    assert "hashpartitioning(symbol" in plan, plan[:1200]
+    assert plan.count("Window") <= 2
+    # and the result is a real partitioned series: one row per
+    # (symbol, bucket), multiple independent symbol series present
+    # (the 5-way inner join keeps only buckets where every feed has
+    # rows, so sparse smoke data may drop some of the 4 symbols)
+    from pyspark.sql import functions as FF
+
+    assert df.select("symbol").distinct().count() >= 2
+    dup = df.groupBy("symbol", "bucket_start").count().filter(FF.col("count") > 1)
+    assert dup.count() == 0
+
+
 def test_pack_sequences_window_is_sharded(spark):
     """Sequence packing must never funnel the corpus through ONE window
     partition: the running token sum is partitioned by the shard key

@@ -437,6 +437,41 @@ def test_parquet_sink_restart_no_duplicates(spark, tmp_path):
     assert spark.read.parquet(wh).count() == 50
 
 
+def test_retried_epoch_writes_no_duplicate_bars(spark, tmp_path):
+    """T7 — the failure mode the plain append cannot survive: an epoch
+    that partially writes, then is RETRIED by the engine (foreachBatch
+    is at-least-once). The epoch-idempotent writer must leave exactly
+    one copy of the epoch's bars — the retry replaces the partial
+    partition instead of appending next to it."""
+    deep, _ = _two_feeds(spark)
+    bars = deep.select("deep_ts", F.col("deep_val").alias("close")).limit(20)
+    wh = str(tmp_path / "wh")
+    write = P.epoch_idempotent_writer(wh)
+
+    # epoch 0 commits, epoch 1 first attempt writes only HALF its rows
+    # (simulated mid-epoch crash), then the engine retries epoch 1 whole
+    e0, e1 = bars.limit(8), bars.subtract(bars.limit(8))
+    write(e0, 0)
+    write(e1.limit(4), 1)      # partial attempt
+    write(e1, 1)               # retry of the same epoch
+    out = spark.read.parquet(wh)
+    assert out.count() == 20   # 8 + 12, zero duplicates
+    assert out.select("deep_ts").distinct().count() == 20
+    assert out.filter(F.col("epoch_id") == 1).count() == 12
+    # a THIRD delivery of a committed epoch is also harmless
+    write(e1, 1)
+    assert spark.read.parquet(wh).count() == 20
+
+    # contrast: the reference-style plain append (epoch_col=None)
+    # duplicates the partial rows under the same retry
+    wh2 = str(tmp_path / "wh_plain")
+    plain = P.epoch_idempotent_writer(wh2, epoch_col=None)
+    plain(e0, 0)
+    plain(e1.limit(4), 1)
+    plain(e1, 1)
+    assert spark.read.parquet(wh2).count() == 24  # 4 dup bars
+
+
 def test_sliding_window_agg_streaming_parity(spark, tmp_path):
     """T3 — the sliding-window aggregate run as an ACTUAL streaming
     query (watermark upstream, append mode): every finalized window the
