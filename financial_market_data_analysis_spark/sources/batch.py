@@ -74,6 +74,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
                     "ts": F.timestamp_micros(F.expr("ts div 1000")),
                 }
             )
+        if ts_type not in ("timestamp", "timestamp_ntz"):
+            # An unexpected physical layout (string, int32, ...) would
+            # cast to all-NULL timestamps downstream — fail loudly with
+            # the observed type instead (r3 advice).
+            raise TypeError(
+                f"events.ts has unsupported parquet type {ts_type!r}; "
+                "expected TIMESTAMP(NANOS) (read as nanos longs), "
+                "timestamp, or timestamp_ntz"
+            )
         ts = F.col("ts").cast("timestamp")  # NTZ→TS is identity under UTC session tz
         return df.withColumns({"ts_us": F.unix_micros(ts), "ts": ts})
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

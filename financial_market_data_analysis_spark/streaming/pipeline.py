@@ -379,6 +379,156 @@ def stateful_moving_average(
     )
 
 
+def stateful_indicator_suite(
+    stream: DataFrame,
+    key_cols: Sequence[str] = ("symbol",),
+    ts_col: str = "ts",
+    close_col: str = "close",
+    high_col: str = "high",
+    low_col: str = "low",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """T9 option (b), generalized from the single moving average to the
+    FULL W1-W8 suite: one ``applyInPandasWithState`` pass emits every
+    indicator the batch ``indicator_suite`` computes — vol_MA6/20,
+    price_MA20, Bollinger distances (stddev_pop), stochastic, price
+    change, ATR, and the four LEAD targets — with O(period) state per
+    key and no warehouse re-read per batch.
+
+    State is two bounded buffers per key:
+
+    - ``tail``: the last 19 (close, high, low, volume) tuples — enough
+      for the largest trailing frame (20 rows: MA20/Bollinger; the
+      15-row stochastic/ATR frames are suffixes of it);
+    - ``pending``: up to 15 rows whose trailing indicators are already
+      final but whose LEAD targets await future closes. A row is
+      emitted exactly once, when its 15-ahead close exists — so every
+      emitted row is FINAL (the foreachBatch materialization path
+      instead emits provisional rows with a ``targets_complete``
+      flag; this path trades a 15-row emission delay for finality).
+
+    Semantics match the batch suite row for row on in-order per-key
+    arrival (growing head frames, NULL stoch on a flat window, NULL
+    price_change on the first row); the parity test joins the emitted
+    rows against ``indicator_suite`` output and compares all 12
+    indicator columns.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    MAX_TAIL = 19  # 20-row frames keep 19 predecessors
+    LEAD1, LEAD2 = 8, 15
+    N1, N2 = 1.5, 3.0
+
+    ind_cols = [
+        "vol_MA6", "vol_MA20", "price_MA20",
+        "upper_BB_dist", "lower_BB_dist", "stoch", "price_change", "ATR",
+    ]
+    key_fields = [stream.schema[k] for k in key_cols]
+    out_schema = StructType(
+        key_fields
+        + [stream.schema[ts_col]]
+        + [StructField(c, DoubleType()) for c in (close_col, high_col, low_col, volume_col)]
+        + [StructField(c, DoubleType()) for c in ind_cols]
+        + [StructField(c, IntegerType()) for c in ("up1", "down1", "up2", "down2")]
+    )
+    # tail rows: [close, high, low, volume]; pending rows: [ts_us, close,
+    # high, low, volume, *indicators] (None-able for stoch/price_change)
+    state_schema = StructType(
+        [
+            StructField("tail", ArrayType(ArrayType(DoubleType()))),
+            StructField("pending", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+    col_order = (
+        list(key_cols)
+        + [ts_col, close_col, high_col, low_col, volume_col]
+        + ind_cols
+        + ["up1", "down1", "up2", "down2"]
+    )
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            tail, pending = [list(r) for r in state.get[0]], [list(r) for r in state.get[1]]
+        else:
+            tail, pending = [], []
+        rows = pd.concat(list(pdf_iter)).sort_values(ts_col)
+        ts_us = (rows[ts_col].astype("datetime64[us]").astype("int64")).tolist()
+        closes = [float(v) for v in rows[close_col]]
+        highs = [float(v) for v in rows[high_col]]
+        lows = [float(v) for v in rows[low_col]]
+        vols = [float(v) for v in rows[volume_col]]
+
+        emitted = []
+        for t, c, h, lo, v in zip(ts_us, closes, highs, lows, vols):
+            prev_close = tail[-1][0] if tail else None
+            tail.append([c, h, lo, v])
+            if len(tail) > MAX_TAIL + 1:
+                tail.pop(0)
+            w20 = tail[-20:]
+            w15 = tail[-15:]
+            w6 = tail[-6:]
+            c20 = [r[0] for r in w20]
+            m20 = sum(c20) / len(c20)
+            var = sum((x - m20) ** 2 for x in c20) / len(c20)
+            sd = math.sqrt(var)
+            lo15 = min(r[0] for r in w15)
+            hi15 = max(r[0] for r in w15)
+            pending.append([
+                float(t), c, h, lo, v,
+                sum(r[3] for r in w6) / len(w6),            # vol_MA6
+                sum(r[3] for r in w20) / len(w20),          # vol_MA20
+                m20,                                        # price_MA20
+                (m20 + 2.0 * sd) - c,                       # upper_BB_dist
+                c - (m20 - 2.0 * sd),                       # lower_BB_dist
+                (c - lo15) / (hi15 - lo15) if hi15 != lo15 else None,  # stoch
+                c - prev_close if prev_close is not None else None,    # price_change
+                sum(r[1] - r[2] for r in w15) / len(w15),   # ATR
+            ])
+            # finalize every pending row whose 15-ahead close arrived:
+            # pending[i] has len(pending) - 1 - i rows after it
+            while len(pending) > LEAD2:
+                p = pending.pop(0)
+                pc, atr = p[1], p[12]
+                lead8 = pending[LEAD1 - 1][1]
+                lead15 = pending[LEAD2 - 1][1]
+                emitted.append(
+                    p
+                    + [
+                        1 if lead8 >= pc + N1 * atr else 0,
+                        1 if lead8 <= pc - N1 * atr else 0,
+                        1 if lead15 >= pc + N2 * atr else 0,
+                        1 if lead15 <= pc - N2 * atr else 0,
+                    ]
+                )
+        state.update((tail[-MAX_TAIL:], pending))
+        out = pd.DataFrame(
+            emitted,
+            columns=[ts_col, close_col, high_col, low_col, volume_col]
+            + ind_cols
+            + ["up1", "down1", "up2", "down2"],
+        )
+        out[ts_col] = pd.to_datetime(out[ts_col], unit="us")
+        for c in ("up1", "down1", "up2", "down2"):
+            out[c] = out[c].astype("int32")
+        for i, k in enumerate(key_cols):
+            out[k] = key[i]
+        yield out[col_order]
+
+    return stream.groupBy(*[F.col(k) for k in key_cols]).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def compose_hooks(
     *hooks: Callable[[DataFrame, int], None],
 ) -> Callable[[DataFrame, int], None]:

@@ -698,6 +698,69 @@ def test_stateful_moving_average_matches_batch(spark, tmp_path):
         assert abs(r[0] - r[1]) < 1e-9
 
 
+def test_stateful_indicator_suite_matches_batch(spark, tmp_path):
+    """T9 single-pass path, full W1-W8: the applyInPandasWithState
+    suite, fed two time-ordered micro-batches per key, must equal the
+    batch ``indicator_suite`` row for row on every emitted row — the
+    O(period) tail state carries MA/Bollinger/stochastic/ATR frames
+    across the batch boundary, and the pending buffer finalizes the
+    LEAD targets exactly as the batch computation does. Rows whose
+    15-ahead close never arrives are (by design) not emitted."""
+    from financial_market_data_analysis_spark.operators.windows import indicator_suite
+
+    ev = load_table(spark, "events", SF_SMOKE).select(
+        F.col("event_type").alias("symbol"), "ts",
+        F.col("value").alias("close"),
+        (F.col("value") + 1).cast("double").alias("high"),
+        (F.col("value") - 1).cast("double").alias("low"),
+        (F.col("value") * 2).cast("double").alias("volume"),
+    ).dropDuplicates(["symbol", "ts"])
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    src = str(tmp_path / "sis_src")
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = P.stateful_indicator_suite(stream, ("symbol",), "ts")
+    q = (
+        out.writeStream.format("memory").queryName("sis_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM sis_out")
+    expected = indicator_suite(ev, ["ts"], partition_cols=["symbol"])
+    # every row except each key's last 15 must be emitted, exactly once
+    n_keys = ev.select("symbol").distinct().count()
+    assert got.count() == ev.count() - n_keys * P.MAX_LEAD
+    assert got.groupBy("symbol", "ts").count().filter(F.col("count") > 1).count() == 0
+
+    ind_cols = ["vol_MA6", "vol_MA20", "price_MA20", "upper_BB_dist",
+                "lower_BB_dist", "stoch", "price_change", "ATR",
+                "up1", "down1", "up2", "down2"]
+    j = got.alias("g").join(expected.alias("e"), ["symbol", "ts"]).select(
+        *[F.col(f"g.{c}").alias(f"g_{c}") for c in ind_cols],
+        *[F.col(f"e.{c}").alias(f"e_{c}") for c in ind_cols],
+    )
+    rows = j.collect()
+    assert len(rows) == got.count()
+    import math as _m
+
+    for r in rows:
+        for c in ind_cols:
+            g, e = r[f"g_{c}"], r[f"e_{c}"]
+            g_null = g is None or (isinstance(g, float) and _m.isnan(g))
+            e_null = e is None or (isinstance(e, float) and _m.isnan(e))
+            if g_null or e_null:
+                assert g_null and e_null, (c, g, e)
+            else:
+                assert abs(g - e) < 1e-9, (c, g, e)
+
+
 def test_corpus_curation_runs_in_streaming_mode(spark, tmp_path):
     """The corpus-curation transforms (quality filter → language ID →
     hash split) are row-local projections, so the SAME functions must
