@@ -536,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x16_dedup_clusters": X.q_dedup_clusters,
         "x31_minhash_clusters": X.q_minhash_clusters,
         "x30_ann_recall": X.q_ann_recall,
+        "x11b_ann_lsh_multi": X.q_ann_lsh_multi,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "x17_split_assign": X.q_split_assign,
         "x18_vocab_topk": X.q_vocab_topk,
@@ -579,9 +580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": _q3_shipping_priority,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "x5_dedup_exact_docs": X.q_dedup_exact_docs,
-        "x6_minhash_lsh": X.q_minhash_lsh,
         # ------------------------------------------------- entry 50 ends
         # -- variants + singles (driver-green in round 3; pytest-covered) -
+        "x6_minhash_lsh": X.q_minhash_lsh,
         "x8_ann_brute_topk": X.q_ann_brute_topk,
         "x11_ann_lsh_topk": X.q_ann_lsh_topk,
         "x12_ann_ivf_topk": X.q_ann_ivf_topk,
@@ -1065,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
         "x16_dedup_clusters": X.dedup_clusters_oracle(),
         "x30_ann_recall": X.ann_recall_oracle(),
         "x31_minhash_clusters": X.minhash_clusters_oracle(),
+        "x11b_ann_lsh_multi": X.ann_lsh_multi_oracle(),
         "pipeline_full_row_part": _full_row_part_oracle(),
         "x17_split_assign": hash_split_sql(),
         "x18_vocab_topk": vocab_topk_sql(),

@@ -157,37 +157,65 @@ def relative_price_levels(df: DataFrame, levels: int = 7) -> DataFrame:
 # F8/F9 — calendar features + manual one-hot
 
 
-def calendar_features(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+def calendar_features(
+    df: DataFrame, ts_col: str = "ts", strict_reference_semantics: bool = True
+) -> DataFrame:
     """F8 — day-of-week (Monday=1, the reference's ``date_format(u)``
     convention), week-of-month (``ceil(day/7)``), and the session-start
     flag (spark_consumer.py:402-415).
 
     Spark 3+ rejects the legacy ``u``/``W`` datetime patterns; the same
     values come from ``weekday()+1`` and ``ceil(dayofmonth/7)``.
-    The reference's quirky session logic — ``hour ≥ 11 AND minute ≥ 30
-    → 0 else 1``, which calls e.g. 12:15 a session start — is preserved
-    verbatim for parity (SURVEY.md §7.5).
+
+    ``strict_reference_semantics`` (SURVEY.md §7.5 — the promised v2
+    toggle; default True because every oracle and the driver contract
+    compare against reference behavior):
+
+    * True — the reference's quirky session logic verbatim:
+      ``hour ≥ 11 AND minute ≥ 30 → 0 else 1``, which calls e.g. 12:15
+      a session start because its minute is below 30.
+    * False — the evidently intended comparison, *time-of-day ≥ 11:30*
+      (``hour > 11 OR (hour = 11 AND minute ≥ 30) → 0``): 12:15 is no
+      longer a session start; 11:00-11:29 still is.
     """
     ts = F.col(ts_col)
+    if strict_reference_semantics:
+        session = F.when(
+            (F.hour(ts) >= 11) & (F.minute(ts) >= 30), F.lit(0)
+        ).otherwise(F.lit(1))
+    else:
+        session = F.when(
+            (F.hour(ts) > 11) | ((F.hour(ts) == 11) & (F.minute(ts) >= 30)),
+            F.lit(0),
+        ).otherwise(F.lit(1))
     return df.withColumns(
         {
             "day_of_week": (F.weekday(ts) + 1).cast("int"),
             "week_of_month": F.ceil(F.dayofmonth(ts) / 7).cast("int"),
-            "session_start": F.when(
-                (F.hour(ts) >= 11) & (F.minute(ts) >= 30), F.lit(0)
-            ).otherwise(F.lit(1)),
+            "session_start": session,
         }
     )
 
 
-def one_hot_calendar(df: DataFrame) -> DataFrame:
+def one_hot_calendar(
+    df: DataFrame, strict_reference_semantics: bool = True
+) -> DataFrame:
     """F9 — manual one-hot of day (1-4; Friday = all-zeros baseline) and
-    week-of-month (1-4; week 5 never fires — reference quirk kept,
-    spark_consumer.py:417-432)."""
+    week-of-month (spark_consumer.py:417-432).
+
+    ``strict_reference_semantics`` (SURVEY.md §7.5 v2 toggle):
+
+    * True — weeks one-hot as 1-4 only: a 5th calendar week collides
+      with the Friday-style all-zeros baseline (the reference quirk —
+      week 5 and week "none" are indistinguishable downstream).
+    * False — adds ``week_5``, so the all-zeros code means only the
+      deliberate dropped-category baseline.
+    """
     cols: dict[str, Column] = {}
     for d in range(1, 5):
         cols[f"day_{d}"] = (F.col("day_of_week") == d).cast("int")
-    for w in range(1, 5):
+    top_week = 5 if strict_reference_semantics else 6
+    for w in range(1, top_week):
         cols[f"week_{w}"] = (F.col("week_of_month") == w).cast("int")
     return df.withColumns(cols)
 

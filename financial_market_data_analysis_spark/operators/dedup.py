@@ -379,9 +379,19 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     CPU-heavy shingle/minhash folds to 1-2 tasks while the rest of the
     cluster idles; the one narrow-row shuffle (id + text) is far cheaper
     than serializing the fold work. On a well-partitioned 100 TB input
-    this is a no-op."""
+    this is a no-op.
+
+    The probe is the plan's scan FILE COUNT (``inputFiles()`` — file
+    listing only, no job, no RDD): the previous ``df.rdd`` probe
+    forced a full RDD conversion of the plan (r3 advice). The file
+    count under-estimates parallelism for few-but-huge splittable
+    files, where this adds one narrow (id, text) shuffle that the
+    fold savings still dominate; a many-file 100 TB input stays a
+    no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    files = df.inputFiles()
+    n = len(files) if files else 1
+    if n < target:
         return df.repartition(target)
     return df
 

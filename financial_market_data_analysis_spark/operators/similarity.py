@@ -325,22 +325,64 @@ def lsh_topk(
     query_id_col: str = "query_id",
     n_planes: int = N_PLANES,
     method: str = "gaussian",
+    n_tables: int = 1,
+    dim: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's LSH bucket
-    are scored — the candidate set shrinks ~2^n_planes-fold.
+    """Approximate top-k: only corpus vectors sharing an LSH bucket with
+    the query are scored — the candidate set shrinks ~2^n_planes-fold
+    per table.
 
-    The corpus scan computes ONLY the bucket key; norms are deferred to
-    after the bucket equi-join, so the O(dim) norm fold runs per
-    *candidate* (bucket-matched) row, not per corpus row — at 2^8
-    bucket selectivity that removes ~1/5 of the full-scan arithmetic."""
-    cb = corpus.withColumn("__bucket", bucket_expr(vec_col, n_planes, method))
-    qb = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        bucket_expr(vec_col, n_planes, method).alias("__bucket"),
-        norm_expr(vec_col).alias("__qnorm"),
-    )
-    scored = cb.join(F.broadcast(qb), "__bucket").select(
+    ``n_tables`` is the standard LSH recall lever: L independent hash
+    tables (seeds ``seed .. seed+L-1``), candidates = the UNION of
+    per-table bucket matches, deduplicated before scoring. Recall
+    grows as 1-(1-p)^L per true neighbor at L× the candidate volume —
+    tunable without touching stored data (x30 publishes the measured
+    recall per method so the trade-off is a number, not a guess). The
+    corpus still scans ONCE: the L bucket keys are computed in one
+    projection and exploded, so the scan cost is L bucket folds, not L
+    passes. Multi-table requires the Gaussian construction (the md5
+    variant has no seed parameter).
+
+    Norms are deferred to after the bucket equi-join, so the O(dim)
+    norm fold runs per *candidate* row, not per corpus row — at 2^8
+    bucket selectivity that removes ~1/5 of the full-scan arithmetic.
+    """
+    if n_tables == 1:
+        buckets = {"__bucket": bucket_expr(vec_col, n_planes, method, dim, seed)}
+        cb = corpus.withColumn("__bucket", buckets["__bucket"])
+        qb = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            buckets["__bucket"].alias("__bucket"),
+            norm_expr(vec_col).alias("__qnorm"),
+        )
+        cand = cb.join(F.broadcast(qb), "__bucket")
+    else:
+        if method != "gaussian":
+            raise ValueError("n_tables > 1 requires method='gaussian'")
+        tables = F.posexplode(
+            F.array(
+                *[
+                    hyperplane_bucket_gaussian(vec_col, n_planes, dim, seed + t)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("__t", "__bucket")
+        cb = corpus.select(F.col(id_col), F.col(vec_col), tables)
+        qb = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            norm_expr(vec_col).alias("__qnorm"),
+            tables,
+        )
+        # a pair matching in several tables must score ONCE: dedup on
+        # the pair key (vectors ride along — identical per id)
+        cand = (
+            cb.join(F.broadcast(qb), ["__t", "__bucket"])
+            .dropDuplicates([query_id_col, id_col])
+        )
+    scored = cand.select(
         query_id_col,
         id_col,
         safe_div(

@@ -173,6 +173,46 @@ def parquet_append_sink(
     )
 
 
+def compact_warehouse(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    partition_by: Sequence[str] = (),
+    epoch_col: str = "epoch_id",
+    target_files: int = 8,
+) -> int:
+    """Fold the per-epoch partition directories the idempotent sink
+    accumulates back into plain ``partition_by`` layout: read the
+    warehouse, drop the epoch column, rewrite coalesced to ``dest_path``
+    (must differ from ``src_path`` — Spark cannot safely overwrite a
+    path it is reading; the caller swaps directories after the job, the
+    same two-step every file-format compaction uses without a
+    transactional table layer). Returns the row count written.
+
+    Run this periodically (e.g. daily over closed date buckets): the
+    epoch dirs are what makes retried epochs idempotent, but thousands
+    of small per-epoch files degrade listing and scan startup — after a
+    bucket can no longer receive retries, its epochs are pure overhead.
+    """
+    if os.path.abspath(dest_path) == os.path.abspath(src_path):
+        raise ValueError("compact_warehouse needs dest_path != src_path")
+    df = spark.read.parquet(src_path)
+    if epoch_col in df.columns:
+        df = df.drop(epoch_col)
+    # actually merge the small epoch files: bound output files to
+    # ``target_files`` per partition-key hash (keyed repartition keeps
+    # each output dir's rows in few tasks) or globally when unpartitioned
+    if partition_by:
+        df = df.repartition(target_files, *[F.col(c) for c in partition_by])
+    else:
+        df = df.coalesce(target_files)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(dest_path)
+    return spark.read.parquet(dest_path).count()
+
+
 def console_sink(stream: DataFrame, trigger: dict | None = None, num_rows: int = 20):
     """K3 — the debug console sink (the reference keeps one commented
     out, spark_consumer.py:504-506)."""

@@ -472,6 +472,34 @@ def test_retried_epoch_writes_no_duplicate_bars(spark, tmp_path):
     assert spark.read.parquet(wh2).count() == 24  # 4 dup bars
 
 
+def test_compact_warehouse_folds_epoch_dirs(spark, tmp_path):
+    """The compaction job collapses the idempotent sink's per-epoch
+    partitions into plain layout: identical rows, no epoch column,
+    fewer files."""
+    deep, _ = _two_feeds(spark)
+    bars = deep.select("deep_ts", F.col("deep_val").alias("close")).limit(24)
+    wh = str(tmp_path / "wh")
+    write = P.epoch_idempotent_writer(wh)
+    chunks = [bars.limit(8), bars.subtract(bars.limit(8)).limit(8)]
+    chunks.append(bars.subtract(chunks[0].union(chunks[1])))
+    for e, chunk in enumerate(chunks):
+        write(chunk, e)
+    assert spark.read.parquet(wh).select("epoch_id").distinct().count() == 3
+
+    dest = str(tmp_path / "wh_compact")
+    n = P.compact_warehouse(spark, wh, dest, target_files=1)
+    out = spark.read.parquet(dest)
+    assert n == 24 and out.count() == 24
+    assert "epoch_id" not in out.columns
+    assert len(out.inputFiles()) < len(spark.read.parquet(wh).inputFiles())
+    assert out.select("deep_ts").exceptAll(bars.select("deep_ts")).count() == 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="dest_path"):
+        P.compact_warehouse(spark, wh, wh)
+
+
 def test_sliding_window_agg_streaming_parity(spark, tmp_path):
     """T3 — the sliding-window aggregate run as an ACTUAL streaming
     query (watermark upstream, append mode): every finalized window the
