@@ -349,12 +349,12 @@ def lsh_topk(
     bucket selectivity that removes ~1/5 of the full-scan arithmetic.
     """
     if n_tables == 1:
-        buckets = {"__bucket": bucket_expr(vec_col, n_planes, method, dim, seed)}
-        cb = corpus.withColumn("__bucket", buckets["__bucket"])
+        bucket = bucket_expr(vec_col, n_planes, method, dim, seed)
+        cb = corpus.withColumn("__bucket", bucket)
         qb = queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
-            buckets["__bucket"].alias("__bucket"),
+            bucket.alias("__bucket"),
             norm_expr(vec_col).alias("__qnorm"),
         )
         cand = cb.join(F.broadcast(qb), "__bucket")

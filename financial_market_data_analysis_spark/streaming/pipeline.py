@@ -180,6 +180,7 @@ def compact_warehouse(
     partition_by: Sequence[str] = (),
     epoch_col: str = "epoch_id",
     target_files: int = 8,
+    predicate: str | Column | None = None,
 ) -> int:
     """Fold the per-epoch partition directories the idempotent sink
     accumulates back into plain ``partition_by`` layout: read the
@@ -189,14 +190,23 @@ def compact_warehouse(
     same two-step every file-format compaction uses without a
     transactional table layer). Returns the row count written.
 
-    Run this periodically (e.g. daily over closed date buckets): the
-    epoch dirs are what makes retried epochs idempotent, but thousands
-    of small per-epoch files degrade listing and scan startup — after a
-    bucket can no longer receive retries, its epochs are pure overhead.
+    ``predicate`` scopes the compaction — e.g.
+    ``F.col("date_bucket") < today`` — and is how the intended
+    workflow is actually expressed: compact ONLY buckets that are
+    closed (can no longer receive epochs), then swap ONLY those
+    buckets' directories. Compacting the whole warehouse while the
+    sink is live races with in-flight epochs: any epoch committed
+    between the snapshot read and the swap would exist only in the
+    replaced directory and the checkpoint will not replay it. The
+    epoch dirs are what makes retried epochs idempotent, but
+    thousands of small per-epoch files degrade listing and scan
+    startup — once a bucket is closed, its epochs are pure overhead.
     """
     if os.path.abspath(dest_path) == os.path.abspath(src_path):
         raise ValueError("compact_warehouse needs dest_path != src_path")
     df = spark.read.parquet(src_path)
+    if predicate is not None:
+        df = df.filter(predicate)  # partition-prunes on bucket columns
     if epoch_col in df.columns:
         df = df.drop(epoch_col)
     # actually merge the small epoch files: bound output files to

@@ -141,6 +141,32 @@ def test_q6_predicates_reach_the_scan(spark):
     assert "l_orderkey" not in read_schema  # untouched columns pruned
 
 
+def test_ensure_parallelism_catches_many_tiny_files(spark, tmp_path):
+    """The file-COUNT probe alone would call a 64-tiny-file corpus
+    'parallel enough' even though Spark's file packing coalesces it
+    into 1-2 scan partitions; the byte-based packing estimate must
+    still trigger the repartition (and a well-partitioned input must
+    stay untouched)."""
+    from financial_market_data_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    d = load_table(spark, "documents", SF_SMOKE).limit(200)
+    src = str(tmp_path / "tiny")
+    d.repartition(max(64, 2 * target)).write.parquet(src)  # many tiny files
+    many_tiny = spark.read.parquet(src)
+    assert len(many_tiny.inputFiles()) >= target  # count probe says fine
+    out = ensure_parallelism(many_tiny)
+    assert out.rdd.getNumPartitions() >= target  # byte probe repartitioned
+
+    # single small file → the count probe repartitions directly
+    one = str(tmp_path / "one")
+    d.coalesce(1).write.parquet(one)
+    out1 = ensure_parallelism(spark.read.parquet(one))
+    assert out1.rdd.getNumPartitions() >= target
+
+
 def test_z_value_interleaves_bits(spark):
     from financial_market_data_analysis_spark.sources.batch import z_value
 

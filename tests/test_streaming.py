@@ -444,15 +444,22 @@ def test_retried_epoch_writes_no_duplicate_bars(spark, tmp_path):
     one copy of the epoch's bars — the retry replaces the partial
     partition instead of appending next to it."""
     deep, _ = _two_feeds(spark)
-    bars = deep.select("deep_ts", F.col("deep_val").alias("close")).limit(20)
+    # materialize a deterministic 20-row slice first: limit() without an
+    # order is not stable across re-evaluations on a multi-partition
+    # source, and the epoch slices below re-evaluate their parent
+    bars = (
+        deep.select("deep_ts", F.col("deep_val").alias("close"))
+        .orderBy("deep_ts").limit(20).localCheckpoint(eager=True)
+    )
     wh = str(tmp_path / "wh")
     write = P.epoch_idempotent_writer(wh)
 
     # epoch 0 commits, epoch 1 first attempt writes only HALF its rows
     # (simulated mid-epoch crash), then the engine retries epoch 1 whole
-    e0, e1 = bars.limit(8), bars.subtract(bars.limit(8))
+    e0 = bars.orderBy("deep_ts").limit(8).localCheckpoint(eager=True)
+    e1 = bars.subtract(e0).localCheckpoint(eager=True)
     write(e0, 0)
-    write(e1.limit(4), 1)      # partial attempt
+    write(e1.orderBy("deep_ts").limit(4), 1)  # partial attempt
     write(e1, 1)               # retry of the same epoch
     out = spark.read.parquet(wh)
     assert out.count() == 20   # 8 + 12, zero duplicates
@@ -477,12 +484,16 @@ def test_compact_warehouse_folds_epoch_dirs(spark, tmp_path):
     partitions into plain layout: identical rows, no epoch column,
     fewer files."""
     deep, _ = _two_feeds(spark)
-    bars = deep.select("deep_ts", F.col("deep_val").alias("close")).limit(24)
+    bars = (
+        deep.select("deep_ts", F.col("deep_val").alias("close"))
+        .orderBy("deep_ts").limit(24).localCheckpoint(eager=True)
+    )
     wh = str(tmp_path / "wh")
     write = P.epoch_idempotent_writer(wh)
-    chunks = [bars.limit(8), bars.subtract(bars.limit(8)).limit(8)]
-    chunks.append(bars.subtract(chunks[0].union(chunks[1])))
-    for e, chunk in enumerate(chunks):
+    c0 = bars.orderBy("deep_ts").limit(8).localCheckpoint(eager=True)
+    c1 = bars.subtract(c0).orderBy("deep_ts").limit(8).localCheckpoint(eager=True)
+    c2 = bars.subtract(c0.union(c1))
+    for e, chunk in enumerate((c0, c1, c2)):
         write(chunk, e)
     assert spark.read.parquet(wh).select("epoch_id").distinct().count() == 3
 
