@@ -537,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x31_minhash_clusters": X.q_minhash_clusters,
         "x30_ann_recall": X.q_ann_recall,
         "x11b_ann_lsh_multi": X.q_ann_lsh_multi,
+        "x32_boilerplate": X.q_boilerplate,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "x17_split_assign": X.q_split_assign,
         "x18_vocab_topk": X.q_vocab_topk,
@@ -1067,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
         "x30_ann_recall": X.ann_recall_oracle(),
         "x31_minhash_clusters": X.minhash_clusters_oracle(),
         "x11b_ann_lsh_multi": X.ann_lsh_multi_oracle(),
+        "x32_boilerplate": X.boilerplate_oracle(),
         "pipeline_full_row_part": _full_row_part_oracle(),
         "x17_split_assign": hash_split_sql(),
         "x18_vocab_topk": vocab_topk_sql(),

@@ -844,3 +844,118 @@ def vocab_topk_sql(
         ORDER BY tf DESC, token
         LIMIT {k}
     """
+
+
+BOILERPLATE_MIN_DOCS = 10  # a line shared by >= this many docs is boilerplate
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> DataFrame:
+    """Cross-document repeated-line removal — the CCNet/C4 boilerplate
+    pass: a line occurring in at least ``min_docs`` DISTINCT documents
+    (nav bars, cookie banners, footers) is stripped from every
+    document; per-doc text is reassembled in original line order.
+
+    Scale shape: lines are keyed by their md5 (the oracle-portable
+    digest — never shuffle the line text as a grouping key), the
+    (digest, doc) pairs are de-duplicated per doc BEFORE the count so
+    a doc repeating its own footer counts once, and the surviving
+    boilerplate digest set — tiny by construction (it takes >=
+    ``min_docs`` copies to qualify, so there are at most
+    corpus_lines / min_docs of them) — is BROADCAST into a left-anti
+    join; the corpus never shuffles on anything but (digest) for the
+    count and (doc) for the ordered reassembly, both
+    partial-aggregatable.
+
+    Output: (id, text, n_lines, n_removed) — ``text`` is the cleaned
+    document, empty when every line was boilerplate.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("h", F.md5(F.col("line").cast("binary")))
+    counts = (
+        lines.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    boiler = counts.filter(F.col("n_docs") >= min_docs).select("h")
+    kept = lines.join(F.broadcast(boiler), "h", "left_anti")
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        totals.join(clean, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.col("n_lines").cast("int").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
+def remove_boilerplate_sql(
+    src: str = "documents",
+    text_expr: str = "text",
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB twin of ``remove_boilerplate`` (same digest keys, same
+    ordered reassembly). ``extra_ctes`` splices caller CTEs (e.g. an
+    injected-corpus twin) into the single WITH clause."""
+    pre = f"{extra_ctes}," if extra_ctes else ""
+    return f"""
+        WITH {pre}
+        lines AS MATERIALIZED (
+            SELECT doc_id, line_no, line, md5(line) AS h
+            FROM (
+                -- equal-length unnests in one SELECT zip positionally
+                SELECT doc_id,
+                       unnest(generate_series(1, len(parts))) AS line_no,
+                       unnest(parts) AS line
+                FROM (
+                    SELECT doc_id, string_split({text_expr}, chr(10)) AS parts
+                    FROM {src}
+                )
+            )
+        ),
+        counts AS (
+            SELECT h, count(*) AS n_docs
+            FROM (SELECT DISTINCT h, doc_id FROM lines)
+            GROUP BY h
+        ),
+        boiler AS (SELECT h FROM counts WHERE n_docs >= {min_docs}),
+        kept AS (
+            SELECT * FROM lines WHERE h NOT IN (SELECT h FROM boiler)
+        ),
+        totals AS (
+            SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+        ),
+        clean AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY line_no) AS text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(c.text, '') AS text,
+               CAST(t.n_lines AS INT) AS n_lines,
+               CAST(t.n_lines - COALESCE(c.n_kept, 0) AS INT) AS n_removed
+        FROM totals t LEFT JOIN clean c USING (doc_id)
+    """

@@ -975,6 +975,53 @@ def pii_scrub_oracle() -> str:
     return f"WITH pii_aug AS ({PII_DOCS_CTE}) " + T.pii_scrub_sql(src="pii_aug")
 
 
+def docs_with_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically append shared footer lines to slices of the
+    corpus (the raw fixture is single-line and shares no lines): every
+    3rd doc gets a newsletter footer, every 5th a rights footer —
+    engine/oracle twins, the docs_with_pii pattern for line-level ops."""
+    d = load_table(spark, "documents", sf_dir)
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("\nsubscribe to our newsletter today"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("\nall rights reserved")
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+BOILER_DOCS_CTE = """
+    SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || 'subscribe to our newsletter today'
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || 'all rights reserved' ELSE '' END AS text
+    FROM documents
+"""
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-line (boilerplate) removal — the
+    CCNet/C4 hygiene pass: lines shared by >= 10 distinct docs are
+    stripped, text reassembled in line order. Broadcast boilerplate
+    digest set; no corpus shuffle beyond the digest count and the
+    per-doc reassembly."""
+    return T.remove_boilerplate(docs_with_boilerplate(spark, sf_dir))
+
+
+def boilerplate_oracle() -> str:
+    return T.remove_boilerplate_sql(
+        src="boiler_docs",
+        extra_ctes=f"boiler_docs AS ({BOILER_DOCS_CTE})",
+    )
+
+
 # Every 25th doc plays the "benchmark set"; the training side is the
 # augmented corpus minus those originals (but keeping their injected
 # near-dup copies, which are exactly the contamination to catch).

@@ -204,6 +204,20 @@ def test_ivf_assignment_corpus_never_shuffles(spark):
     ).count() == 0
 
 
+def test_boilerplate_strip_broadcasts_digest_set(spark):
+    """Cross-doc line dedup at 100 TB: the boilerplate digest set is
+    small by construction (>= min_docs copies to qualify) and must
+    BROADCAST into the anti-join — no sort-merge shuffle of the corpus
+    lines against it."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["x32_boilerplate"](spark, SF_SMOKE)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+
+
 def test_decontaminate_broadcasts_benchmark_side(spark):
     """Benchmark decontamination joins a ~100 TB train corpus against a
     small benchmark table: the bench side must broadcast (no
