@@ -29,6 +29,7 @@ from financial_market_data_analysis_spark.functions.text import (
     repetition_signals_sql,
     stratified_sample_sql,
     tfidf_topk_sql,
+    unigram_logprob_sql,
     vocab_topk_sql,
 )
 from financial_market_data_analysis_spark.plans import extensions as X
@@ -538,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x30_ann_recall": X.q_ann_recall,
         "x11b_ann_lsh_multi": X.q_ann_lsh_multi,
         "x32_boilerplate": X.q_boilerplate,
+        "x33_unigram_logprob": X.q_unigram_logprob,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "x17_split_assign": X.q_split_assign,
         "x18_vocab_topk": X.q_vocab_topk,
@@ -1069,6 +1071,7 @@ def oracle_sql() -> dict[str, str]:
         "x31_minhash_clusters": X.minhash_clusters_oracle(),
         "x11b_ann_lsh_multi": X.ann_lsh_multi_oracle(),
         "x32_boilerplate": X.boilerplate_oracle(),
+        "x33_unigram_logprob": unigram_logprob_sql(),
         "pipeline_full_row_part": _full_row_part_oracle(),
         "x17_split_assign": hash_split_sql(),
         "x18_vocab_topk": vocab_topk_sql(),

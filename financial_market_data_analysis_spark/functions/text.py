@@ -959,3 +959,63 @@ def remove_boilerplate_sql(
                CAST(t.n_lines - COALESCE(c.n_kept, 0) AS INT) AS n_removed
         FROM totals t LEFT JOIN clean c USING (doc_id)
     """
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-unigram log-probability quality score — the cheap
+    in-engine stand-in for CCNet's LM-perplexity filter: documents full
+    of corpus-rare tokens (mojibake, spam, wrong language) score low;
+    typical text scores near the corpus ceiling. Emitted as
+    ``mean_logprob`` = mean over the doc's tokens of ln p(token), with
+    p from the corpus's own unigram counts, plus the equivalent
+    ``ppl_proxy`` = exp(-mean_logprob) (lower = more typical).
+
+    Scale shape: one token-count aggregation (partial-aggregatable
+    shuffle on token), then the exploded tokens join the count table on
+    token — a plain shuffle join, NOT a broadcast, because a 100 TB
+    corpus's vocabulary is itself large — and a per-doc aggregation.
+    Floats are rounded to 6 decimals in both engines (the x19 TF-IDF
+    precedent) so summation-order ULP noise can't break hash parity.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.avg(F.log(F.col("cnt") / F.col("total"))).alias("__mean"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tok").cast("int").alias("n_tokens"),
+        F.round("__mean", 6).alias("mean_logprob"),
+        F.round(F.exp(-F.col("__mean")), 3).alias("ppl_proxy"),
+    )
+
+
+def unigram_logprob_sql(src: str = "documents", text_expr: str = "text") -> str:
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, unnest({tokens_sql(text_expr)}) AS token
+            FROM {src}
+        ),
+        counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        total AS (SELECT sum(cnt) AS total FROM counts),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_tok,
+                   avg(ln(cnt / total)) AS m
+            FROM toks JOIN counts USING (token) CROSS JOIN total
+            GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_tok AS INT) AS n_tokens,
+               round(m, 6) AS mean_logprob,
+               round(exp(-m), 3) AS ppl_proxy
+        FROM per_doc
+    """

@@ -1006,6 +1006,15 @@ BOILER_DOCS_CTE = """
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram log-probability quality score (CCNet-perplexity
+    stand-in): rare-token junk scores low, typical text near the
+    corpus ceiling. Token counts shuffle once; the vocab join is a
+    plain shuffle join (a 100 TB corpus's vocabulary outgrows any
+    broadcast)."""
+    return T.unigram_logprob(load_table(spark, "documents", sf_dir))
+
+
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-line (boilerplate) removal — the
     CCNet/C4 hygiene pass: lines shared by >= 10 distinct docs are
