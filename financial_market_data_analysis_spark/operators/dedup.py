@@ -762,6 +762,19 @@ def _min_label_propagation(sym: DataFrame, max_iter: int = 25) -> DataFrame:
     storage — same truncation semantics, same call sites.
     """
     nodes = sym.select(F.col("a")).distinct()
+    # Partition the loop's frames proportionally to the GRAPH size, not
+    # the session's shuffle default: near-dup graphs are typically tiny
+    # relative to the corpus (it takes a near-duplicate to mint an
+    # edge), and a 3k-row label frame spread over 32 shuffle partitions
+    # pays ~30 empty-task overheads per round × per job. ~2M edge rows
+    # per partition, floor of min(slots, 4); a genuinely huge graph
+    # scales past the slot count instead of capping at it. sym is
+    # checkpointed by every caller, so the sizing count is one cheap
+    # job, not a pipeline re-evaluation.
+    spark = sym.sparkSession
+    slots = spark.sparkContext.defaultParallelism
+    n_edges = sym.count()
+    n_part = int(max(min(slots, 4), -(-n_edges // 2_000_000)))
     # Self-loops fold the node's OWN label into the neighbor-min
     # groupBy, so each round needs no separate "keep my label" left
     # join; the static edge table is pre-partitioned on the join key
@@ -769,12 +782,14 @@ def _min_label_propagation(sym: DataFrame, max_iter: int = 25) -> DataFrame:
     # per-round label frame shuffles into the join.
     sym2 = (
         sym.union(nodes.select(F.col("a"), F.col("a").alias("b")))
-        .repartition(F.col("a"))
+        .repartition(n_part, F.col("a"))
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col("a").alias("id"), F.col("a").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    labels = (
+        nodes.select(F.col("a").alias("id"), F.col("a").alias("cluster_id"))
+        .repartition(n_part, F.col("id"))
+        .localCheckpoint(eager=True)
+    )
     for it in range(max_iter):
         m = (
             sym2.join(labels, sym2["a"] == labels["id"])
