@@ -1,0 +1,131 @@
+"""Property-based spot checks (SURVEY.md §5.4): algebraic invariants of
+the domain features on hypothesis-randomized frames. Each property
+generates a BATCH of random rows per example and runs ONE Spark job
+over it (per-row Spark jobs would make hypothesis unusably slow), with
+a bounded example count — the goal is randomized coverage of the
+feature algebra, not fuzzing throughput."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from financial_market_data_analysis_spark.functions import features as FE
+from financial_market_data_analysis_spark.operators.windows import (
+    stochastic_oscillator,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.large_base_example,
+        HealthCheck.data_too_large,
+    ],
+)
+
+price = st.floats(min_value=0.01, max_value=1e5, allow_nan=False)
+size = st.integers(min_value=0, max_value=10_000)
+pos_size = st.integers(min_value=1, max_value=10_000)
+
+
+@st.composite
+def book_rows(draw, n_rows=8, positive_top=False):
+    rows = []
+    top = pos_size if positive_top else size
+    for i in range(n_rows):
+        row = {"event_id": i}
+        for side in ("bid", "ask"):
+            for lvl in range(7):
+                row[f"{side}_{lvl}"] = draw(price)
+                row[f"{side}_{lvl}_size"] = draw(top if lvl == 0 else size)
+        rows.append(row)
+    return rows
+
+
+@given(book_rows(positive_top=True))
+@settings(**_SETTINGS)
+def test_vol_imbalance_bounded_and_micro_price_between_best_quotes(spark, rows):
+    """F3: imbalance ∈ [−1, 1] whenever the top of book is populated.
+    F5: micro-price is a convex combination of best bid and ask, so it
+    lies between them (inclusive)."""
+    df = spark.createDataFrame(rows)
+    out = FE.micro_price(FE.order_volume_imbalance(df)).select(
+        "vol_imbalance", "micro_price", "bid_0", "ask_0"
+    )
+    for r in out.collect():
+        assert -1.0 - 1e-9 <= r.vol_imbalance <= 1.0 + 1e-9
+        lo, hi = sorted((r.bid_0, r.ask_0))
+        assert lo - 1e-6 * hi <= r.micro_price <= hi + 1e-6 * hi
+
+
+@given(book_rows())
+@settings(**_SETTINGS)
+def test_delta_matches_horizontal_sums_and_spread_sign(spark, rows):
+    """F4: delta equals Σ ask sizes − Σ bid sizes computed row-side in
+    plain Python. F6: spread is bid₀ − ask₀ when both prices non-zero,
+    else exactly 0."""
+    df = spark.createDataFrame(rows)
+    out = FE.bid_ask_spread(FE.delta_indicator(df)).collect()
+    for r in out:
+        expect = sum(r[f"ask_{i}_size"] for i in range(7)) - sum(
+            r[f"bid_{i}_size"] for i in range(7)
+        )
+        assert r["delta"] == expect
+        if r["bid_0"] != 0 and r["ask_0"] != 0:
+            assert math.isclose(
+                r["spread"], r["bid_0"] - r["ask_0"], rel_tol=1e-6, abs_tol=1e-6
+            )
+        else:
+            assert r["spread"] == 0.0
+
+
+@given(st.lists(price, min_size=6, max_size=40))
+@settings(**_SETTINGS)
+def test_candle_wick_ratio_bounded(spark, closes):
+    """F1: the wick is measured from close toward one candle extreme,
+    so |wick| ≤ candle size and the ratio ∈ [−1, 1] (NULL on doji)."""
+    rows = []
+    for i, c in enumerate(closes):
+        h = max(c, closes[(i + 1) % len(closes)]) + 0.5
+        lo = min(c, closes[(i + 1) % len(closes)]) - 0.5
+        rows.append((i, float(closes[(i + 1) % len(closes)]), float(h), float(lo), float(c)))
+    df = spark.createDataFrame(rows, ["i", "open", "high", "low", "close"])
+    out = FE.wick_features(df).select("wick_prct").collect()
+    for r in out:
+        assert r.wick_prct is None or -1.0 - 1e-9 <= r.wick_prct <= 1.0 + 1e-9
+
+
+@given(st.lists(price, min_size=5, max_size=60))
+@settings(**_SETTINGS)
+def test_stochastic_bounded_or_null_on_flat_window(spark, closes):
+    """W5: stoch ∈ [0, 1] by construction (close is inside its own
+    window's min/max); a flat 15-row window divides by zero → NULL."""
+    df = spark.createDataFrame(
+        [(i, float(c)) for i, c in enumerate(closes)], ["seq", "close"]
+    )
+    out = stochastic_oscillator(df, "close", ["seq"]).select("stoch").collect()
+    for r in out:
+        assert r.stoch is None or -1e-9 <= r.stoch <= 1.0 + 1e-9
+
+
+@given(st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=80), min_size=5, max_size=30))
+@settings(**_SETTINGS)
+def test_hash_split_is_a_disjoint_total_cover(spark, texts):
+    """x17: every doc lands in exactly one of train/val/test, and the
+    assignment depends only on doc_id (stable across runs)."""
+    from financial_market_data_analysis_spark.functions.text import hash_split
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    a = hash_split(df).select("doc_id", "split")
+    b = hash_split(df).select("doc_id", "split")
+    rows_a = {r.doc_id: r.split for r in a.collect()}
+    rows_b = {r.doc_id: r.split for r in b.collect()}
+    assert rows_a == rows_b
+    assert set(rows_a) == set(range(len(texts)))
+    assert set(rows_a.values()) <= {"train", "val", "test"}
