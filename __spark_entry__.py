@@ -433,6 +433,30 @@ def _a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _w11_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE trailing window (absent from the reference, which has
+    only ROWS frames — SURVEY §2.6 'Absent'): per event type, the
+    average and count of events in the PRECEDING 30 minutes of EVENT
+    TIME, however many rows that is. RANGE frames are the right
+    semantics for irregular event spacing (a quiet period means fewer
+    rows in frame, not a longer look-back); the frame is expressed on
+    the epoch-microsecond key, so engines agree exactly. Partitioned
+    per type — no global sort."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        SW.partitionBy("event_type")
+        .orderBy("ts_us")
+        .rangeBetween(-1_800_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.avg("value").over(w).alias("avg_30m"),
+        F.count(F.lit(1)).over(w).alias("n_30m"),
+    )
+
+
 def _w10_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k ranking: top-3 customers by order revenue within
     each nation. The fact side aggregates per customer first (one
@@ -567,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_targets": _w8_targets,
         "w9_partitioned_indicators": _w9_partitioned_indicators,
         "w10_topk_per_group": _w10_topk_per_group,
+        "w11_range_frame": _w11_range_frame,
         "j1_interval_join": _j1_interval_join,
         "j2_salted_join": _j2_salted_join,
         "t4_session_windows": _t4_session_windows,
@@ -1032,6 +1057,14 @@ def oracle_sql() -> dict[str, str]:
                 JOIN nation ON c_nationkey = n_nationkey
             )
             SELECT * FROM ranked WHERE rnk <= 3
+        """,
+        "w11_range_frame": """
+            SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+                avg(value) OVER w AS avg_30m,
+                count(*) OVER w AS n_30m
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
         """,
         "d1_dedup_exact": """
             SELECT DISTINCT user_id, event_type FROM events
