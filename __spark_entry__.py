@@ -1105,7 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "x11b_ann_lsh_multi": X.ann_lsh_multi_oracle(),
         "x32_boilerplate": X.boilerplate_oracle(),
         "x33_unigram_logprob": unigram_logprob_sql(),
-        "pipeline_full_row_part": _full_row_part_oracle(),
+        "pipeline_full_row_part": _full_row_oracle(partitioned=True),
         "x17_split_assign": hash_split_sql(),
         "x18_vocab_topk": vocab_topk_sql(),
         "x19_tfidf_topk": tfidf_topk_sql(),
@@ -1133,13 +1133,7 @@ def _pipeline_oracle() -> str:
     return bars_joined_oracle()
 
 
-def _full_row_oracle() -> str:
+def _full_row_oracle(partitioned: bool = False) -> str:
     from financial_market_data_analysis_spark.plans.full_row import full_row_oracle
 
-    return full_row_oracle()
-
-
-def _full_row_part_oracle() -> str:
-    from financial_market_data_analysis_spark.plans.full_row import full_row_oracle
-
-    return full_row_oracle(partitioned=True)
+    return full_row_oracle(partitioned=partitioned)

@@ -976,8 +976,12 @@ def unigram_logprob(
     shuffle on token), then the exploded tokens join the count table on
     token — a plain shuffle join, NOT a broadcast, because a 100 TB
     corpus's vocabulary is itself large — and a per-doc aggregation.
-    Floats are rounded to 6 decimals in both engines (the x19 TF-IDF
-    precedent) so summation-order ULP noise can't break hash parity.
+    The token table feeds both the count and the join side, so this
+    cache-free plan tokenizes the corpus twice; a production pipeline
+    materializes the (doc, token) table once (it feeds x18/x19 too)
+    and both passes read the columnar intermediate instead. Floats are
+    rounded to 6 decimals in both engines (the x19 TF-IDF precedent)
+    so summation-order ULP noise can't break hash parity.
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))

@@ -1,0 +1,81 @@
+"""Simulate the driver's correctness harness end-to-end.
+
+Vanilla SparkSession (none of the repo's tuned confs — the probe that
+catches hidden config dependencies), every `queries()` entry run at
+sf0.01 side-by-side with its DuckDB oracle, columns sorted by name,
+floats compared with rtol=1e-9, timestamps at microsecond precision.
+
+Run:  python tools/verify_contract.py [sf_dir]
+Exit code is non-zero when any query mismatches.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def main() -> int:
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry
+
+    print("entry rows:", entry.entry(spark).count(), flush=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    oracles = entry.oracle_sql()
+    n_ok = n_bad = 0
+    for name, fn in entry.queries().items():
+        sdf = fn(spark, sf).toPandas()
+        o = oracles.get(name)
+        if o is None:
+            print(f"{name}: rows-only ({len(sdf)})", flush=True)
+            continue
+        odf = con.execute(o).fetchdf()
+        cols = sorted(sdf.columns, key=str.lower)
+        sdf = sdf.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+        odf = odf.reindex(sorted(odf.columns, key=str.lower), axis=1)
+        odf.columns = cols
+        odf = odf.sort_values(cols).reset_index(drop=True)
+        ok = len(sdf) == len(odf)
+        for c in cols:
+            a, b = sdf[c], odf[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                ok &= bool(
+                    np.allclose(
+                        a.astype(float), b.astype(float), rtol=1e-9, equal_nan=True
+                    )
+                )
+            elif pd.api.types.is_datetime64_any_dtype(a):
+                aa = a.astype("datetime64[us]")
+                bb = b.astype("datetime64[us]")
+                ok &= bool(((aa == bb) | (aa.isna() & bb.isna())).all())
+            else:
+                ok &= a.equals(b)
+        if ok:
+            n_ok += 1
+        else:
+            n_bad += 1
+            print(f"FAIL: {name} rows {len(sdf)}/{len(odf)}", flush=True)
+    print(f"VERIFY SUMMARY: {n_ok} ok, {n_bad} fail", flush=True)
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
