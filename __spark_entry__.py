@@ -272,6 +272,28 @@ def _j1_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("deep_id", "view_id", "deep_val", "view_val")
 
 
+def _j3_asof_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True ASOF join (operators/joins.py:asof_join_last): every view
+    event takes the latest purchase value at-or-before it per user —
+    the union-sort pattern (one keyed shuffle, no theta join), checked
+    against DuckDB's native ASOF LEFT JOIN."""
+    from financial_market_data_analysis_spark.operators.joins import asof_join_last
+
+    ev = load_table(spark, "events", sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_us", F.col("value").alias("view_val")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("purch_val"))
+    )
+    out = asof_join_last(
+        views, purchases, "ts_us", ["user_id"], ["purch_val"]
+    )
+    return out.select("event_id", "user_id", "ts_us", "view_val", "purch_val")
+
+
 def _j2_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated equi-join: events (5 heavily-hot event_type keys)
     joined to a per-type dimension through (key, salt) so each hot key
@@ -594,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w11_range_frame": _w11_range_frame,
         "j1_interval_join": _j1_interval_join,
         "j2_salted_join": _j2_salted_join,
+        "j3_asof_last": _j3_asof_last,
         "t4_session_windows": _t4_session_windows,
         "a5_sliding_avg": _a5_sliding_avg,
         "a6_sliding_joinback": _a6_sliding_joinback,
@@ -952,6 +975,22 @@ def oracle_sql() -> dict[str, str]:
               ON (deep_ts_us // 300000000) = (view_ts_us // 300000000)
              AND view_ts_us >= deep_ts_us
              AND view_ts_us <= deep_ts_us + 180000000
+        """,
+        "j3_asof_last": """
+            WITH l AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                       value AS view_val
+                FROM events WHERE event_type = 'view'
+            ),
+            r AS (
+                SELECT user_id, epoch_us(ts) AS ts_us,
+                       max(value) AS purch_val
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1, 2
+            )
+            SELECT l.event_id, l.user_id, l.ts_us, l.view_val, r.purch_val
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
         """,
         "j2_salted_join": """
             WITH dim AS (

@@ -13,7 +13,7 @@ broadcast-nested-loop catastrophe.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from financial_market_data_analysis_spark.plans.candles import (
@@ -77,6 +77,49 @@ def asof_band_join(
     )
     joined = l.alias("l").join(r.alias("r"), cond, how)
     return joined.drop("__bucket")
+
+
+def asof_join_last(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """True ASOF join: each left row takes the LATEST right row with
+    ``right.ts <= left.ts`` within its key group — the staple financial
+    lookup (mark every quote with the prevailing trade price) that the
+    reference only approximates with its fixed band join (J1 drops a
+    left row whose match is older than the band; this never does).
+
+    Implemented as the union-sort pattern, NOT a per-row range probe:
+    tag sides, union, and run one ``last(value, ignorenulls)`` over a
+    per-key event-time window — a single shuffle on the key, each key
+    group evaluated independently (no global sort), no theta join
+    anywhere. At equal timestamps the right row sorts BEFORE the left
+    row (side tiebreak), so a same-instant quote is visible to the
+    trade — the standard at-or-before convention, and exactly DuckDB's
+    ``ASOF JOIN`` semantics, which is what makes this oracle-checkable.
+    Right rows must be unique per (key, ts); dedup upstream (e.g.
+    ``max_by``) or the fill picks the physically-last peer.
+
+    Left rows with no prior right row keep NULL values (left-outer
+    semantics) — filter or fillna downstream as needed.
+    """
+    l = left.withColumn("__side", F.lit(1))
+    r = right.select(*key_cols, ts_col, *value_cols).withColumn(
+        "__side", F.lit(0)
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.withColumns(
+        {v: F.last(v, ignorenulls=True).over(w) for v in value_cols}
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")
 
 
 def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on: str | list[str], how: str = "inner") -> DataFrame:

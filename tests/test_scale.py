@@ -204,6 +204,21 @@ def test_ivf_assignment_corpus_never_shuffles(spark):
     ).count() == 0
 
 
+def test_asof_join_is_union_sort_not_theta(spark):
+    """The ASOF join must plan as a keyed window over a union — one
+    hashpartitioning shuffle on the key — never a theta/nested-loop
+    join (the naive `l.ts >= r.ts` formulation at 100 TB)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["j3_asof_last"](spark, SF_SMOKE)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "hashpartitioning(user_id" in plan, plan[:1200]
+    assert "Window" in plan
+
+
 def test_boilerplate_strip_broadcasts_digest_set(spark):
     """Cross-doc line dedup at 100 TB: the boilerplate digest set is
     small by construction (>= min_docs copies to qualify) and must
