@@ -596,8 +596,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x23_repetition": X.q_repetition_signals,
         "x24_pack_sequences": X.q_pack_sequences,
         "x25_chunk_docs": X.q_chunk_documents,
-        "x26_audio_frames": X.q_audio_frames,
-        "x27_resize_geometry": X.q_resize_geometry,
         "x29_zorder_key": X.q_zorder_key,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         # -- core reference-parity coverage -------------------------------
@@ -627,12 +625,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_calendar": _f8_calendar,
         "f13_minmax_norm": _f13_minmax_norm,
         "d1_dedup_exact": _d1_dedup_exact,
-        "d3_latest_point": _d3_latest_point,
         "q3_shipping_priority": _q3_shipping_priority,
         "q6_forecast_revenue": _q6_forecast_revenue,
-        "x5_dedup_exact_docs": X.q_dedup_exact_docs,
         # ------------------------------------------------- entry 50 ends
+        "d3_latest_point": _d3_latest_point,
+        "x5_dedup_exact_docs": X.q_dedup_exact_docs,
         # -- variants + singles (driver-green in round 3; pytest-covered) -
+        "x26_audio_frames": X.q_audio_frames,
+        "x27_resize_geometry": X.q_resize_geometry,
         "x6_minhash_lsh": X.q_minhash_lsh,
         "x8_ann_brute_topk": X.q_ann_brute_topk,
         "x11_ann_lsh_topk": X.q_ann_lsh_topk,
