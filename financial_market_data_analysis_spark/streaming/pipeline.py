@@ -570,6 +570,11 @@ def stateful_indicator_suite(
         out[ts_col] = pd.to_datetime(out[ts_col], unit="us")
         for c in ("up1", "down1", "up2", "down2"):
             out[c] = out[c].astype("int32")
+        # None folds to NaN in float columns; emit true NULLs (object
+        # dtype survives Arrow as null) so the stream matches the batch
+        # suite's NULL stoch/price_change exactly, not NaN-vs-NULL
+        for c in ("stoch", "price_change"):
+            out[c] = out[c].astype(object).where(pd.notna(out[c]), None)
         for i, k in enumerate(key_cols):
             out[k] = key[i]
         yield out[col_order]
