@@ -561,18 +561,10 @@ def _t9_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("low").cast("double").alias("low"),
         F.col("volume").cast("double").alias("volume"),
     )
+    import shutil
+
     cut = bars.agg(F.percentile_approx("ts", 0.5)).first()[0]
     src = tempfile.mkdtemp(prefix="t9_bars_")
-    # two time-ordered files → two micro-batches; per-key in-order
-    # arrival, the operator's documented contract
-    bars.filter(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
-    bars.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
-    stream = (
-        spark.readStream.schema(bars.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    out = stateful_indicator_suite(stream, ("symbol",), "ts")
     # The state store creates one partition per shuffle partition per
     # micro-batch; a vanilla session's 200 defaults cost ~20 s of pure
     # state-partition setup for a 5-key stream. Pin a small count for
@@ -581,6 +573,16 @@ def _t9_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        # two time-ordered files → two micro-batches; per-key in-order
+        # arrival, the operator's documented contract
+        bars.filter(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+        bars.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(bars.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stateful_indicator_suite(stream, ("symbol",), "ts")
         q = (
             out.writeStream.format("memory")
             .queryName("t9_stateful_suite_out")
@@ -588,9 +590,14 @@ def _t9_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # a timed-out stream must FAIL LOUDLY, not return the partially
+        # filled memory table as if it were the operator's answer
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t9_stateful_suite stream did not finish in 300 s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(src, ignore_errors=True)
     # derived indicators are rounded to 6 decimals on BOTH sides (the
     # x19/x33 precedent): the op's in-Python two-pass variance agrees
     # with SQL stddev_pop only to ULPs, and the driver's check is an

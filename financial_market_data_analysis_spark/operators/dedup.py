@@ -373,21 +373,6 @@ def jaccard_verify(
     return out.select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
 
 
-_STAT_CAP = 1024  # above this file count, skip per-file size RPCs
-
-
-def _bytes_conf(spark, key: str, default: str) -> int:
-    """Parse a Spark size conf that may carry a b/k/m/g suffix."""
-    v = str(spark.conf.get(key, default)).strip().lower()
-    for suf, mult in (
-        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
-        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
-    ):
-        if v.endswith(suf):
-            return int(v[: -len(suf)]) * mult
-    return int(v)
-
-
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition ONLY when the source has fewer partitions
     than the cluster has slots. A single-file corpus otherwise pins the
@@ -403,18 +388,15 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     * fewer files than slots → repartition (a file can split, but few
       huge files still bound scan parallelism at packing time; the
       extra narrow (id, text) shuffle is dominated by the fold savings);
-    * files ≥ slots but few enough to stat cheaply → estimate Spark's
-      file-packed partition count from total bytes + per-file open
-      cost (the many-tiny-files corpus packs into 1-2 scan partitions
-      even when the file COUNT looks parallel — the hot-spot this
-      function exists to prevent) and repartition if it comes up short;
-    * a genuinely many-file input (≥ ``_STAT_CAP``) is taken as
-      well-partitioned without touching the filesystem;
+    * files ≥ slots → no-op: Spark's split sizing includes a
+      bytes-per-core term (``max(openCostInBytes, totalBytes/slots)``),
+      so a scan with at least as many files as slots always packs into
+      at least ~slots partitions (measured: 64 tiny files on local[32]
+      → exactly 32 scan partitions) — no per-file size stat needed;
     * no files at all (in-memory relation) → fall back to the RDD
       partition probe — the one case that still pays the conversion.
     """
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
+    target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     if not files:
         if df.rdd.getNumPartitions() < target:
@@ -422,21 +404,6 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         return df
     if len(files) < target:
         return df.repartition(target)
-    if len(files) < _STAT_CAP:
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        max_bytes = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", "134217728")
-        open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", "4194304")
-        total = 0
-        fs = None
-        for f in files:
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            if fs is None:
-                fs = p.getFileSystem(hconf)
-            total += fs.getFileStatus(p).getLen() + open_cost
-        packed = max(1, -(-total // max_bytes))
-        if packed < target:
-            return df.repartition(target)
     return df
 
 

@@ -93,15 +93,19 @@ def asof_join_last(
     left row whose match is older than the band; this never does).
 
     Implemented as the union-sort pattern, NOT a per-row range probe:
-    tag sides, union, and run one ``last(value, ignorenulls)`` over a
+    tag sides, union, and fill with one ``last(…, ignorenulls)`` over a
     per-key event-time window — a single shuffle on the key, each key
     group evaluated independently (no global sort), no theta join
-    anywhere. At equal timestamps the right row sorts BEFORE the left
-    row (side tiebreak), so a same-instant quote is visible to the
-    trade — the standard at-or-before convention, and exactly DuckDB's
-    ``ASOF JOIN`` semantics, which is what makes this oracle-checkable.
-    Right rows must be unique per (key, ts); dedup upstream (e.g.
-    ``max_by``) or the fill picks the physically-last peer.
+    anywhere. The fill carries the latest right ROW as a struct (NULL
+    for left rows, non-null for every right row even when its value
+    fields are NULL), so a right row whose value is legitimately NULL
+    is returned as NULL rather than skipped for an older non-null one —
+    matching DuckDB's ``ASOF JOIN``, which matches rows, not values.
+    At equal timestamps the right row sorts BEFORE the left row (side
+    tiebreak), so a same-instant quote is visible to the trade — the
+    standard at-or-before convention. Right rows must be unique per
+    (key, ts); dedup upstream (e.g. ``max_by``) or the fill picks the
+    physically-last peer.
 
     Left rows with no prior right row keep NULL values (left-outer
     semantics) — filter or fillna downstream as needed.
@@ -116,10 +120,17 @@ def asof_join_last(
         .orderBy(ts_col, "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.withColumns(
-        {v: F.last(v, ignorenulls=True).over(w) for v in value_cols}
+    right_row = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(v) for v in value_cols])
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    filled = unioned.withColumn(
+        "__asof", F.last(right_row, ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .withColumns({v: F.col("__asof")[v] for v in value_cols})
+        .drop("__side", "__asof")
+    )
 
 
 def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on: str | list[str], how: str = "inner") -> DataFrame:

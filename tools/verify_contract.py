@@ -49,11 +49,22 @@ def main() -> int:
             continue
         odf = con.execute(o).fetchdf()
         cols = sorted(sdf.columns, key=str.lower)
+        ocols = sorted(odf.columns, key=str.lower)
+        # name drift between engine and oracle is a contract bug in its
+        # own right — report it instead of positionally pairing columns
+        if [c.lower() for c in cols] != [c.lower() for c in ocols]:
+            n_bad += 1
+            print(f"FAIL: {name} schema drift spark={cols} oracle={ocols}", flush=True)
+            continue
         sdf = sdf.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
-        odf = odf.reindex(sorted(odf.columns, key=str.lower), axis=1)
+        odf = odf.reindex(ocols, axis=1)
         odf.columns = cols
         odf = odf.sort_values(cols).reset_index(drop=True)
-        ok = len(sdf) == len(odf)
+        if len(sdf) != len(odf):
+            n_bad += 1
+            print(f"FAIL: {name} rows {len(sdf)}/{len(odf)}", flush=True)
+            continue
+        ok = True
         for c in cols:
             a, b = sdf[c], odf[c]
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
