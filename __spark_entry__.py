@@ -615,6 +615,71 @@ def _t9_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t6_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's STREAMING form made driver-adjudicable: the watermarked
+    stream-stream bucketed band join (the reference's core topology,
+    spark_consumer.py:437-477) runs as a real two-micro-batch
+    availableNow stream into a memory sink and must produce EXACTLY
+    the batch join's rows — the j1 oracle SQL verbatim. Both sides
+    watermark 5 minutes; the band is 3, so a deep row whose match
+    arrives in the next micro-batch is still in state when it does
+    (watermark > band — the state-retention inequality the reference
+    relies on), and rows old enough for eviction can no longer match.
+    No broker in the sandbox, so parquet files stand in for Kafka
+    topics; the join/state/watermark semantics under test are
+    identical."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir)
+    deep = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("deep_id"),
+        F.col("ts").alias("deep_ts"),
+        F.col("value").alias("deep_val"),
+    )
+    quote = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_val"),
+    )
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    dirs = {}
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for name, df, ts in (("deep", deep, "deep_ts"), ("quote", quote, "view_ts")):
+            src = tempfile.mkdtemp(prefix=f"t6_{name}_")
+            df.filter(F.col(ts) <= cut).coalesce(1).write.mode("append").parquet(src)
+            df.filter(F.col(ts) > cut).coalesce(1).write.mode("append").parquet(src)
+            dirs[name] = (src, df.schema, ts)
+        streams = {
+            name: spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark(ts, "5 minutes")
+            for name, (src, schema, ts) in dirs.items()
+        }
+        joined = asof_band_join(
+            streams["deep"], streams["quote"], "deep_ts", "view_ts",
+            band_seconds=180, ts_unit="ts",
+        ).select("deep_id", "view_id", "deep_val", "view_val")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("t6_stream_join_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t6 stream join did not finish in 300 s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        for src, _, _ in dirs.values():
+            shutil.rmtree(src, ignore_errors=True)
+    return spark.table("t6_stream_join_out")
+
+
 def _pipeline_bars_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the whole reference dataflow (5 feeds → join → features
     → indicators → targets) as one Spark plan. See plans/pipeline.py."""
@@ -661,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_full_row_part": _pipeline_full_row_part,
         "pipeline_bars_joined": _pipeline_bars_joined,
         "t9_stateful_suite": _t9_stateful_suite,
+        "t6_stream_interval_join": _t6_stream_interval_join,
         "x28_corpus_pipeline": X.q_corpus_pipeline,
         "x16_dedup_clusters": X.q_dedup_clusters,
         "x31_minhash_clusters": X.q_minhash_clusters,
@@ -677,7 +743,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x22_decontaminate": X.q_decontaminate,
         "x23_repetition": X.q_repetition_signals,
         "x24_pack_sequences": X.q_pack_sequences,
-        "x25_chunk_docs": X.q_chunk_documents,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         # -- core reference-parity coverage -------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
@@ -710,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": _q6_forecast_revenue,
         # ------------------------------------------------- entry 50 ends
         "d3_latest_point": _d3_latest_point,
+        "x25_chunk_docs": X.q_chunk_documents,
         "x29_zorder_key": X.q_zorder_key,
         "x5_dedup_exact_docs": X.q_dedup_exact_docs,
         # -- variants + singles (driver-green in round 3; pytest-covered) -
@@ -1040,6 +1106,25 @@ def oracle_sql() -> dict[str, str]:
                 (l_extendedprice - mn_e) / (mx_e - mn_e) AS l_extendedprice_norm,
                 (l_discount - mn_d) / (mx_d - mn_d) AS l_discount_norm
             FROM lineitem, p
+        """,
+        # t6 is the STREAMING run of the same join — identical rows by
+        # contract, so it shares j1's oracle verbatim
+        "t6_stream_interval_join": """
+            WITH deep AS (
+                SELECT event_id AS deep_id, epoch_us(ts) AS deep_ts_us,
+                       value AS deep_val
+                FROM events WHERE event_type = 'purchase'
+            ),
+            quote AS (
+                SELECT event_id AS view_id, epoch_us(ts) AS view_ts_us,
+                       value AS view_val
+                FROM events WHERE event_type = 'view'
+            )
+            SELECT deep_id, view_id, deep_val, view_val
+            FROM deep JOIN quote
+              ON (deep_ts_us // 300000000) = (view_ts_us // 300000000)
+             AND view_ts_us >= deep_ts_us
+             AND view_ts_us <= deep_ts_us + 180000000
         """,
         "j1_interval_join": """
             WITH deep AS (
