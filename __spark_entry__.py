@@ -680,6 +680,61 @@ def _t6_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("t6_stream_join_out")
 
 
+def _t1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1's streaming form made driver-adjudicable: every 10th event is
+    injected as an exact duplicate into the same micro-batch, the
+    stream dedups on the event key with watermark-bounded state
+    (``dropDuplicatesWithinWatermark`` — one state entry per key per
+    watermark window, the scale path the reference's all-column
+    ``dropDuplicates`` lacks), and the emitted rows must be EXACTLY
+    the original distinct events (the oracle). Duplicates ride in the
+    same batch as their originals, so state retention is exercised
+    without depending on cross-batch watermark timing."""
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.streaming.pipeline import (
+        dedup_within_watermark,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    dups = ev.filter(F.col("event_id") % 10 == 0)
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    src = tempfile.mkdtemp(prefix="t1_dedup_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for half in (F.col("ts") <= cut, F.col("ts") > cut):
+            ev.filter(half).unionAll(dups.filter(half)).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "5 minutes")
+        )
+        out = dedup_within_watermark(stream, ["event_id"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t1_stream_dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t1 stream dedup did not finish in 300 s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table("t1_stream_dedup_out").select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "user_id", "value"
+    )
+
+
 def _pipeline_bars_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the whole reference dataflow (5 feeds → join → features
     → indicators → targets) as one Spark plan. See plans/pipeline.py."""
@@ -727,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_bars_joined": _pipeline_bars_joined,
         "t9_stateful_suite": _t9_stateful_suite,
         "t6_stream_interval_join": _t6_stream_interval_join,
+        "t1_stream_dedup": _t1_stream_dedup,
         "x28_corpus_pipeline": X.q_corpus_pipeline,
         "x16_dedup_clusters": X.q_dedup_clusters,
         "x31_minhash_clusters": X.q_minhash_clusters,
@@ -742,7 +798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x21_pii_scrub": X.q_pii_scrub,
         "x22_decontaminate": X.q_decontaminate,
         "x23_repetition": X.q_repetition_signals,
-        "x24_pack_sequences": X.q_pack_sequences,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         # -- core reference-parity coverage -------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
@@ -775,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": _q6_forecast_revenue,
         # ------------------------------------------------- entry 50 ends
         "d3_latest_point": _d3_latest_point,
+        "x24_pack_sequences": X.q_pack_sequences,
         "x25_chunk_docs": X.q_chunk_documents,
         "x29_zorder_key": X.q_zorder_key,
         "x5_dedup_exact_docs": X.q_dedup_exact_docs,
@@ -1106,6 +1162,12 @@ def oracle_sql() -> dict[str, str]:
                 (l_extendedprice - mn_e) / (mx_e - mn_e) AS l_extendedprice_norm,
                 (l_discount - mn_d) / (mx_d - mn_d) AS l_discount_norm
             FROM lineitem, p
+        """,
+        # t1 streaming dedup must emit exactly the original distinct
+        # events (the injected duplicates vanish)
+        "t1_stream_dedup": """
+            SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+            FROM events
         """,
         # t6 is the STREAMING run of the same join — identical rows by
         # contract, so it shares j1's oracle verbatim
