@@ -58,6 +58,28 @@ def test_train_target_classifier_runs(spark):
     )
 
 
+def test_mllib_scoring_matches_closed_form(spark):
+    """MLlib's LogisticRegressionModel.transform must agree with the
+    closed-form ``sigmoid(coef·x + intercept)`` computed from the
+    fitted model's own coefficients — the semantics ml3's
+    fixed-coefficient oracle checks cross-engine (training itself
+    stays rows-only in ml2; this pins the SCORING half to MLlib)."""
+    import numpy as np
+
+    c = candles_from_events(load_table(spark, "events", SF_SMOKE))
+    bars = indicator_suite(c, ["bucket_start"])
+    feats = ["close", "volume", "price_MA20", "ATR", "stoch"]
+    model, _, test, _ = train_target_classifier(bars, feats)
+    pred = model.transform(test).select("features", "probability").limit(50).collect()
+    lr = model.stages[-1]
+    coef = np.array(lr.coefficients)
+    b = lr.intercept
+    for r in pred:
+        p_mllib = float(r.probability[1])
+        p_closed = 1.0 / (1.0 + np.exp(-(float(np.dot(coef, r.features)) + b)))
+        assert abs(p_mllib - p_closed) < 1e-9
+
+
 def test_fake_decode_deterministic():
     a = fake_decode_features(b"hello")
     b = fake_decode_features(b"hello")
