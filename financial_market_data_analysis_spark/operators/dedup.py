@@ -395,6 +395,14 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
       → exactly 32 scan partitions) — no per-file size stat needed;
     * no files at all (in-memory relation) → fall back to the RDD
       partition probe — the one case that still pays the conversion.
+
+    Caveat (r4 advice): the probe assumes a SINGLE-scan input. For a
+    composite plan (union/join of several scans) ``inputFiles()``
+    returns the union of all inputs' files, so the count can reach the
+    slot target while the CPU-heavy side is still one file and the
+    repartition is silently skipped — perf-only, never a correctness
+    issue. Callers in this package apply it directly to one freshly
+    loaded table; for composite plans, repartition explicitly.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
@@ -695,7 +703,18 @@ def _sketch_band_edges(
     )
 
 
-def _min_label_propagation(sym: DataFrame, max_iter: int = 25) -> DataFrame:
+def _truncate(df: DataFrame, eager: bool, reliable: bool) -> DataFrame:
+    """The CC loop's plan-truncation point: executor-local blocks by
+    default (fast, lost with an executor), reliable ``checkpoint()``
+    files when the caller opted in via ``checkpoint_dir`` — on a real
+    cluster a lost executor mid-loop then re-reads its blocks from
+    shared storage instead of restarting the whole iteration."""
+    return df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
+
+
+def _min_label_propagation(
+    sym: DataFrame, max_iter: int = 25, reliable: bool = False
+) -> DataFrame:
     """Min-label propagation + pointer jumping over a symmetric,
     already-materialized (a, b) edge table. Returns (id, cluster_id)
     where cluster_id is the component's minimum node id.
@@ -723,10 +742,11 @@ def _min_label_propagation(sym: DataFrame, max_iter: int = 25) -> DataFrame:
     large-star/small-star shape published for MapReduce CC).
 
     ``localCheckpoint`` trades fault tolerance for speed (blocks live on
-    executors); on a real cluster where a lost executor mid-loop must
-    not restart the whole iteration, switch to reliable
-    ``checkpoint()`` with ``sparkContext.setCheckpointDir`` on shared
-    storage — same truncation semantics, same call sites.
+    executors); ``reliable=True`` (set by the public entry points when
+    given a ``checkpoint_dir``) switches every truncation point to
+    reliable ``checkpoint()`` on shared storage — same truncation
+    semantics, same call sites, and a lost executor mid-loop re-reads
+    its blocks instead of restarting the whole iteration.
     """
     nodes = sym.select(F.col("a")).distinct()
     # Partition the loop's frames proportionally to the GRAPH size, not
@@ -747,15 +767,18 @@ def _min_label_propagation(sym: DataFrame, max_iter: int = 25) -> DataFrame:
     # join; the static edge table is pre-partitioned on the join key
     # (localCheckpoint preserves the partitioning), so only the small
     # per-round label frame shuffles into the join.
-    sym2 = (
-        sym.union(nodes.select(F.col("a"), F.col("a").alias("b")))
-        .repartition(n_part, F.col("a"))
-        .localCheckpoint(eager=True)
+    sym2 = _truncate(
+        sym.union(nodes.select(F.col("a"), F.col("a").alias("b"))).repartition(
+            n_part, F.col("a")
+        ),
+        eager=True,
+        reliable=reliable,
     )
-    labels = (
+    labels = _truncate(
         nodes.select(F.col("a").alias("id"), F.col("a").alias("cluster_id"))
-        .repartition(n_part, F.col("id"))
-        .localCheckpoint(eager=True)
+        .repartition(n_part, F.col("id")),
+        eager=True,
+        reliable=reliable,
     )
     for it in range(max_iter):
         m = (
@@ -766,13 +789,13 @@ def _min_label_propagation(sym: DataFrame, max_iter: int = 25) -> DataFrame:
         # pointer jump: replace each label with that label's own label
         # (labels are node ids, so this is a self-join on the id key)
         parent = m.select(F.col("id").alias("pid"), F.col("l1").alias("plabel"))
-        new_labels = (
-            m.join(parent, m["l1"] == parent["pid"], "left")
-            .select(
+        new_labels = _truncate(
+            m.join(parent, m["l1"] == parent["pid"], "left").select(
                 "id",
                 F.least(F.col("l1"), F.coalesce("plabel", "l1")).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
+            reliable=reliable,
         )
         prev = labels
         labels = new_labels
@@ -812,25 +835,38 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Dedup-cluster resolution: connected components over a near-dup
     pair table via min-label propagation (see
     ``_min_label_propagation`` for the iteration shape). Returns
     (doc_id, cluster_id) for every node in the edge set; cluster_id is
     the component's minimum doc id (the canonical "keeper" in a dedup
-    pipeline)."""
+    pipeline).
+
+    ``checkpoint_dir`` switches every plan-truncation point from
+    ``localCheckpoint`` (executor-local blocks — fast, but on a real
+    cluster a lost executor mid-loop restarts the whole iteration) to
+    reliable ``checkpoint()`` files under that directory (shared
+    storage — HDFS/S3 path on a cluster). Output is identical; only
+    the failure-recovery story changes."""
+    reliable = checkpoint_dir is not None
+    if reliable:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     # Materialize the caller's edge plan once — the symmetrizing union
     # references it twice, which would double-evaluate an arbitrary
     # upstream candidate pipeline.
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
-        eager=True
+    e = _truncate(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")),
+        eager=True,
+        reliable=reliable,
     )
-    sym = (
-        e.union(e.select(F.col("b"), F.col("a")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    sym = _truncate(
+        e.union(e.select(F.col("b"), F.col("a"))).distinct(),
+        eager=True,
+        reliable=reliable,
     )
-    labels = _min_label_propagation(sym, max_iter)
+    labels = _min_label_propagation(sym, max_iter, reliable=reliable)
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
@@ -841,6 +877,7 @@ def simhash_dedup_clusters(
     n_bands: int = 4,
     max_hamming: int = 3,
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Transitive near-dup clusters straight from the corpus, fused at
     SKETCH granularity. Equivalent to
@@ -859,15 +896,25 @@ def simhash_dedup_clusters(
     emitted pairs, but costs this operator one node, one self-loop,
     and a million output rows. Returns (id_col, cluster_id) for every
     doc in some near-dup relation — identical rows to the pair-based
-    composition."""
+    composition.
+
+    ``checkpoint_dir``: see ``connected_components`` — reliable
+    ``checkpoint()`` under that directory instead of executor-local
+    blocks, for clusters where mid-loop executor loss must not restart
+    the iteration."""
     _validate_bands(n_bands, max_hamming)
+    reliable = checkpoint_dir is not None
+    if reliable:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     sketches = _simhash_sketches(df, id_col, text_col).persist()
     # Checkpoint the verified edge set BEFORE symmetrizing: the union
     # below references it twice, and an unmaterialized plan would pay
     # the band self-join + Hamming verify once per branch (the r2 x6
     # lesson at sketch granularity).
-    edges = _sketch_band_edges(sketches, n_bands, max_hamming).localCheckpoint(
-        eager=True
+    edges = _truncate(
+        _sketch_band_edges(sketches, n_bands, max_hamming),
+        eager=True,
+        reliable=reliable,
     )
     loops = sketches.filter(F.size("ids") >= 2).select(
         F.col("simhash").alias("a"), F.col("simhash").alias("b")
@@ -875,17 +922,19 @@ def simhash_dedup_clusters(
     # No .distinct(): the three branches are disjoint by construction
     # (sh_a < sh_b forward, reversed, and a == b self-loops), and
     # min-label propagation is idempotent under duplicate edges anyway.
-    sym = (
+    sym = _truncate(
         edges.select(F.col("sh_a").alias("a"), F.col("sh_b").alias("b"))
         .union(edges.select(F.col("sh_b").alias("a"), F.col("sh_a").alias("b")))
-        .union(loops)
-        .localCheckpoint(eager=True)
+        .union(loops),
+        eager=True,
+        reliable=reliable,
     )
-    comp = _min_label_propagation(sym, max_iter)
-    members = (
+    comp = _min_label_propagation(sym, max_iter, reliable=reliable)
+    members = _truncate(
         sketches.join(comp, sketches["simhash"] == comp["id"])
-        .select(F.explode("ids").alias(id_col), F.col("cluster_id").alias("comp"))
-        .localCheckpoint(eager=True)
+        .select(F.explode("ids").alias(id_col), F.col("cluster_id").alias("comp")),
+        eager=True,
+        reliable=reliable,
     )
     sketches.unpersist()
     comp_min = members.groupBy("comp").agg(F.min(id_col).alias("cluster_id"))

