@@ -40,6 +40,26 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_j5_query_join_is_shuffle_free(spark):
+    """The EXACT query the driver adjudicates (j5_bucketed_join) must
+    join its two bucketed tables without an Exchange between the scans
+    and the join — the co-located shape is asserted on the shipped
+    query, not just the operator in isolation."""
+    import __spark_entry__ as entry_mod
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = entry_mod.queries()["j5_bucketed_join"](spark, SF_SMOKE)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:800]
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS j5_purch")
+        spark.sql("DROP TABLE IF EXISTS j5_views")
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salting must not change join semantics: every (row, dim) pair of
     the plain join appears exactly once."""
