@@ -591,6 +591,61 @@ def test_session_windows_streaming_parity(spark, tmp_path):
         assert abs(r.sum_value - s) < 1e-9
 
 
+def test_session_windows_restart_no_duplicate_sessions(spark, tmp_path):
+    """T4/T7 — kill-and-restart for session-window state: a restart on
+    the same checkpoint must resume the session store (sessions
+    straddling the restart merge correctly) and never re-emit an
+    already-finalized session."""
+    from financial_market_data_analysis_spark.operators.windows import (
+        session_windows,
+    )
+
+    ev = load_table(spark, "events", SF_SMOKE).select("user_id", "ts", "value")
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    out = str(tmp_path / "sess_out")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = session_windows(P.watermarked(stream, "ts"), "ts", ("user_id",))
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    _run()
+    n_first = spark.read.parquet(out).count()
+
+    ev.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+    _run()
+
+    emitted = spark.read.parquet(out)
+    assert emitted.count() > n_first  # restart picked up the new file
+    # no session emitted twice across the restart boundary
+    assert (
+        emitted.groupBy("user_id", "session_start").count().filter("count > 1").count()
+        == 0
+    )
+    # every emitted session matches the batch computation exactly
+    batch = {
+        (r.user_id, r.session_start): (r.session_last, r.n_events)
+        for r in session_windows(ev, "ts", ("user_id",)).collect()
+    }
+    for r in emitted.collect():
+        assert batch[(r.user_id, r.session_start)] == (r.session_last, r.n_events)
+
+
 def test_stateful_stream_on_rocksdb_state_store(spark, tmp_path):
     """The RocksDB state-store scale path actually runs in this
     environment: a watermarked dedup (stateful) query executes with the
