@@ -1025,11 +1025,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     adjudication set: the flagships, every NEW query (t6b/t4b/ml3/j5),
     and the five queries that had never had a driver row in any round
     (x24/x25/x26/x27/x29 — the r4 verdict's #1 ask). To make room,
-    nine flagship-subsumed singles move past the window: w1-w7 are
-    re-verified every round inside t9's stateful W1-W8 suite and both
-    pipeline flagships, f1/f13 inside pipeline_full_row; all nine are
-    two-rounds driver-green and stay covered by the pytest
-    oracle-parity suite regardless of the driver's window."""
+    ten flagship-subsumed singles move past the window: w1-w8 are
+    re-verified every round inside t9's stateful W1-W8 suite (which
+    emits the W8 up/down targets) and both pipeline flagships, f1/f13
+    inside pipeline_full_row; all ten are two-rounds driver-green and
+    stay covered by the pytest oracle-parity suite regardless of the
+    driver's window."""
     return {
         # -- flagships + never/newly-adjudicated queries first ------------
         "pipeline_full_row": _pipeline_full_row,
@@ -1047,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x29_zorder_key": X.q_zorder_key,
         "ml3_score_parity": _ml3_score_parity,
         "j5_bucketed_join": _j5_bucketed_join,
+        "x34_kmeans_train": X.q_kmeans_train,
         "x28_corpus_pipeline": X.q_corpus_pipeline,
         "x16_dedup_clusters": X.q_dedup_clusters,
         "x31_minhash_clusters": X.q_minhash_clusters,
@@ -1066,7 +1068,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- core reference-parity coverage -------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "candles_5min": _candles_5min,
-        "w8_targets": _w8_targets,
         "w9_partitioned_indicators": _w9_partitioned_indicators,
         "w10_topk_per_group": _w10_topk_per_group,
         "w11_range_frame": _w11_range_frame,
@@ -1094,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_stochastic": _w5_stochastic,
         "w6_price_change": _w6_price_change,
         "w7_atr": _w7_atr,
+        "w8_targets": _w8_targets,
         "f1_wick": _f1_wick,
         "f13_minmax_norm": _f13_minmax_norm,
         "d3_latest_point": _d3_latest_point,
@@ -1769,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
         "x15_simhash_neardup": X.simhash_neardup_oracle(),
         "x16_dedup_clusters": X.dedup_clusters_oracle(),
         "x30_ann_recall": X.ann_recall_oracle(),
+        "x34_kmeans_train": X.kmeans_train_oracle(),
         "x31_minhash_clusters": X.minhash_clusters_oracle(),
         "x11b_ann_lsh_multi": X.ann_lsh_multi_oracle(),
         "x32_boilerplate": X.boilerplate_oracle(),

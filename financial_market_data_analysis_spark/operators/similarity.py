@@ -316,6 +316,65 @@ def ivf_topk(
     )
 
 
+def kmeans_lloyd(
+    corpus: DataFrame,
+    init_centroids: DataFrame,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    dim: int = 64,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd k-means refinement of an initial centroid set —
+    the in-engine INDEX BUILD for the IVF path: ``ivf_topk`` (x12)
+    probes cells, this trains them, closing the loop x30's measured
+    recall exists to drive (recall drops as the corpus drifts → retrain
+    the coarse quantizer in place).
+
+    Per iteration, two stages and ONE shuffle:
+
+    * assignment — ``ivf_assignments``' zero-shuffle broadcast argmax
+      (K centroids collapse to one broadcast struct-array row; the
+      nearest-centroid fold is row-local, cosine metric, ties to the
+      lowest centroid id);
+    * update — the element-wise mean as ``dim`` scalar ``avg``
+      aggregates over one partial-aggregatable ``groupBy(centroid)``
+      (map-side combine; no N×dim row explosion, no array-keyed
+      shuffle), re-packed to one array column.
+
+    Fixed ``n_iter`` (no convergence check) keeps the job count
+    deterministic; updated centroids are rounded to ``round_decimals``
+    each iteration so distributed partial-sum ULP drift can't leak into
+    the next assignment's argmax — the property that makes an
+    ITERATIVE training loop exactly reproducible in ANSI SQL (the x34
+    oracle unrolls the iterations as CTEs). Cells that lose all members
+    drop out (standard Lloyd behavior; K can only shrink).
+
+    Returns (centroid_id, n_assigned, vec_col) — the trained
+    centroids, sized by their final assignment counts, directly
+    consumable by ``ivf_topk``.
+    """
+    cents = init_centroids.select(centroid_id, vec_col)
+    for _ in range(n_iter):
+        assigned = ivf_assignments(corpus, cents, id_col, vec_col, centroid_id)
+        dims = [
+            F.avg(F.element_at(F.col(vec_col), j + 1).cast("double")).alias(f"__d{j}")
+            for j in range(dim)
+        ]
+        upd = assigned.groupBy(centroid_id).agg(
+            F.count(F.lit(1)).alias("n_assigned"), *dims
+        )
+        cents = upd.select(
+            centroid_id,
+            "n_assigned",
+            F.array(
+                *[F.round(F.col(f"__d{j}"), round_decimals) for j in range(dim)]
+            ).alias(vec_col),
+        )
+    return cents
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -588,6 +588,71 @@ def ann_lsh_oracle() -> str:
     """
 
 
+KMEANS_ITERS = 2  # fixed Lloyd iterations for the x34 index build
+EMB_DIM_K = 64  # embedding dimensionality (matches the driver's table)
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x34 — in-engine IVF index BUILD: two distributed Lloyd k-means
+    iterations refine the deterministic coarse-centroid sample x12
+    probes (see ``operators.similarity.kmeans_lloyd`` for the
+    one-shuffle-per-iteration scale shape). An ITERATIVE training loop
+    made hash-checkable: per-iteration centroid rounding pins the
+    floating point, so the DuckDB twin unrolls both iterations as CTEs
+    and the trained centroids compare exactly. Output: the trained
+    centroids flattened to (centroid_id, n_assigned, dim_idx, val)."""
+    corpus = load_table(spark, "embeddings", sf_dir)
+    cents = S.kmeans_lloyd(
+        corpus, _centroids(spark, sf_dir), n_iter=KMEANS_ITERS, dim=EMB_DIM_K
+    )
+    return cents.select(
+        "centroid_id",
+        F.col("n_assigned").cast("int").alias("n_assigned"),
+        F.posexplode("embedding").alias("dim_idx", "val"),
+    )
+
+
+def kmeans_train_oracle() -> str:
+    """DuckDB twin of x34: the two Lloyd iterations unrolled as CTEs —
+    assignment via the x12 argmin pattern, element-wise mean via a
+    generate_series dimension join, centroids rounded per iteration
+    exactly like the Spark loop."""
+    update = """
+        SELECT centroid_id,
+               max(cnt) AS n_members,
+               list(val ORDER BY j) AS embedding
+        FROM (
+            SELECT a.centroid_id, g.j, count(*) AS cnt,
+                   round(avg(CAST(a.embedding[g.j] AS DOUBLE)), 6) AS val
+            FROM {assign} a, generate_series(1, {dim}) g(j)
+            GROUP BY a.centroid_id, g.j
+        ) GROUP BY centroid_id
+    """
+    assign = """
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos} DESC, c.centroid_id) AS rk
+            FROM embeddings e CROSS JOIN {cents} c
+        ) WHERE rk = 1
+    """
+    return f"""
+        WITH cent0 AS (
+            SELECT vec_id AS centroid_id, embedding FROM embeddings
+            WHERE vec_id % {CENTROID_MOD} = 0
+        ),
+        assign1 AS ({assign.format(cos=_COS_AC, cents="cent0")}),
+        cent1 AS ({update.format(assign="assign1", dim=EMB_DIM_K)}),
+        assign2 AS ({assign.format(cos=_COS_AC, cents="cent1")}),
+        cent2 AS ({update.format(assign="assign2", dim=EMB_DIM_K)})
+        SELECT centroid_id,
+               CAST(n_members AS INT) AS n_assigned,
+               CAST(g.j - 1 AS INT) AS dim_idx,
+               embedding[g.j] AS val
+        FROM cent2, generate_series(1, {EMB_DIM_K}) g(j)
+    """
+
+
 LSH_TABLES = 4  # multi-table LSH: the x11b / x30 recall levers
 LSH_MULTI_PLANES = 4  # fewer planes per table than x11's 8 — see below
 

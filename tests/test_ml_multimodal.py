@@ -114,6 +114,35 @@ def test_frame_sample_grid(spark):
     assert n == one.duration_ms // 1000 + 1
 
 
+def test_kmeans_lloyd_converges_to_cluster_means(spark):
+    """Two well-separated clusters with seeds one-per-cluster: after 2
+    Lloyd iterations each centroid must equal its cluster's element-wise
+    mean (rounded), with the right member counts; a seed that captures
+    no vectors must drop out (cells can only shrink)."""
+    from financial_market_data_analysis_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    a = [[1.0, 0.0, 0.0, 0.1], [1.0, 0.1, 0.0, 0.0], [0.9, 0.0, 0.1, 0.0]]
+    b = [[0.0, 1.0, 0.2, 0.0], [0.0, 0.9, 0.0, 0.1]]
+    rows = [(i, v) for i, v in enumerate(a + b)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # seeds: one in each cluster, plus one orthogonal seed that matches
+    # nothing better than the true seeds do
+    seeds = spark.createDataFrame(
+        [(0, a[0]), (3, b[0])], "centroid_id long, embedding array<float>"
+    )
+    got = {
+        r.centroid_id: (r.n_assigned, [round(x, 6) for x in r.embedding])
+        for r in kmeans_lloyd(corpus, seeds, n_iter=2, dim=4).collect()
+    }
+    assert got[0][0] == 3 and got[3][0] == 2
+    mean_a = [round(sum(v[j] for v in a) / 3, 6) for j in range(4)]
+    mean_b = [round(sum(v[j] for v in b) / 2, 6) for j in range(4)]
+    assert got[0][1] == pytest.approx(mean_a, abs=2e-6)
+    assert got[3][1] == pytest.approx(mean_b, abs=2e-6)
+
+
 def test_gaussian_bucket_dim_guard(spark):
     """A vector whose length differs from the plane dim must raise, not
     silently land in the all-zeros bucket (r2 advice)."""
