@@ -612,11 +612,10 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmeans_train_oracle() -> str:
-    """DuckDB twin of x34: the two Lloyd iterations unrolled as CTEs —
-    assignment via the x12 argmin pattern, element-wise mean via a
-    generate_series dimension join, centroids rounded per iteration
-    exactly like the Spark loop."""
+def _kmeans_ctes() -> str:
+    """The two unrolled Lloyd iterations as a reusable CTE chain
+    (cent0 → assign1 → cent1 → assign2 → cent2) — shared by the x34
+    trained-centroid oracle and x30's ivf_trained recall twin."""
     update = """
         SELECT centroid_id,
                max(cnt) AS n_members,
@@ -636,20 +635,62 @@ def kmeans_train_oracle() -> str:
             FROM embeddings e CROSS JOIN {cents} c
         ) WHERE rk = 1
     """
-    return f"""
-        WITH cent0 AS (
+    return f"""cent0 AS (
             SELECT vec_id AS centroid_id, embedding FROM embeddings
             WHERE vec_id % {CENTROID_MOD} = 0
         ),
         assign1 AS ({assign.format(cos=_COS_AC, cents="cent0")}),
         cent1 AS ({update.format(assign="assign1", dim=EMB_DIM_K)}),
         assign2 AS ({assign.format(cos=_COS_AC, cents="cent1")}),
-        cent2 AS ({update.format(assign="assign2", dim=EMB_DIM_K)})
+        cent2 AS ({update.format(assign="assign2", dim=EMB_DIM_K)})"""
+
+
+def kmeans_train_oracle() -> str:
+    """DuckDB twin of x34: the two Lloyd iterations unrolled as CTEs —
+    assignment via the x12 argmin pattern, element-wise mean via a
+    generate_series dimension join, centroids rounded per iteration
+    exactly like the Spark loop."""
+    return f"""
+        WITH {_kmeans_ctes()}
         SELECT centroid_id,
                CAST(n_members AS INT) AS n_assigned,
                CAST(g.j - 1 AS INT) AS dim_idx,
                embedding[g.j] AS val
         FROM cent2, generate_series(1, {EMB_DIM_K}) g(j)
+    """
+
+
+def ann_ivf_trained_oracle() -> str:
+    """x12's IVF oracle over the x34-TRAINED centroids (cent2) instead
+    of the raw deterministic sample — x30's ivf_trained twin."""
+    return f"""
+        WITH {_kmeans_ctes()},
+        assign AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_COS_AC} DESC, c.centroid_id) AS rk
+                FROM embeddings e CROSS JOIN cent2 c
+            ) WHERE rk = 1
+        ),
+        probes AS (
+            SELECT query_id, embedding, centroid_id FROM (
+                SELECT e.vec_id AS query_id, e.embedding, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_COS_AC} DESC, c.centroid_id) AS rk
+                FROM embeddings e CROSS JOIN cent2 c
+                WHERE e.vec_id < {N_QUERY_VECS}
+            ) WHERE rk <= {IVF_NPROBE}
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id, {_COS_SQL} AS cosine
+            FROM assign e JOIN probes q ON e.centroid_id = q.centroid_id
+        )
+        SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
     """
 
 
@@ -723,11 +764,15 @@ def ann_lsh_multi_oracle(n_tables: int = LSH_TABLES) -> str:
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k of both approximate ANN paths (x11 LSH gate, x12 IVF
-    probe) against x8's exact top-k — the quality number an approximate
-    index must publish next to its speedup (an ANN path without a
-    measured recall is unfinished at 100 TB: nothing tells you when the
-    bucket width / nprobe needs retuning as the corpus drifts).
+    """recall@k of every approximate ANN path — single/multi-table LSH
+    (x11/x11b), IVF over the raw centroid sample (x12), and IVF over
+    the x34-TRAINED quantizer — against x8's exact top-k: the quality
+    number an approximate index must publish next to its speedup (an
+    ANN path without a measured recall is unfinished at 100 TB: nothing
+    tells you when the bucket width / nprobe / quantizer needs retuning
+    as the corpus drifts). This measurement already drove two retunes:
+    the r5 plane-count sweep (lsh_multi 0.14 → 0.60) and the Lloyd
+    retrain (ivf 0.40 → ivf_trained 0.58 at sf0.1).
 
     Per (method, query): |approx_hits ∩ exact_topk| / k. Queries whose
     approximate candidate set came back empty still emit a row (recall
@@ -750,6 +795,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id")
     ivf = S.ivf_topk(
         corpus, qv, _centroids(spark, sf_dir), k=TOP_K, nprobe=IVF_NPROBE
+    ).select("query_id", "vec_id")
+    # the x34-trained quantizer, probed identically: the measured value
+    # of the index BUILD (raw sample 0.40 → trained 0.58 at sf0.1)
+    trained = S.kmeans_lloyd(
+        corpus, _centroids(spark, sf_dir), n_iter=KMEANS_ITERS, dim=EMB_DIM_K
+    )
+    ivf_trained = S.ivf_topk(
+        corpus, qv, trained, k=TOP_K, nprobe=IVF_NPROBE
     ).select("query_id", "vec_id")
     spine = exact.select("query_id").distinct()
 
@@ -774,6 +827,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         one("lsh", lsh)
         .unionByName(one("lsh_multi", lsh_multi))
         .unionByName(one("ivf", ivf))
+        .unionByName(one("ivf_trained", ivf_trained))
     )
 
 
@@ -785,6 +839,7 @@ def ann_recall_oracle() -> str:
         "lsh": ann_lsh_oracle(),
         "lsh_multi": ann_lsh_multi_oracle(),
         "ivf": ann_ivf_oracle(),
+        "ivf_trained": ann_ivf_trained_oracle(),
     }
     ctes = ",\n        ".join(
         f"m_{name} AS MATERIALIZED ({sql})" for name, sql in methods.items()
