@@ -977,9 +977,14 @@ def _j5_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_views"),
         F.avg("value").alias("view_avg"),
     )
-    # fixed external paths (mode=overwrite in write_bucketed): re-runs
-    # replace, never accumulate
-    base = "/tmp/spark_graft_j5"
+    # per-invocation temp dir (r5 review): a FIXED path would race when
+    # two sessions run the query concurrently (one session's bucketed
+    # scan reading files the other is mid-overwrite). The few KB of
+    # bucketed parquet stay until OS temp cleanup — they must outlive
+    # this call because the returned plan reads them lazily.
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="spark_graft_j5_")
     _os.makedirs(base, exist_ok=True)
     write_bucketed(purch, "j5_purch", "user_id", 8, path=f"{base}/purch")
     write_bucketed(views, "j5_views", "user_id", 8, path=f"{base}/views")

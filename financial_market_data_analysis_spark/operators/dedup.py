@@ -703,6 +703,30 @@ def _sketch_band_edges(
     )
 
 
+def _set_checkpoint_dir(df: DataFrame, checkpoint_dir: str) -> None:
+    """Point the SparkContext at ``checkpoint_dir``, warning if this
+    overrides a DIFFERENT directory the application had already set —
+    the setting is session-global, and silently redirecting someone
+    else's ``checkpoint()`` recovery files into a directory the dedup
+    caller may treat as temporary would corrupt unrelated lineage
+    recovery (r5 review). The override is still applied (the caller
+    asked for reliable checkpointing HERE); restore it afterwards if
+    the old location is still needed."""
+    sc = df.sparkSession.sparkContext
+    prev = sc._jsc.sc().getCheckpointDir()
+    prev_dir = prev.get() if prev.isDefined() else None
+    if prev_dir is not None and prev_dir.rstrip("/") != checkpoint_dir.rstrip("/"):
+        import warnings
+
+        warnings.warn(
+            f"checkpoint_dir={checkpoint_dir!r} overrides the session's "
+            f"existing checkpoint directory {prev_dir!r} for the rest of "
+            "the session (SparkContext.setCheckpointDir is global)",
+            stacklevel=3,
+        )
+    sc.setCheckpointDir(checkpoint_dir)
+
+
 def _truncate(df: DataFrame, eager: bool, reliable: bool) -> DataFrame:
     """The CC loop's plan-truncation point: executor-local blocks by
     default (fast, lost with an executor), reliable ``checkpoint()``
@@ -852,7 +876,7 @@ def connected_components(
     the failure-recovery story changes."""
     reliable = checkpoint_dir is not None
     if reliable:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _set_checkpoint_dir(edges, checkpoint_dir)
     # Materialize the caller's edge plan once — the symmetrizing union
     # references it twice, which would double-evaluate an arbitrary
     # upstream candidate pipeline.
@@ -905,7 +929,7 @@ def simhash_dedup_clusters(
     _validate_bands(n_bands, max_hamming)
     reliable = checkpoint_dir is not None
     if reliable:
-        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _set_checkpoint_dir(df, checkpoint_dir)
     sketches = _simhash_sketches(df, id_col, text_col).persist()
     # Checkpoint the verified edge set BEFORE symmetrizing: the union
     # below references it twice, and an unmaterialized plan would pay

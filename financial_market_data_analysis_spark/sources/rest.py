@@ -53,15 +53,23 @@ def fetch_json(url: str, timeout_s: float = 10.0) -> str:
 def _staleness_check(body: str, ts_field: str, max_delay_s: float) -> None:
     """S4's accept-but-warn freshness gate: parse the payload's own
     event timestamp (top-level ``ts``, the feed contract in
-    functions/schemas.py) and warn when it trails wall clock."""
+    functions/schemas.py — a UTC wall-clock string) and warn when it
+    trails wall clock. Never raises: any payload shape this can't read
+    is accepted silently and surfaces downstream in ``from_json``."""
+    import calendar
+
     try:
         doc = json.loads(body)
-        raw_ts = doc.get(ts_field)
-        if raw_ts is None:
+        if not isinstance(doc, dict):
             return
-        event_s = time.mktime(time.strptime(raw_ts, "%Y-%m-%d %H:%M:%S"))
+        raw_ts = doc.get(ts_field)
+        if not isinstance(raw_ts, str):
+            return
+        # calendar.timegm, NOT time.mktime: the feed contract is UTC
+        # and mktime would apply the host's local offset to the lag
+        event_s = calendar.timegm(time.strptime(raw_ts, "%Y-%m-%d %H:%M:%S"))
     except (ValueError, json.JSONDecodeError):
-        return  # malformed payloads surface downstream in from_json
+        return
     lag = time.time() - event_s
     if lag > max_delay_s:
         warnings.warn(
@@ -95,7 +103,16 @@ def poll_to_staging(
     """
     os.makedirs(out_dir, exist_ok=True)
     staged: list[str] = []
-    last_mtime = 0.0
+    # Seed the mtime floor from files already staged (a previous poll
+    # session into the same directory): a fresh session must land its
+    # files strictly AFTER everything already there, or the streaming
+    # reader would replay new polls before old ones.
+    existing = [
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    ]
+    last_mtime = max((os.path.getmtime(p) for p in existing), default=0.0)
     for i in range(n_polls):
         if i > 0 and interval_s > 0:
             time.sleep(interval_s)

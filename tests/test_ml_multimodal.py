@@ -127,15 +127,17 @@ def test_kmeans_lloyd_converges_to_cluster_means(spark):
     b = [[0.0, 1.0, 0.2, 0.0], [0.0, 0.9, 0.0, 0.1]]
     rows = [(i, v) for i, v in enumerate(a + b)]
     corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    # seeds: one in each cluster, plus one orthogonal seed that matches
-    # nothing better than the true seeds do
+    # seeds: one in each cluster, plus an orthogonal decoy that wins no
+    # vectors — it must DROP OUT, not survive as a NaN centroid
     seeds = spark.createDataFrame(
-        [(0, a[0]), (3, b[0])], "centroid_id long, embedding array<float>"
+        [(0, a[0]), (3, b[0]), (9, [0.0, 0.0, 0.0, -1.0])],
+        "centroid_id long, embedding array<float>",
     )
     got = {
         r.centroid_id: (r.n_assigned, [round(x, 6) for x in r.embedding])
         for r in kmeans_lloyd(corpus, seeds, n_iter=2, dim=4).collect()
     }
+    assert set(got) == {0, 3}  # the member-less seed 9 dropped out
     assert got[0][0] == 3 and got[3][0] == 2
     mean_a = [round(sum(v[j] for v in a) / 3, 6) for j in range(4)]
     mean_b = [round(sum(v[j] for v in b) / 2, 6) for j in range(4)]

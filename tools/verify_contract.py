@@ -66,7 +66,10 @@ def main() -> int:
             keyed = df.copy()
             for c in flts:
                 keyed[f"__sort_{c}"] = keyed[c].round(6)
-            order = nonf + [f"__sort_{c}" for c in flts]
+            # rounded floats lead (cross-engine jitter tolerance), RAW
+            # floats break ties — otherwise two rows in the same 1e-6
+            # bucket would pair by engine-dependent input order
+            order = nonf + [f"__sort_{c}" for c in flts] + flts
             return df.loc[keyed.sort_values(order).index].reset_index(drop=True)
 
         sdf = _row_sorted(sdf.reindex(cols, axis=1))
