@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from financial_market_data_analysis_spark.functions import features as FE
 from financial_market_data_analysis_spark.functions.text import (
+    bigram_logprob_sql,
     hash_split_sql,
     quality_filter_sql,
     rolling_fp_sql,
@@ -27,6 +28,7 @@ from financial_market_data_analysis_spark.functions.text import (
     chunk_documents_sql,
     pack_sequences_sql,
     repetition_signals_sql,
+    source_quota_cap_sql,
     stratified_sample_sql,
     tfidf_topk_sql,
     unigram_logprob_sql,
@@ -1061,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11b_ann_lsh_multi": X.q_ann_lsh_multi,
         "x32_boilerplate": X.q_boilerplate,
         "x33_unigram_logprob": X.q_unigram_logprob,
+        "x37_bigram_logprob": X.q_bigram_logprob,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
         "x17_split_assign": X.q_split_assign,
         "x18_vocab_topk": X.q_vocab_topk,
@@ -1069,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x21_pii_scrub": X.q_pii_scrub,
         "x22_decontaminate": X.q_decontaminate,
         "x23_repetition": X.q_repetition_signals,
+        "x36_source_quota": X.q_source_quota,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         # -- core reference-parity coverage -------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1085,8 +1089,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_rollup": _a7_rollup,
         "a8_percentiles": _a8_percentiles,
         "f2_book_features": _f2_book_features,
-        "f8_calendar": _f8_calendar,
-        "d1_dedup_exact": _d1_dedup_exact,
         "q3_shipping_priority": _q3_shipping_priority,
         "q6_forecast_revenue": _q6_forecast_revenue,
         # ------------------------------------------------- entry 50 ends
@@ -1102,7 +1104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_atr": _w7_atr,
         "w8_targets": _w8_targets,
         "f1_wick": _f1_wick,
+        "f8_calendar": _f8_calendar,
         "f13_minmax_norm": _f13_minmax_norm,
+        "d1_dedup_exact": _d1_dedup_exact,
         "d3_latest_point": _d3_latest_point,
         "x5_dedup_exact_docs": X.q_dedup_exact_docs,
         # -- variants + singles (driver-green in round 3; pytest-covered) -
@@ -1781,6 +1785,7 @@ def oracle_sql() -> dict[str, str]:
         "x11b_ann_lsh_multi": X.ann_lsh_multi_oracle(),
         "x32_boilerplate": X.boilerplate_oracle(),
         "x33_unigram_logprob": unigram_logprob_sql(),
+        "x37_bigram_logprob": bigram_logprob_sql(),
         "pipeline_full_row_part": _full_row_oracle(partitioned=True),
         "x17_split_assign": hash_split_sql(),
         "x18_vocab_topk": vocab_topk_sql(),
@@ -1789,6 +1794,7 @@ def oracle_sql() -> dict[str, str]:
         "x21_pii_scrub": X.pii_scrub_oracle(),
         "x22_decontaminate": X.decontaminate_oracle(),
         "x23_repetition": repetition_signals_sql(),
+        "x36_source_quota": source_quota_cap_sql(),
         "x24_pack_sequences": pack_sequences_sql(),
         "x25_chunk_docs": chunk_documents_sql(),
         "x26_audio_frames": X.audio_frames_oracle(),

@@ -514,6 +514,60 @@ def stratified_sample_sql(
     """
 
 
+QUOTA_CAP = 15  # default per-source document quota
+QUOTA_SALT = "#qcap"
+
+
+def source_quota_cap(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = QUOTA_CAP,
+    salt: str = QUOTA_SALT,
+) -> DataFrame:
+    """Per-source document quota — the Common-Crawl domain-cap pattern
+    (bound any one domain's share of the training mix). Keeps at most
+    ``cap`` docs per source, selected by deterministic hash rank:
+    not arrival order (order-dependent caps are irreproducible across
+    partitionings) and not random (re-runs must keep the SAME docs).
+
+    Scale shape: one shuffle on ``source_col`` for the per-source
+    ``row_number`` window. A mega-source bounds its window task at that
+    source's row count; at web scale, pre-aggregate per-source counts
+    and only window the over-cap sources (the under-cap majority
+    passes through filter-free), or band the rank key — the standard
+    skew escape hatches, not needed at fixture scale. The md5 rank key
+    is portable, so the oracle orders bit-identically.
+    """
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(source_col).orderBy(key)
+    return (
+        df.withColumn("rank_key", key)
+        .withColumn("qrank", F.row_number().over(w).cast("int"))
+        .filter(F.col("qrank") <= cap)
+        .select(id_col, source_col, "rank_key", "qrank")
+    )
+
+
+def source_quota_cap_sql(
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = QUOTA_CAP,
+    salt: str = QUOTA_SALT,
+    src: str = "documents",
+) -> str:
+    key = f"md5(CAST({id_col} AS VARCHAR) || '{salt}')"
+    return f"""
+        SELECT {id_col}, {source_col}, rank_key, qrank FROM (
+            SELECT {id_col}, {source_col}, {key} AS rank_key,
+                   CAST(row_number() OVER (
+                       PARTITION BY {source_col} ORDER BY {key}
+                   ) AS INT) AS qrank
+            FROM {src}
+        ) WHERE qrank <= {cap}
+    """
+
+
 def all_grams(toks: Column, n: int) -> Column:
     """NON-distinct token n-grams as an array column — the shared gram
     builder (repetition analysis keeps multiplicity; dedup's
@@ -958,6 +1012,100 @@ def remove_boilerplate_sql(
                CAST(t.n_lines AS INT) AS n_lines,
                CAST(t.n_lines - COALESCE(c.n_kept, 0) AS INT) AS n_removed
         FROM totals t LEFT JOIN clean c USING (doc_id)
+    """
+
+
+LM_LAMBDA = 0.7  # bigram weight in the interpolated LM score
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = LM_LAMBDA,
+) -> DataFrame:
+    """Interpolated bigram LM quality score — the next rung above x33's
+    unigram stand-in for CCNet's perplexity filter: per bigram position
+    ``p = λ·cnt(w1 w2)/cnt(w1) + (1−λ)·cnt(w2)/total`` (corpus-trained
+    MLE bigram backed off to the unigram), emitted as the per-doc mean
+    ``ln p`` and its ``ppl_proxy``. Word-salad that passes a unigram
+    filter (common words in impossible orders) scores low here.
+
+    Scale shape: two count aggregations (token, bigram — both
+    partial-aggregatable), then the exploded bigram table makes three
+    keyed equi-joins (bigram count, context count, word count) — plain
+    shuffle joins since a 100 TB corpus's vocab/bigram tables are
+    themselves large — and one per-doc aggregation. Docs with < 2
+    tokens have no bigram positions and drop out (both engines).
+    Rounding per the x19/x33 float precedent.
+    """
+    toks_arr = df.select(F.col(id_col), tokens(text_col).alias("toks"))
+    uni = toks_arr.select(id_col, F.explode("toks").alias("token"))
+    ucnt = uni.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = ucnt.agg(F.sum("cnt").alias("total"))
+    bigs = toks_arr.select(
+        F.col(id_col), F.explode(all_grams(F.col("toks"), 2)).alias("bigram")
+    )
+    bcnt = bigs.groupBy("bigram").agg(F.count(F.lit(1)).alias("bcnt"))
+    parts = F.split("bigram", " ")
+    per = (
+        bigs.withColumn("ctx", parts[0])
+        .withColumn("w", parts[1])
+        .join(bcnt, "bigram")
+        .join(ucnt.select(F.col("token").alias("ctx"), F.col("cnt").alias("ccnt")), "ctx")
+        .join(ucnt.select(F.col("token").alias("w"), F.col("cnt").alias("wcnt")), "w")
+        .crossJoin(F.broadcast(total))
+    )
+    p = F.lit(lam) * (F.col("bcnt") / F.col("ccnt")) + F.lit(1.0 - lam) * (
+        F.col("wcnt") / F.col("total")
+    )
+    out = per.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_big"),
+        F.avg(F.log(p)).alias("__mean"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_big").cast("int").alias("n_bigrams"),
+        F.round("__mean", 6).alias("mean_logprob"),
+        F.round(F.exp(-F.col("__mean")), 3).alias("ppl_proxy"),
+    )
+
+
+def bigram_logprob_sql(
+    src: str = "documents", text_expr: str = "text", lam: float = LM_LAMBDA
+) -> str:
+    return f"""
+        WITH toks_arr AS MATERIALIZED (
+            SELECT doc_id, {tokens_sql(text_expr)} AS toks FROM {src}
+        ),
+        uni AS MATERIALIZED (
+            SELECT doc_id, unnest(toks) AS token FROM toks_arr
+        ),
+        ucnt AS (SELECT token, count(*) AS cnt FROM uni GROUP BY token),
+        total AS (SELECT sum(cnt) AS total FROM ucnt),
+        bigs AS MATERIALIZED (
+            SELECT doc_id, unnest({_all_grams_sql(2)}) AS bigram FROM toks_arr
+        ),
+        bcnt AS (SELECT bigram, count(*) AS bcnt FROM bigs GROUP BY bigram),
+        per AS (
+            SELECT b.doc_id,
+                   {lam} * (bc.bcnt / uc.cnt)
+                       + {1.0 - lam} * (uw.cnt / total) AS p
+            FROM bigs b
+            JOIN bcnt bc USING (bigram)
+            JOIN ucnt uc ON uc.token = string_split(b.bigram, ' ')[1]
+            JOIN ucnt uw ON uw.token = string_split(b.bigram, ' ')[2]
+            CROSS JOIN total
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n_big, avg(ln(p)) AS m
+            FROM per GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_big AS INT) AS n_bigrams,
+               round(m, 6) AS mean_logprob,
+               round(exp(-m), 3) AS ppl_proxy
+        FROM agg
     """
 
 

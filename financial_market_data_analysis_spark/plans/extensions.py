@@ -1098,6 +1098,12 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.stratified_hash_sample(d).select("doc_id", "lang", "sample_key")
 
 
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x36 — per-source quota cap (the domain-cap corpus-mix bound):
+    deterministic hash-rank top-``cap`` per source."""
+    return T.source_quota_cap(load_table(spark, "documents", sf_dir))
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection and redaction digests (email/phone patterns)."""
     return T.pii_scrub(docs_with_pii(spark, sf_dir))
@@ -1145,6 +1151,13 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain shuffle join (a 100 TB corpus's vocabulary outgrows any
     broadcast)."""
     return T.unigram_logprob(load_table(spark, "documents", sf_dir))
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score (x37): the rung above x33 —
+    word-salad with common tokens in impossible orders scores low.
+    Two count shuffles + three keyed joins, all partial-aggregatable."""
+    return T.bigram_logprob(load_table(spark, "documents", sf_dir))
 
 
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
