@@ -129,3 +129,61 @@ def test_hash_split_is_a_disjoint_total_cover(spark, texts):
     assert rows_a == rows_b
     assert set(rows_a) == set(range(len(texts)))
     assert set(rows_a.values()) <= {"train", "val", "test"}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 10_000)),
+        min_size=1, max_size=60, unique_by=lambda t: t[1],
+    )
+)
+@settings(**_SETTINGS)
+def test_source_quota_cap_invariants(spark, pairs):
+    """x36: at most ``cap`` docs survive per source; survivors are a
+    subset of the input chosen purely by (doc_id, salt) — identical
+    across repartitionings (the determinism the domain-cap exists
+    for)."""
+    from financial_market_data_analysis_spark.functions.text import (
+        source_quota_cap,
+    )
+
+    rows = [(doc_id, f"src{s}") for s, doc_id in pairs]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = source_quota_cap(df, cap=3).collect()
+    per_src: dict[str, list[int]] = {}
+    for r in kept:
+        per_src.setdefault(r.source, []).append(r.doc_id)
+        assert 1 <= r.qrank <= 3
+    for src, ids in per_src.items():
+        assert len(ids) <= 3
+    again = source_quota_cap(df.repartition(7), cap=3).collect()
+    assert {(r.doc_id, r.source) for r in again} == {
+        (r.doc_id, r.source) for r in kept
+    }
+
+
+@given(
+    st.lists(
+        st.lists(st.floats(-10, 10, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=3, max_size=24,
+    )
+)
+@settings(**_SETTINGS)
+def test_kmeans_lloyd_partition_invariants(spark, vecs):
+    """x34: every surviving centroid has >= 1 member, member counts sum
+    to the corpus size, and K never grows."""
+    from financial_market_data_analysis_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    seeds = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs[:2])],
+        "centroid_id long, embedding array<float>",
+    )
+    out = kmeans_lloyd(corpus, seeds, n_iter=2, dim=4).collect()
+    assert 1 <= len(out) <= 2
+    assert all(r.n_assigned >= 1 for r in out)
+    assert sum(r.n_assigned for r in out) == len(vecs)
