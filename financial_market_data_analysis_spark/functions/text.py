@@ -1035,7 +1035,11 @@ def bigram_logprob(
     partial-aggregatable), then the exploded bigram table makes three
     keyed equi-joins (bigram count, context count, word count) — plain
     shuffle joins since a 100 TB corpus's vocab/bigram tables are
-    themselves large — and one per-doc aggregation. Docs with < 2
+    themselves large — and one per-doc aggregation. Like x33, this
+    cache-free plan re-tokenizes per reference (the unigram count table
+    is scanned twice for ctx/word); a production pipeline materializes
+    the (doc, token) and count tables once — they feed x18/x19/x33 too
+    — and every pass reads the columnar intermediate. Docs with < 2
     tokens have no bigram positions and drop out (both engines).
     Rounding per the x19/x33 float precedent.
     """
