@@ -1032,12 +1032,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     adjudication set: the flagships, every NEW query (t6b/t4b/ml3/j5),
     and the five queries that had never had a driver row in any round
     (x24/x25/x26/x27/x29 — the r4 verdict's #1 ask). To make room,
-    ten flagship-subsumed singles move past the window: w1-w8 are
+    twelve flagship-subsumed singles move past the window: w1-w8 are
     re-verified every round inside t9's stateful W1-W8 suite (which
-    emits the W8 up/down targets) and both pipeline flagships, f1/f13
-    inside pipeline_full_row; all ten are two-rounds driver-green and
-    stay covered by the pytest oracle-parity suite regardless of the
-    driver's window."""
+    emits the W8 up/down targets) and both pipeline flagships;
+    f1/f8/f13 inside pipeline_full_row (wick, calendar + one-hot, and
+    min-max columns all ride in the full-width row); d1's exact-dedup
+    semantics inside t1 (streaming form) and x5 (documents form). All
+    twelve are two-rounds driver-green and stay covered by the pytest
+    oracle-parity suite regardless of the driver's window."""
     return {
         # -- flagships + never/newly-adjudicated queries first ------------
         "pipeline_full_row": _pipeline_full_row,

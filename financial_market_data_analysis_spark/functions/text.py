@@ -448,6 +448,20 @@ def _hex_threshold(fraction: float) -> str:
     return format(max(int(fraction * 16**8), 0), "08x")
 
 
+def salted_id_key(id_col: str, salt: str) -> Column:
+    """The shared salted content-free id key, ``md5(id || salt)`` as
+    lowercase hex — ONE definition for every deterministic-selection op
+    (stratified sampling, per-source quotas), because the Spark and SQL
+    dialects of this expression must stay bit-identical for oracle
+    parity (r5 review: two hand-rolled copies had already drifted
+    cosmetically)."""
+    return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary"))
+
+
+def salted_id_key_sql(id_expr: str, salt: str) -> str:
+    return f"md5(CAST({id_expr} AS VARCHAR) || '{salt}')"
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata_col: str = "lang",
@@ -475,15 +489,7 @@ def stratified_hash_sample(
     (val/test) entirely.
     """
     fractions = SAMPLE_FRACTIONS if fractions is None else fractions
-    key = F.substring(
-        F.md5(
-            F.concat(F.col(id_col).cast("string"), F.lit(SAMPLE_SALT)).cast(
-                "binary"
-            )
-        ),
-        1,
-        8,
-    )
+    key = F.substring(salted_id_key(id_col, SAMPLE_SALT), 1, 8)
     thr: Column = F.lit(_hex_threshold(default_fraction))
     for stratum, frac in sorted(fractions.items()):
         thr = F.when(
@@ -505,7 +511,7 @@ def stratified_sample_sql(
         for stratum, frac in sorted(fractions.items())
     )
     thr = f"CASE {strata_col} {cases} ELSE '{_hex_threshold(default_fraction)}' END"
-    key = f"substr(md5(CAST({id_expr} AS VARCHAR) || '{SAMPLE_SALT}'), 1, 8)"
+    key = f"substr({salted_id_key_sql(id_expr, SAMPLE_SALT)}, 1, 8)"
     return f"""
         SELECT {id_expr}, {strata_col},
                {key} AS sample_key
@@ -539,7 +545,7 @@ def source_quota_cap(
     skew escape hatches, not needed at fixture scale. The md5 rank key
     is portable, so the oracle orders bit-identically.
     """
-    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    key = salted_id_key(id_col, salt)
     w = Window.partitionBy(source_col).orderBy(key)
     return (
         df.withColumn("rank_key", key)
@@ -556,7 +562,7 @@ def source_quota_cap_sql(
     salt: str = QUOTA_SALT,
     src: str = "documents",
 ) -> str:
-    key = f"md5(CAST({id_col} AS VARCHAR) || '{salt}')"
+    key = salted_id_key_sql(id_col, salt)
     return f"""
         SELECT {id_col}, {source_col}, rank_key, qrank FROM (
             SELECT {id_col}, {source_col}, {key} AS rank_key,
@@ -1044,7 +1050,8 @@ def bigram_logprob(
     Rounding per the x19/x33 float precedent.
     """
     toks_arr = df.select(F.col(id_col), tokens(text_col).alias("toks"))
-    uni = toks_arr.select(id_col, F.explode("toks").alias("token"))
+    # token-only projection: the unigram counts never need doc_id
+    uni = toks_arr.select(F.explode("toks").alias("token"))
     ucnt = uni.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = ucnt.agg(F.sum("cnt").alias("total"))
     bigs = toks_arr.select(
@@ -1082,10 +1089,11 @@ def bigram_logprob_sql(
         WITH toks_arr AS MATERIALIZED (
             SELECT doc_id, {tokens_sql(text_expr)} AS toks FROM {src}
         ),
-        uni AS MATERIALIZED (
-            SELECT doc_id, unnest(toks) AS token FROM toks_arr
+        ucnt AS (
+            SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(toks) AS token FROM toks_arr)
+            GROUP BY token
         ),
-        ucnt AS (SELECT token, count(*) AS cnt FROM uni GROUP BY token),
         total AS (SELECT sum(cnt) AS total FROM ucnt),
         bigs AS MATERIALIZED (
             SELECT doc_id, unnest({_all_grams_sql(2)}) AS bigram FROM toks_arr
