@@ -1075,10 +1075,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x22_decontaminate": X.q_decontaminate,
         "x23_repetition": X.q_repetition_signals,
         "x36_source_quota": X.q_source_quota,
+        "x38_chunk_dedup": X.q_chunk_dedup,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         # -- core reference-parity coverage -------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
-        "candles_5min": _candles_5min,
         "w9_partitioned_indicators": _w9_partitioned_indicators,
         "w10_topk_per_group": _w10_topk_per_group,
         "w11_range_frame": _w11_range_frame,
@@ -1096,7 +1096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------- entry 50 ends
         # -- flagship-subsumed singles (two rounds driver-green; w1-w7
         # re-verified inside t9 + both pipelines, f1/f13 inside
-        # pipeline_full_row; all pytest-covered every session) ------------
+        # pipeline_full_row, candles inside every indicator flagship;
+        # all pytest-covered every session) --------------------------------
+        "candles_5min": _candles_5min,
         "w1_vol_ma": _w1_vol_ma,
         "w2_price_ma": _w2_price_ma,
         "w3_delta_ma": _w3_delta_ma,
@@ -1797,6 +1799,7 @@ def oracle_sql() -> dict[str, str]:
         "x22_decontaminate": X.decontaminate_oracle(),
         "x23_repetition": repetition_signals_sql(),
         "x36_source_quota": source_quota_cap_sql(),
+        "x38_chunk_dedup": X.chunk_dedup_oracle(),
         "x24_pack_sequences": pack_sequences_sql(),
         "x25_chunk_docs": chunk_documents_sql(),
         "x26_audio_frames": X.audio_frames_oracle(),

@@ -1104,6 +1104,56 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.source_quota_cap(load_table(spark, "documents", sf_dir))
 
 
+X38_CHUNK = 16  # fixture docs are 10-99 tokens; x25's 128-token window
+X38_STRIDE = 8  # would make every doc a single chunk and hide the dups
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x38 — sub-document (chunk-level) exact dedup: chunk the
+    augmented corpus (x25's tokenizer windows) and mark, per identical
+    chunk digest, the minimum (doc_id, chunk_idx) occurrence as keeper
+    — the RefinedWeb-style pass that catches boilerplate spans shared
+    ACROSS documents, which doc-level dedup (x5) structurally misses
+    (the injected near-dup docs differ only in a suffix, so their
+    early chunks are exact copies of the originals').
+
+    Scale shape: one shuffle on the chunk digest for both window
+    functions (rank + copy count share the partitioning); no
+    self-join, no pair table — copies of a digest meet in one
+    partition regardless of where their documents live."""
+    from financial_market_data_analysis_spark.functions.text import chunk_documents
+
+    chunks = chunk_documents(
+        docs_augmented(spark, sf_dir), size=X38_CHUNK, stride=X38_STRIDE
+    )
+    w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+    wc = Window.partitionBy("chunk_md5")
+    return (
+        chunks.withColumn(
+            "is_keeper", (F.row_number().over(w) == 1).cast("int")
+        )
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc).cast("int"))
+        .select("doc_id", "chunk_idx", "chunk_md5", "n_copies", "is_keeper")
+    )
+
+
+def chunk_dedup_oracle() -> str:
+    from financial_market_data_analysis_spark.functions.text import (
+        chunk_documents_sql,
+    )
+
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE}),
+        chunks AS ({chunk_documents_sql(src="aug", size=X38_CHUNK, stride=X38_STRIDE)})
+        SELECT doc_id, chunk_idx, chunk_md5,
+               CAST(count(*) OVER (PARTITION BY chunk_md5) AS INT) AS n_copies,
+               CAST(CASE WHEN row_number() OVER (
+                   PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx
+               ) = 1 THEN 1 ELSE 0 END AS INT) AS is_keeper
+        FROM chunks
+    """
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection and redaction digests (email/phone patterns)."""
     return T.pii_scrub(docs_with_pii(spark, sf_dir))
