@@ -797,10 +797,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, qv, _centroids(spark, sf_dir), k=TOP_K, nprobe=IVF_NPROBE
     ).select("query_id", "vec_id")
     # the x34-trained quantizer, probed identically: the measured value
-    # of the index BUILD (raw sample 0.40 → trained 0.58 at sf0.1)
+    # of the index BUILD (raw sample 0.40 → trained 0.58 at sf0.1).
+    # localCheckpoint the K-row centroid frame: ivf_topk references its
+    # centroids twice (cell assignment + query probes), which would
+    # otherwise evaluate the whole 2-iteration Lloyd plan twice.
     trained = S.kmeans_lloyd(
         corpus, _centroids(spark, sf_dir), n_iter=KMEANS_ITERS, dim=EMB_DIM_K
-    )
+    ).localCheckpoint(eager=True)
     ivf_trained = S.ivf_topk(
         corpus, qv, trained, k=TOP_K, nprobe=IVF_NPROBE
     ).select("query_id", "vec_id")
