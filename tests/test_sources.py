@@ -160,6 +160,25 @@ def test_rest_poll_end_to_end(spark, tmp_path):
         srv.stop()
 
 
+def test_rest_poll_second_session_lands_after_first(spark, tmp_path):
+    """A SECOND polling session into the same staging dir must land its
+    files with mtimes strictly after everything already there — else
+    FileStreamSource would replay the new polls before the old ones
+    (r5 review regression)."""
+    import os
+
+    from financial_market_data_analysis_spark.sources.rest import poll_to_staging
+
+    staging = str(tmp_path / "feed")
+    fetch = lambda _url: '{"close": 1.0}'  # noqa: E731
+    first = poll_to_staging(spark, "unused://", staging, n_polls=2, fetch=fetch)
+    second = poll_to_staging(spark, "unused://", staging, n_polls=2, fetch=fetch)
+    max_first = max(os.path.getmtime(p) for p in first)
+    mtimes_second = [os.path.getmtime(p) for p in second]
+    assert all(m > max_first for m in mtimes_second)
+    assert mtimes_second == sorted(mtimes_second)
+
+
 def test_rest_poll_staleness_warns(spark, tmp_path):
     """S4's delayed-data policy: a payload whose ts trails wall clock
     past the threshold is ACCEPTED but warned about
