@@ -1076,9 +1076,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x23_repetition": X.q_repetition_signals,
         "x36_source_quota": X.q_source_quota,
         "x38_chunk_dedup": X.q_chunk_dedup,
+        "x39_temperature_mix": X.q_temperature_mix,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         # -- core reference-parity coverage -------------------------------
-        "q1_pricing_summary": _q1_pricing_summary,
+        # (q1_pricing_summary sits past the window: it IS the entry()
+        # flagship, smoke-checked by the driver every round anyway)
         "w9_partitioned_indicators": _w9_partitioned_indicators,
         "w10_topk_per_group": _w10_topk_per_group,
         "w11_range_frame": _w11_range_frame,
@@ -1098,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-verified inside t9 + both pipelines, f1/f13 inside
         # pipeline_full_row, candles inside every indicator flagship;
         # all pytest-covered every session) --------------------------------
+        "q1_pricing_summary": _q1_pricing_summary,
         "candles_5min": _candles_5min,
         "w1_vol_ma": _w1_vol_ma,
         "w2_price_ma": _w2_price_ma,
@@ -1800,6 +1803,7 @@ def oracle_sql() -> dict[str, str]:
         "x23_repetition": repetition_signals_sql(),
         "x36_source_quota": source_quota_cap_sql(),
         "x38_chunk_dedup": X.chunk_dedup_oracle(),
+        "x39_temperature_mix": X.temperature_mix_oracle(),
         "x24_pack_sequences": pack_sequences_sql(),
         "x25_chunk_docs": chunk_documents_sql(),
         "x26_audio_frames": X.audio_frames_oracle(),

@@ -520,6 +520,97 @@ def stratified_sample_sql(
     """
 
 
+TEMP_ALPHA = 0.7  # temperature for source mixing (p_s ∝ n_s^alpha)
+MIX_SALT = "#mix"
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = TEMP_ALPHA,
+    salt: str = MIX_SALT,
+) -> DataFrame:
+    """Temperature-based source rebalancing — the multilingual-corpus
+    mixing rule (kept share of source s ∝ n_s^α): per-source Bernoulli
+    keep-fraction ``f_s = (n_min/n_s)^(1−α)``, so the smallest source
+    is kept whole and dominant sources are downsampled toward the
+    tempered share. Unlike x20's CONFIGURED fractions, the fractions
+    here are DERIVED from the corpus's own counts.
+
+    Deterministic and engine-portable end to end: the per-row draw is
+    the salted md5 prefix (x20's machinery), the per-source threshold
+    is that fraction quantized to an 8-hex-digit string
+    (``printf('%08x', floor(round(f,6)·2^32))``, capped at ffffffff so
+    f=1 keeps every row under the ``<=`` compare), and the comparison
+    is an exact string compare — no float reaches the row-level
+    decision, so re-runs, repartitionings, and the SQL oracle keep the
+    SAME docs.
+
+    Scale shape: one tiny per-source count aggregate, broadcast back
+    onto the corpus; the keep decision itself is row-local. Returns
+    kept rows as (id, source, keep_frac, sample_key)."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("src_n"))
+    n_min = counts.agg(F.min("src_n").alias("n_min"))
+    fr = counts.crossJoin(F.broadcast(n_min)).select(
+        source_col,
+        F.round(
+            F.pow(F.col("n_min").cast("double") / F.col("src_n"), 1.0 - alpha), 6
+        ).alias("keep_frac"),
+    )
+    thr = F.format_string(
+        "%08x",
+        F.least(
+            F.floor(F.col("keep_frac") * F.lit(4294967296.0)).cast("long"),
+            F.lit(4294967295),
+        ),
+    )
+    key = F.substring(salted_id_key(id_col, salt), 1, 8)
+    return (
+        df.join(F.broadcast(fr.withColumn("__thr", thr)), source_col)
+        .withColumn("sample_key", key)
+        .filter(F.col("sample_key") <= F.col("__thr"))
+        .select(id_col, source_col, "keep_frac", "sample_key")
+    )
+
+
+def temperature_mix_sql(
+    source_col: str = "source",
+    id_expr: str = "doc_id",
+    alpha: float = TEMP_ALPHA,
+    salt: str = MIX_SALT,
+    src: str = "documents",
+    extra_ctes: str = "",
+) -> str:
+    """``extra_ctes``: rendered verbatim before this query's own CTEs
+    (e.g. ``"skew AS (...), "``) so a caller can feed an augmented
+    corpus through ``src`` — the statement owns the single WITH."""
+    key = f"substr({salted_id_key_sql(id_expr, salt)}, 1, 8)"
+    return f"""
+        WITH {extra_ctes}counts AS (
+            SELECT {source_col}, count(*) AS src_n FROM {src} GROUP BY {source_col}
+        ),
+        mn AS (SELECT min(src_n) AS n_min FROM counts),
+        fr AS (
+            SELECT {source_col},
+                   round(pow(CAST(n_min AS DOUBLE) / src_n, {1.0 - alpha}), 6)
+                       AS keep_frac
+            FROM counts CROSS JOIN mn
+        ),
+        thr AS (
+            SELECT {source_col}, keep_frac,
+                   printf('%08x', least(
+                       CAST(floor(keep_frac * 4294967296.0) AS BIGINT),
+                       4294967295)) AS t
+            FROM fr
+        )
+        SELECT d.{id_expr}, d.{source_col}, f.keep_frac,
+               {key} AS sample_key
+        FROM {src} d JOIN thr f USING ({source_col})
+        WHERE {key} <= f.t
+    """
+
+
 QUOTA_CAP = 15  # default per-source document quota
 QUOTA_SALT = "#qcap"
 

@@ -1111,6 +1111,53 @@ X38_CHUNK = 16  # fixture docs are 10-99 tokens; x25's 128-token window
 X38_STRIDE = 8  # would make every doc a single chunk and hide the dups
 
 
+MIX_SKEW_OFFSETS = (3_000_000, 6_000_000)  # two extra copies of src0
+
+
+def docs_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's documents table is perfectly source-balanced, which
+    would degenerate temperature mixing to keep-all; deterministically
+    triple src0 (two id-offset copies) so the mix has a dominant source
+    to downsample — the docs_augmented pattern."""
+    d = load_table(spark, "documents", sf_dir)
+    extra = [
+        d.filter(F.col("source") == "src0").select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        for off in MIX_SKEW_OFFSETS
+    ]
+    out = d
+    for e in extra:
+        out = out.unionByName(e)
+    return out
+
+
+DOCS_SKEW_CTE = f"""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + {MIX_SKEW_OFFSETS[0]}, text, lang, source, n_chars
+    FROM documents WHERE source = 'src0'
+    UNION ALL
+    SELECT doc_id + {MIX_SKEW_OFFSETS[1]}, text, lang, source, n_chars
+    FROM documents WHERE source = 'src0'
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x39 — temperature-based source rebalancing over the skewed
+    corpus: the dominant (tripled) src0 is downsampled by
+    ``f = (n_min/n_s)^(1−α)`` while balanced sources keep every doc;
+    fractions are DERIVED from the corpus counts, not configured."""
+    return T.temperature_mix(docs_skewed(spark, sf_dir))
+
+
+def temperature_mix_oracle() -> str:
+    return T.temperature_mix_sql(
+        src="skew", extra_ctes=f"skew AS ({DOCS_SKEW_CTE}), "
+    )
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x38 — sub-document (chunk-level) exact dedup: chunk the
     augmented corpus (x25's tokenizer windows) and mark, per identical
