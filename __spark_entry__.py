@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from financial_market_data_analysis_spark.functions import features as FE
 from financial_market_data_analysis_spark.functions.text import (
     bigram_logprob_sql,
+    bpe_merges_sql,
     hash_split_sql,
     quality_filter_sql,
     rolling_fp_sql,
@@ -1077,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x36_source_quota": X.q_source_quota,
         "x38_chunk_dedup": X.q_chunk_dedup,
         "x39_temperature_mix": X.q_temperature_mix,
+        "x40_bpe_merges": X.q_bpe_merges,
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         # -- core reference-parity coverage -------------------------------
         # (q1_pricing_summary sits past the window: it IS the entry()
@@ -1087,7 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_interval_join": _j1_interval_join,
         "j2_salted_join": _j2_salted_join,
         "j3_asof_last": _j3_asof_last,
-        "t4_session_windows": _t4_session_windows,
+        # (t4_session_windows sits past the window: t4b adjudicates the
+        # same gaps-and-islands oracle under a real stream every round)
         "a5_sliding_avg": _a5_sliding_avg,
         "a6_sliding_joinback": _a6_sliding_joinback,
         "a7_rollup": _a7_rollup,
@@ -1101,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline_full_row, candles inside every indicator flagship;
         # all pytest-covered every session) --------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
+        "t4_session_windows": _t4_session_windows,
         "candles_5min": _candles_5min,
         "w1_vol_ma": _w1_vol_ma,
         "w2_price_ma": _w2_price_ma,
@@ -1804,6 +1808,7 @@ def oracle_sql() -> dict[str, str]:
         "x36_source_quota": source_quota_cap_sql(),
         "x38_chunk_dedup": X.chunk_dedup_oracle(),
         "x39_temperature_mix": X.temperature_mix_oracle(),
+        "x40_bpe_merges": bpe_merges_sql(),
         "x24_pack_sequences": pack_sequences_sql(),
         "x25_chunk_docs": chunk_documents_sql(),
         "x26_audio_frames": X.audio_frames_oracle(),

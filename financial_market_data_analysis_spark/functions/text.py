@@ -520,6 +520,231 @@ def stratified_sample_sql(
     """
 
 
+BPE_MERGES = 2  # trained merge rounds
+BPE_TOP_K = 5  # published pair ranks per round
+
+
+def _char_symbols(tok: Column) -> Column:
+    """Initial BPE symbol sequence: the token's characters, built by
+    the same substr construction the oracle uses (no engine-specific
+    empty-separator split semantics)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(tok)),
+        lambda i: tok.substr(i, F.lit(1)),
+    )
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right BPE merge application as an array fold:
+    scan the symbol sequence once, replacing each non-overlapping
+    adjacent (a, b) with the fused symbol — a merged symbol never
+    re-pairs with the element that follows it within the same round
+    (standard BPE single-pass semantics)."""
+    fused = F.array(F.lit(a + b))
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), fused),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_MERGES,
+    top_k: int = BPE_TOP_K,
+) -> DataFrame:
+    """BPE tokenizer TRAINING in-engine: learn ``n_merges`` byte-pair
+    merges from the corpus and publish, per round, the ``top_k``
+    frequency-ranked adjacent-symbol pairs (rank 1 of rounds
+    1..n_merges are the chosen merges; round n_merges+1's table is
+    computed AFTER the last merge, so it hard-verifies that both merge
+    applications actually rewrote the vocabulary).
+
+    Scale shape — the trick that makes BPE training tractable at
+    100 TB (and the one production trainers use): pair statistics are
+    computed over the DISTINCT-WORD table weighted by word frequency,
+    never over the raw corpus. One corpus-sized token count feeds a
+    vocab-sized iteration: per round, a pair-keyed partial-aggregatable
+    shuffle over (vocab × word_len) rows, an argmax collapsed to one
+    driver scalar (the chosen pair — the loop's only driver action,
+    like the CC loop's convergence count), and a row-local fold
+    applying the merge. The vocab table is localCheckpointed per round
+    (tiny), so round N's plan doesn't re-run rounds 1..N-1.
+
+    Tie-breaks are total (count DESC, then pair lexicographically), so
+    training is deterministic; the DuckDB twin re-derives the same
+    merges with a relational gaps-and-islands formulation of the
+    greedy apply — two independent expressions of the same semantics.
+    """
+    toks = df.select(F.explode(tokens(text_col)).alias("tok"))
+    words = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("tok", "freq", _char_symbols(F.col("tok")).alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    outs = []
+    for rnd in range(1, n_merges + 2):
+        n = F.size("syms")
+        pair_rows = words.select(
+            "freq",
+            F.explode(
+                F.when(
+                    n >= 2, F.sequence(F.lit(1), n - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("j"),
+            "syms",
+        ).select(
+            F.element_at("syms", F.col("j")).alias("left_sym"),
+            F.element_at("syms", F.col("j") + 1).alias("right_sym"),
+            "freq",
+        )
+        counts = pair_rows.groupBy("left_sym", "right_sym").agg(
+            F.sum("freq").alias("pair_count")
+        )
+        w = Window.orderBy(
+            F.desc("pair_count"), F.col("left_sym"), F.col("right_sym")
+        )
+        top = (
+            counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select(
+                F.lit(rnd).alias("round"),
+                F.col("rank").cast("int").alias("rank"),
+                "left_sym", "right_sym", "pair_count",
+            )
+            .localCheckpoint(eager=True)
+        )
+        outs.append(top)
+        if rnd > n_merges:
+            break
+        best = top.filter(F.col("rank") == 1).first()
+        words = words.select(
+            "tok", "freq",
+            _apply_merge(F.col("syms"), best.left_sym, best.right_sym).alias(
+                "syms"
+            ),
+        ).localCheckpoint(eager=True)
+    out = outs[0]
+    for t in outs[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def _bpe_round_sql(r: int, top_k: int) -> str:
+    """One unrolled training round: pair counts + published top-k from
+    words{r-1}, then the greedy merge applied relationally — matched
+    positions form gaps-and-islands runs, odd ranks within a run merge
+    (non-overlap), the position after a merge is dropped."""
+    prev = f"words{r - 1}"
+    return f"""
+        pos{r} AS (
+            SELECT tok, freq, syms, j, syms[j] AS sym FROM (
+                SELECT tok, freq, syms,
+                       unnest(generate_series(1, len(syms))) AS j
+                FROM {prev}
+            )
+        ),
+        pc{r} AS (
+            SELECT syms[j] AS left_sym, syms[j + 1] AS right_sym,
+                   CAST(sum(freq) AS BIGINT) AS pair_count
+            FROM (
+                SELECT freq, syms,
+                       unnest(generate_series(1, len(syms) - 1)) AS j
+                FROM {prev}
+            )
+            GROUP BY 1, 2
+        ),
+        top{r} AS (
+            SELECT {r} AS round, CAST(rank AS INT) AS rank,
+                   left_sym, right_sym, pair_count
+            FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY pair_count DESC, left_sym, right_sym) AS rank
+                FROM pc{r}
+            ) WHERE rank <= {top_k}
+        ),
+        best{r} AS (SELECT left_sym, right_sym FROM top{r} WHERE rank = 1),
+        mt{r} AS (
+            SELECT p.tok, p.j
+            FROM pos{r} p CROSS JOIN best{r} b
+            WHERE p.sym = b.left_sym AND p.syms[p.j + 1] = b.right_sym
+        ),
+        sel{r} AS (
+            SELECT tok, j FROM (
+                SELECT tok, j, row_number() OVER (
+                    PARTITION BY tok, grp ORDER BY j) AS rn
+                FROM (
+                    SELECT tok, j,
+                           j - row_number() OVER (
+                               PARTITION BY tok ORDER BY j) AS grp
+                    FROM mt{r}
+                )
+            ) WHERE rn % 2 = 1
+        ),
+        words{r} AS (
+            SELECT p.tok, min(p.freq) AS freq,
+                   list(CASE WHEN s.j IS NOT NULL
+                             THEN p.sym || p.syms[p.j + 1]
+                             ELSE p.sym END ORDER BY p.j) AS syms
+            FROM pos{r} p
+            LEFT JOIN sel{r} s ON s.tok = p.tok AND s.j = p.j
+            LEFT JOIN sel{r} sk ON sk.tok = p.tok AND sk.j = p.j - 1
+            WHERE sk.j IS NULL
+            GROUP BY p.tok
+        )"""
+
+
+def bpe_merges_sql(
+    src: str = "documents",
+    text_expr: str = "text",
+    n_merges: int = BPE_MERGES,
+    top_k: int = BPE_TOP_K,
+) -> str:
+    rounds = ",".join(_bpe_round_sql(r, top_k) for r in range(1, n_merges + 1))
+    final = n_merges + 1
+    unions = "\n        UNION ALL\n        ".join(
+        f"SELECT * FROM top{r}" for r in range(1, n_merges + 2)
+    )
+    return f"""
+        WITH words0 AS (
+            SELECT tok, count(*) AS freq,
+                   list_transform(generate_series(1, length(tok)),
+                                  i -> substr(tok, i, 1)) AS syms
+            FROM (SELECT unnest({tokens_sql(text_expr)}) AS tok FROM {src})
+            GROUP BY tok
+        ),
+        {rounds},
+        pc{final} AS (
+            SELECT syms[j] AS left_sym, syms[j + 1] AS right_sym,
+                   CAST(sum(freq) AS BIGINT) AS pair_count
+            FROM (
+                SELECT freq, syms,
+                       unnest(generate_series(1, len(syms) - 1)) AS j
+                FROM words{n_merges}
+            )
+            GROUP BY 1, 2
+        ),
+        top{final} AS (
+            SELECT {final} AS round, CAST(rank AS INT) AS rank,
+                   left_sym, right_sym, pair_count
+            FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY pair_count DESC, left_sym, right_sym) AS rank
+                FROM pc{final}
+            ) WHERE rank <= {top_k}
+        )
+        {unions}
+    """
+
+
 TEMP_ALPHA = 0.7  # temperature for source mixing (p_s ∝ n_s^alpha)
 MIX_SALT = "#mix"
 

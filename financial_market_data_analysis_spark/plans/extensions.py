@@ -1158,6 +1158,15 @@ def temperature_mix_oracle() -> str:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x40 — BPE tokenizer training in-engine: 2 learned merges over
+    the corpus vocabulary, published as per-round top-5 pair-frequency
+    tables (see functions.text.bpe_merges for the vocab-weighted scale
+    shape; the round-3 table is computed after both merges, verifying
+    the greedy applications end-to-end)."""
+    return T.bpe_merges(load_table(spark, "documents", sf_dir))
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x38 — sub-document (chunk-level) exact dedup: chunk the
     augmented corpus (x25's tokenizer windows) and mark, per identical

@@ -56,13 +56,27 @@ def main() -> int:
             n_bad += 1
             print(f"FAIL: {name} schema drift spark={cols} oracle={ocols}", flush=True)
             continue
+        sdf = sdf.reindex(cols, axis=1)
+        odf = odf.reindex(ocols, axis=1)
+        odf.columns = cols
+        # float-ness decided over BOTH frames: a column int64 on one
+        # side and float64 on the other (e.g. DuckDB sum(BIGINT) →
+        # HUGEINT → float64) must use the SAME sort-key split, or the
+        # two frames sort in different orders and misalign
+        shared_flts = {
+            c
+            for c in cols
+            if pd.api.types.is_float_dtype(sdf[c])
+            or pd.api.types.is_float_dtype(odf[c])
+        }
+
         def _row_sorted(df: "pd.DataFrame") -> "pd.DataFrame":
             # Sort on non-float columns first and on ROUNDED floats
             # last: sub-rtol float jitter in a leading sort key would
             # otherwise misalign rows between engines and produce a
             # false FAIL (r4 advice).
-            nonf = [c for c in cols if not pd.api.types.is_float_dtype(df[c])]
-            flts = [c for c in cols if pd.api.types.is_float_dtype(df[c])]
+            nonf = [c for c in cols if c not in shared_flts]
+            flts = [c for c in cols if c in shared_flts]
             keyed = df.copy()
             for c in flts:
                 keyed[f"__sort_{c}"] = keyed[c].round(6)
@@ -72,9 +86,7 @@ def main() -> int:
             order = nonf + [f"__sort_{c}" for c in flts] + flts
             return df.loc[keyed.sort_values(order).index].reset_index(drop=True)
 
-        sdf = _row_sorted(sdf.reindex(cols, axis=1))
-        odf = odf.reindex(ocols, axis=1)
-        odf.columns = cols
+        sdf = _row_sorted(sdf)
         odf = _row_sorted(odf)
         if len(sdf) != len(odf):
             n_bad += 1
