@@ -482,6 +482,32 @@ def _a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _w12_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 — rolling 20-bucket Pearson correlation between the
+    purchase and view per-bucket average series (operators/windows.py
+    ``rolling_corr``): the pairs-trading lead-lag staple the
+    reference's single-series indicator views lack. Both engines
+    compute corr over the identical ROWS frame; warm-up rows are
+    trimmed (engines disagree on degenerate frames) and the value is
+    rounded to 6 decimals (the x19/x33 float precedent — corr is a
+    ratio of ULP-ordering-sensitive sums)."""
+    ev = load_table(spark, "events", sf_dir)
+    bucket = time_bucket_us("ts_us", 300)
+
+    def series(event_type: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.avg("value").alias(alias))
+        )
+
+    j = series("purchase", "pa").join(series("view", "pv"), "bucket")
+    out = W.rolling_corr(j, "pa", "pv", ["bucket"], period=20)
+    return out.filter(F.col("corr").isNotNull()).select(
+        "bucket", F.round("corr", 6).alias("corr20")
+    )
+
+
 def _w11_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE trailing window (absent from the reference, which has
     only ROWS frames — SURVEY §2.6 'Absent'): per event type, the
@@ -1086,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w9_partitioned_indicators": _w9_partitioned_indicators,
         "w10_topk_per_group": _w10_topk_per_group,
         "w11_range_frame": _w11_range_frame,
+        "w12_rolling_corr": _w12_rolling_corr,
         "j1_interval_join": _j1_interval_join,
         "j2_salted_join": _j2_salted_join,
         "j3_asof_last": _j3_asof_last,
@@ -1095,7 +1122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_sliding_joinback": _a6_sliding_joinback,
         "a7_rollup": _a7_rollup,
         "a8_percentiles": _a8_percentiles,
-        "f2_book_features": _f2_book_features,
+        # (f2_book_features sits past the window: all 28 book-feature
+        # columns ride inside pipeline_full_row's adjudicated row)
         "q3_shipping_priority": _q3_shipping_priority,
         "q6_forecast_revenue": _q6_forecast_revenue,
         # ------------------------------------------------- entry 50 ends
@@ -1105,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all pytest-covered every session) --------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "t4_session_windows": _t4_session_windows,
+        "f2_book_features": _f2_book_features,
         "candles_5min": _candles_5min,
         "w1_vol_ma": _w1_vol_ma,
         "w2_price_ma": _w2_price_ma,
@@ -1681,6 +1710,28 @@ def oracle_sql() -> dict[str, str]:
                 JOIN nation ON c_nationkey = n_nationkey
             )
             SELECT * FROM ranked WHERE rnk <= 3
+        """,
+        "w12_rolling_corr": """
+            WITH a AS (
+                SELECT (epoch_us(ts) // 300000000) * 300 AS bucket,
+                       avg(value) AS pa
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ),
+            v AS (
+                SELECT (epoch_us(ts) // 300000000) * 300 AS bucket,
+                       avg(value) AS pv
+                FROM events WHERE event_type = 'view' GROUP BY 1
+            ),
+            j AS (SELECT a.bucket, pa, pv FROM a JOIN v USING (bucket)),
+            c AS (
+                SELECT bucket,
+                       corr(pa, pv) OVER (ORDER BY bucket
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS cr,
+                       row_number() OVER (ORDER BY bucket) AS rn
+                FROM j
+            )
+            SELECT bucket, round(cr, 6) AS corr20
+            FROM c WHERE rn >= 20
         """,
         "w11_range_frame": """
             SELECT event_id, event_type, epoch_us(ts) AS ts_us,

@@ -246,6 +246,34 @@ def session_windows(
     )
 
 
+def rolling_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    order_cols: Sequence[str | Column],
+    period: int = 20,
+    partition_cols: Sequence[str | Column] = (),
+    out_col: str = "corr",
+) -> DataFrame:
+    """W12 — trailing-window Pearson correlation between two aligned
+    series (absent in the reference; the pairs-trading / lead-lag
+    staple next to its single-series indicators). ``F.corr`` is a
+    declarative aggregate over the same ROWS frame as the W1-W7
+    suite, so the whole computation stays in one window pass —
+    per-key with ``partition_cols`` (the scale path), reference-parity
+    global order without.
+
+    Emits NULL until the frame holds ``period`` rows (partial-window
+    correlations are statistically misleading and engines disagree on
+    degenerate frames); callers filter on ``row_number >= period``
+    like the t9 warm-up trim.
+    """
+    w = trailing_window(order_cols, period - 1, partition_cols)
+    rn = F.row_number().over(ordered_window(order_cols, partition_cols))
+    c = F.corr(F.col(x_col), F.col(y_col)).over(w)
+    return df.withColumn(out_col, F.when(rn >= period, c))
+
+
 def sliding_join_back(
     df: DataFrame,
     ts_col: str = "ts",

@@ -330,3 +330,54 @@ def test_hex_bucket_two_digit_span_and_guard(spark):
     assert stats["lo"] >= 0 and stats["hi"] <= 31
     with _pytest.raises(ValueError):
         _hex_bucket(F.col("h"), 257)
+
+
+def test_bpe_merge_greedy_overlap_semantics(spark):
+    """x40's merge application must be GREEDY left-to-right and
+    non-overlapping: in 'aaa' the pair (a,a) merges positions 1-2 only,
+    and a merged symbol never re-pairs within the same round. Training
+    on a corpus engineered so (a,a) wins round 1 must reflect exactly
+    that in round 2's pair table."""
+    from financial_market_data_analysis_spark.functions.text import bpe_merges
+
+    # 'aaa' x4 makes (a,a) the top pair (count 8: two per word);
+    # 'bc' x3 is the runner-up
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aaa aaa bc bc bc")], ["doc_id", "text"]
+    )
+    out = bpe_merges(docs, n_merges=1, top_k=3).collect()
+    r1 = {(r.left_sym, r.right_sym): (r.rank, r.pair_count) for r in out if r.round == 1}
+    assert r1[("a", "a")] == (1, 8)
+    # after merging: each 'aaa' -> [aa, a]; round-2 pairs from 'aaa'
+    # are (aa, a) x4 — NOT (a, aa), proving left-to-right greediness —
+    # and 'bc' still contributes (b, c) x3
+    r2 = {(r.left_sym, r.right_sym): r.pair_count for r in out if r.round == 2}
+    assert r2[("aa", "a")] == 4
+    assert r2[("b", "c")] == 3
+    assert ("a", "aa") not in r2
+
+
+def test_rolling_corr_known_series(spark):
+    """W12 semantics on engineered series: y = 2x + 1 gives corr = 1,
+    y = -x gives corr = -1, and rows before the warm-up period are
+    NULL; the sf0.001 parity row is vacuous (too few joint buckets for
+    the 20-row frame), so this pins the operator locally."""
+    from financial_market_data_analysis_spark.operators.windows import rolling_corr
+
+    rows = [(i, float(i % 7 + i), 0.0) for i in range(30)]
+    df = spark.createDataFrame(rows, ["t", "x", "y"]).withColumn(
+        "y", 2 * F.col("x") + 1
+    )
+    out = rolling_corr(df, "x", "y", ["t"], period=10).orderBy("t").collect()
+    assert all(r["corr"] is None for r in out[:9])
+    assert all(abs(r["corr"] - 1.0) < 1e-9 for r in out[9:])
+    anti = df.withColumn("y", -F.col("x"))
+    out2 = rolling_corr(anti, "x", "y", ["t"], period=10).orderBy("t").collect()
+    assert all(abs(r["corr"] + 1.0) < 1e-9 for r in out2[9:])
+    # per-key partitioning: each key warms up independently
+    two = df.withColumn("k", F.col("t") % 2)
+    outp = rolling_corr(
+        two, "x", "y", ["t"], period=10, partition_cols=["k"]
+    ).collect()
+    nn = [r for r in outp if r["corr"] is not None]
+    assert len(nn) == 2 * (15 - 9)
