@@ -589,7 +589,6 @@ def bpe_merges(
         .select("tok", "freq", _char_symbols(F.col("tok")).alias("syms"))
         .localCheckpoint(eager=True)
     )
-    spark = df.sparkSession
     outs = []
     for rnd in range(1, n_merges + 2):
         n = F.size("syms")
@@ -626,6 +625,12 @@ def bpe_merges(
         if rnd > n_merges:
             break
         best = top.filter(F.col("rank") == 1).first()
+        if best is None:
+            # degenerate vocabulary (no adjacent pairs anywhere — all
+            # single-symbol words, or an empty corpus): nothing to
+            # merge and every later round's table is empty too, which
+            # is exactly what the SQL twin emits — stop gracefully
+            break
         words = words.select(
             "tok", "freq",
             _apply_merge(F.col("syms"), best.left_sym, best.right_sym).alias(

@@ -1180,9 +1180,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions (rank + copy count share the partitioning); no
     self-join, no pair table — copies of a digest meet in one
     partition regardless of where their documents live."""
-    from financial_market_data_analysis_spark.functions.text import chunk_documents
-
-    chunks = chunk_documents(
+    chunks = T.chunk_documents(
         docs_augmented(spark, sf_dir), size=X38_CHUNK, stride=X38_STRIDE
     )
     w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
@@ -1197,13 +1195,9 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def chunk_dedup_oracle() -> str:
-    from financial_market_data_analysis_spark.functions.text import (
-        chunk_documents_sql,
-    )
-
     return f"""
         WITH aug AS ({DOCS_AUG_CTE}),
-        chunks AS ({chunk_documents_sql(src="aug", size=X38_CHUNK, stride=X38_STRIDE)})
+        chunks AS ({T.chunk_documents_sql(src="aug", size=X38_CHUNK, stride=X38_STRIDE)})
         SELECT doc_id, chunk_idx, chunk_md5,
                CAST(count(*) OVER (PARTITION BY chunk_md5) AS INT) AS n_copies,
                CAST(CASE WHEN row_number() OVER (

@@ -381,3 +381,14 @@ def test_rolling_corr_known_series(spark):
     ).collect()
     nn = [r for r in outp if r["corr"] is not None]
     assert len(nn) == 2 * (15 - 9)
+
+
+def test_bpe_merges_degenerate_vocab_is_empty_not_crash(spark):
+    """A corpus whose vocabulary has no adjacent symbol pairs (all
+    single-character words) must yield an empty merge table — exactly
+    what the SQL twin emits — rather than crashing on a missing best
+    pair (r5 review)."""
+    from financial_market_data_analysis_spark.functions.text import bpe_merges
+
+    docs = spark.createDataFrame([(1, "a b c a b")], ["doc_id", "text"])
+    assert bpe_merges(docs).count() == 0
