@@ -67,6 +67,27 @@ def lag_matrix(
     return df.withColumns(cols)
 
 
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation of ``cols`` in ONE aggregation pass
+    — the feature-selection screen the reference's modelling notebooks
+    leave to pandas. All k·(k−1)/2 ``F.corr`` aggregates ride in a
+    single ``agg`` (each partially aggregatable map-side), so a 100 TB
+    input costs exactly one scan and one reduce to a single row, which
+    is then unpivoted driver-free with ``stack`` into the tidy
+    (col_a, col_b, corr) long form.
+    """
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in list(cols)[i + 1 :]
+    ]
+    row = df.agg(
+        *[F.corr(a, b).alias(f"__corr_{a}__{b}") for a, b in pairs]
+    )
+    stacked = ", ".join(f"'{a}', '{b}', __corr_{a}__{b}" for a, b in pairs)
+    return row.selectExpr(
+        f"stack({len(pairs)}, {stacked}) AS (col_a, col_b, corr)"
+    )
+
+
 def train_target_classifier(
     df: DataFrame,
     feature_cols: Sequence[str],

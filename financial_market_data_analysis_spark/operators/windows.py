@@ -274,6 +274,47 @@ def rolling_corr(
     return df.withColumn(out_col, F.when(rn >= period, c))
 
 
+def rolling_median(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[str | Column],
+    period: int = 20,
+    partition_cols: Sequence[str | Column] = (),
+    out_col: str = "median",
+) -> DataFrame:
+    """W13 — trailing-window exact median (absent in the reference,
+    whose views are all mean-based — create_database.py:76-190; the
+    median is the outlier-robust centre a tick stream with bad prints
+    needs). ``F.median`` is a declarative aggregate over the same ROWS
+    frame as W1-W7, so the pass stays JVM-side in the window exec.
+
+    Emits NULL until the frame holds ``period`` rows — engines agree on
+    full-frame medians (even-count frames average the two middle
+    values) but differ on how they treat warm-up frames, so the
+    short-frame rows are trimmed exactly like ``rolling_corr``.
+
+    Catalyst refuses ``median``/``percentile`` aggregates over a
+    bounded window frame, so the frame is materialized with
+    ``collect_list`` and the middle element(s) selected from the
+    ``array_sort``-ed array — all JVM-side Column expressions, and the
+    buffer is BOUNDED at ``period`` values per evaluation (unlike a
+    whole-partition collect), so state per window slot stays
+    O(period) exactly as the other W-frames do.
+
+    Scale: per-key with ``partition_cols``; at 100 TB the sort cost is
+    period·log(period) per row — fine for indicator-sized periods; for
+    period ≫ 10³ reach for a sketch (approx_percentile per bucket)
+    instead.
+    """
+    w = trailing_window(order_cols, period - 1, partition_cols)
+    rn = F.row_number().over(ordered_window(order_cols, partition_cols))
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    lo = arr[(period - 1) // 2]
+    hi = arr[period // 2]
+    m = (lo + hi) / F.lit(2.0)
+    return df.withColumn(out_col, F.when(rn >= period, m))
+
+
 def sliding_join_back(
     df: DataFrame,
     ts_col: str = "ts",

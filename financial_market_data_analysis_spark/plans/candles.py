@@ -68,6 +68,113 @@ def candles_from_events(
     )
 
 
+def candles_multires(
+    events: DataFrame,
+    granularities: tuple[int, ...] = (300, 900, 3600),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Hierarchical multi-resolution OHLCV rollup (the hypertable
+    continuous-aggregate pattern): the raw stream is scanned ONCE into
+    base-granularity bars, and every coarser level re-aggregates the
+    level below it — at 100 TB the 15-minute and hourly views cost a
+    shuffle over the (already tiny) bar table, not another full scan
+    of the tick data.
+
+    Exact composition, not an approximation: each bar carries its
+    open/close *selector* sequence numbers (``min(seq)`` / ``max(seq)``)
+    so a coarse bar's open is ``min_by(open, open_seq)`` — the value at
+    the globally smallest sequence number in the coarse bucket, exactly
+    what a direct aggregation of the raw stream would select. high/low/
+    volume/n_events compose as max/min/sum. Each granularity must divide
+    the next (validated), or a coarse bucket would split fine bars.
+
+    Returns the union of all levels: (granularity, bucket_start, open,
+    high, low, close, volume, n_events).
+    """
+    for a, b in zip(granularities, granularities[1:]):
+        if b % a != 0:
+            raise ValueError(
+                f"granularity {b} is not a multiple of the previous level {a}"
+            )
+    g0 = granularities[0]
+    if "ts_us" in events.columns:
+        bucket = time_bucket_us("ts_us", g0)
+    else:
+        bucket = time_bucket(ts_col, g0)
+    base = events.groupBy(bucket.alias("bucket_start")).agg(
+        F.min_by(value_col, seq_col).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, seq_col).alias("close"),
+        F.sum(value_col).alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(seq_col).alias("open_seq"),
+        F.max(seq_col).alias("close_seq"),
+    )
+    # Each level re-reads the one below; localCheckpoint the base bars
+    # so the raw-event scan is paid once, not once per level in the
+    # unioned plan (the whole point of the hierarchical shape).
+    base = base.localCheckpoint(eager=False)
+    out_cols = [
+        "granularity", "bucket_start",
+        "open", "high", "low", "close", "volume", "n_events",
+    ]
+    levels = [base.withColumn("granularity", F.lit(g0)).select(out_cols)]
+    prev = base
+    for g in granularities[1:]:
+        prev = prev.groupBy(
+            F.expr(f"CAST((bucket_start div {g}) * {g} AS BIGINT)").alias(
+                "bucket_start"
+            )
+        ).agg(
+            F.min_by("open", "open_seq").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "close_seq").alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("n_events").alias("n_events"),
+            F.min("open_seq").alias("open_seq"),
+            F.max("close_seq").alias("close_seq"),
+        )
+        levels.append(prev.withColumn("granularity", F.lit(g)).select(out_cols))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def candles_multires_oracle_sql(
+    granularities: tuple[int, ...] = (300, 900, 3600),
+) -> str:
+    """DuckDB twin of ``candles_multires``: each level aggregated
+    DIRECTLY from the raw events (arg_min/arg_max on event_id) — so the
+    oracle checks that the hierarchical composition equals the
+    from-scratch aggregation at every granularity. Volume is a sum of
+    doubles whose addition grouping differs between the composed and
+    direct forms, so BOTH sides round it to 6 decimals (the x19/x33
+    float precedent); the OHLC columns are selections and stay exact.
+    """
+    parts = []
+    for g in granularities:
+        parts.append(f"""
+        SELECT
+            {g} AS granularity,
+            CAST(epoch(time_bucket(INTERVAL '{g} seconds', ts)) AS BIGINT)
+                AS bucket_start,
+            arg_min(value, event_id) AS open,
+            max(value) AS high,
+            min(value) AS low,
+            arg_max(value, event_id) AS close,
+            round(sum(value), 6) AS volume,
+            count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+        """)
+    return " UNION ALL ".join(parts)
+
+
 def candles_oracle_sql(bucket_seconds: int = BUCKET_SECONDS) -> str:
     """DuckDB-equivalent CTE body for ``candles_from_events`` over the
     pre-registered ``events`` view; reused by every indicator oracle."""

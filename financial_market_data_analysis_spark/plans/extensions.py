@@ -1493,3 +1493,98 @@ def zorder_key_oracle() -> str:
         "(CAST(floor(value * 100) AS INT) & 65535)",
     )
     return f"SELECT event_id, {z} AS z_key FROM events"
+
+
+# ---------------------------------------------------------------------------
+# x43 — cross-document duplicated-span coverage
+
+DUP_SPAN_N = 8  # token-level span width; wider than the Jaccard SHINGLE
+# so a hit means a verbatim 8-token run shared across documents, not a
+# common trigram
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span coverage per document: the fraction of a
+    doc's distinct 8-token shingles that also occur verbatim in at
+    least one OTHER document — the shingle-granularity approximation
+    of suffix-array exact-substring dedup (the train-set leakage
+    metric sliding-window chunking (x25) and chunk dedup (x38) can't
+    see, because their chunk boundaries are fixed).
+
+    Shape: tokenize → per-doc distinct shingles (row-local) → ONE
+    groupBy(shingle) counting distinct docs → join the >1-doc set back
+    and fold per doc. Two keyed shuffles total, both on the shingle /
+    doc key; no pairwise comparison anywhere, so the cost is linear in
+    corpus shingle volume — at 100 TB hash each shingle to 64 bits
+    (xxhash64) before the shuffle so the exchanged key is 8 bytes, not
+    the span text (kept as text here only for oracle parity; collision
+    odds at 2^64 are the standard accepted trade).
+    """
+    d = docs_augmented(spark, sf_dir)
+    toks_df = d.select("doc_id", T.tokens("text").alias("__toks"))
+    sh = toks_df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.all_grams(F.col("__toks"), DUP_SPAN_N))
+        ).alias("shingle"),
+    )
+    # count DOCS per shingle (shingles are per-doc distinct already, so
+    # count(*) == count(distinct doc))
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("shingle")
+    )
+    per_doc = sh.join(shared.hint("shuffle_hash"), "shingle", "left_semi").groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("n_dup_shingles"))
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .fillna(0, subset=["n_dup_shingles"])
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.col("n_dup_shingles").cast("long").alias("n_dup_shingles"),
+            F.round(
+                F.col("n_dup_shingles") / F.col("n_shingles"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def _dup_span_shingles_sql(src: str, n: int = DUP_SPAN_N) -> str:
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+        SELECT DISTINCT doc_id, s AS shingle FROM (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+                i -> {gram})) AS s
+            FROM (SELECT doc_id, {T.tokens_sql()} AS toks FROM {src})
+        )
+    """
+
+
+def dup_spans_oracle() -> str:
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE}),
+        sh AS ({_dup_span_shingles_sql("aug")}),
+        shared AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1
+        ),
+        dups AS (
+            SELECT doc_id, count(*) AS n_dup_shingles
+            FROM sh WHERE shingle IN (SELECT shingle FROM shared)
+            GROUP BY doc_id
+        ),
+        totals AS (
+            SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               t.n_shingles,
+               COALESCE(d.n_dup_shingles, 0) AS n_dup_shingles,
+               round(COALESCE(d.n_dup_shingles, 0) * 1.0 / t.n_shingles, 6)
+                   AS dup_frac
+        FROM totals t LEFT JOIN dups d ON t.doc_id = d.doc_id
+    """

@@ -1,0 +1,125 @@
+"""Semantics tests for the round-5 extension operators: rolling
+median (W13), the hierarchical multi-resolution rollup (A10), the
+one-pass correlation matrix (A9), and cross-document duplicated-span
+coverage (x43) — properties the driver's oracle-parity check doesn't
+pin down (partitioned evaluation, composition invariants, edge
+frames)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_market_data_analysis_spark.ml import corr_matrix
+from financial_market_data_analysis_spark.operators.windows import rolling_median
+from financial_market_data_analysis_spark.plans.candles import candles_multires
+
+
+def test_rolling_median_even_frame_averages_middle_pair(spark):
+    rows = [(i, float(v)) for i, v in enumerate([5, 1, 4, 2, 9, 7, 3, 8])]
+    df = spark.createDataFrame(rows, "t INT, v DOUBLE")
+    out = (
+        rolling_median(df, "v", ["t"], period=4)
+        .orderBy("t")
+        .select("median")
+        .collect()
+    )
+    got = [r.median for r in out]
+    # warm-up rows (frame < 4 rows) are NULL
+    assert got[:3] == [None, None, None]
+    # frame [5,1,4,2] sorted = [1,2,4,5] → (2+4)/2
+    assert got[3] == 3.0
+    # frame [1,4,2,9] sorted = [1,2,4,9] → (2+4)/2
+    assert got[4] == 3.0
+
+
+def test_rolling_median_is_per_key_when_partitioned(spark):
+    rows = [("a", i, float(i)) for i in range(6)] + [
+        ("b", i, float(100 + i)) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "k STRING, t INT, v DOUBLE")
+    out = rolling_median(df, "v", ["t"], period=3, partition_cols=["k"])
+    got = {
+        (r.k, r.t): r.median
+        for r in out.filter(F.col("median").isNotNull()).collect()
+    }
+    # each key's median sees ONLY its own rows
+    assert got[("a", 2)] == 1.0 and got[("b", 2)] == 101.0
+    assert got[("a", 5)] == 4.0 and got[("b", 5)] == 104.0
+
+
+def test_multires_rollup_composition_equals_direct(spark):
+    """The hierarchical 15-min/60-min bars must equal bars aggregated
+    DIRECTLY from the events at that granularity — including open/close
+    selected by global min/max event_id, the part naive composition
+    (open of earliest fine bar) would get wrong whenever event_id order
+    differs from time order."""
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "value")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    multi = candles_multires(ev, (300, 900)).filter(F.col("granularity") == 900)
+    from financial_market_data_analysis_spark.plans.candles import (
+        candles_from_events,
+    )
+
+    direct = candles_from_events(ev, bucket_seconds=900)
+    m = {r.bucket_start: r for r in multi.collect()}
+    d = {r.bucket_start: r for r in direct.collect()}
+    assert set(m) == set(d)
+    for k in d:
+        assert m[k].open == d[k].open and m[k].close == d[k].close, k
+        assert m[k].high == d[k].high and m[k].low == d[k].low, k
+        assert m[k].n_events == d[k].n_events, k
+        assert abs(m[k].volume - d[k].volume) < 1e-6, k
+
+
+def test_multires_rejects_non_nested_granularities(spark):
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "event_id LONG, ts STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import pytest
+
+    with pytest.raises(ValueError, match="not a multiple"):
+        candles_multires(ev, (300, 700))
+
+
+def test_corr_matrix_matches_pairwise_corr_and_is_one_pass(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i + 1), float(-i)) for i in range(10)],
+        "x DOUBLE, y DOUBLE, z DOUBLE",
+    )
+    out = {(r.col_a, r.col_b): r.corr for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert set(out) == {("x", "y"), ("x", "z"), ("y", "z")}
+    # perfectly linear series: |corr| = 1 with the right signs
+    assert abs(out[("x", "y")] - 1.0) < 1e-12
+    assert abs(out[("x", "z")] + 1.0) < 1e-12
+    # one aggregation pass: a single Aggregate node feeds the generator
+    plan = corr_matrix(df, ["x", "y", "z"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1, plan
+
+
+def test_dup_spans_flags_exact_copies_only(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    uniq = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, uniq)], "doc_id LONG, text STRING"
+    )
+    from financial_market_data_analysis_spark.functions import text as T
+    from financial_market_data_analysis_spark.plans import extensions as X
+
+    toks = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.all_grams(T.tokens("text"), X.DUP_SPAN_N))
+        ).alias("shingle"),
+    )
+    shared = (
+        toks.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    per_doc = toks.join(shared, "shingle", "left_semi").groupBy("doc_id").count()
+    got = {r.doc_id: r["count"] for r in per_doc.collect()}
+    # docs 1 and 2 share every 8-token span; doc 3 shares none
+    assert got.get(1, 0) > 0 and got.get(1) == got.get(2)
+    assert 3 not in got
