@@ -1037,6 +1037,40 @@ def _w13_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _w14_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14 — truncated 20-bar EWMA of close (operators/windows.py
+    ``rolling_ewma``): the recency-weighted MA the reference's flat
+    views lack (the EMA block of MACD), in the frame-bounded
+    renormalized form that stays partitionable. The oracle computes
+    the identical weighted sum via a rank self-join; both sides round
+    to 6 decimals (20-term float sums fold in different orders)."""
+    out = W.rolling_ewma(_candles(spark, sf_dir), "close", _ORDER, period=20)
+    return out.filter(F.col("ewma").isNotNull()).select(
+        "bucket_start", "close", F.round("ewma", 6).alias("ewma20")
+    )
+
+
+def _w14_oracle() -> str:
+    period = 20
+    alpha = 2.0 / (period + 1)
+    decay = 1.0 - alpha
+    den = repr(float(sum(decay**k for k in range(period))))
+    return f"""
+        {_CANDLES_CTE},
+        m AS (
+            SELECT bucket_start, close,
+                   row_number() OVER (ORDER BY bucket_start) AS rn
+            FROM candles
+        )
+        SELECT a.bucket_start, a.close,
+               round(sum(power({decay!r}, a.rn - b.rn) * b.close)
+                     / {den}, 6) AS ewma20
+        FROM m a JOIN m b ON b.rn BETWEEN a.rn - {period - 1} AND a.rn
+        GROUP BY a.bucket_start, a.close, a.rn
+        HAVING count(*) = {period}
+    """
+
+
 def _a9_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 — pairwise Pearson correlation matrix of the five OHLCV bar
     columns in ONE aggregation pass (ml.py ``corr_matrix``): all 10
@@ -1283,10 +1317,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x34_kmeans_train": X.q_kmeans_train,
         "t10_stream_static_join": _t10_stream_static_join,
         "w13_rolling_median": _w13_rolling_median,
+        "w14_ewma": _w14_ewma,
         "a9_corr_matrix": _a9_corr_matrix,
         "a10_multires_rollup": _a10_multires_rollup,
         "ml4_confusion": _ml4_confusion,
         "x43_dup_spans": X.q_dup_spans,
+        "x45_containment": X.q_containment_neardup,
         "x28_corpus_pipeline": X.q_corpus_pipeline,
         "x16_dedup_clusters": X.q_dedup_clusters,
         "x31_minhash_clusters": X.q_minhash_clusters,
@@ -1296,10 +1332,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x33_unigram_logprob": X.q_unigram_logprob,
         "x37_bigram_logprob": X.q_bigram_logprob,
         "ml1_lag_matrix": X.q_ml_lag_matrix,
-        "x18_vocab_topk": X.q_vocab_topk,
+        # (x18 sits past the window: x19's TF table IS the vocab
+        # computation and x40's BPE vocab training is in-window; x22
+        # likewise: x43 adjudicates the same cross-set shingle-overlap
+        # machinery corpus-wide)
         "x19_tfidf_topk": X.q_tfidf_topk,
         "x21_pii_scrub": X.q_pii_scrub,
-        "x22_decontaminate": X.q_decontaminate,
         "x23_repetition": X.q_repetition_signals,
         "x36_source_quota": X.q_source_quota,
         "x38_chunk_dedup": X.q_chunk_dedup,
@@ -1338,7 +1376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_interval_join": _j1_interval_join,
         "a5_sliding_avg": _a5_sliding_avg,
         "x17_split_assign": X.q_split_assign,
+        "x18_vocab_topk": X.q_vocab_topk,
         "x20_stratified_sample": X.q_stratified_sample,
+        "x22_decontaminate": X.q_decontaminate,
         # -- flagship-subsumed singles (two rounds driver-green; w1-w7
         # re-verified inside t9 + both pipelines, f1/f13 inside
         # pipeline_full_row, candles inside every indicator flagship;
@@ -1774,6 +1814,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ml3_score_parity": _ml3_oracle(),
         "ml4_confusion": _ml4_oracle(),
+        "w14_ewma": _w14_oracle(),
+        "x45_containment": X.containment_oracle(),
         "w13_rolling_median": f"""
             {_CANDLES_CTE},
             m AS (

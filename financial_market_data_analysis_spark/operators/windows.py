@@ -315,6 +315,46 @@ def rolling_median(
     return df.withColumn(out_col, F.when(rn >= period, m))
 
 
+def rolling_ewma(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[str | Column],
+    period: int = 20,
+    partition_cols: Sequence[str | Column] = (),
+    out_col: str = "ewma",
+) -> DataFrame:
+    """W14 — truncated exponentially-weighted moving average: the
+    recency-weighted sibling of the reference's flat MAs (MACD's EMA
+    building block, absent from its views). The classic EMA recursion
+    ``y_t = αx_t + (1−α)y_{t−1}`` is inherently sequential; the
+    distributed form used here truncates the weights to the trailing
+    ``period`` rows and renormalizes —
+    ``Σ (1−α)^k · x_{t−k} / Σ (1−α)^k`` for k = 0..period−1 with
+    α = 2/(period+1) (pandas ``ewm(span=period, adjust=True)``
+    semantics over a bounded window). The tail weight beyond the frame
+    is (1−α)^period ≈ 0.13 at period 20 — truncation is what makes the
+    operator frame-bounded and hence partitionable.
+
+    Mechanics: the frame is materialized with ``collect_list`` (frame
+    order = ORDER BY order, oldest first) and folded with an indexed
+    ``transform`` + ``aggregate`` — all JVM Column expressions, O(period)
+    per row. Warm-up rows (frame < period) are NULL like the other
+    trimmed W-operators.
+    """
+    alpha = 2.0 / (period + 1)
+    decay = 1.0 - alpha
+    w = trailing_window(order_cols, period - 1, partition_cols)
+    rn = F.row_number().over(ordered_window(order_cols, partition_cols))
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    # weight (1-α)^(period-1-i): index 0 is the OLDEST row in the frame
+    weighted = F.transform(
+        arr, lambda x, i: x * F.pow(F.lit(decay), F.lit(period - 1) - i)
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
+    den = float(sum(decay**k for k in range(period)))
+    return df.withColumn(out_col, F.when(rn >= period, num / F.lit(den)))
+
+
 def sliding_join_back(
     df: DataFrame,
     ts_col: str = "ts",

@@ -1588,3 +1588,99 @@ def dup_spans_oracle() -> str:
                    AS dup_frac
         FROM totals t LEFT JOIN dups d ON t.doc_id = d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# x45 — asymmetric containment near-dup (fragment-in-document)
+
+FRAG_MOD = 50
+CONTAIN_THRESHOLD = 0.9
+
+
+def docs_with_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-test corpus: every ``FRAG_MOD``-th document gets a
+    FRAGMENT copy (its first half by characters) — a pair with Jaccard
+    ≈ 0.5 but containment ≈ 1.0, the shape symmetric-Jaccard dedup
+    (x6/x7) deliberately keeps: quotes, excerpts, and partial scrapes.
+    Engine/oracle twins, same convention as ``docs_augmented``."""
+    d = load_table(spark, "documents", sf_dir)
+    frags = d.filter(F.col("doc_id") % FRAG_MOD == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        F.expr("left(text, length(text) div 2)").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(frags)
+
+
+DOCS_FRAG_CTE = f"""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + {DUP_OFFSET}, left(text, length(text) // 2), lang,
+           source, n_chars
+    FROM documents WHERE doc_id % {FRAG_MOD} = 0
+"""
+
+
+def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x45 — containment-based near-dup detection: the SAME MinHash+LSH
+    candidate machinery as x6 (banded signatures, candidate-bounded
+    exact verify — never all-pairs), but scored with the ASYMMETRIC
+    containment coefficient |A∩B| / min(|A|,|B|) instead of Jaccard:
+    a short fragment wholly inside a long document scores ~1.0 where
+    Jaccard says ~0.5 and a threshold-0.5 symmetric pass is borderline.
+    This is the excerpt/quote-detection operator of an LLM dedup stack
+    (fragments survive Jaccard dedup and leak train text into val).
+
+    LSH recall note: banding is tuned for Jaccard ≥ 0.5; a fragment
+    much shorter than half its source (Jaccard < 0.5) needs a
+    dedicated short-side signature scheme — documented trade, same as
+    every LSH operator here publishing recall via x30.
+    """
+    verified = D.minhash_lsh_dedup(
+        docs_with_fragments(spark, sf_dir), threshold=0.0
+    )
+    return (
+        verified.withColumn(
+            "containment",
+            F.col("n_inter").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "containment")
+    )
+
+
+def containment_oracle() -> str:
+    return f"""
+        WITH aug AS ({DOCS_FRAG_CTE}),
+        sh AS ({_shingles_sql("aug")}),
+        {_seeded_bands_cte()},
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+            GROUP BY p.doc_a, p.doc_b
+        )
+        SELECT p.doc_a, p.doc_b,
+               COALESCE(i.n_inter, 0) AS n_inter,
+               sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                   / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+        FROM pairs p
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
+              >= {CONTAIN_THRESHOLD}
+    """

@@ -123,3 +123,57 @@ def test_dup_spans_flags_exact_copies_only(spark):
     # docs 1 and 2 share every 8-token span; doc 3 shares none
     assert got.get(1, 0) > 0 and got.get(1) == got.get(2)
     assert 3 not in got
+
+
+def test_ewma_constant_series_is_identity_and_weights_normalize(spark):
+    df = spark.createDataFrame(
+        [(i, 7.5) for i in range(25)], "t INT, v DOUBLE"
+    )
+    from financial_market_data_analysis_spark.operators.windows import rolling_ewma
+
+    out = rolling_ewma(df, "v", ["t"], period=20).orderBy("t").collect()
+    # warm-up rows NULL, then the renormalized weights must sum to 1 —
+    # a constant series maps to itself exactly
+    assert all(r.ewma is None for r in out[:19])
+    assert all(abs(r.ewma - 7.5) < 1e-12 for r in out[19:])
+
+
+def test_ewma_weights_most_recent_highest(spark):
+    # step series: after a jump, truncated EWMA must sit strictly
+    # between the flat MA (which lags more) and the latest value
+    vals = [1.0] * 20 + [11.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t INT, v DOUBLE"
+    )
+    from financial_market_data_analysis_spark.operators.windows import rolling_ewma
+
+    last = rolling_ewma(df, "v", ["t"], period=20).orderBy("t").collect()[-1]
+    flat_ma = (19 * 1.0 + 11.0) / 20  # = 1.5
+    assert flat_ma < last.ewma < 11.0
+    # closed form: frame = 19 ones + one 11 at weight (1-α)^0
+    decay = 1.0 - 2.0 / 21
+    den = sum(decay**k for k in range(20))
+    expect = (11.0 + (den - 1.0)) / den
+    assert abs(last.ewma - expect) < 1e-12
+
+
+def test_containment_scores_fragment_near_one(spark):
+    from financial_market_data_analysis_spark.operators.dedup import (
+        jaccard_verify,
+    )
+    from pyspark.sql import functions as F
+
+    words = " ".join(f"tok{i}" for i in range(40))
+    frag = " ".join(f"tok{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, words), (2, frag)], "doc_id LONG, text STRING"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a LONG, doc_b LONG")
+    v = jaccard_verify(pairs, docs).withColumn(
+        "containment",
+        F.col("n_inter").cast("double") / F.least("n_a", "n_b").cast("double"),
+    ).collect()[0]
+    # every fragment shingle is inside the source doc
+    assert v.containment == 1.0
+    # while Jaccard sees only ~half overlap
+    assert v.jaccard < 0.6

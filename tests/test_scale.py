@@ -288,3 +288,46 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_dup_spans_has_no_pairwise_join(spark):
+    """x43's cross-doc duplicated-span coverage must stay linear in the
+    shingle volume: keyed hash joins only — no cartesian/broadcast
+    nested loop (which would mean an all-pairs comparison leaked in)."""
+    from financial_market_data_analysis_spark.plans.extensions import q_dup_spans
+
+    plan = (
+        q_dup_spans(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multires_rollup_scans_raw_events_once(spark):
+    """A10's hierarchical rollup exists to avoid re-scanning the raw
+    table per granularity: the 3-level union plan must contain exactly
+    ONE parquet scan of events — coarser levels re-aggregate the
+    checkpointed base bars."""
+    from financial_market_data_analysis_spark.plans.candles import candles_multires
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    out = candles_multires(ev, (300, 900, 3600))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 1, plan[:1200]
+
+
+def test_corr_matrix_is_single_reduce(spark):
+    """A9: all pairwise correlations in one aggregation — the plan has
+    exactly one pair of partial/final HashAggregate stages and no join."""
+    from financial_market_data_analysis_spark.ml import corr_matrix
+
+    c = load_table(spark, "events", SF_SMOKE).select("value", "ts_us")
+    df = corr_matrix(
+        c.withColumn("v2", F.col("value") * 2), ["value", "v2"]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan[:1200]
