@@ -589,6 +589,31 @@ def _d3_latest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d4_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 — slowly-changing-dimension (type 2) interval build: each
+    user's change events become validity intervals
+    ``[ts, next_change_ts)`` via LEAD, the current row open-ended
+    (NULL valid_to) — how a mutable dimension snapshot becomes the
+    temporal table an as-of join (j3) probes. The reference stores
+    only latest state (its MariaDB row is overwritten); this is the
+    warehouse-correct history-preserving form. Scale: one window per
+    user partition — co-partitioned with every other per-user
+    aggregate, no global sort. event_id breaks duplicate-ts ties so
+    both engines order identically."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "signup"
+    )
+    w = SW.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+        (F.lead("ts_us").over(w).isNull()).cast("int").alias("is_current"),
+    )
+
+
 def _t9_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T9's single-pass stateful path under a REAL streaming run, made
     driver-adjudicable: per-symbol 5-minute candles are fed through
@@ -1331,14 +1356,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x32_boilerplate": X.q_boilerplate,
         "x33_unigram_logprob": X.q_unigram_logprob,
         "x37_bigram_logprob": X.q_bigram_logprob,
-        "ml1_lag_matrix": X.q_ml_lag_matrix,
+        "x46_shuffle_shards": X.q_shuffle_shards,
+        "d4_scd2_intervals": _d4_scd2_intervals,
+        # (ml1 sits past the window: ml3/ml4 both BUILD the same lag
+        # matrix before scoring it — the featurizer is adjudicated
+        # inside them every round)
         # (x18 sits past the window: x19's TF table IS the vocab
         # computation and x40's BPE vocab training is in-window; x22
         # likewise: x43 adjudicates the same cross-set shingle-overlap
         # machinery corpus-wide)
+        # (x23 sits past the window: its within-doc n-gram and repeated-
+        # line folds ride the same all_grams / line-split kernels x43
+        # and x32 adjudicate in-window)
         "x19_tfidf_topk": X.q_tfidf_topk,
         "x21_pii_scrub": X.q_pii_scrub,
-        "x23_repetition": X.q_repetition_signals,
         "x36_source_quota": X.q_source_quota,
         "x38_chunk_dedup": X.q_chunk_dedup,
         "x39_temperature_mix": X.q_temperature_mix,
@@ -1375,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w10_topk_per_group": _w10_topk_per_group,
         "j1_interval_join": _j1_interval_join,
         "a5_sliding_avg": _a5_sliding_avg,
+        "ml1_lag_matrix": X.q_ml_lag_matrix,
+        "x23_repetition": X.q_repetition_signals,
         "x17_split_assign": X.q_split_assign,
         "x18_vocab_topk": X.q_vocab_topk,
         "x20_stratified_sample": X.q_stratified_sample,
@@ -1816,6 +1849,18 @@ def oracle_sql() -> dict[str, str]:
         "ml4_confusion": _ml4_oracle(),
         "w14_ewma": _w14_oracle(),
         "x45_containment": X.containment_oracle(),
+        "x46_shuffle_shards": X.shuffle_shards_oracle(),
+        "d4_scd2_intervals": """
+            SELECT user_id, event_id, value,
+                   epoch_us(ts) AS valid_from_us,
+                   lead(epoch_us(ts)) OVER w AS valid_to_us,
+                   CAST(lead(epoch_us(ts)) OVER w IS NULL AS INT)
+                       AS is_current
+            FROM events
+            WHERE event_type = 'signup'
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id)
+        """,
         "w13_rolling_median": f"""
             {_CANDLES_CTE},
             m AS (

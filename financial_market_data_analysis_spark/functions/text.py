@@ -1504,3 +1504,53 @@ def unigram_logprob_sql(src: str = "documents", text_expr: str = "text") -> str:
                round(exp(-m), 3) AS ppl_proxy
         FROM per_doc
     """
+
+
+# ---------------------------------------------------------------------------
+# x46 — deterministic global shuffle → training shards
+
+SHUFFLE_SALT = "shard"
+
+
+def shuffle_shards(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The global-shuffle-and-shard step a training-data export ends
+    with: every document gets a SALTED content-free hash key, the
+    first hex digit is its shard (16 shards), and ``row_number`` over
+    the hash key within the shard is its serving order — a
+    deterministic pseudo-random permutation of the corpus.
+
+    Scale shape: this is how you "globally shuffle" 100 TB WITHOUT a
+    global sort — the hash assignment is a row-local projection, the
+    only exchange is the per-shard hash partition, and each shard
+    orders independently (16-way parallel sort of corpus/16 each).
+    Re-runs are stable (no RNG state), and growing the corpus never
+    reorders existing (shard, key) prefixes, so incremental exports
+    append. The salt keeps the permutation independent of the
+    ``hash_split`` buckets (the UNSALTED md5(id) family — see
+    ``hash_split``'s ownership note).
+    """
+    key = F.md5(
+        F.concat(
+            F.lit(SHUFFLE_SALT + ":"), F.col(id_col).cast("string")
+        ).cast("binary")
+    )
+    out = df.withColumn("shuffle_key", key).withColumn(
+        "shard", F.substring("shuffle_key", 1, 1)
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return out.withColumn("pos", F.row_number().over(w))
+
+
+def shuffle_shards_sql(id_expr: str = "doc_id", src: str = "documents") -> str:
+    key = f"md5('{SHUFFLE_SALT}:' || CAST({id_expr} AS VARCHAR))"
+    return f"""
+        SELECT doc_id, shuffle_key, shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY shuffle_key, doc_id
+               ) AS INT) AS pos
+        FROM (
+            SELECT doc_id, {key} AS shuffle_key,
+                   substr({key}, 1, 1) AS shard
+            FROM {src}
+        )
+    """

@@ -1684,3 +1684,17 @@ def containment_oracle() -> str:
               / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
               >= {CONTAIN_THRESHOLD}
     """
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x46 — deterministic global shuffle → 16 training shards with a
+    per-shard serving order (functions/text.py ``shuffle_shards``):
+    the export step between curation (x28) and the dataloader. See the
+    operator docstring for why this is the no-global-sort permutation
+    shape a 100 TB corpus needs."""
+    d = load_table(spark, "documents", sf_dir)
+    return T.shuffle_shards(d).select("doc_id", "shuffle_key", "shard", "pos")
+
+
+def shuffle_shards_oracle() -> str:
+    return T.shuffle_shards_sql()

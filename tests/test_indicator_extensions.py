@@ -177,3 +177,32 @@ def test_containment_scores_fragment_near_one(spark):
     assert v.containment == 1.0
     # while Jaccard sees only ~half overlap
     assert v.jaccard < 0.6
+
+
+def test_shuffle_shards_is_stable_contiguous_permutation(spark):
+    from financial_market_data_analysis_spark.functions.text import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id LONG")
+    out = shuffle_shards(df).collect()
+    # total disjoint cover: every doc exactly once
+    assert len(out) == 200 and len({r.doc_id for r in out}) == 200
+    # per-shard positions are contiguous 1..n
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # growth stability: adding docs never reorders existing (shard, pos)
+    # prefixes relative to each other — keys are content-free hashes
+    bigger = shuffle_shards(
+        spark.createDataFrame([(i,) for i in range(300)], "doc_id LONG")
+    ).collect()
+    old_order = {
+        s: [r.doc_id for r in sorted((x for x in out if x.shard == s), key=lambda x: x.pos)]
+        for s in by_shard
+    }
+    new_order = {
+        s: [r.doc_id for r in sorted((x for x in bigger if x.shard == s), key=lambda x: x.pos) if r.doc_id < 200]
+        for s in by_shard
+    }
+    assert old_order == new_order
