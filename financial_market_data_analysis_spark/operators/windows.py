@@ -355,6 +355,78 @@ def rolling_ewma(
     return df.withColumn(out_col, F.when(rn >= period, num / F.lit(den)))
 
 
+def rsi(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[str | Column],
+    period: int = 14,
+    partition_cols: Sequence[str | Column] = (),
+    out_col: str = "rsi",
+) -> DataFrame:
+    """W15 — Relative Strength Index (Cutler's simple-average form):
+    ``100 − 100/(1 + avgGain/avgLoss)`` over the trailing ``period``
+    deltas. The simple-MA variant is used instead of Wilder's
+    recursive smoothing deliberately — recursion is unbounded-history
+    (the same reason W14 truncates the EMA), while this form is a LAG
+    plus two windowed averages: frame-bounded, partitionable,
+    oracle-checkable. All-gain frames clamp to 100 (avgLoss = 0 —
+    engines disagree on x/0, so the clamp is explicit); warm-up rows
+    (fewer than ``period`` deltas) are NULL.
+    """
+    ow = ordered_window(order_cols, partition_cols)
+    w = trailing_window(order_cols, period - 1, partition_cols)
+    delta = F.col(value_col) - F.lag(value_col).over(ow)
+    gain = F.when(delta > 0, delta).otherwise(F.lit(0.0))
+    loss = F.when(delta < 0, -delta).otherwise(F.lit(0.0))
+    d = df.withColumns(
+        {"__gain": gain, "__loss": loss, "__rn": F.row_number().over(ow)}
+    )
+    avg_gain = F.avg("__gain").over(w)
+    avg_loss = F.avg("__loss").over(w)
+    val = F.when(avg_loss == 0, F.lit(100.0)).otherwise(
+        F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss)
+    )
+    # rn >= period+1: the first row has no delta, then `period` deltas
+    # must exist before the averages are full-frame
+    return (
+        d.withColumn(out_col, F.when(F.col("__rn") >= period + 1, val))
+        .drop("__gain", "__loss", "__rn")
+    )
+
+
+def on_balance_volume(
+    df: DataFrame,
+    close_col: str,
+    volume_col: str,
+    order_cols: Sequence[str | Column],
+    partition_cols: Sequence[str | Column] = (),
+    out_col: str = "obv",
+) -> DataFrame:
+    """W16 — On-Balance Volume: running sum of volume signed by the
+    bar-to-bar close direction (up bar adds, down bar subtracts, flat
+    contributes zero; the first bar contributes zero — no prior
+    close). An UNBOUNDED PRECEDING running frame, which is exactly
+    when ``partition_cols`` matters at scale: per-symbol the running
+    sum is a per-partition scan; global it is reference-parity only.
+    """
+    ow = ordered_window(order_cols, partition_cols)
+    prev = F.lag(close_col).over(ow)
+    signed = (
+        F.when(prev.isNull(), F.lit(0.0))
+        .when(F.col(close_col) > prev, F.col(volume_col))
+        .when(F.col(close_col) < prev, -F.col(volume_col))
+        .otherwise(F.lit(0.0))
+    )
+    run = (
+        Window.partitionBy(*partition_cols)
+        if partition_cols
+        else Window.partitionBy()
+    ).orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("__signed_vol", signed).withColumn(
+        out_col, F.sum("__signed_vol").over(run)
+    ).drop("__signed_vol")
+
+
 def sliding_join_back(
     df: DataFrame,
     ts_col: str = "ts",

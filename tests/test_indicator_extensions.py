@@ -206,3 +206,42 @@ def test_shuffle_shards_is_stable_contiguous_permutation(spark):
         for s in by_shard
     }
     assert old_order == new_order
+
+
+def test_rsi_extremes_and_bounds(spark):
+    from financial_market_data_analysis_spark.operators.windows import rsi
+
+    up = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "t INT, v DOUBLE"
+    )
+    rows = rsi(up, "v", ["t"], period=14).filter(F.col("rsi").isNotNull()).collect()
+    # monotonically rising series: all-gain frames clamp to exactly 100
+    assert rows and all(r.rsi == 100.0 for r in rows)
+    down = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(20)], "t INT, v DOUBLE"
+    )
+    rows = rsi(down, "v", ["t"], period=14).filter(F.col("rsi").isNotNull()).collect()
+    # monotonically falling: RSI exactly 0
+    assert rows and all(r.rsi == 0.0 for r in rows)
+    mixed = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(30)], "t INT, v DOUBLE"
+    )
+    rows = rsi(mixed, "v", ["t"], period=14).filter(F.col("rsi").isNotNull()).collect()
+    assert all(0.0 <= r.rsi <= 100.0 for r in rows)
+
+
+def test_obv_signs_and_running_sum(spark):
+    from financial_market_data_analysis_spark.operators.windows import (
+        on_balance_volume,
+    )
+
+    bars = [
+        (0, 10.0, 100.0),  # first bar: contributes 0
+        (1, 11.0, 50.0),   # up: +50
+        (2, 11.0, 70.0),   # flat: 0
+        (3, 9.0, 30.0),    # down: -30
+        (4, 12.0, 20.0),   # up: +20
+    ]
+    df = spark.createDataFrame(bars, "t INT, close DOUBLE, vol DOUBLE")
+    out = on_balance_volume(df, "close", "vol", ["t"]).orderBy("t").collect()
+    assert [r.obv for r in out] == [0.0, 50.0, 50.0, 20.0, 40.0]
