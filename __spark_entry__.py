@@ -1207,6 +1207,56 @@ def _a11_oracle() -> str:
     """
 
 
+def _w17_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17 — MACD(12,26,9) composed from truncated EWMAs
+    (operators/windows.py ``macd``): line, signal, histogram, each
+    rounded to 6 (the EWMA fold precedent). The oracle rebuilds the
+    identical composition from rank self-joins."""
+    out = W.macd(_candles(spark, sf_dir), "close", _ORDER)
+    return out.filter(F.col("macd_signal").isNotNull()).select(
+        "bucket_start",
+        F.round("macd_line", 6).alias("macd_line"),
+        F.round("macd_signal", 6).alias("macd_signal"),
+        F.round("macd_hist", 6).alias("macd_hist"),
+    )
+
+
+def _w17_oracle(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
+    def ewma(src: str, val: str, period: int, alias: str) -> str:
+        decay = 1.0 - 2.0 / (period + 1)
+        den = repr(float(sum(decay**k for k in range(period))))
+        return f"""
+            SELECT a.rn, a.bucket_start,
+                   sum(power({decay!r}, a.rn - b.rn) * b.{val}) / {den}
+                       AS {alias}
+            FROM {src} a JOIN {src} b
+              ON b.rn BETWEEN a.rn - {period - 1} AND a.rn
+            GROUP BY a.rn, a.bucket_start
+            HAVING count(*) = {period}
+        """
+
+    return f"""
+        {_CANDLES_CTE},
+        m AS (
+            SELECT bucket_start, close,
+                   row_number() OVER (ORDER BY bucket_start) AS rn
+            FROM candles
+        ),
+        ef AS ({ewma("m", "close", fast, "v")}),
+        es AS ({ewma("m", "close", slow, "v")}),
+        line AS (
+            SELECT ef.rn, ef.bucket_start, ef.v - es.v AS macd_line
+            FROM ef JOIN es ON ef.rn = es.rn
+        ),
+        sig AS ({ewma("line", "macd_line", signal, "macd_signal")})
+        SELECT line.bucket_start,
+               round(line.macd_line, 6) AS macd_line,
+               round(sig.macd_signal, 6) AS macd_signal,
+               round(line.macd_line - sig.macd_signal, 6) AS macd_hist
+        FROM line JOIN sig ON line.rn = sig.rn
+    """
+
+
 def _a9_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 — pairwise Pearson correlation matrix of the five OHLCV bar
     columns in ONE aggregation pass (ml.py ``corr_matrix``): all 10
@@ -1515,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green; the window was already carrying 26 first-time rows) --
         "w15_rsi": _w15_rsi,
         "w16_obv": _w16_obv,
+        "w17_macd": _w17_macd,
         "a11_vwap_daily": _a11_vwap_daily,
         # -- rotated out this round (three-rounds driver-green, each
         # subsumed by an in-window flagship; see the window comment) ---
@@ -1968,6 +2019,7 @@ def oracle_sql() -> dict[str, str]:
         "x46_shuffle_shards": X.shuffle_shards_oracle(),
         "w15_rsi": _w15_oracle(),
         "w16_obv": _w16_oracle(),
+        "w17_macd": _w17_oracle(),
         "a11_vwap_daily": _a11_oracle(),
         "d4_scd2_intervals": """
             SELECT user_id, event_id, value,

@@ -394,6 +394,47 @@ def rsi(
     )
 
 
+def macd(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[str | Column],
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    partition_cols: Sequence[str | Column] = (),
+) -> DataFrame:
+    """W17 — MACD from composed truncated EWMAs (``rolling_ewma``):
+    ``macd_line = EWMA_fast − EWMA_slow``, ``macd_signal`` = EWMA of
+    the macd line, ``macd_hist`` = line − signal. The classic pairing
+    the reference's flat-MA views build toward but never reach
+    (create_database.py stops at MA20/Bollinger).
+
+    Composition keeps every stage frame-bounded: the line exists once
+    the slow frame is full, the signal once ``signal`` line rows
+    exist — total warm-up slow+signal−1 rows, all NULL-trimmed by the
+    same convention as W12-W14. Three window passes over the SAME
+    (partition, order) key — Catalyst collapses them into a single
+    sort/Window pipeline per stage, no extra shuffles.
+    """
+    d = rolling_ewma(
+        df, value_col, order_cols, fast, partition_cols, out_col="__ewma_fast"
+    )
+    d = rolling_ewma(
+        d, value_col, order_cols, slow, partition_cols, out_col="__ewma_slow"
+    )
+    d = d.withColumn(
+        "macd_line", F.col("__ewma_fast") - F.col("__ewma_slow")
+    ).filter(F.col("macd_line").isNotNull())
+    d = rolling_ewma(
+        d, "macd_line", order_cols, signal, partition_cols,
+        out_col="macd_signal",
+    )
+    return (
+        d.withColumn("macd_hist", F.col("macd_line") - F.col("macd_signal"))
+        .drop("__ewma_fast", "__ewma_slow")
+    )
+
+
 def on_balance_volume(
     df: DataFrame,
     close_col: str,

@@ -245,3 +245,44 @@ def test_obv_signs_and_running_sum(spark):
     df = spark.createDataFrame(bars, "t INT, close DOUBLE, vol DOUBLE")
     out = on_balance_volume(df, "close", "vol", ["t"]).orderBy("t").collect()
     assert [r.obv for r in out] == [0.0, 50.0, 50.0, 20.0, 40.0]
+
+
+def test_macd_flat_series_is_zero_and_crossover_sign(spark):
+    from financial_market_data_analysis_spark.operators.windows import macd
+
+    flat = spark.createDataFrame(
+        [(i, 50.0) for i in range(40)], "t INT, close DOUBLE"
+    )
+    rows = macd(flat, "close", ["t"]).filter(
+        F.col("macd_signal").isNotNull()
+    ).collect()
+    assert rows and all(
+        abs(r.macd_line) < 1e-12
+        and abs(r.macd_signal) < 1e-12
+        and abs(r.macd_hist) < 1e-12
+        for r in rows
+    )
+    # rising series: fast EWMA sits above slow → positive line
+    up = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "t INT, close DOUBLE"
+    )
+    rows = macd(up, "close", ["t"]).filter(
+        F.col("macd_signal").isNotNull()
+    ).collect()
+    assert rows and all(r.macd_line > 0 for r in rows)
+
+
+def test_macd_no_extra_shuffles_per_stage(spark):
+    """The three EWMA passes share one (partition, order) key; the plan
+    must not add an Exchange per stage (single-partition parity mode
+    has exactly one exchange to the lone partition)."""
+    from financial_market_data_analysis_spark.operators.windows import macd
+
+    df = spark.range(100).select(
+        F.col("id").alias("t"), (F.col("id") * 1.0).alias("close")
+    )
+    plan = (
+        macd(df, "close", ["t"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 1, plan[:1500]
