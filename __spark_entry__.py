@@ -614,6 +614,55 @@ def _d4_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s6_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — the market-calendar session gate as an ENGINE op (the
+    reference runs it as driver-side control flow: fetch month
+    calendar, poll only while status == 'open', compute session
+    start/end — getMarketData.py:251-257, producer.py:212-254). Here
+    the calendar is a DIM TABLE derived deterministically from the
+    event date range (weekday sessions 09:30-16:00, every 13th
+    day-of-month a synthetic holiday), BROADCAST-joined to the fact
+    stream, and the gate is a row-local predicate on second-of-day —
+    the SURVEY §2.1-suggested `F.when`-on-calendar-dim shape. At
+    100 TB the calendar is a few KB broadcast; the gate prunes at the
+    scan when the fact table is date-partitioned. Session bounds ride
+    along as integer seconds so both engines compare exactly."""
+    ev = load_table(spark, "events", sf_dir)
+    cal = (
+        ev.select(F.to_date("ts").alias("session_date"))
+        .distinct()
+        .select(
+            "session_date",
+            F.when(
+                (F.weekday("session_date") >= 5)
+                | (F.dayofmonth("session_date") % 13 == 0),
+                F.lit("closed"),
+            )
+            .otherwise(F.lit("open"))
+            .alias("status"),
+            F.lit(34200).alias("open_s"),   # 09:30
+            F.lit(57600).alias("close_s"),  # 16:00
+        )
+    )
+    sec_of_day = (F.col("ts_us") / 1_000_000).cast("long") % 86400
+    return (
+        ev.withColumn("session_date", F.to_date("ts"))
+        .join(F.broadcast(cal), "session_date")
+        .filter(
+            (F.col("status") == "open")
+            & (sec_of_day >= F.col("open_s"))
+            & (sec_of_day < F.col("close_s"))
+        )
+        .select(
+            "event_id",
+            F.col("ts_us"),
+            "event_type",
+            "value",
+            F.col("session_date").cast("string").alias("session_date"),
+        )
+    )
+
+
 def _t9_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T9's single-pass stateful path under a REAL streaming run, made
     driver-adjudicable: per-symbol 5-minute candles are fed through
@@ -1519,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x37_bigram_logprob": X.q_bigram_logprob,
         "x46_shuffle_shards": X.q_shuffle_shards,
         "d4_scd2_intervals": _d4_scd2_intervals,
+        "s6_session_gate": _s6_session_gate,
         # (ml1 sits past the window: ml3/ml4 both BUILD the same lag
         # matrix before scoring it — the featurizer is adjudicated
         # inside them every round)
@@ -1547,9 +1597,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ranked top-k is the same bounded-window machinery; x17/x20
         # because x28 fuses the same hash split and x36 the same
         # deterministic hash-ordered selection)
+        # (j2 sits past the window: the salted join's row parity with
+        # the PLAIN join is plan- and value-asserted in
+        # tests/test_scale.py, and the plain equi-join shape is
+        # adjudicated by j5/q3 in-window)
         "w11_range_frame": _w11_range_frame,
         "w12_rolling_corr": _w12_rolling_corr,
-        "j2_salted_join": _j2_salted_join,
         "j3_asof_last": _j3_asof_last,
         # (t4_session_windows sits past the window: t4b adjudicates the
         # same gaps-and-islands oracle under a real stream every round)
@@ -1567,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w16_obv": _w16_obv,
         "w17_macd": _w17_macd,
         "a11_vwap_daily": _a11_vwap_daily,
+        "j2_salted_join": _j2_salted_join,
         # -- rotated out this round (three-rounds driver-green, each
         # subsumed by an in-window flagship; see the window comment) ---
         "w9_partitioned_indicators": _w9_partitioned_indicators,
@@ -2021,6 +2075,21 @@ def oracle_sql() -> dict[str, str]:
         "w16_obv": _w16_oracle(),
         "w17_macd": _w17_oracle(),
         "a11_vwap_daily": _a11_oracle(),
+        "s6_session_gate": """
+            WITH cal AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS session_date,
+                       CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+                              OR day(CAST(ts AS DATE)) % 13 = 0
+                            THEN 'closed' ELSE 'open' END AS status
+                FROM events
+            )
+            SELECT event_id, epoch_us(ts) AS ts_us, event_type, value,
+                   CAST(CAST(ts AS DATE) AS VARCHAR) AS session_date
+            FROM events e JOIN cal c ON CAST(e.ts AS DATE) = c.session_date
+            WHERE c.status = 'open'
+              AND (epoch_us(ts) // 1000000) % 86400 >= 34200
+              AND (epoch_us(ts) // 1000000) % 86400 < 57600
+        """,
         "d4_scd2_intervals": """
             SELECT user_id, event_id, value,
                    epoch_us(ts) AS valid_from_us,
