@@ -1515,14 +1515,16 @@ SHUFFLE_SALT = "shard"
 def shuffle_shards(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """The global-shuffle-and-shard step a training-data export ends
     with: every document gets a SALTED content-free hash key, the
-    first hex digit is its shard (16 shards), and ``row_number`` over
+    first TWO hex digits are its shard (256 shards), and ``row_number`` over
     the hash key within the shard is its serving order — a
     deterministic pseudo-random permutation of the corpus.
 
     Scale shape: this is how you "globally shuffle" 100 TB WITHOUT a
     global sort — the hash assignment is a row-local projection, the
     only exchange is the per-shard hash partition, and each shard
-    orders independently (16-way parallel sort of corpus/16 each).
+    orders independently (256-way parallel sort of corpus/256 each —
+    widen the digit count if per-shard volume still exceeds a sort
+    task's comfort at the target scale; the scheme is unchanged).
     Re-runs are stable (no RNG state), and growing the corpus never
     reorders existing (shard, key) prefixes, so incremental exports
     append. The salt keeps the permutation independent of the
@@ -1535,7 +1537,7 @@ def shuffle_shards(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ).cast("binary")
     )
     out = df.withColumn("shuffle_key", key).withColumn(
-        "shard", F.substring("shuffle_key", 1, 1)
+        "shard", F.substring("shuffle_key", 1, 2)
     )
     w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
     return out.withColumn("pos", F.row_number().over(w))
@@ -1550,7 +1552,7 @@ def shuffle_shards_sql(id_expr: str = "doc_id", src: str = "documents") -> str:
                ) AS INT) AS pos
         FROM (
             SELECT doc_id, {key} AS shuffle_key,
-                   substr({key}, 1, 1) AS shard
+                   substr({key}, 1, 2) AS shard
             FROM {src}
         )
     """

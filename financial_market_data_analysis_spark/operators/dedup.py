@@ -963,3 +963,75 @@ def simhash_dedup_clusters(
     sketches.unpersist()
     comp_min = members.groupBy("comp").agg(F.min(id_col).alias("cluster_id"))
     return members.join(comp_min, "comp").select(id_col, "cluster_id")
+
+
+def dup_span_shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """(id, shingle) long table at span width ``n`` — the wide-shingle
+    sibling of ``shingle_table`` (SHINGLE=3 serves Jaccard; duplicated-
+    SPAN detection wants a width where a hit means a verbatim n-token
+    run, not a common trigram). Row-local: tokenize → indexed gram
+    build → per-doc distinct → explode.
+
+    Callers that feed ``dup_span_coverage`` should ``.persist()`` this
+    (it is referenced three times there) and unpersist after
+    materializing the doc-sized result — the minhash_lsh_dedup caching
+    contract; un-persisted, the corpus would be re-shingled 3×.
+    """
+    from financial_market_data_analysis_spark.functions.text import (
+        all_grams,
+        tokens,
+    )
+
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return ensure_parallelism(toks_df).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(all_grams(F.col("__toks"), n))
+        ).alias("shingle"),
+    )
+
+
+def dup_span_coverage(
+    sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document duplicated-span coverage from a (id, shingle)
+    table: the fraction of a doc's distinct spans that occur verbatim
+    in at least one OTHER document — the shingle-granularity
+    approximation of suffix-array exact-substring dedup (the train-set
+    leakage metric fixed-boundary chunk dedup can't see).
+
+    Shape: ONE groupBy(shingle) counting docs (per-doc-distinct input
+    makes count(*) == count(distinct doc)), a semi-join of the >1-doc
+    set back onto the table, and a per-doc fold. Two keyed shuffles,
+    both on the shingle/doc key; no pairwise comparison anywhere, so
+    cost is linear in corpus shingle volume — at 100 TB hash each
+    shingle to 64 bits (xxhash64) before the shuffle so the exchanged
+    key is 8 bytes, not span text (text kept here for oracle parity;
+    collisions at 2^64 are the standard accepted trade).
+    """
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("shingle")
+    )
+    per_doc = (
+        sh.join(shared.hint("shuffle_hash"), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_shingles"))
+    )
+    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(per_doc, id_col, "left")
+        .na.fill({"n_dup_shingles": 0})
+        .select(
+            id_col,
+            "n_shingles",
+            F.col("n_dup_shingles").cast("long").alias("n_dup_shingles"),
+            F.round(
+                F.col("n_dup_shingles") / F.col("n_shingles"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -1521,37 +1521,10 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     odds at 2^64 are the standard accepted trade).
     """
     d = docs_augmented(spark, sf_dir)
-    toks_df = d.select("doc_id", T.tokens("text").alias("__toks"))
-    sh = toks_df.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(T.all_grams(F.col("__toks"), DUP_SPAN_N))
-        ).alias("shingle"),
-    )
-    # count DOCS per shingle (shingles are per-doc distinct already, so
-    # count(*) == count(distinct doc))
-    shared = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
-        .select("shingle")
-    )
-    per_doc = sh.join(shared.hint("shuffle_hash"), "shingle", "left_semi").groupBy(
-        "doc_id"
-    ).agg(F.count(F.lit(1)).alias("n_dup_shingles"))
-    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    return (
-        totals.join(per_doc, "doc_id", "left")
-        .fillna(0, subset=["n_dup_shingles"])
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.col("n_dup_shingles").cast("long").alias("n_dup_shingles"),
-            F.round(
-                F.col("n_dup_shingles") / F.col("n_shingles"), 6
-            ).alias("dup_frac"),
-        )
-    )
+    sh = D.dup_span_shingle_table(d, n=DUP_SPAN_N).persist()
+    out = D.dup_span_coverage(sh).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def _dup_span_shingles_sql(src: str, n: int = DUP_SPAN_N) -> str:

@@ -294,10 +294,17 @@ def test_dup_spans_has_no_pairwise_join(spark):
     """x43's cross-doc duplicated-span coverage must stay linear in the
     shingle volume: keyed hash joins only — no cartesian/broadcast
     nested loop (which would mean an all-pairs comparison leaked in)."""
-    from financial_market_data_analysis_spark.plans.extensions import q_dup_spans
+    from financial_market_data_analysis_spark.operators.dedup import (
+        dup_span_coverage,
+        dup_span_shingle_table,
+    )
+    from financial_market_data_analysis_spark.plans.extensions import (
+        docs_augmented,
+    )
 
+    sh = dup_span_shingle_table(docs_augmented(spark, SF_SMOKE))
     plan = (
-        q_dup_spans(spark, SF_SMOKE)
+        dup_span_coverage(sh)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
