@@ -614,6 +614,78 @@ def _d4_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t7_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 made driver-adjudicable: the epoch-idempotent warehouse sink
+    under a REAL availableNow stream WITH a simulated crash-retry.
+    Before the stream starts, a PARTIAL copy of the second epoch's
+    bars is written under that epoch's partition (exactly what a
+    mid-epoch crash leaves behind — foreachBatch is at-least-once, so
+    the engine will re-deliver the epoch). The stream then processes
+    both files; its epoch-1 dynamic partition overwrite must REPLACE
+    the poisoned partial directory, not append beside it. The
+    warehouse read-back is compared to the full batch candle oracle —
+    if the sink were a plain append (the reference's JDBC pattern,
+    spark_consumer.py:68-84), the partial rows would survive as
+    duplicates and the row count/hash would mismatch. The halves are
+    split on a BUCKET boundary so each bar lands wholly in one epoch.
+    """
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.streaming.pipeline import (
+        epoch_idempotent_writer,
+    )
+
+    bars = _candles(spark, sf_dir)
+    cut = bars.agg(F.percentile_approx("bucket_start", 0.5)).first()[0]
+    src = tempfile.mkdtemp(prefix="t7_bars_")
+    wh = tempfile.mkdtemp(prefix="t7_wh_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _stage_two_halves(
+            bars,
+            (F.col("bucket_start") <= cut, F.col("bucket_start") > cut),
+            src,
+        )
+        write = epoch_idempotent_writer(wh)
+        # poison: half of epoch 1's rows, already under epoch_id=1 —
+        # the crashed first attempt the stream's retry must replace
+        poisoned = (
+            bars.filter(F.col("bucket_start") > cut)
+            .orderBy("bucket_start")
+            .limit(5)
+            .localCheckpoint(eager=True)
+        )
+        write(poisoned, 1)
+        stream = (
+            spark.readStream.schema(bars.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(write)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="t7_ckpt_")
+            )
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t7 sink stream did not finish in 300 s")
+        out = (
+            spark.read.parquet(wh)
+            .drop("epoch_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+    return out
+
+
 def _s6_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 — the market-calendar session gate as an ENGINE op (the
     reference runs it as driver-side control flow: fetch month
@@ -1569,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x46_shuffle_shards": X.q_shuffle_shards,
         "d4_scd2_intervals": _d4_scd2_intervals,
         "s6_session_gate": _s6_session_gate,
+        "t7_exactly_once_sink": _t7_exactly_once_sink,
         # (ml1 sits past the window: ml3/ml4 both BUILD the same lag
         # matrix before scoring it — the featurizer is adjudicated
         # inside them every round)
@@ -1606,9 +1679,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_asof_last": _j3_asof_last,
         # (t4_session_windows sits past the window: t4b adjudicates the
         # same gaps-and-islands oracle under a real stream every round)
+        # (a8 sits past the window: three-rounds green, and its
+        # explicit per-group rank-selection is the same bounded
+        # Window-rank machinery x19 adjudicates in-window)
         "a6_sliding_joinback": _a6_sliding_joinback,
         "a7_rollup": _a7_rollup,
-        "a8_percentiles": _a8_percentiles,
         # (f2_book_features sits past the window: all 28 book-feature
         # columns ride inside pipeline_full_row's adjudicated row)
         "q3_shipping_priority": _q3_shipping_priority,
@@ -1621,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w17_macd": _w17_macd,
         "a11_vwap_daily": _a11_vwap_daily,
         "j2_salted_join": _j2_salted_join,
+        "a8_percentiles": _a8_percentiles,
         # -- rotated out this round (three-rounds driver-green, each
         # subsumed by an in-window flagship; see the window comment) ---
         "w9_partitioned_indicators": _w9_partitioned_indicators,
@@ -2075,6 +2151,7 @@ def oracle_sql() -> dict[str, str]:
         "w16_obv": _w16_oracle(),
         "w17_macd": _w17_oracle(),
         "a11_vwap_daily": _a11_oracle(),
+        "t7_exactly_once_sink": candles_oracle_sql(),
         "s6_session_gate": """
             WITH cal AS (
                 SELECT DISTINCT CAST(ts AS DATE) AS session_date,
