@@ -974,10 +974,13 @@ def dup_span_shingle_table(
     run, not a common trigram). Row-local: tokenize → indexed gram
     build → per-doc distinct → explode.
 
-    Callers that feed ``dup_span_coverage`` should ``.persist()`` this
-    (it is referenced three times there) and unpersist after
-    materializing the doc-sized result — the minhash_lsh_dedup caching
-    contract; un-persisted, the corpus would be re-shingled 3×.
+    ``dup_span_coverage`` references this twice and deliberately does
+    NOT ask for a persist: the table is corpus-sized (~n× the text),
+    so caching it spills at scale, while recomputing it is a pure
+    row-local scan+explode with no shuffle — the standard
+    recompute-over-cache call for cheap wide lineage. Each consumer
+    pays its own scan; the expensive keyed SHUFFLES are not
+    duplicated either way.
     """
     from financial_market_data_analysis_spark.functions.text import (
         all_grams,
@@ -1003,9 +1006,10 @@ def dup_span_coverage(
     leakage metric fixed-boundary chunk dedup can't see).
 
     Shape: ONE groupBy(shingle) counting docs (per-doc-distinct input
-    makes count(*) == count(distinct doc)), a semi-join of the >1-doc
-    set back onto the table, and a per-doc fold. Two keyed shuffles,
-    both on the shingle/doc key; no pairwise comparison anywhere, so
+    makes count(*) == count(distinct doc)), a flagging left join of
+    the >1-doc set back onto the table, and ONE per-doc fold that
+    produces totals and dup counts together. Two keyed shuffles, both
+    on the shingle/doc key; no pairwise comparison anywhere, so
     cost is linear in corpus shingle volume — at 100 TB hash each
     shingle to 64 bits (xxhash64) before the shuffle so the exchanged
     key is 8 bytes, not span text (text kept here for oracle parity;
@@ -1015,23 +1019,22 @@ def dup_span_coverage(
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
-        .select("shingle")
+        .select("shingle", F.lit(1).alias("__dup"))
     )
-    per_doc = (
-        sh.join(shared.hint("shuffle_hash"), "shingle", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dup_shingles"))
-    )
-    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    return (
-        totals.join(per_doc, id_col, "left")
-        .na.fill({"n_dup_shingles": 0})
-        .select(
-            id_col,
-            "n_shingles",
-            F.col("n_dup_shingles").cast("long").alias("n_dup_shingles"),
-            F.round(
-                F.col("n_dup_shingles") / F.col("n_shingles"), 6
-            ).alias("dup_frac"),
-        )
+    # ONE doc-side aggregation: the left join marks dup rows, then
+    # count(*) and sum(flag) fold totals and dup counts together — no
+    # second doc-keyed groupBy and no doc-table join afterwards
+    flagged = sh.join(shared.hint("shuffle_hash"), "shingle", "left")
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(F.sum("__dup"), F.lit(0)).cast("long").alias(
+            "n_dup_shingles"
+        ),
+    ).select(
+        id_col,
+        "n_shingles",
+        "n_dup_shingles",
+        F.round(
+            F.col("n_dup_shingles") / F.col("n_shingles"), 6
+        ).alias("dup_frac"),
     )

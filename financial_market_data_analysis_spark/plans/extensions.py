@@ -1521,10 +1521,8 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     odds at 2^64 are the standard accepted trade).
     """
     d = docs_augmented(spark, sf_dir)
-    sh = D.dup_span_shingle_table(d, n=DUP_SPAN_N).persist()
-    out = D.dup_span_coverage(sh).localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
+    sh = D.dup_span_shingle_table(d, n=DUP_SPAN_N)
+    return D.dup_span_coverage(sh)
 
 
 def _dup_span_shingles_sql(src: str, n: int = DUP_SPAN_N) -> str:
