@@ -640,6 +640,7 @@ def _t7_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = bars.agg(F.percentile_approx("bucket_start", 0.5)).first()[0]
     src = tempfile.mkdtemp(prefix="t7_bars_")
     wh = tempfile.mkdtemp(prefix="t7_wh_")
+    ckpt = tempfile.mkdtemp(prefix="t7_ckpt_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -666,9 +667,7 @@ def _t7_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             stream.writeStream.foreachBatch(write)
             .trigger(availableNow=True)
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="t7_ckpt_")
-            )
+            .option("checkpointLocation", ckpt)
             .start()
         )
         if not q.awaitTermination(300):
@@ -683,6 +682,10 @@ def _t7_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(wh, ignore_errors=True)
+        # explicitly-set checkpoint locations are never auto-deleted by
+        # Spark; un-removed, every bench/adjudication pass would leak a
+        # populated state dir (r5 review finding)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
 
@@ -1269,16 +1272,14 @@ def _w16_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = W.on_balance_volume(
         _candles(spark, sf_dir).withColumn(
             "vol_micro",
-            F.round(F.col("volume") * 1_000_000).cast("long").cast("double"),
+            F.round(F.col("volume") * 1_000_000).cast("long"),
         ),
         "close",
         "vol_micro",
         _ORDER,
         out_col="obv_micro",
     )
-    return out.select(
-        "bucket_start", "close", F.col("obv_micro").cast("long").alias("obv_micro")
-    )
+    return out.select("bucket_start", "close", "obv_micro")
 
 
 def _w16_oracle() -> str:

@@ -1525,9 +1525,12 @@ def shuffle_shards(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     orders independently (256-way parallel sort of corpus/256 each —
     widen the digit count if per-shard volume still exceeds a sort
     task's comfort at the target scale; the scheme is unchanged).
-    Re-runs are stable (no RNG state), and growing the corpus never
-    reorders existing (shard, key) prefixes, so incremental exports
-    append. The salt keeps the permutation independent of the
+    Re-runs are stable (no RNG state), and growing the corpus keeps
+    the RELATIVE order of existing docs within each shard (keys are
+    content-free hashes) — absolute ``pos`` values DO shift when new
+    keys interleave, so incremental consumers must resume by
+    (shard, shuffle_key) watermark, not by pos. The salt keeps the
+    permutation independent of the
     ``hash_split`` buckets (the UNSALTED md5(id) family — see
     ``hash_split``'s ownership note).
     """

@@ -307,12 +307,16 @@ def rolling_median(
     instead.
     """
     w = trailing_window(order_cols, period - 1, partition_cols)
-    rn = F.row_number().over(ordered_window(order_cols, partition_cols))
+    # gate on the NON-NULL count in the frame, not the row number:
+    # collect_list drops nulls, so a row-count gate would misindex the
+    # sorted array whenever the series has missing values and emit a
+    # confidently wrong median (r5 review finding)
+    cnt = F.count(F.col(value_col)).over(w)
     arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
     lo = arr[(period - 1) // 2]
     hi = arr[period // 2]
     m = (lo + hi) / F.lit(2.0)
-    return df.withColumn(out_col, F.when(rn >= period, m))
+    return df.withColumn(out_col, F.when(cnt >= period, m))
 
 
 def rolling_ewma(
@@ -344,7 +348,11 @@ def rolling_ewma(
     alpha = 2.0 / (period + 1)
     decay = 1.0 - alpha
     w = trailing_window(order_cols, period - 1, partition_cols)
-    rn = F.row_number().over(ordered_window(order_cols, partition_cols))
+    # gate on the NON-NULL count in the frame: collect_list drops
+    # nulls, so a row-number gate would misalign the (period-1-i)
+    # weight exponents against a shortened array and emit a wrong
+    # non-null EWMA on gappy series (r5 review finding)
+    cnt = F.count(F.col(value_col)).over(w)
     arr = F.collect_list(F.col(value_col).cast("double")).over(w)
     # weight (1-α)^(period-1-i): index 0 is the OLDEST row in the frame
     weighted = F.transform(
@@ -352,7 +360,7 @@ def rolling_ewma(
     )
     num = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
     den = float(sum(decay**k for k in range(period)))
-    return df.withColumn(out_col, F.when(rn >= period, num / F.lit(den)))
+    return df.withColumn(out_col, F.when(cnt >= period, num / F.lit(den)))
 
 
 def rsi(
@@ -411,8 +419,13 @@ def macd(
 
     Composition keeps every stage frame-bounded: the line exists once
     the slow frame is full, the signal once ``signal`` line rows
-    exist — total warm-up slow+signal−1 rows, all NULL-trimmed by the
-    same convention as W12-W14. Three window passes over the SAME
+    exist — total warm-up slow+signal−1 rows. NOTE the row contract
+    differs from W12-W14 (which keep every input row and emit NULL):
+    this operator DROPS the first slow−1 rows — the filter is
+    load-bearing, because the signal stage's frame must count line
+    rows only. Callers annotating a bar table should join the result
+    back on the order key if they need the warm-up rows. Three window
+    passes over the SAME
     (partition, order) key — Catalyst collapses them into a single
     sort/Window pipeline per stage, no extra shuffles.
     """
@@ -452,11 +465,17 @@ def on_balance_volume(
     """
     ow = ordered_window(order_cols, partition_cols)
     prev = F.lag(close_col).over(ow)
+    # integer literals keep the branch TYPE-PRESERVING: a LongType
+    # volume column yields a LongType running sum (exact integer
+    # arithmetic — the fixed-point path w16 relies on), a double
+    # volume yields the double sum (r5 review finding: a 0.0 literal
+    # silently promoted long volumes to double, capping exactness at
+    # 2^53 while claiming bit-exact accumulation)
     signed = (
-        F.when(prev.isNull(), F.lit(0.0))
+        F.when(prev.isNull(), F.lit(0))
         .when(F.col(close_col) > prev, F.col(volume_col))
         .when(F.col(close_col) < prev, -F.col(volume_col))
-        .otherwise(F.lit(0.0))
+        .otherwise(F.lit(0))
     )
     run = (
         Window.partitionBy(*partition_cols)

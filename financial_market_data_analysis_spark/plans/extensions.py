@@ -1658,7 +1658,7 @@ def containment_oracle() -> str:
 
 
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x46 — deterministic global shuffle → 16 training shards with a
+    """x46 — deterministic global shuffle → 256 training shards with a
     per-shard serving order (functions/text.py ``shuffle_shards``):
     the export step between curation (x28) and the dataloader. See the
     operator docstring for why this is the no-global-sort permutation

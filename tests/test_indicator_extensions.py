@@ -286,3 +286,43 @@ def test_macd_no_extra_shuffles_per_stage(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") <= 1, plan[:1500]
+
+
+def test_rolling_median_and_ewma_null_values_do_not_misalign(spark):
+    """r5 review regression: collect_list drops NULLs, so the full-frame
+    gate must count VALUES, not rows — a gappy series must emit NULL
+    (not a confidently wrong number) until a clean full frame exists."""
+    from financial_market_data_analysis_spark.operators.windows import (
+        rolling_ewma,
+        rolling_median,
+    )
+
+    vals = [1.0, 2.0, None, 4.0, 5.0, 6.0, 7.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t INT, v DOUBLE"
+    )
+    med = {r.t: r.median for r in rolling_median(df, "v", ["t"], period=4).collect()}
+    ew = {r.t: r.ewma for r in rolling_ewma(df, "v", ["t"], period=4).collect()}
+    # frames containing the NULL at t=2 (t=2..5) hold only 3 values → NULL
+    for t in (0, 1, 2, 3, 4, 5):
+        assert med[t] is None, t
+        assert ew[t] is None, t
+    # t=6: frame [4,5,6,7] is clean → both emit
+    assert med[6] == 5.5
+    assert ew[6] is not None
+
+
+def test_obv_long_volume_stays_long(spark):
+    """r5 review regression: integer volume must accumulate as exact
+    LongType (the fixed-point guarantee), not be promoted to double."""
+    from financial_market_data_analysis_spark.operators.windows import (
+        on_balance_volume,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1.0, 10), (1, 2.0, 20), (2, 1.5, 30)],
+        "t INT, close DOUBLE, vol LONG",
+    )
+    out = on_balance_volume(df, "close", "vol", ["t"])
+    assert dict(out.dtypes)["obv"] == "bigint"
+    assert [r.obv for r in out.orderBy("t").collect()] == [0, 20, -10]
