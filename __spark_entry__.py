@@ -1696,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w16_obv": _w16_obv,
         "w17_macd": _w17_macd,
         "a11_vwap_daily": _a11_vwap_daily,
+        "x47_pagerank": X.q_pagerank,
         "j2_salted_join": _j2_salted_join,
         "a8_percentiles": _a8_percentiles,
         # -- rotated out this round (three-rounds driver-green, each
@@ -2152,6 +2153,7 @@ def oracle_sql() -> dict[str, str]:
         "w16_obv": _w16_oracle(),
         "w17_macd": _w17_oracle(),
         "a11_vwap_daily": _a11_oracle(),
+        "x47_pagerank": X.pagerank_oracle(),
         "t7_exactly_once_sink": candles_oracle_sql(),
         "s6_session_gate": """
             WITH cal AS (

@@ -1669,3 +1669,92 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shuffle_shards_oracle() -> str:
     return T.shuffle_shards_sql()
+
+
+# ---------------------------------------------------------------------------
+# x47 — PageRank over the near-dup similarity graph
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x47 — PageRank (5 fixed power iterations, d=0.85) over the
+    SimHash near-dup graph: rank near-dup CLUSTERS by centrality — the
+    doc with the highest rank inside a dup neighbourhood is the
+    canonical-copy candidate weighted by how much of the corpus points
+    at it, a keeper heuristic richer than x31's min-id rule.
+
+    Iterative-algorithm shape done Spark-first: the edge list (tiny —
+    near-dup pairs only) is checkpointed ONCE so the simhash pipeline
+    never re-executes per iteration; each iteration is one hash join
+    (ranks ⋈ out-edges) + one keyed groupBy — partial-aggregatable,
+    partitioned by node id, no driver-side state but the loop counter.
+    Fixed iteration count (not convergence-checked) keeps the plan
+    deterministic AND oracle-checkable: the DuckDB twin unrolls the
+    same five iterations as CTEs. Symmetrized edges mean no dangling
+    nodes, so the classic (1−d)/N + d·Σ rank/deg update is exact.
+    """
+    pairs = D.simhash_neardup_pairs(
+        docs_augmented(spark, sf_dir),
+        n_bands=SIMHASH_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    ).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    n = deg.count()
+    d = PAGERANK_DAMPING
+    ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0 / n).alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        ranks = (
+            ranks.join(out_edges, ranks.doc_id == out_edges.src)
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg((F.lit((1.0 - d) / n) + F.lit(d) * F.sum("c")).alias("rank"))
+        )
+    return ranks.select("doc_id", F.round("rank", 6).alias("pagerank"))
+
+
+def pagerank_oracle() -> str:
+    d = PAGERANK_DAMPING
+    its = [f"""
+        r0 AS (
+            SELECT src AS doc_id,
+                   CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+            FROM deg
+        )"""]
+    for k in range(1, PAGERANK_ITERS + 1):
+        its.append(f"""
+        r{k} AS (
+            SELECT e.dst AS doc_id,
+                   CAST({1.0 - d!r} AS DOUBLE) / (SELECT n FROM nn)
+                       + CAST({d!r} AS DOUBLE) * sum(r.rank / dg.deg) AS rank
+            FROM r{k - 1} r
+            JOIN pr_edges e ON e.src = r.doc_id
+            JOIN deg dg ON dg.src = e.src
+            GROUP BY e.dst
+        )""")
+    return f"""
+        WITH {_simhash_pairs_cte()},
+        pr_edges AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM neardup
+            WHERE hamming <= {SIMHASH_MAX_HAMMING}
+            UNION ALL
+            SELECT id_b, id_a FROM neardup
+            WHERE hamming <= {SIMHASH_MAX_HAMMING}
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM pr_edges GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM deg),
+        {",".join(its)}
+        SELECT doc_id, round(rank, 6) AS pagerank FROM r{PAGERANK_ITERS}
+    """

@@ -326,3 +326,37 @@ def test_obv_long_volume_stays_long(spark):
     out = on_balance_volume(df, "close", "vol", ["t"])
     assert dict(out.dtypes)["obv"] == "bigint"
     assert [r.obv for r in out.orderBy("t").collect()] == [0, 20, -10]
+
+
+def test_pagerank_conserves_mass_and_ranks_hub_highest(spark):
+    """x47 semantics on a known graph: with symmetrized edges (no
+    dangling nodes) total rank mass stays 1 every iteration, and the
+    hub of a star graph outranks the leaves."""
+    from financial_market_data_analysis_spark.plans.extensions import (
+        PAGERANK_DAMPING,
+        PAGERANK_ITERS,
+    )
+
+    # star: 0 - {1,2,3,4}, symmetrized
+    pairs = [(0, k) for k in range(1, 5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src LONG, dst LONG",
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = edges.join(deg, "src")
+    n = deg.count()
+    d = PAGERANK_DAMPING
+    ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0 / n).alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        ranks = (
+            ranks.join(out_edges, ranks.doc_id == out_edges.src)
+            .select(F.col("dst").alias("doc_id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("doc_id")
+            .agg((F.lit((1.0 - d) / n) + F.lit(d) * F.sum("c")).alias("rank"))
+        )
+    got = {r.doc_id: r.rank for r in ranks.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    assert all(got[0] > got[k] for k in range(1, 5))
+    # leaves are symmetric → identical ranks
+    assert len({round(got[k], 12) for k in range(1, 5)}) == 1

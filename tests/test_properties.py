@@ -187,3 +187,62 @@ def test_kmeans_lloyd_partition_invariants(spark, vecs):
     assert 1 <= len(out) <= 2
     assert all(r.n_assigned >= 1 for r in out)
     assert sum(r.n_assigned for r in out) == len(vecs)
+
+
+@given(st.lists(price, min_size=25, max_size=40))
+@settings(**_SETTINGS)
+def test_rolling_center_stats_bounded_by_frame_extremes(spark, closes):
+    """W13/W14 invariant: the rolling median and the renormalized
+    truncated EWMA are convex combinations of frame values, so every
+    emitted value must lie within [min, max] of its trailing frame."""
+    from financial_market_data_analysis_spark.operators.windows import (
+        rolling_ewma,
+        rolling_median,
+    )
+
+    period = 10
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(closes)], "t INT, v DOUBLE"
+    )
+    out = rolling_ewma(
+        rolling_median(df, "v", ["t"], period=period),
+        "v", ["t"], period=period,
+    ).collect()
+    by_t = {r.t: r for r in out}
+    for t, r in by_t.items():
+        if r.median is None:
+            continue
+        frame = [closes[j] for j in range(max(0, t - period + 1), t + 1)]
+        lo, hi = min(frame), max(frame)
+        eps = 1e-9 * max(1.0, abs(hi))
+        assert lo - eps <= r.median <= hi + eps, (t, r.median, lo, hi)
+        assert lo - eps <= r.ewma <= hi + eps, (t, r.ewma, lo, hi)
+
+
+@given(st.lists(price, min_size=20, max_size=35))
+@settings(**_SETTINGS)
+def test_rsi_bounded_and_obv_telescopes(spark, closes):
+    """W15: RSI ∈ [0, 100] on any series. W16: OBV's total equals the
+    sum of signed volumes directly (the running sum telescopes)."""
+    from financial_market_data_analysis_spark.operators.windows import (
+        on_balance_volume,
+        rsi,
+    )
+
+    rows = [(i, float(v), float((i % 7) + 1)) for i, v in enumerate(closes)]
+    df = spark.createDataFrame(rows, "t INT, close DOUBLE, vol DOUBLE")
+    out = (
+        on_balance_volume(rsi(df, "close", ["t"], period=5), "close", "vol", ["t"])
+        .orderBy("t")
+        .collect()
+    )
+    expected = 0.0
+    for i in range(1, len(rows)):
+        if closes[i] > closes[i - 1]:
+            expected += rows[i][2]
+        elif closes[i] < closes[i - 1]:
+            expected -= rows[i][2]
+    assert abs(out[-1].obv - expected) < 1e-9
+    for r in out:
+        if r.rsi is not None:
+            assert -1e-9 <= r.rsi <= 100 + 1e-9
