@@ -1038,3 +1038,55 @@ def dup_span_coverage(
             F.col("n_dup_shingles") / F.col("n_shingles"), 6
         ).alias("dup_frac"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a SYMMETRIZED edge list (callers
+    must provide both directions; symmetry guarantees no dangling
+    nodes, so the classic ``(1−d)/N + d·Σ rank/deg`` update is exact
+    with no dangling-mass redistribution term).
+
+    Scale shape: the degree-annotated out-edge table is checkpointed
+    ONCE so upstream edge derivation never re-executes per iteration;
+    each iteration is one hash join (ranks ⋈ out-edges) + one keyed
+    groupBy — partial-aggregatable, partitioned by node id, no
+    driver-side state beyond the loop counter. A fixed iteration
+    count (not convergence-checked) keeps the plan deterministic and
+    oracle-checkable by an unrolled SQL twin.
+
+    An empty edge list returns an empty (doc_id, rank) frame instead
+    of raising — the graph-less corpus is a normal input, as for the
+    other dedup-family operators.
+    """
+    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = edges.join(deg, src_col).localCheckpoint(eager=True)
+    n = deg.count()
+    if n == 0:
+        return edges.select(
+            F.col(src_col).alias("doc_id"), F.lit(0.0).alias("rank")
+        ).limit(0)
+    ranks = deg.select(
+        F.col(src_col).alias("doc_id"), F.lit(1.0 / n).alias("rank")
+    )
+    for _ in range(n_iters):
+        ranks = (
+            ranks.join(out_edges, ranks.doc_id == out_edges[src_col])
+            .select(
+                F.col(dst_col).alias("doc_id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.sum("c")
+                ).alias("rank")
+            )
+        )
+    return ranks

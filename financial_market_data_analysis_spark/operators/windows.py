@@ -269,9 +269,16 @@ def rolling_corr(
     like the t9 warm-up trim.
     """
     w = trailing_window(order_cols, period - 1, partition_cols)
-    rn = F.row_number().over(ordered_window(order_cols, partition_cols))
+    # gate on the count of complete (x, y) PAIRS in the frame — F.corr
+    # silently skips null pairs, so a row-number gate would emit a
+    # correlation over fewer than `period` pairs on gappy series (the
+    # partial-window case this operator exists to trim; same defect
+    # class as the W13/W14 r5 fix)
+    pair_cnt = F.count(
+        F.when(F.col(x_col).isNotNull() & F.col(y_col).isNotNull(), F.lit(1))
+    ).over(w)
     c = F.corr(F.col(x_col), F.col(y_col)).over(w)
-    return df.withColumn(out_col, F.when(rn >= period, c))
+    return df.withColumn(out_col, F.when(pair_cnt >= period, c))
 
 
 def rolling_median(
@@ -384,21 +391,23 @@ def rsi(
     ow = ordered_window(order_cols, partition_cols)
     w = trailing_window(order_cols, period - 1, partition_cols)
     delta = F.col(value_col) - F.lag(value_col).over(ow)
-    gain = F.when(delta > 0, delta).otherwise(F.lit(0.0))
-    loss = F.when(delta < 0, -delta).otherwise(F.lit(0.0))
-    d = df.withColumns(
-        {"__gain": gain, "__loss": loss, "__rn": F.row_number().over(ow)}
-    )
+    # gains/losses stay NULL when the delta is NULL (first row, or a
+    # null value making either side of the difference null) — the
+    # .otherwise(0.0) previously counted such rows as phantom
+    # zero-gain/zero-loss bars (r5 review); the frame gate below then
+    # requires `period` REAL deltas, so gappy frames emit NULL
+    gain = F.when(delta > 0, delta).when(delta.isNotNull(), F.lit(0.0))
+    loss = F.when(delta < 0, -delta).when(delta.isNotNull(), F.lit(0.0))
+    d = df.withColumns({"__gain": gain, "__loss": loss})
+    delta_cnt = F.count("__gain").over(w)
     avg_gain = F.avg("__gain").over(w)
     avg_loss = F.avg("__loss").over(w)
     val = F.when(avg_loss == 0, F.lit(100.0)).otherwise(
         F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss)
     )
-    # rn >= period+1: the first row has no delta, then `period` deltas
-    # must exist before the averages are full-frame
     return (
-        d.withColumn(out_col, F.when(F.col("__rn") >= period + 1, val))
-        .drop("__gain", "__loss", "__rn")
+        d.withColumn(out_col, F.when(delta_cnt >= period, val))
+        .drop("__gain", "__loss")
     )
 
 

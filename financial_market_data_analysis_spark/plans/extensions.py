@@ -1680,49 +1680,31 @@ PAGERANK_DAMPING = 0.85
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x47 — PageRank (5 fixed power iterations, d=0.85) over the
-    SimHash near-dup graph: rank near-dup CLUSTERS by centrality — the
-    doc with the highest rank inside a dup neighbourhood is the
-    canonical-copy candidate weighted by how much of the corpus points
-    at it, a keeper heuristic richer than x31's min-id rule.
-
-    Iterative-algorithm shape done Spark-first: the edge list (tiny —
-    near-dup pairs only) is checkpointed ONCE so the simhash pipeline
-    never re-executes per iteration; each iteration is one hash join
-    (ranks ⋈ out-edges) + one keyed groupBy — partial-aggregatable,
-    partitioned by node id, no driver-side state but the loop counter.
-    Fixed iteration count (not convergence-checked) keeps the plan
-    deterministic AND oracle-checkable: the DuckDB twin unrolls the
-    same five iterations as CTEs. Symmetrized edges mean no dangling
-    nodes, so the classic (1−d)/N + d·Σ rank/deg update is exact.
+    SimHash near-dup graph (operators/dedup.py ``pagerank``): rank
+    near-dup CLUSTERS by centrality — the doc with the highest rank
+    inside a dup neighbourhood is the canonical-copy candidate
+    weighted by how much of the corpus points at it, a keeper
+    heuristic richer than x31's min-id rule. The pair list from
+    ``simhash_neardup_pairs`` is already eagerly checkpointed, so the
+    symmetrizing union feeds the operator without a second
+    materialization; the operator checkpoints only its degree-
+    annotated out-edge table (the one referenced every iteration).
+    The DuckDB twin unrolls the same five iterations as CTEs.
     """
     pairs = D.simhash_neardup_pairs(
         docs_augmented(spark, sf_dir),
         n_bands=SIMHASH_BANDS,
         max_hamming=SIMHASH_MAX_HAMMING,
     ).select("id_a", "id_b")
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    out_edges = edges.join(deg, "src").localCheckpoint(eager=True)
-    n = deg.count()
-    d = PAGERANK_DAMPING
-    ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0 / n).alias("rank"))
-    for _ in range(PAGERANK_ITERS):
-        ranks = (
-            ranks.join(out_edges, ranks.doc_id == out_edges.src)
-            .select(
-                F.col("dst").alias("doc_id"),
-                (F.col("rank") / F.col("deg")).alias("c"),
-            )
-            .groupBy("doc_id")
-            .agg((F.lit((1.0 - d) / n) + F.lit(d) * F.sum("c")).alias("rank"))
-        )
-    return ranks.select("doc_id", F.round("rank", 6).alias("pagerank"))
+    pr = D.pagerank(
+        edges, n_iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING
+    )
+    return pr.select("doc_id", F.round("rank", 6).alias("pagerank"))
 
 
 def pagerank_oracle() -> str:

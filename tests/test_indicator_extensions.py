@@ -332,31 +332,60 @@ def test_pagerank_conserves_mass_and_ranks_hub_highest(spark):
     """x47 semantics on a known graph: with symmetrized edges (no
     dangling nodes) total rank mass stays 1 every iteration, and the
     hub of a star graph outranks the leaves."""
+    from financial_market_data_analysis_spark.operators.dedup import pagerank
     from financial_market_data_analysis_spark.plans.extensions import (
         PAGERANK_DAMPING,
         PAGERANK_ITERS,
     )
 
-    # star: 0 - {1,2,3,4}, symmetrized
+    # star: 0 - {1,2,3,4}, symmetrized — exercises the SAME operator
+    # q_pagerank runs (r5 review: the test previously duplicated the
+    # production loop and could not catch regressions in it)
     pairs = [(0, k) for k in range(1, 5)]
     edges = spark.createDataFrame(
         [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
         "src LONG, dst LONG",
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    out_edges = edges.join(deg, "src")
-    n = deg.count()
-    d = PAGERANK_DAMPING
-    ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0 / n).alias("rank"))
-    for _ in range(PAGERANK_ITERS):
-        ranks = (
-            ranks.join(out_edges, ranks.doc_id == out_edges.src)
-            .select(F.col("dst").alias("doc_id"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("doc_id")
-            .agg((F.lit((1.0 - d) / n) + F.lit(d) * F.sum("c")).alias("rank"))
-        )
+    ranks = pagerank(edges, n_iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
     got = {r.doc_id: r.rank for r in ranks.collect()}
     assert abs(sum(got.values()) - 1.0) < 1e-12
     assert all(got[0] > got[k] for k in range(1, 5))
     # leaves are symmetric → identical ranks
     assert len({round(got[k], 12) for k in range(1, 5)}) == 1
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    from financial_market_data_analysis_spark.operators.dedup import pagerank
+
+    empty = spark.createDataFrame([], "src LONG, dst LONG")
+    out = pagerank(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "rank"]
+
+
+def test_rolling_corr_and_rsi_null_gaps_emit_null(spark):
+    """r5 review regression (second pass): the count-based full-frame
+    gate applies to rolling_corr (complete pairs) and rsi (real
+    deltas) too — a gap inside the frame must yield NULL, not a
+    value computed over a short frame / phantom zero bars."""
+    from financial_market_data_analysis_spark.operators.windows import (
+        rolling_corr,
+        rsi,
+    )
+
+    rows = [
+        (i, None if i == 3 else float(i), float(i * 2 + (i % 2)))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "t INT, x DOUBLE, y DOUBLE")
+    corr = {r.t: r.corr for r in rolling_corr(df, "x", "y", ["t"], period=4).collect()}
+    # frames touching the t=3 gap (t=3..6) hold only 3 complete pairs
+    for t in (0, 1, 2, 3, 4, 5, 6):
+        assert corr[t] is None, t
+    assert corr[7] is not None
+    r = {row.t: row.rsi for row in rsi(df, "x", ["t"], period=4).collect()}
+    # deltas at t=3 and t=4 are NULL (null value at t=3) → frames
+    # t=4..7 lack 4 real deltas
+    for t in (0, 1, 2, 3, 4, 5, 6, 7):
+        assert r[t] is None, t
+    assert r[8] is not None and r[8] == 100.0  # strictly rising resumes
