@@ -1064,8 +1064,24 @@ def pagerank(
     of raising — the graph-less corpus is a normal input, as for the
     other dedup-family operators.
     """
-    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
-    out_edges = edges.join(deg, src_col).localCheckpoint(eager=True)
+    # graph-sized partitioning, the CC-loop policy (near-dup graphs are
+    # tiny next to the corpus; a 3k-row rank frame over the session's
+    # 32+ shuffle partitions — or the 128 map partitions a symmetrizing
+    # union leaves behind — pays ~an empty-task overhead per slot per
+    # job). ONE repartition brings every setup job and the static
+    # out-edge table down to the graph's size; deg is checkpointed so
+    # the degree aggregation runs once, not once per consumer.
+    spark = edges.sparkSession
+    slots = spark.sparkContext.defaultParallelism
+    n_edges = edges.count()
+    n_part = int(max(min(slots, 4), -(-n_edges // 2_000_000)))
+    sym = edges.repartition(n_part, F.col(src_col))
+    deg = (
+        sym.groupBy(src_col)
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    out_edges = sym.join(deg, src_col).localCheckpoint(eager=True)
     n = deg.count()
     if n == 0:
         return edges.select(
@@ -1088,5 +1104,13 @@ def pagerank(
                     + F.lit(damping) * F.sum("c")
                 ).alias("rank")
             )
+            # truncate the lineage every iteration: without the cut,
+            # iteration k's plan replays iterations 1..k-1 — O(iters²)
+            # work. LAZY checkpoints (unlike the convergence-checked CC
+            # loop, which must act per round anyway) keep the whole
+            # fixed-count chain inside the single final job instead of
+            # paying one scheduling round-trip per iteration; each
+            # boundary still caches, so nothing is computed twice
+            .localCheckpoint(eager=False)
         )
     return ranks

@@ -1696,11 +1696,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=SIMHASH_BANDS,
         max_hamming=SIMHASH_MAX_HAMMING,
     ).select("id_a", "id_b")
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # symmetrize with a row-local explode, not a union: a union doubles
+    # the map partition count, and every setup job downstream pays a
+    # task overhead per (mostly empty) partition of this tiny table
+    both = F.array(
+        F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
     )
+    edges = pairs.select(F.explode(both).alias("e")).select("e.src", "e.dst")
     pr = D.pagerank(
         edges, n_iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING
     )
