@@ -727,6 +727,16 @@ def _set_checkpoint_dir(df: DataFrame, checkpoint_dir: str) -> None:
     sc.setCheckpointDir(checkpoint_dir)
 
 
+def _graph_partitions(spark, n_edges: int) -> int:
+    """Partition count proportional to the GRAPH size, not the session
+    shuffle default — the sizing policy shared by the iterative graph
+    operators (CC loop, PageRank): ~2M edge rows per partition, floor
+    of min(slots, 4); a genuinely huge graph scales past the slot
+    count instead of capping at it."""
+    slots = spark.sparkContext.defaultParallelism
+    return int(max(min(slots, 4), -(-n_edges // 2_000_000)))
+
+
 def _truncate(df: DataFrame, eager: bool, reliable: bool) -> DataFrame:
     """The CC loop's plan-truncation point: executor-local blocks by
     default (fast, lost with an executor), reliable ``checkpoint()``
@@ -783,9 +793,7 @@ def _min_label_propagation(
     # checkpointed by every caller, so the sizing count is one cheap
     # job, not a pipeline re-evaluation.
     spark = sym.sparkSession
-    slots = spark.sparkContext.defaultParallelism
-    n_edges = sym.count()
-    n_part = int(max(min(slots, 4), -(-n_edges // 2_000_000)))
+    n_part = _graph_partitions(spark, sym.count())
     # Self-loops fold the node's OWN label into the neighbor-min
     # groupBy, so each round needs no separate "keep my label" left
     # join; the static edge table is pre-partitioned on the join key
@@ -1064,18 +1072,23 @@ def pagerank(
     of raising — the graph-less corpus is a normal input, as for the
     other dedup-family operators.
     """
-    # graph-sized partitioning, the CC-loop policy (near-dup graphs are
-    # tiny next to the corpus; a 3k-row rank frame over the session's
-    # 32+ shuffle partitions — or the 128 map partitions a symmetrizing
-    # union leaves behind — pays ~an empty-task overhead per slot per
-    # job). ONE repartition brings every setup job and the static
-    # out-edge table down to the graph's size; deg is checkpointed so
-    # the degree aggregation runs once, not once per consumer.
+    # The upstream edge derivation is evaluated exactly ONCE: the
+    # checkpoint here cuts it off before the sizing count, the
+    # repartition, and both derived tables (otherwise each setup job
+    # re-executes the caller's pipeline). Partitioning is graph-sized
+    # (the shared CC-loop policy): a 3k-row rank frame over the
+    # session's 32+ shuffle partitions pays ~an empty-task overhead
+    # per slot per job. deg is checkpointed so the degree aggregation
+    # runs once, not once per consumer.
     spark = edges.sparkSession
-    slots = spark.sparkContext.defaultParallelism
+    edges = edges.localCheckpoint(eager=True)
     n_edges = edges.count()
-    n_part = int(max(min(slots, 4), -(-n_edges // 2_000_000)))
-    sym = edges.repartition(n_part, F.col(src_col))
+    if n_edges == 0:
+        return edges.select(
+            F.col(src_col).alias("doc_id"), F.lit(0.0).alias("rank")
+        ).limit(0)
+    n_part = _graph_partitions(spark, n_edges)
+    sym = edges.repartition(n_part, F.col(src_col)).localCheckpoint(eager=True)
     deg = (
         sym.groupBy(src_col)
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -1083,10 +1096,6 @@ def pagerank(
     )
     out_edges = sym.join(deg, src_col).localCheckpoint(eager=True)
     n = deg.count()
-    if n == 0:
-        return edges.select(
-            F.col(src_col).alias("doc_id"), F.lit(0.0).alias("rank")
-        ).limit(0)
     ranks = deg.select(
         F.col(src_col).alias("doc_id"), F.lit(1.0 / n).alias("rank")
     )
@@ -1106,11 +1115,11 @@ def pagerank(
             )
             # truncate the lineage every iteration: without the cut,
             # iteration k's plan replays iterations 1..k-1 — O(iters²)
-            # work. LAZY checkpoints (unlike the convergence-checked CC
-            # loop, which must act per round anyway) keep the whole
-            # fixed-count chain inside the single final job instead of
-            # paying one scheduling round-trip per iteration; each
-            # boundary still caches, so nothing is computed twice
+            # work. The cut's benefit is exactly that replay removal;
+            # under AQE (the default) each boundary still materializes
+            # its shuffle stages when invoked, so there is still one
+            # scheduling round per iteration — lazy (vs eager) merely
+            # avoids an extra collect-style job per boundary
             .localCheckpoint(eager=False)
         )
     return ranks

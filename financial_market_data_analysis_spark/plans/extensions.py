@@ -1684,12 +1684,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup CLUSTERS by centrality — the doc with the highest rank
     inside a dup neighbourhood is the canonical-copy candidate
     weighted by how much of the corpus points at it, a keeper
-    heuristic richer than x31's min-id rule. The pair list from
-    ``simhash_neardup_pairs`` is already eagerly checkpointed, so the
-    symmetrizing union feeds the operator without a second
-    materialization; the operator checkpoints only its degree-
-    annotated out-edge table (the one referenced every iteration).
-    The DuckDB twin unrolls the same five iterations as CTEs.
+    heuristic richer than x31's min-id rule. Pairs are symmetrized
+    with a row-local explode (a union would double the map partition
+    count of this tiny table); the operator evaluates its edge input
+    once, sizes partitions to the graph, and truncates the rank
+    lineage per iteration. The DuckDB twin unrolls the same five
+    iterations as CTEs.
     """
     pairs = D.simhash_neardup_pairs(
         docs_augmented(spark, sf_dir),
