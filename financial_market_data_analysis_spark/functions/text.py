@@ -1547,6 +1547,10 @@ def shuffle_shards(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def shuffle_shards_sql(id_expr: str = "doc_id", src: str = "documents") -> str:
+    # the id expression is aliased to doc_id in the inner projection
+    # and reused by name in the ORDER BY tie-break, so a non-default
+    # id_expr yields consistent SQL (r5 advice: it used to be
+    # parameterized in the hash input but hard-coded elsewhere)
     key = f"md5('{SHUFFLE_SALT}:' || CAST({id_expr} AS VARCHAR))"
     return f"""
         SELECT doc_id, shuffle_key, shard,
@@ -1554,7 +1558,7 @@ def shuffle_shards_sql(id_expr: str = "doc_id", src: str = "documents") -> str:
                    PARTITION BY shard ORDER BY shuffle_key, doc_id
                ) AS INT) AS pos
         FROM (
-            SELECT doc_id, {key} AS shuffle_key,
+            SELECT {id_expr} AS doc_id, {key} AS shuffle_key,
                    substr({key}, 1, 2) AS shard
             FROM {src}
         )

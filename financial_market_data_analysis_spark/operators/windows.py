@@ -385,8 +385,11 @@ def rsi(
     (the same reason W14 truncates the EMA), while this form is a LAG
     plus two windowed averages: frame-bounded, partitionable,
     oracle-checkable. All-gain frames clamp to 100 (avgLoss = 0 —
-    engines disagree on x/0, so the clamp is explicit); warm-up rows
-    (fewer than ``period`` deltas) are NULL.
+    engines disagree on x/0, so the clamp is explicit); a completely
+    FLAT frame (avgGain = avgLoss = 0, a dead series) is neutral 50,
+    not maximal momentum (r5 advice — the bare avgLoss=0 clamp used
+    to cover the 0/0 case too); warm-up rows (fewer than ``period``
+    deltas) are NULL.
     """
     ow = ordered_window(order_cols, partition_cols)
     w = trailing_window(order_cols, period - 1, partition_cols)
@@ -402,8 +405,12 @@ def rsi(
     delta_cnt = F.count("__gain").over(w)
     avg_gain = F.avg("__gain").over(w)
     avg_loss = F.avg("__loss").over(w)
-    val = F.when(avg_loss == 0, F.lit(100.0)).otherwise(
-        F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss)
+    val = (
+        F.when((avg_gain == 0) & (avg_loss == 0), F.lit(50.0))
+        .when(avg_loss == 0, F.lit(100.0))
+        .otherwise(
+            F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss)
+        )
     )
     return (
         d.withColumn(out_col, F.when(delta_cnt >= period, val))

@@ -964,6 +964,115 @@ def q_ml_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics
 
 
+ML_FEATURE_COLS = [
+    "close", "volume", "vol_MA6", "vol_MA20", "price_MA20",
+    "upper_BB_dist", "lower_BB_dist", "stoch", "price_change", "ATR",
+]
+
+
+def q_ml_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML2b — the deterministic half of the training pipeline split out
+    of ml2 so it can be oracle-checked: indicator featurization → dropna
+    → time-based train split → min-max scaling (the VectorAssembler +
+    MinMaxScaler stages of ml.py ``train_target_classifier``, expressed
+    as plain Column arithmetic). Only the LogisticRegression fit itself
+    remains rows-only in ml2.
+
+    The scaler parameters are A1-style global MIN/MAX aggregates
+    (reference train.py normalizes from a MIN/MAX query pair —
+    create_database.py:268-281); here they come from ONE aggregate over
+    the train slice, broadcast back — one scan for the params, one for
+    the output, no driver-side data movement. The split point uses the
+    exact interpolated 0.8-quantile (identical formula in Spark
+    ``percentile`` and DuckDB ``quantile_cont``) instead of ml2's
+    ``approxQuantile``, so the cut is bit-reproducible cross-engine;
+    the approx variant remains the documented at-scale path.
+    max==min features scale to 0.5 (the MinMaxScaler convention)."""
+    from financial_market_data_analysis_spark.operators.windows import indicator_suite
+    from financial_market_data_analysis_spark.plans.candles import candles_from_events
+
+    c = candles_from_events(load_table(spark, "events", sf_dir))
+    bars = indicator_suite(c, ["bucket_start"])
+    clean = bars.dropna(subset=ML_FEATURE_COLS + ["up1"])
+    cut = clean.agg(
+        F.expr("percentile(bucket_start, 0.8)").alias("__cut")
+    )
+    train = clean.crossJoin(F.broadcast(cut)).filter(
+        F.col("bucket_start") <= F.col("__cut")
+    )
+    mm = train.agg(
+        *[F.min(col).alias(f"__mn_{col}") for col in ML_FEATURE_COLS],
+        *[F.max(col).alias(f"__mx_{col}") for col in ML_FEATURE_COLS],
+    )
+    scaled = train.crossJoin(F.broadcast(mm))
+    outs = [F.col("bucket_start"), F.col("up1")]
+    for col in ML_FEATURE_COLS:
+        mn, mx = F.col(f"__mn_{col}"), F.col(f"__mx_{col}")
+        outs.append(
+            F.round(
+                F.when(mx == mn, F.lit(0.5)).otherwise(
+                    (F.col(col) - mn) / (mx - mn)
+                ),
+                6,
+            ).alias(f"{col}_scaled")
+        )
+    return scaled.select(*outs)
+
+
+def ml_feature_matrix_oracle(candles_cte: str) -> str:
+    not_null = " AND ".join(
+        f"{c} IS NOT NULL" for c in ML_FEATURE_COLS + ["up1"]
+    )
+    mins = ", ".join(
+        f"min({c}) AS mn_{c}, max({c}) AS mx_{c}" for c in ML_FEATURE_COLS
+    )
+    sel = ",\n            ".join(
+        f"round(CASE WHEN mx_{c} = mn_{c} THEN 0.5 "
+        f"ELSE ({c} - mn_{c}) / (mx_{c} - mn_{c}) END, 6) AS {c}_scaled"
+        for c in ML_FEATURE_COLS
+    )
+    return f"""
+        WITH candles AS ({candles_cte}),
+        ind AS (
+            SELECT bucket_start, close, volume, high, low,
+                avg(volume) OVER w6 AS vol_MA6,
+                avg(volume) OVER w20 AS vol_MA20,
+                avg(close) OVER w20 AS price_MA20,
+                (avg(close) OVER w20 + 2 * stddev_pop(close) OVER w20) - close
+                    AS upper_BB_dist,
+                close - (avg(close) OVER w20 - 2 * stddev_pop(close) OVER w20)
+                    AS lower_BB_dist,
+                (close - min(close) OVER w15)
+                    / (max(close) OVER w15 - min(close) OVER w15) AS stoch,
+                close - lag(close, 1) OVER (ORDER BY bucket_start)
+                    AS price_change,
+                avg(high - low) OVER w15 AS ATR
+            FROM candles
+            WINDOW
+                w6 AS (ORDER BY bucket_start
+                    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+                w20 AS (ORDER BY bucket_start
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+                w15 AS (ORDER BY bucket_start
+                    ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+        ),
+        tgt AS (
+            SELECT *,
+                CASE WHEN lead(close, 8) OVER (ORDER BY bucket_start)
+                          >= close + 1.5 * ATR
+                     THEN 1 ELSE 0 END AS up1
+            FROM ind
+        ),
+        clean AS (SELECT * FROM tgt WHERE {not_null}),
+        cut AS (SELECT quantile_cont(bucket_start, 0.8) AS c FROM clean),
+        train AS (SELECT clean.* FROM clean, cut WHERE bucket_start <= c),
+        mm AS (SELECT {mins} FROM train)
+        SELECT bucket_start, up1,
+            {sel}
+        FROM train, mm
+    """
+
+
 def embed_neardup_oracle(threshold: float = 0.95) -> str:
     cos = """
         (list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

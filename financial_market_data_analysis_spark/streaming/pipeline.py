@@ -606,6 +606,8 @@ def streaming_predictions(
     order_col: str = "deep_ts",
     feature_cols: Sequence[str] = (),
     keep_cols: Sequence[str] = (),
+    max_staleness_seconds: float | None = None,
+    now_ts=None,
 ) -> Callable[[DataFrame, int], None]:
     """The predict.py analog (predict.py:124-197): per micro-batch,
     score the freshly materialized indicator snapshot with a fitted
@@ -620,6 +622,14 @@ def streaming_predictions(
     emitted (key, prediction) rows are the 'prediction' topic payload
     (a Kafka sink variant would just add to_json + kafka format, K2).
 
+    ``max_staleness_seconds`` is the P5 serve-side drop-stale policy
+    (predict.py:135-137: a trigger older than 4 minutes — 240 s — is
+    discarded instead of scored, because a late signal is worse than
+    none). A trigger row whose ``order_col`` lags the serving clock by
+    more than the bound is filtered out BEFORE scoring. ``now_ts``
+    pins the serving clock (a Column or python datetime) for
+    deterministic tests; None means ``current_timestamp()``.
+
     Only rows belonging to the CURRENT batch are scored (semi-join on
     the batch keys), mirroring the reference's score-the-new-point
     semantics. foreachBatch hooks run at-least-once, so the sink is
@@ -630,13 +640,21 @@ def streaming_predictions(
 
     def _hook(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
+        keys = batch.select(order_col).distinct()
+        if max_staleness_seconds is not None:
+            now = F.current_timestamp() if now_ts is None else F.lit(now_ts)
+            # timestamp → double is fractional epoch-seconds: exact
+            # sub-second staleness arithmetic without interval literals
+            keys = keys.filter(
+                F.col(order_col).cast("timestamp").cast("double")
+                >= now.cast("timestamp").cast("double")
+                - F.lit(float(max_staleness_seconds))
+            )
         snap = spark.read.parquet(indicators_path)
         if feature_cols:
             snap = snap.na.drop(subset=list(feature_cols))
         scored = model.transform(snap)
-        fresh = scored.join(
-            batch.select(order_col).distinct(), order_col, "left_semi"
-        )
+        fresh = scored.join(keys, order_col, "left_semi")
         out = fresh.select(
             order_col, *keep_cols,
             F.col("prediction").cast("double").alias("prediction"),

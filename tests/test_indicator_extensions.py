@@ -228,6 +228,14 @@ def test_rsi_extremes_and_bounds(spark):
     )
     rows = rsi(mixed, "v", ["t"], period=14).filter(F.col("rsi").isNotNull()).collect()
     assert all(0.0 <= r.rsi <= 100.0 for r in rows)
+    # completely flat (dead) series: neutral 50, NOT the all-gain
+    # clamp of 100 (r5 advice — 0/0 frames used to report maximal
+    # momentum)
+    flat = spark.createDataFrame(
+        [(i, 7.0) for i in range(20)], "t INT, v DOUBLE"
+    )
+    rows = rsi(flat, "v", ["t"], period=14).filter(F.col("rsi").isNotNull()).collect()
+    assert rows and all(r.rsi == 50.0 for r in rows)
 
 
 def test_obv_signs_and_running_sum(spark):

@@ -355,6 +355,56 @@ def test_streaming_inference_predictions(spark, tmp_path):
     assert out.join(wh_keys, "deep_ts", "left_anti").count() == 0
 
 
+def test_streaming_predictions_drop_stale(spark, tmp_path):
+    """P5 serve-side staleness policy (predict.py:135-137): a trigger
+    row older than the staleness bound must NOT be scored — it is
+    dropped before the model runs, a fresh row in the same batch still
+    produces a prediction."""
+    from financial_market_data_analysis_spark.ml import train_target_classifier
+    from financial_market_data_analysis_spark.operators.windows import indicator_suite
+
+    deep, _ = _two_feeds(spark)
+    bars = deep.select(
+        "deep_ts",
+        F.col("deep_val").alias("close"),
+        (F.col("deep_val") + 1).alias("high"),
+        (F.col("deep_val") - 1).alias("low"),
+        F.lit(100).alias("volume"),
+    )
+    feature_cols = ["close", "volume", "vol_MA6", "vol_MA20", "price_MA20",
+                    "upper_BB_dist", "lower_BB_dist", "ATR"]
+    hist = indicator_suite(bars, ["deep_ts"]).withColumn(
+        "bucket_start", F.unix_timestamp("deep_ts")
+    )
+    model, _, _, _ = train_target_classifier(hist, feature_cols)
+
+    ind_path = str(tmp_path / "indicators")
+    indicator_suite(bars, ["deep_ts"]).write.parquet(ind_path)
+    pred = str(tmp_path / "predictions")
+
+    # pin the serving clock to the newest bar; allow half the span —
+    # the older half of the batch is stale by construction
+    lo, hi = bars.agg(
+        F.min("deep_ts"), F.max("deep_ts")
+    ).first()
+    staleness = (hi - lo).total_seconds() / 2
+    assert staleness > 0
+    hook = P.streaming_predictions(
+        model, ind_path, pred,
+        order_col="deep_ts", feature_cols=feature_cols,
+        max_staleness_seconds=staleness, now_ts=hi,
+    )
+    hook(bars, 0)
+
+    out = spark.read.parquet(pred)
+    cutoff = hi - __import__("datetime").timedelta(seconds=staleness)
+    n_stale = bars.filter(F.col("deep_ts") < F.lit(cutoff)).count()
+    assert n_stale > 0  # the scenario is real: stale triggers existed
+    # no stale key was scored; at least one fresh key was
+    assert out.filter(F.col("deep_ts") < F.lit(cutoff)).count() == 0
+    assert out.filter(F.col("deep_ts") >= F.lit(cutoff)).count() > 0
+
+
 def test_left_outer_stream_join_null_padding(spark, tmp_path):
     """J4 — the reference's designed-but-disabled left-outer
     stream-stream join (spark_consumer.py:144-149): an unmatched left

@@ -95,6 +95,23 @@ def main() -> int:
         ok = True
         for c in cols:
             a, b = sdf[c], odf[c]
+            # the driver's value-hash is dtype-sensitive: an int64 Spark
+            # column against a float64 oracle column (DuckDB sum(INT) →
+            # HUGEINT → float64) hashes differently even when every
+            # value is numerically identical (the r5 ml4 escape). Flag
+            # the skew itself as a FAIL so the local gate is at least
+            # as strict as the driver.
+            skew = pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b)
+            if skew and (
+                pd.api.types.is_numeric_dtype(a) and pd.api.types.is_numeric_dtype(b)
+            ):
+                ok = False
+                print(
+                    f"  dtype-skew: {name}.{c} spark={a.dtype} oracle={b.dtype}"
+                    " (driver hash WILL differ — CAST the oracle side)",
+                    flush=True,
+                )
+                continue
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                 ok &= bool(
                     np.allclose(
