@@ -79,12 +79,31 @@ def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     pairs = [
         (a, b) for i, a in enumerate(cols) for b in list(cols)[i + 1 :]
     ]
+    # backtick-escaped exact-name lookups and positional aliases:
+    # identifiers containing spaces, dots, quotes, or backticks
+    # neither break parsing nor collide in generated alias strings
+    # (r5 advice)
+    def _c(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
     row = df.agg(
-        *[F.corr(a, b).alias(f"__corr_{a}__{b}") for a, b in pairs]
+        *[
+            F.corr(_c(a), _c(b)).alias(f"__corr_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
     )
-    stacked = ", ".join(f"'{a}', '{b}', __corr_{a}__{b}" for a, b in pairs)
-    return row.selectExpr(
-        f"stack({len(pairs)}, {stacked}) AS (col_a, col_b, corr)"
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                row[f"__corr_{i}"].alias("corr"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return row.select(F.explode(structs).alias("__s")).select(
+        "__s.col_a", "__s.col_b", "__s.corr"
     )
 
 

@@ -31,11 +31,18 @@ def time_bucket(ts_col: str | Column, seconds: int = BUCKET_SECONDS) -> Column:
 
 
 def time_bucket_us(ts_us_col: str, seconds: int = BUCKET_SECONDS) -> Column:
-    """F10 over an epoch-microseconds long column. Integer ``div`` keeps
-    the arithmetic exact — epoch micros exceed double's 2^53 integer
-    range, so float division could mis-bucket values near a boundary."""
+    """F10 over an epoch-microseconds long column. Integer arithmetic
+    keeps the bucketing exact — epoch micros exceed double's 2^53
+    integer range, so float division could mis-bucket values near a
+    boundary. ``div`` truncates toward zero, so a pre-1970 negative
+    timestamp gets an explicit -1 correction to FLOOR-align the same
+    way ``time_bucket``/DuckDB ``time_bucket`` do (r5 advice)."""
     us = seconds * 1_000_000
-    return F.expr(f"CAST(({ts_us_col} div {us}) * {seconds} AS BIGINT)")
+    return F.expr(
+        f"CAST((({ts_us_col} div {us})"
+        f" - (CASE WHEN {ts_us_col} % {us} < 0 THEN 1 ELSE 0 END))"
+        f" * {seconds} AS BIGINT)"
+    )
 
 
 def candles_from_events(
@@ -125,9 +132,14 @@ def candles_multires(
     prev = base
     for g in granularities[1:]:
         prev = prev.groupBy(
-            F.expr(f"CAST((bucket_start div {g}) * {g} AS BIGINT)").alias(
-                "bucket_start"
-            )
+            # FLOOR division, not `div` (truncation toward zero): a
+            # pre-1970 negative bucket_start must floor-align the same
+            # way time_bucket does, or the coarse levels would
+            # mis-bucket the row (r5 advice; same convention as
+            # time_bucket_us)
+            (F.floor(F.col("bucket_start") / g) * g)
+            .cast("long")
+            .alias("bucket_start")
         ).agg(
             F.min_by("open", "open_seq").alias("open"),
             F.max("high").alias("high"),

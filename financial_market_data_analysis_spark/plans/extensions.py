@@ -1689,7 +1689,12 @@ def docs_with_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("left(text, length(text) div 2)").alias("text"),
         "lang",
         "source",
-        "n_chars",
+        # recompute on the fragment — carrying the parent's n_chars
+        # would leave stale metadata for any length-based filter
+        # downstream (r5 advice)
+        F.expr("CAST(length(left(text, length(text) div 2)) AS BIGINT)").alias(
+            "n_chars"
+        ),
     )
     return d.unionByName(frags)
 
@@ -1698,7 +1703,7 @@ DOCS_FRAG_CTE = f"""
     SELECT doc_id, text, lang, source, n_chars FROM documents
     UNION ALL
     SELECT doc_id + {DUP_OFFSET}, left(text, length(text) // 2), lang,
-           source, n_chars
+           source, length(left(text, length(text) // 2))
     FROM documents WHERE doc_id % {FRAG_MOD} = 0
 """
 

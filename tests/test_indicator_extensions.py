@@ -74,6 +74,56 @@ def test_multires_rollup_composition_equals_direct(spark):
         assert abs(m[k].volume - d[k].volume) < 1e-6, k
 
 
+def test_multires_and_bucket_floor_align_negative_epochs(spark):
+    """Pre-1970 timestamps: the coarse re-bucket and the µs bucket key
+    must FLOOR-align (like time_bucket), not truncate toward zero —
+    truncation would put -1 s into bucket 0 instead of bucket -300
+    (r5 advice)."""
+    from financial_market_data_analysis_spark.plans.candles import time_bucket_us
+
+    # -1 s and -301 s before the epoch, plus one positive control
+    ev = spark.createDataFrame(
+        [(1, -1.0, 10.0), (2, -301.0, 20.0), (3, 1.0, 30.0)],
+        "event_id LONG, epoch_s DOUBLE, value DOUBLE",
+    ).withColumn("ts", F.col("epoch_s").cast("timestamp"))
+    multi = candles_multires(ev, (300, 900))
+    coarse = {
+        r.bucket_start for r in multi.filter(F.col("granularity") == 900).collect()
+    }
+    assert coarse == {-900, 0}  # NOT {0}: negatives floor to -900
+    fine = {
+        r.bucket_start for r in multi.filter(F.col("granularity") == 300).collect()
+    }
+    assert fine == {-600, -300, 0}
+    us = spark.createDataFrame(
+        [(-1_000_000,), (-301_000_000,), (1_000_000,)], "ts_us LONG"
+    ).select(time_bucket_us("ts_us", 300).alias("b"))
+    assert {r.b for r in us.collect()} == {-300, -600, 0}
+
+
+def test_corr_matrix_survives_hostile_identifiers(spark):
+    """Column names with spaces/dots/backticks must neither break the
+    unpivot nor collide in aliases (r5 advice: the selectExpr string
+    assembly choked on them)."""
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i), float(-i)) for i in range(8)],
+        ["a b", "c.d", "e`f"],
+    )
+    out = {
+        (r.col_a, r.col_b): r.corr
+        for r in corr_matrix(df, ["a b", "c.d", "e`f"]).collect()
+    }
+    assert set(out) == {("a b", "c.d"), ("a b", "e`f"), ("c.d", "e`f")}
+    assert out[("a b", "c.d")] == pytest_approx(1.0)
+    assert out[("a b", "e`f")] == pytest_approx(-1.0)
+
+
+def pytest_approx(x):
+    import pytest
+
+    return pytest.approx(x, abs=1e-9)
+
+
 def test_multires_rejects_non_nested_granularities(spark):
     ev = spark.createDataFrame(
         [(1, "2024-01-01 00:00:00", 1.0)], "event_id LONG, ts STRING, value DOUBLE"
