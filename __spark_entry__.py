@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from financial_market_data_analysis_spark.functions import features as FE
 from financial_market_data_analysis_spark.functions.text import (
     bigram_logprob_sql,
+    bpe_encode_sql,
     bpe_merges_sql,
     hash_split_sql,
     quality_filter_sql,
@@ -1637,7 +1638,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x45_containment": X.q_containment_neardup,
         "x28_corpus_pipeline": X.q_corpus_pipeline,
         "x16_dedup_clusters": X.q_dedup_clusters,
-        "x31_minhash_clusters": X.q_minhash_clusters,
+        # (x31 sits past the window: two-rounds driver-green; its
+        # min-label-propagation CC loop is x16's in-window machinery
+        # and its MinHash candidate stage is the same
+        # minhash_lsh_dedup run x45 adjudicates in-window)
         "x30_ann_recall": X.q_ann_recall,
         "x11b_ann_lsh_multi": X.q_ann_lsh_multi,
         "x32_boilerplate": X.q_boilerplate,
@@ -1667,7 +1671,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x38_chunk_dedup": X.q_chunk_dedup,
         "x39_temperature_mix": X.q_temperature_mix,
         "x40_bpe_merges": X.q_bpe_merges,
-        "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
+        # x41 NEW this round: the encode half of the x40 trainer —
+        # in-window for first-round adjudication
+        "x41_bpe_encode": X.q_bpe_encode,
+        # (ml2 sits past the window: rows-only by design with five
+        # rounds of rows-only driver rows already; its slot goes to
+        # ml5, the NEW rows-only MLlib fit, for a first driver row)
+        "ml5_window_mlp": X.q_ml_window_mlp,  # rows-only (no oracle)
         # ml2b splits the deterministic assemble → time-split → min-max
         # half OUT of ml2 as an oracle-checked query, leaving only the
         # LogisticRegression fit itself rows-only (r5 verdict #5)
@@ -1714,8 +1724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plain equi-join+agg shape is adjudicated by j5 and the
         # rotated-in j2 in-window, the filter-agg by q1's entry() smoke)
         # ------------------------------------------------- entry 50 ends
-        # -- rotated out this round (multi-round driver-green, each
-        # subsumed per the inline comments above) ----------------------
+        # -- rotated out this round (multi-round driver-green or, for
+        # ml2, five-rounds rows-only; each subsumed per the inline
+        # comments above) ----------------------------------------------
+        "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "w11_range_frame": _w11_range_frame,
         "j3_asof_last": _j3_asof_last,
         "a6_sliding_joinback": _a6_sliding_joinback,
@@ -1724,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": _q6_forecast_revenue,
         "x21_pii_scrub": X.q_pii_scrub,
         "x33_unigram_logprob": X.q_unigram_logprob,
+        "x31_minhash_clusters": X.q_minhash_clusters,
         # -- rotated out in round 5 (three-rounds driver-green, each
         # subsumed by an in-window flagship; see the window comment) ---
         "w9_partitioned_indicators": _w9_partitioned_indicators,
@@ -2548,6 +2561,7 @@ def oracle_sql() -> dict[str, str]:
         "x38_chunk_dedup": X.chunk_dedup_oracle(),
         "x39_temperature_mix": X.temperature_mix_oracle(),
         "x40_bpe_merges": bpe_merges_sql(),
+        "x41_bpe_encode": bpe_encode_sql(),
         "x24_pack_sequences": pack_sequences_sql(),
         "x25_chunk_docs": chunk_documents_sql(),
         "x26_audio_frames": X.audio_frames_oracle(),

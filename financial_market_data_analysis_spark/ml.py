@@ -107,6 +107,71 @@ def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
 
 
+def train_window_classifier(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "up1",
+    window: int = 5,
+    hidden: Sequence[int] = (16,),
+    train_fraction: float = 0.8,
+    order_col: str = "bucket_start",
+    max_iter: int = 50,
+    seed: int = 42,
+):
+    """The engine's closest MLlib-native analog of the reference's
+    biGRU sequence model (biGRU_model.py:1-286): a nonlinear classifier
+    over the SAME input tensor — ``window`` consecutive bars × features,
+    the sliding window sql_pytorch_dataloader.py:8-18 feeds the GRU —
+    flattened time-major (``sliding_window_vectors``) into a
+    MultilayerPerceptronClassifier (min-max scaled input, sigmoid-family
+    hidden nonlinearity, softmax head). What it deliberately does NOT
+    reproduce is the recurrence itself: MLlib has no RNN, so temporal
+    structure enters through the window dimension of the flattened
+    tensor, the way a 1-hidden-layer MLP over a fixed receptive field
+    approximates a short-memory GRU. Same honest time-based split as
+    ``train_target_classifier``.
+
+    Returns (model, train_df, test_df, metrics_df); metrics is one row
+    (accuracy, n_test) — training stays rows-only in the driver
+    contract (the fit is not SQL-expressible), while every
+    deterministic stage upstream is oracle-checked elsewhere: the
+    window tensor by ml1, the scaler by ml2b.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.feature import MinMaxScaler
+    from pyspark.ml.functions import array_to_vector
+
+    clean = df.dropna(subset=list(feature_cols) + [label_col])
+    vec = sliding_window_vectors(
+        clean, feature_cols, window, [order_col]
+    ).withColumn("raw_features", array_to_vector("window_features"))
+    cut = vec.approxQuantile(order_col, [train_fraction], 0.001)[0]
+    train = vec.filter(F.col(order_col) <= cut)
+    test = vec.filter(F.col(order_col) > cut)
+
+    layers = [window * len(feature_cols), *hidden, 2]
+    pipe = Pipeline(
+        stages=[
+            MinMaxScaler(inputCol="raw_features", outputCol="features"),
+            MultilayerPerceptronClassifier(
+                labelCol=label_col,
+                featuresCol="features",
+                layers=layers,
+                maxIter=max_iter,
+                seed=seed,
+            ),
+        ]
+    )
+    model = pipe.fit(train)
+    pred = model.transform(test)
+    metrics = pred.agg(
+        F.avg((F.col("prediction") == F.col(label_col)).cast("double")).alias("accuracy"),
+        F.count(F.lit(1)).alias("n_test"),
+    )
+    return model, train, test, metrics
+
+
 def train_target_classifier(
     df: DataFrame,
     feature_cols: Sequence[str],

@@ -964,6 +964,24 @@ def q_ml_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics
 
 
+def q_ml_window_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml5 — rows-only check: the biGRU-analog sequence classifier
+    (5-bar sliding tensor → min-max scale → MLP, ml.py
+    ``train_window_classifier``). The deterministic stages upstream are
+    oracle-checked elsewhere (window tensor: ml1; scaler math: ml2b);
+    the nonlinear fit itself is the only unverified surface, same
+    contract as ml2's LR fit."""
+    from financial_market_data_analysis_spark.ml import train_window_classifier
+    from financial_market_data_analysis_spark.operators.windows import indicator_suite
+    from financial_market_data_analysis_spark.plans.candles import candles_from_events
+
+    c = candles_from_events(load_table(spark, "events", sf_dir))
+    bars = indicator_suite(c, ["bucket_start"])
+    feature_cols = ["close", "volume", "vol_MA6", "price_MA20", "ATR"]
+    _, _, _, metrics = train_window_classifier(bars, feature_cols)
+    return metrics
+
+
 ML_FEATURE_COLS = [
     "close", "volume", "vol_MA6", "vol_MA20", "price_MA20",
     "upper_BB_dist", "lower_BB_dist", "stoch", "price_change", "ATR",
@@ -1274,6 +1292,15 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape; the round-3 table is computed after both merges, verifying
     the greedy applications end-to-end)."""
     return T.bpe_merges(load_table(spark, "documents", sf_dir))
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x41 — BPE tokenizer APPLICATION: train the x40 merges, then
+    encode every document and report its BPE token count — the number
+    a token-budget stage (x24's packer) actually consumes. Vocab-sized
+    merge rewrite + one token-keyed equi-join; see
+    functions.text.bpe_encode for the scale shape."""
+    return T.bpe_encode(load_table(spark, "documents", sf_dir))
 
 
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -357,6 +357,32 @@ def test_bpe_merge_greedy_overlap_semantics(spark):
     assert ("a", "aa") not in r2
 
 
+def test_bpe_encode_counts_match_trained_merges(spark):
+    """x41: encoding applies the trained merges greedily per token —
+    with the 'aaa' corpus from the greedy test, merge 1 is (a,a) and
+    merge 2 is (aa,a), so 'aaa' encodes to ONE symbol, 'bc' stays two
+    chars (with n_merges=2 the second merge wins over (b,c) only if
+    its count is higher — engineer counts so it is)."""
+    from financial_market_data_analysis_spark.functions.text import bpe_encode
+
+    # (a,a) count 8 wins round 1; after merging, (aa,a) count 4 beats
+    # (b,c) count 3 in round 2 → 'aaa' = 1 token, 'bc' = 2 tokens
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aaa aaa bc bc bc"), (2, "bc aaa")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in bpe_encode(docs, n_merges=2).collect()}
+    assert got[1].n_words == 7
+    assert got[1].n_bpe_tokens == 4 * 1 + 3 * 2  # 4×'aaa' + 3×'bc'
+    assert got[2].n_words == 2
+    assert got[2].n_bpe_tokens == 2 + 1
+    assert abs(got[2].bpe_per_word - 1.5) < 1e-9
+    # a doc with zero tokens is absent, not a null row
+    empty = spark.createDataFrame([(1, "aaa bc"), (2, "!!!")], ["doc_id", "text"])
+    ids = {r.doc_id for r in bpe_encode(empty, n_merges=1).collect()}
+    assert ids == {1}
+
+
 def test_rolling_corr_known_series(spark):
     """W12 semantics on engineered series: y = 2x + 1 gives corr = 1,
     y = -x gives corr = -1, and rows before the warm-up period are

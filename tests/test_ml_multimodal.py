@@ -58,6 +58,38 @@ def test_train_target_classifier_runs(spark):
     )
 
 
+def test_train_window_classifier_runs(spark):
+    """ml5 — the biGRU-analog MLP over the flattened 5-bar window must
+    train, score the held-out time slice, and respect the time split;
+    its input width must equal window × n_features."""
+    from financial_market_data_analysis_spark.ml import train_window_classifier
+
+    c = candles_from_events(load_table(spark, "events", SF_SMOKE))
+    bars = indicator_suite(c, ["bucket_start"])
+    feats = ["close", "volume", "price_MA20", "ATR"]
+    model, train, test, metrics = train_window_classifier(
+        bars, feats, window=5, hidden=(8,), max_iter=20
+    )
+    m = metrics.collect()[0]
+    assert 0.0 <= m.accuracy <= 1.0 and m.n_test > 0
+    assert (
+        train.agg(F.max("bucket_start")).collect()[0][0]
+        <= test.agg(F.min("bucket_start")).collect()[0][0]
+    )
+    mlp = model.stages[-1]
+    assert mlp.getLayers()[0] == 5 * len(feats)
+    # deterministic re-fit: same seed, same weights
+    model2, _, _, _ = train_window_classifier(
+        bars, feats, window=5, hidden=(8,), max_iter=20
+    )
+    import numpy as np
+
+    assert np.allclose(
+        np.array(model.stages[-1].weights),
+        np.array(model2.stages[-1].weights),
+    )
+
+
 def test_mllib_scoring_matches_closed_form(spark):
     """MLlib's LogisticRegressionModel.transform must agree with the
     closed-form ``sigmoid(coef·x + intercept)`` computed from the
