@@ -1803,6 +1803,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _BOOK_CTE = f"WITH book AS ({book_oracle_cte()})"
 
 
+def _floor_div(expr: str, d: int) -> str:
+    """DuckDB ``//`` truncates toward zero; this floor-aligns negative
+    values the way Spark's ``time_bucket_us`` does (r6 review: the
+    band-join oracles must bucket pre-1970 timestamps identically to
+    the engine, exact integer arithmetic on both sides)."""
+    return f"(({expr}) // {d} - CASE WHEN ({expr}) % {d} < 0 THEN 1 ELSE 0 END)"
+
+
 def _delta_expr(levels: int = 7) -> str:
     """Mirror of features.delta_indicator (F4): Σ ask sizes − Σ bid sizes."""
     asks = " + ".join(f"COALESCE(ask_{i}_size, 0)" for i in range(levels))
@@ -2106,7 +2114,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # t6 is the STREAMING run of the same join — identical rows by
         # contract, so it shares j1's oracle verbatim
-        "t6_stream_interval_join": """
+        "t6_stream_interval_join": f"""
             WITH deep AS (
                 SELECT event_id AS deep_id, epoch_us(ts) AS deep_ts_us,
                        value AS deep_val
@@ -2119,7 +2127,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT deep_id, view_id, deep_val, view_val
             FROM deep JOIN quote
-              ON (deep_ts_us // 300000000) = (view_ts_us // 300000000)
+              ON {_floor_div("deep_ts_us", 300_000_000)}
+                 = {_floor_div("view_ts_us", 300_000_000)}
              AND view_ts_us >= deep_ts_us
              AND view_ts_us <= deep_ts_us + 180000000
         """,
@@ -2128,7 +2137,7 @@ def oracle_sql() -> dict[str, str]:
         # bound (min of the two feeds' max event time − 5 min watermark
         # − 180 s band − 1 s safety) — the identical integer expression
         # the Spark callable applies, so only FINALIZED rows compare
-        "t6b_stream_left_join": """
+        "t6b_stream_left_join": f"""
             WITH deep AS (
                 SELECT event_id AS deep_id, epoch_us(ts) AS deep_ts_us,
                        value AS deep_val
@@ -2146,7 +2155,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT deep_id, deep_ts_us, view_id, deep_val, view_val
             FROM deep LEFT JOIN quote
-              ON (deep_ts_us // 300000000) = (view_ts_us // 300000000)
+              ON {_floor_div("deep_ts_us", 300_000_000)}
+                 = {_floor_div("view_ts_us", 300_000_000)}
              AND view_ts_us >= deep_ts_us
              AND view_ts_us <= deep_ts_us + 180000000
             WHERE deep_ts_us <= (SELECT b FROM bound)
@@ -2274,7 +2284,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n_purch, purch_sum, n_views, view_avg
             FROM p JOIN v USING (user_id)
         """,
-        "j1_interval_join": """
+        "j1_interval_join": f"""
             WITH deep AS (
                 SELECT event_id AS deep_id, epoch_us(ts) AS deep_ts_us,
                        value AS deep_val
@@ -2287,7 +2297,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT deep_id, view_id, deep_val, view_val
             FROM deep JOIN quote
-              ON (deep_ts_us // 300000000) = (view_ts_us // 300000000)
+              ON {_floor_div("deep_ts_us", 300_000_000)}
+                 = {_floor_div("view_ts_us", 300_000_000)}
              AND view_ts_us >= deep_ts_us
              AND view_ts_us <= deep_ts_us + 180000000
         """,

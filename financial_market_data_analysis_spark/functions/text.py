@@ -270,14 +270,21 @@ def simhash32(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
 
     def tok_parity(t: Column) -> Column:
         # '0123456789abcdef' → parity '0101010101010101'; split("")
-        # yields the 32 single-char votes in order
-        return F.split(
-            F.translate(
-                F.md5(t.cast("binary")),
-                "0123456789abcdef",
-                "0101010101010101",
+        # yields the single-char votes in order. The explicit slice to
+        # 32 pins the length: empty-separator split kept a trailing ""
+        # before Spark 3.4 (SPARK-40194), which would null-pad the
+        # zip_with accumulator to 33 on older clusters (r6 review).
+        return F.slice(
+            F.split(
+                F.translate(
+                    F.md5(t.cast("binary")),
+                    "0123456789abcdef",
+                    "0101010101010101",
+                ),
+                "",
             ),
-            "",
+            1,
+            32,
         )
 
     zeros = F.transform(F.sequence(F.lit(1), F.lit(32)), lambda _: F.lit(0))
@@ -601,58 +608,78 @@ def bpe_merges(
         .select("tok", "freq", _char_symbols(F.col("tok")).alias("syms"))
         .localCheckpoint(eager=True)
     )
+    outs, _ = _bpe_train(words, n_merges, top_k, final_stats=True)
+    out = outs[0]
+    for t in outs[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def _bpe_pair_stats(words: DataFrame, rnd: int, top_k: int) -> DataFrame:
+    """One round's frequency-ranked adjacent-pair table over the
+    (tok, freq, syms) vocabulary — the trainer's argmax input."""
+    n = F.size("syms")
+    pair_rows = words.select(
+        "freq",
+        F.explode(
+            F.when(
+                n >= 2, F.sequence(F.lit(1), n - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("j"),
+        "syms",
+    ).select(
+        F.element_at("syms", F.col("j")).alias("left_sym"),
+        F.element_at("syms", F.col("j") + 1).alias("right_sym"),
+        "freq",
+    )
+    counts = pair_rows.groupBy("left_sym", "right_sym").agg(
+        F.sum("freq").alias("pair_count")
+    )
+    w = Window.orderBy(
+        F.desc("pair_count"), F.col("left_sym"), F.col("right_sym")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.lit(rnd).alias("round"),
+            F.col("rank").cast("int").alias("rank"),
+            "left_sym", "right_sym", "pair_count",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _bpe_train(
+    words: DataFrame, n_merges: int, top_k: int, final_stats: bool
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared trainer core over a (tok, freq, syms) vocabulary: per
+    round, rank adjacent pairs, pick rank 1 (one driver scalar — the
+    loop's only driver action), apply the greedy merge row-locally,
+    localCheckpoint. Returns (per-round top tables, final vocabulary).
+    ``final_stats`` adds round n_merges+1's pair table computed AFTER
+    the last merge (the x40 verification round); the encode path skips
+    it — it would be thrown away (r6 review)."""
     outs = []
-    for rnd in range(1, n_merges + 2):
-        n = F.size("syms")
-        pair_rows = words.select(
-            "freq",
-            F.explode(
-                F.when(
-                    n >= 2, F.sequence(F.lit(1), n - 1)
-                ).otherwise(F.array().cast("array<int>"))
-            ).alias("j"),
-            "syms",
-        ).select(
-            F.element_at("syms", F.col("j")).alias("left_sym"),
-            F.element_at("syms", F.col("j") + 1).alias("right_sym"),
-            "freq",
-        )
-        counts = pair_rows.groupBy("left_sym", "right_sym").agg(
-            F.sum("freq").alias("pair_count")
-        )
-        w = Window.orderBy(
-            F.desc("pair_count"), F.col("left_sym"), F.col("right_sym")
-        )
-        top = (
-            counts.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= top_k)
-            .select(
-                F.lit(rnd).alias("round"),
-                F.col("rank").cast("int").alias("rank"),
-                "left_sym", "right_sym", "pair_count",
-            )
-            .localCheckpoint(eager=True)
-        )
+    for rnd in range(1, n_merges + 1):
+        top = _bpe_pair_stats(words, rnd, top_k)
         outs.append(top)
-        if rnd > n_merges:
-            break
         best = top.filter(F.col("rank") == 1).first()
         if best is None:
             # degenerate vocabulary (no adjacent pairs anywhere — all
             # single-symbol words, or an empty corpus): nothing to
             # merge and every later round's table is empty too, which
             # is exactly what the SQL twin emits — stop gracefully
-            break
+            return outs, words
         words = words.select(
             "tok", "freq",
             _apply_merge(F.col("syms"), best.left_sym, best.right_sym).alias(
                 "syms"
             ),
         ).localCheckpoint(eager=True)
-    out = outs[0]
-    for t in outs[1:]:
-        out = out.unionByName(t)
-    return out
+    if final_stats:
+        outs.append(_bpe_pair_stats(words, n_merges + 1, top_k))
+    return outs, words
 
 
 def _bpe_round_sql(r: int, top_k: int) -> str:
@@ -777,32 +804,26 @@ def bpe_encode(
 
     Scale shape mirrors the trainer's: the merge folds run over the
     DISTINCT-token vocabulary, never the raw corpus — encoding 100 TB
-    costs one corpus-sized token explode, a vocab-sized merge rewrite
-    (row-local ``_apply_merge`` folds), one equi-join of the exploded
-    tokens against the vocab on the token key (both sides hash-
-    partitioned; the vocab side is orders of magnitude smaller but not
-    assumed broadcastable — a web-scale corpus has ~10^8 distinct
-    tokens), and one partial-aggregatable groupBy per doc. The learned
-    merges themselves are ``n_merges`` driver scalars (the same
-    convention as the trainer's per-round argmax).
+    costs two corpus-sized token explodes (one feeding the vocabulary
+    count, one feeding the per-doc join; the raw scan is column-pruned
+    to (id, text) and re-reading it beats materializing an exploded
+    corpus-sized cache), a vocab-sized merge rewrite shared with the
+    trainer (``_bpe_train`` — trained once, its final vocabulary IS
+    the encode table, no verification round), one equi-join of the
+    exploded tokens against the vocab on the token key (both sides
+    hash-partitioned; the vocab side is orders of magnitude smaller
+    but not assumed broadcastable — a web-scale corpus has ~10^8
+    distinct tokens), and one partial-aggregatable groupBy per doc.
     """
-    merge_rows = (
-        bpe_merges(df, text_col, n_merges, top_k=1)
-        .filter((F.col("rank") == 1) & (F.col("round") <= n_merges))
-        .orderBy("round")
-        .collect()
-    )
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    vocab = (
-        toks.select("tok")
-        .distinct()
-        .select("tok", _char_symbols(F.col("tok")).alias("syms"))
+    words0 = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("tok", "freq", _char_symbols(F.col("tok")).alias("syms"))
+        .localCheckpoint(eager=True)
     )
-    for r in merge_rows:
-        vocab = vocab.select(
-            "tok", _apply_merge(F.col("syms"), r.left_sym, r.right_sym).alias("syms")
-        )
-    vocab = vocab.select("tok", F.size("syms").alias("__n_syms"))
+    _, merged = _bpe_train(words0, n_merges, top_k=1, final_stats=False)
+    vocab = merged.select("tok", F.size("syms").alias("__n_syms"))
     return (
         toks.join(vocab, "tok")
         .groupBy(id_col)
@@ -825,12 +846,16 @@ def bpe_encode_sql(
     src: str = "documents",
     text_expr: str = "text",
     n_merges: int = BPE_MERGES,
+    id_expr: str = "doc_id",
 ) -> str:
     """DuckDB twin of ``bpe_encode``: the trainer's unrolled round CTEs
     produce words{n_merges} (token → merged symbol list), which the
-    per-doc token explode joins and sums. ``sum`` over the BIGINT
-    lengths is cast back to BIGINT (DuckDB sum → HUGEINT → float64
-    against Spark's long — the ml4 lesson)."""
+    per-doc token explode joins and sums. ``id_expr`` is aliased to
+    doc_id in the explode and reused by name downstream, so a
+    non-default id yields consistent SQL (the shuffle_shards_sql
+    convention). ``sum`` over the BIGINT lengths is cast back to
+    BIGINT (DuckDB sum → HUGEINT → float64 against Spark's long — the
+    ml4 lesson)."""
     rounds = ",".join(_bpe_round_sql(r, top_k=1) for r in range(1, n_merges + 1))
     return f"""
         WITH words0 AS (
@@ -842,7 +867,8 @@ def bpe_encode_sql(
         ),
         {rounds},
         doc_toks AS (
-            SELECT doc_id, unnest({tokens_sql(text_expr)}) AS tok FROM {src}
+            SELECT {id_expr} AS doc_id, unnest({tokens_sql(text_expr)}) AS tok
+            FROM {src}
         )
         SELECT d.doc_id,
                CAST(count(*) AS BIGINT) AS n_words,

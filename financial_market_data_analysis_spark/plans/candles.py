@@ -135,11 +135,15 @@ def candles_multires(
             # FLOOR division, not `div` (truncation toward zero): a
             # pre-1970 negative bucket_start must floor-align the same
             # way time_bucket does, or the coarse levels would
-            # mis-bucket the row (r5 advice; same convention as
-            # time_bucket_us)
-            (F.floor(F.col("bucket_start") / g) * g)
-            .cast("long")
-            .alias("bucket_start")
+            # mis-bucket the row (r5 advice). Same exact-integer
+            # div-plus-negative-remainder form as time_bucket_us — no
+            # double round-trip, so correctness isn't silently bounded
+            # to 2^53 (r6 review).
+            F.expr(
+                f"CAST(((bucket_start div {g})"
+                f" - (CASE WHEN bucket_start % {g} < 0 THEN 1 ELSE 0 END))"
+                f" * {g} AS BIGINT)"
+            ).alias("bucket_start")
         ).agg(
             F.min_by("open", "open_seq").alias("open"),
             F.max("high").alias("high"),
