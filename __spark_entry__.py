@@ -1612,7 +1612,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     session regardless of the driver's window."""
     return {
         # -- flagships + never/newly-adjudicated queries first ------------
-        "pipeline_full_row": _pipeline_full_row,
+        # (pipeline_full_row sits past the window: two-rounds
+        # driver-green, and pipeline_full_row_part adjudicates the
+        # IDENTICAL 117-column feature row per symbol every round —
+        # the unpartitioned variant differs only in partition_cols)
         "pipeline_full_row_part": _pipeline_full_row_part,
         "pipeline_bars_joined": _pipeline_bars_joined,
         "t9_stateful_suite": _t9_stateful_suite,
@@ -1674,6 +1677,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # x41 NEW this round: the encode half of the x40 trainer —
         # in-window for first-round adjudication
         "x41_bpe_encode": X.q_bpe_encode,
+        # x48 NEW this round: SemDeDup — semantic near-dup removal over
+        # learned k-means cells (composition of the adjudicated x34
+        # trainer + x12 assignment + x9 pairwise-cosine machinery)
+        "x48_semantic_dedup": X.q_semantic_dedup,
         # (ml2 sits past the window: rows-only by design with five
         # rounds of rows-only driver rows already; its slot goes to
         # ml5, the NEW rows-only MLlib fit, for a first driver row)
@@ -1728,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ml2, five-rounds rows-only; each subsumed per the inline
         # comments above) ----------------------------------------------
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
+        "pipeline_full_row": _pipeline_full_row,
         "w11_range_frame": _w11_range_frame,
         "j3_asof_last": _j3_asof_last,
         "a6_sliding_joinback": _a6_sliding_joinback,
@@ -2573,6 +2581,7 @@ def oracle_sql() -> dict[str, str]:
         "x39_temperature_mix": X.temperature_mix_oracle(),
         "x40_bpe_merges": bpe_merges_sql(),
         "x41_bpe_encode": bpe_encode_sql(),
+        "x48_semantic_dedup": X.semantic_dedup_oracle(),
         "x24_pack_sequences": pack_sequences_sql(),
         "x25_chunk_docs": chunk_documents_sql(),
         "x26_audio_frames": X.audio_frames_oracle(),

@@ -694,6 +694,109 @@ def ann_ivf_trained_oracle() -> str:
     """
 
 
+SEMDEDUP_THRESHOLD = 0.99  # within-cell cosine bound for x48
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x48 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal by embedding — k-means-cluster the corpus,
+    then compare pairs ONLY within a cell and drop every member that
+    has a higher-priority (lower-id) neighbor above the cosine bound.
+    The published LLM-corpus curation step that catches paraphrases
+    exact/MinHash dedup cannot.
+
+    Composition of already-adjudicated machinery: the x34 trained
+    centroids (two deterministic Lloyd iterations, rounded per
+    iteration), x12's zero-shuffle broadcast-argmax cell assignment
+    over the augmented corpus, and x9's within-bucket pairwise cosine
+    — here bucketed by LEARNED cells instead of random hyperplanes,
+    which is what makes it 'semantic'. Scale shape: the only corpus
+    shuffle is the cell equi-join; pair work is bounded per cell
+    (quadratic only within a cell — cell sizes are controlled by K,
+    the knob the paper also turns), never all-pairs.
+
+    Output per corpus vector: its cell, keep/drop decision, the
+    number of higher-priority in-cell near-dups, and the strongest
+    such cosine (NULL when kept)."""
+    corpus = load_table(spark, "embeddings", sf_dir)
+    cents = S.kmeans_lloyd(
+        corpus, _centroids(spark, sf_dir), n_iter=KMEANS_ITERS, dim=EMB_DIM_K
+    )
+    aug = emb_augmented(spark, sf_dir)
+    assign = S.ivf_assignments(aug, cents).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    hi = assign.select(
+        F.col("vec_id").alias("__id_hi"),
+        F.col("embedding").alias("__e_hi"),
+        "centroid_id",
+    )
+    lo = assign.select(
+        F.col("vec_id").alias("__id_lo"),
+        F.col("embedding").alias("__e_lo"),
+        "centroid_id",
+    )
+    dups = (
+        hi.join(lo, "centroid_id")
+        .filter(F.col("__id_lo") < F.col("__id_hi"))
+        .withColumn("__cos", S.cosine_expr("__e_hi", "__e_lo"))
+        .filter(F.col("__cos") >= SEMDEDUP_THRESHOLD)
+        .groupBy(F.col("__id_hi").alias("vec_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.round(F.max("__cos"), 6).alias("max_cosine"),
+        )
+    )
+    return (
+        assign.select("vec_id", F.col("centroid_id").alias("cell"))
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("n_dups").isNull().alias("keep"),
+            F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+            "max_cosine",
+        )
+    )
+
+
+def semantic_dedup_oracle() -> str:
+    cos_ab = """
+        (list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))
+    """
+    return f"""
+        WITH {_kmeans_ctes()},
+        aug AS ({EMB_AUG_CTE}),
+        assign AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_COS_AC} DESC, c.centroid_id) AS rk
+                FROM aug e CROSS JOIN cent2 c
+            ) WHERE rk = 1
+        ),
+        dups AS (
+            SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dups,
+                   round(max(cos), 6) AS max_cosine
+            FROM (
+                SELECT a.vec_id, {cos_ab} AS cos
+                FROM assign a JOIN assign b
+                  ON a.centroid_id = b.centroid_id
+                 AND b.vec_id < a.vec_id
+            )
+            WHERE cos >= {SEMDEDUP_THRESHOLD}
+            GROUP BY vec_id
+        )
+        SELECT s.vec_id, s.centroid_id AS cell,
+               d.vec_id IS NULL AS keep,
+               COALESCE(d.n_dups, 0) AS n_dups,
+               d.max_cosine
+        FROM assign s LEFT JOIN dups d USING (vec_id)
+    """
+
+
 LSH_TABLES = 4  # multi-table LSH: the x11b / x30 recall levers
 LSH_MULTI_PLANES = 4  # fewer planes per table than x11's 8 — see below
 

@@ -20,6 +20,28 @@ from financial_market_data_analysis_spark.operators.dedup import (
 )
 
 
+def test_semantic_dedup_drops_exact_copies_keeps_originals(spark):
+    """x48 SemDeDup semantics on the fixture corpus: every injected
+    exact-copy embedding (vec_id >= DUP_OFFSET) must be DROPPED with
+    max cosine ~1.0 against its lower-id original in the same learned
+    cell; every original must be KEPT; cells cover all rows."""
+    from financial_market_data_analysis_spark.plans.extensions import (
+        DUP_OFFSET,
+        q_semantic_dedup,
+    )
+
+    out = {r.vec_id: r for r in q_semantic_dedup(spark, "/root/testdata/sf0.001").collect()}
+    dups = [r for v, r in out.items() if v >= DUP_OFFSET]
+    assert dups, "augmentation must inject duplicates"
+    for r in dups:
+        assert not r.keep and r.n_dups >= 1
+        assert abs(r.max_cosine - 1.0) < 1e-6
+        orig = out[r.vec_id - DUP_OFFSET]
+        assert orig.cell == r.cell  # identical vector → identical cell
+        assert orig.keep  # the lower-id original survives
+    assert all(r.cell is not None for r in out.values())
+
+
 def test_simhash_banding_recall_is_exact(spark):
     """With n_bands > max_hamming the banded candidate set must contain
     EVERY pair within the Hamming budget (pigeonhole) — compare against
