@@ -723,8 +723,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, _centroids(spark, sf_dir), n_iter=KMEANS_ITERS, dim=EMB_DIM_K
     )
     aug = emb_augmented(spark, sf_dir)
-    assign = S.ivf_assignments(aug, cents).select(
-        "vec_id", "embedding", "centroid_id"
+    # the assignment feeds BOTH pair sides and the final keep/drop
+    # projection; the lazy checkpoint runs the broadcast-argmax fold
+    # once instead of three times (plan audit: 12 corpus scans → 4).
+    # The materialized blocks are (vec_id, embedding, cell) — the same
+    # corpus-sized cache a production SemDeDup keeps for its pair pass
+    assign = (
+        S.ivf_assignments(aug, cents)
+        .select("vec_id", "embedding", "centroid_id")
+        .localCheckpoint(eager=False)
     )
     hi = assign.select(
         F.col("vec_id").alias("__id_hi"),
@@ -1114,7 +1121,14 @@ def q_ml_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = candles_from_events(load_table(spark, "events", sf_dir))
     bars = indicator_suite(c, ["bucket_start"])
-    clean = bars.dropna(subset=ML_FEATURE_COLS + ["up1"])
+    # three consumers (the cut aggregate, the scaler aggregates, the
+    # scaled output) would each re-run the scan→candle→indicator
+    # pipeline; one lazy checkpoint pays it once — bars are the 300:1
+    # aggregate of the raw stream, so the materialized blocks are
+    # small relative to the input (plan audit: 8 events scans → 1)
+    clean = bars.dropna(subset=ML_FEATURE_COLS + ["up1"]).localCheckpoint(
+        eager=False
+    )
     cut = clean.agg(
         F.expr("percentile(bucket_start, 0.8)").alias("__cut")
     )
