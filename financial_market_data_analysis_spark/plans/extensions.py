@@ -461,11 +461,19 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(corpus, _query_vecs(spark, sf_dir), k=TOP_K)
 
 
-_COS_SQL = """
-    (list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
-     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-        * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))))
+def _cos_sql(x: str, y: str) -> str:
+    """Pairwise cosine between ``{x}.embedding`` and ``{y}.embedding``
+    in DOUBLE math — the ONE fragment behind every embedding oracle
+    (driver adjudication depends on all of them staying bit-identical,
+    so the expression exists exactly once; r6 review)."""
+    return f"""
+    (list_dot_product(CAST({x}.embedding AS DOUBLE[]), CAST({y}.embedding AS DOUBLE[]))
+     / (sqrt(list_dot_product(CAST({x}.embedding AS DOUBLE[]), CAST({x}.embedding AS DOUBLE[])))
+        * sqrt(list_dot_product(CAST({y}.embedding AS DOUBLE[]), CAST({y}.embedding AS DOUBLE[])))))
 """
+
+
+_COS_SQL = _cos_sql("e", "q")
 
 
 def ann_brute_oracle() -> str:
@@ -524,11 +532,23 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS_AC = """
-    (list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))))
-"""
+_COS_AC = _cos_sql("e", "c")
+
+
+def _trained_assign_cte(src: str) -> str:
+    """Nearest-TRAINED-centroid (cent2) assignment of ``src``'s vectors
+    — the cell quantization CTE shared by the x30 ivf_trained twin and
+    the x48 SemDeDup oracle (r6 review: one copy, parameterized by
+    source table)."""
+    return f"""
+        assign AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_COS_AC} DESC, c.centroid_id) AS rk
+                FROM {src} e CROSS JOIN cent2 c
+            ) WHERE rk = 1
+        )"""
 
 
 def ann_ivf_oracle() -> str:
@@ -665,14 +685,7 @@ def ann_ivf_trained_oracle() -> str:
     of the raw deterministic sample — x30's ivf_trained twin."""
     return f"""
         WITH {_kmeans_ctes()},
-        assign AS (
-            SELECT vec_id, embedding, centroid_id FROM (
-                SELECT e.vec_id, e.embedding, c.centroid_id,
-                       row_number() OVER (PARTITION BY e.vec_id
-                           ORDER BY {_COS_AC} DESC, c.centroid_id) AS rk
-                FROM embeddings e CROSS JOIN cent2 c
-            ) WHERE rk = 1
-        ),
+        {_trained_assign_cte("embeddings")},
         probes AS (
             SELECT query_id, embedding, centroid_id FROM (
                 SELECT e.vec_id AS query_id, e.embedding, c.centroid_id,
@@ -726,27 +739,39 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the assignment feeds BOTH pair sides and the final keep/drop
     # projection; the lazy checkpoint runs the broadcast-argmax fold
     # once instead of three times (plan audit: 12 corpus scans → 4).
-    # The materialized blocks are (vec_id, embedding, cell) — the same
-    # corpus-sized cache a production SemDeDup keeps for its pair pass
+    # The materialized blocks are (vec_id, embedding, norm, cell) —
+    # the same corpus-sized cache a production SemDeDup keeps for its
+    # pair pass. __vnorm rides along from ivf_assignments so the
+    # quadratic within-cell scorer folds ONE array per pair (the dot),
+    # not three (the brute_force_topk precedent — naive cosine_expr
+    # is 3x the FLOPs on the hot path).
     assign = (
         S.ivf_assignments(aug, cents)
-        .select("vec_id", "embedding", "centroid_id")
+        .select("vec_id", "embedding", "__vnorm", "centroid_id")
         .localCheckpoint(eager=False)
     )
     hi = assign.select(
         F.col("vec_id").alias("__id_hi"),
         F.col("embedding").alias("__e_hi"),
+        F.col("__vnorm").alias("__n_hi"),
         "centroid_id",
     )
     lo = assign.select(
         F.col("vec_id").alias("__id_lo"),
         F.col("embedding").alias("__e_lo"),
+        F.col("__vnorm").alias("__n_lo"),
         "centroid_id",
     )
     dups = (
         hi.join(lo, "centroid_id")
         .filter(F.col("__id_lo") < F.col("__id_hi"))
-        .withColumn("__cos", S.cosine_expr("__e_hi", "__e_lo"))
+        .withColumn(
+            "__cos",
+            S.safe_div(
+                S.dot_expr("__e_hi", "__e_lo"),
+                F.col("__n_hi") * F.col("__n_lo"),
+            ),
+        )
         .filter(F.col("__cos") >= SEMDEDUP_THRESHOLD)
         .groupBy(F.col("__id_hi").alias("vec_id"))
         .agg(
@@ -768,22 +793,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semantic_dedup_oracle() -> str:
-    cos_ab = """
-        (list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))
-    """
+    cos_ab = _cos_sql("a", "b")
     return f"""
         WITH {_kmeans_ctes()},
         aug AS ({EMB_AUG_CTE}),
-        assign AS (
-            SELECT vec_id, embedding, centroid_id FROM (
-                SELECT e.vec_id, e.embedding, c.centroid_id,
-                       row_number() OVER (PARTITION BY e.vec_id
-                           ORDER BY {_COS_AC} DESC, c.centroid_id) AS rk
-                FROM aug e CROSS JOIN cent2 c
-            ) WHERE rk = 1
-        ),
+        {_trained_assign_cte("aug")},
         dups AS (
             SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dups,
                    round(max(cos), 6) AS max_cosine
@@ -1209,11 +1223,7 @@ def ml_feature_matrix_oracle(candles_cte: str) -> str:
 
 
 def embed_neardup_oracle(threshold: float = 0.95) -> str:
-    cos = """
-        (list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))
-    """
+    cos = _cos_sql("a", "b")
     return f"""
         WITH aug AS ({EMB_AUG_CTE}),
         bucketed AS (

@@ -25,12 +25,14 @@ def test_semantic_dedup_drops_exact_copies_keeps_originals(spark):
     exact-copy embedding (vec_id >= DUP_OFFSET) must be DROPPED with
     max cosine ~1.0 against its lower-id original in the same learned
     cell; every original must be KEPT; cells cover all rows."""
+    from conftest import SF_SMOKE
+
     from financial_market_data_analysis_spark.plans.extensions import (
         DUP_OFFSET,
         q_semantic_dedup,
     )
 
-    out = {r.vec_id: r for r in q_semantic_dedup(spark, "/root/testdata/sf0.001").collect()}
+    out = {r.vec_id: r for r in q_semantic_dedup(spark, SF_SMOKE).collect()}
     dups = [r for v, r in out.items() if v >= DUP_OFFSET]
     assert dups, "augmentation must inject duplicates"
     for r in dups:
