@@ -1646,7 +1646,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and its MinHash candidate stage is the same
         # minhash_lsh_dedup run x45 adjudicates in-window)
         "x30_ann_recall": X.q_ann_recall,
-        "x11b_ann_lsh_multi": X.q_ann_lsh_multi,
+        # (x11b sits past the window: two-rounds driver-green, and
+        # in-window x30 measures the IDENTICAL multi-table LSH path as
+        # one of its four recall@10 methods every round)
+        # x44 NEW this round: the duplicated-span REWRITE on top of
+        # x43's detection — in-window for first adjudication
+        "x44_dup_span_removal": X.q_dup_span_removal,
         "x32_boilerplate": X.q_boilerplate,
         # (x33 sits past the window: two-rounds driver-green; in-window
         # x37 trains and applies the interpolated bigram LM that backs
@@ -1736,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comments above) ----------------------------------------------
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "pipeline_full_row": _pipeline_full_row,
+        "x11b_ann_lsh_multi": X.q_ann_lsh_multi,
         "w11_range_frame": _w11_range_frame,
         "j3_asof_last": _j3_asof_last,
         "a6_sliding_joinback": _a6_sliding_joinback,
@@ -2280,6 +2286,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN params p ON e.event_type = p.event_type
         """,
         "x43_dup_spans": X.dup_spans_oracle(),
+        "x44_dup_span_removal": X.dup_span_removal_oracle(),
         "j5_bucketed_join": """
             WITH p AS (
                 SELECT user_id, count(*) AS n_purch, sum(value) AS purch_sum

@@ -1053,6 +1053,106 @@ def dup_span_coverage(
     )
 
 
+def dup_span_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact duplicated-SPAN removal — the REWRITE step on top of
+    ``dup_span_coverage``'s detection (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better': strip substrings that
+    occur verbatim elsewhere in the corpus, keeping ONE occurrence).
+    A token position is removed when some width-``n`` span covering it
+    occurs verbatim in MORE THAN ONE document and this document is not
+    the span's keeper (the minimum doc id containing it) — the keeper
+    retains its copy, every other occurrence is cut, at shingle
+    granularity instead of the paper's suffix array (the same
+    approximation trade documented on ``dup_span_coverage``).
+
+    Returns (id, n_tokens, n_removed, clean_digest) — the digest is
+    md5 of the space-joined surviving tokens in original order, so the
+    oracle proves the exact reconstruction, not just the counts.
+
+    Shape: positioned grams are a row-local explode (multiplicity
+    KEPT — removal is positional, unlike coverage's per-doc-distinct
+    table); the dup set + keeper is one shingle-keyed groupBy over the
+    per-doc-distinct projection; hits join back on the shingle key;
+    covered positions explode ×n and distinct on (doc, pos); the
+    rebuild is one doc-keyed fold (sorted struct collect). All
+    shuffles are keyed (shingle or doc) — no pairwise comparison, cost
+    linear in corpus span volume. At 100 TB hash the shingle to 64
+    bits before the shuffles (the ``dup_span_coverage`` note).
+    """
+    from financial_market_data_analysis_spark.functions.text import (
+        all_grams,
+        tokens,
+    )
+
+    toks_df = ensure_parallelism(
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    )
+    grams = toks_df.select(
+        F.col(id_col),
+        F.posexplode(all_grams(F.col("__toks"), n)).alias("__p0", "shingle"),
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("start"), "shingle")
+    shared = (
+        grams.select(id_col, "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("__n_docs"),
+            F.min(id_col).alias("__keeper"),
+        )
+        .filter(F.col("__n_docs") > 1)
+        .select("shingle", "__keeper")
+    )
+    covered = (
+        grams.join(shared.hint("shuffle_hash"), "shingle")
+        .filter(F.col(id_col) != F.col("__keeper"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("tokpos"),
+        )
+        .distinct()
+    )
+    tokpos = toks_df.select(
+        F.col(id_col), F.posexplode("__toks").alias("__p0", "tok")
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("tokpos"), "tok")
+    rebuilt = (
+        tokpos.join(covered, [id_col, "tokpos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_kept"),
+            # collect_list order is nondeterministic; the sort on the
+            # (tokpos, tok) struct restores original token order
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tokpos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("__clean"),
+        )
+    )
+    return (
+        toks_df.select(F.col(id_col), F.size("__toks").alias("__n_toks"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__n_toks").cast("long").alias("n_tokens"),
+            (F.col("__n_toks") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(
+                F.coalesce("__clean", F.lit("")).cast("binary")
+            ).alias("clean_digest"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iters: int = 5,

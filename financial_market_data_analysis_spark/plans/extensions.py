@@ -1824,6 +1824,70 @@ def dup_spans_oracle() -> str:
     """
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x44 — exact duplicated-span REMOVAL (Lee et al. 2022): the
+    rewrite step on top of x43's detection. Every cross-document
+    verbatim 8-token span keeps its single minimum-doc-id occurrence;
+    every other occurrence's token positions are cut, and the digest
+    of the surviving token stream proves the exact reconstruction
+    cross-engine (see operators.dedup.dup_span_removal for the
+    linear keyed-shuffle shape). Runs over the augmented corpus so
+    the injected near-dup copies give the remover real work."""
+    return D.dup_span_removal(docs_augmented(spark, sf_dir), n=DUP_SPAN_N)
+
+
+def dup_span_removal_oracle(n: int = DUP_SPAN_N) -> str:
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE}),
+        tk AS (SELECT doc_id, {T.tokens_sql()} AS toks FROM aug),
+        grams AS (
+            SELECT doc_id, i AS start, {gram} AS shingle FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1,
+                           greatest(len(toks) - {n - 1}, 0))) AS i
+                FROM tk
+            )
+        ),
+        shared AS (
+            SELECT shingle, min(doc_id) AS keeper
+            FROM (SELECT DISTINCT doc_id, shingle FROM grams)
+            GROUP BY shingle HAVING count(*) > 1
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, tokpos FROM (
+                SELECT g.doc_id,
+                       unnest(generate_series(g.start, g.start + {n - 1}))
+                           AS tokpos
+                FROM grams g JOIN shared s ON g.shingle = s.shingle
+                WHERE g.doc_id <> s.keeper
+            )
+        ),
+        tokpos AS (
+            SELECT doc_id, i AS tokpos, toks[i] AS tok FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks))) AS i
+                FROM tk
+            )
+        ),
+        rebuilt AS (
+            SELECT t.doc_id,
+                   count(*) AS n_kept,
+                   string_agg(t.tok, ' ' ORDER BY t.tokpos) AS clean_text
+            FROM tokpos t LEFT JOIN covered c
+              ON t.doc_id = c.doc_id AND t.tokpos = c.tokpos
+            WHERE c.tokpos IS NULL
+            GROUP BY t.doc_id
+        )
+        SELECT b.doc_id,
+               CAST(len(b.toks) AS BIGINT) AS n_tokens,
+               CAST(len(b.toks) - COALESCE(r.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               md5(COALESCE(r.clean_text, '')) AS clean_digest
+        FROM tk b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # x45 — asymmetric containment near-dup (fragment-in-document)
 

@@ -20,6 +20,46 @@ from financial_market_data_analysis_spark.operators.dedup import (
 )
 
 
+def test_dup_span_removal_keeps_one_occurrence(spark):
+    """x44 semantics on an engineered corpus: a verbatim 8-token run
+    shared by two docs survives in the KEEPER (min doc id) and is cut
+    from the other; unique text is untouched; a span repeated only
+    WITHIN one doc is NOT removed (cross-doc convention, same as
+    x43); the digest proves the exact surviving token stream."""
+    import hashlib
+
+    from financial_market_data_analysis_spark.operators.dedup import (
+        dup_span_removal,
+    )
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            # continuations differ immediately after the run, so the
+            # ONLY shared 8-gram is the run itself
+            (1, f"{run} uno one tail"),
+            (2, f"head part {run} dos two"),
+            # within-doc repetition only — must survive intact
+            (3, f"solo solo {' '.join(['w%d' % i for i in range(8)])} "
+                f"{' '.join(['w%d' % i for i in range(8)])}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dup_span_removal(docs, n=8).collect()}
+    # doc 1 is the keeper: nothing removed
+    assert got[1].n_removed == 0
+    assert got[1].clean_digest == hashlib.md5(
+        f"{run} uno one tail".encode()
+    ).hexdigest()
+    # doc 2 loses exactly the 8 shared tokens
+    assert got[2].n_removed == 8
+    assert got[2].clean_digest == hashlib.md5(
+        b"head part dos two"
+    ).hexdigest()
+    # doc 3's internal repetition is not cross-doc: intact
+    assert got[3].n_removed == 0
+
+
 def test_semantic_dedup_drops_exact_copies_keeps_originals(spark):
     """x48 SemDeDup semantics on the fixture corpus: every injected
     exact-copy embedding (vec_id >= DUP_OFFSET) must be DROPPED with
