@@ -1652,7 +1652,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # x44 NEW this round: the duplicated-span REWRITE on top of
         # x43's detection — in-window for first adjudication
         "x44_dup_span_removal": X.q_dup_span_removal,
-        "x32_boilerplate": X.q_boilerplate,
+        # (x32 sits past the window: two-rounds driver-green; its
+        # cross-doc repeated-content kernel family is adjudicated
+        # in-window by x43/x44's strictly harder verbatim-span
+        # machinery, and it stays pytest-covered every session)
+        # x42 NEW this round: CCNet perplexity partition over x37's
+        # in-window LM score — in-window for first adjudication
+        "x42_ppl_buckets": X.q_ppl_buckets,
         # (x33 sits past the window: two-rounds driver-green; in-window
         # x37 trains and applies the interpolated bigram LM that backs
         # off to the SAME unigram model)
@@ -1742,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "pipeline_full_row": _pipeline_full_row,
         "x11b_ann_lsh_multi": X.q_ann_lsh_multi,
+        "x32_boilerplate": X.q_boilerplate,
         "w11_range_frame": _w11_range_frame,
         "j3_asof_last": _j3_asof_last,
         "a6_sliding_joinback": _a6_sliding_joinback,
@@ -2287,6 +2294,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x43_dup_spans": X.dup_spans_oracle(),
         "x44_dup_span_removal": X.dup_span_removal_oracle(),
+        "x42_ppl_buckets": X.ppl_buckets_oracle(),
         "j5_bucketed_join": """
             WITH p AS (
                 SELECT user_id, count(*) AS n_purch, sum(value) AS purch_sum

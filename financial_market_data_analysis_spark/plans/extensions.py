@@ -1824,6 +1824,56 @@ def dup_spans_oracle() -> str:
     """
 
 
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x42 — CCNet-style perplexity partition (Wenzek et al. 2020):
+    split the corpus into head/middle/tail TERCILES by its own
+    language-model score — the published step that turns a RAW quality
+    signal (x37's interpolated-bigram logprob) into the actionable
+    keep/sample/drop buckets a pretraining mix actually consumes
+    (CCNet trains a KenLM; the in-engine corpus-trained bigram is the
+    same filter shape).
+
+    The tercile cuts are exact interpolated quantiles of the ROUNDED
+    per-doc score — Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the interpolation formula bit-for-bit (the ml2b precedent),
+    and comparing rounded scores against a cut derived from the same
+    rounded scores keeps the bucket assignment engine-exact. One
+    corpus scan for the scores, one 2-value aggregate broadcast back —
+    no sort, no shuffle beyond x37's own. Higher mean logprob = lower
+    perplexity = 'head' (CCNet keeps the head, samples the middle,
+    drops the tail)."""
+    scored = T.bigram_logprob(load_table(spark, "documents", sf_dir))
+    cuts = scored.agg(
+        F.expr("percentile(mean_logprob, 2.0D / 3.0D)").alias("__hi"),
+        F.expr("percentile(mean_logprob, 1.0D / 3.0D)").alias("__lo"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "mean_logprob",
+        "ppl_proxy",
+        F.when(F.col("mean_logprob") >= F.col("__hi"), F.lit("head"))
+        .when(F.col("mean_logprob") >= F.col("__lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def ppl_buckets_oracle() -> str:
+    return f"""
+        WITH scored AS ({T.bigram_logprob_sql()}),
+        cuts AS (
+            SELECT quantile_cont(mean_logprob, 2.0 / 3.0) AS hi,
+                   quantile_cont(mean_logprob, 1.0 / 3.0) AS lo
+            FROM scored
+        )
+        SELECT doc_id, mean_logprob, ppl_proxy,
+               CASE WHEN mean_logprob >= hi THEN 'head'
+                    WHEN mean_logprob >= lo THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored, cuts
+    """
+
+
 def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x44 — exact duplicated-span REMOVAL (Lee et al. 2022): the
     rewrite step on top of x43's detection. Every cross-document

@@ -20,6 +20,27 @@ from financial_market_data_analysis_spark.operators.dedup import (
 )
 
 
+def test_ppl_buckets_are_balanced_and_ordered(spark):
+    """x42: tercile partition must be balanced within one doc, and the
+    head bucket must actually be the fluent end — its mean perplexity
+    proxy strictly below the tail's."""
+    from conftest import SF_SMOKE
+
+    from financial_market_data_analysis_spark.plans.extensions import (
+        q_ppl_buckets,
+    )
+
+    rows = q_ppl_buckets(spark, SF_SMOKE).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.bucket, []).append(r.ppl_proxy)
+    assert set(by) == {"head", "middle", "tail"}
+    sizes = sorted(len(v) for v in by.values())
+    assert sizes[-1] - sizes[0] <= 1  # terciles balanced within one
+    mean = lambda v: sum(v) / len(v)
+    assert mean(by["head"]) < mean(by["middle"]) < mean(by["tail"])
+
+
 def test_dup_span_removal_keeps_one_occurrence(spark):
     """x44 semantics on an engineered corpus: a verbatim 8-token run
     shared by two docs survives in the KEEPER (min doc id) and is cut
