@@ -820,6 +820,161 @@ def _t9_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t11_stateful_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The W15-W17 momentum family under a REAL streaming run (t9's
+    design applied to the round's indicators): per-symbol candles feed
+    ``stateful_momentum_suite`` (applyInPandasWithState, O(slow+signal)
+    state per key) as a two-micro-batch availableNow stream; every row
+    is trailing-only and hence FINAL on arrival, so the oracle is the
+    full per-symbol batch SQL — RSI-14 with the flat-50/all-gain-100
+    branches, exact integer OBV, MACD(12,26,9) from rank-join
+    truncated EWMAs — with no emission trim at all."""
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.streaming.pipeline import (
+        stateful_momentum_suite,
+    )
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "symbol", F.col("event_type")
+    )
+    bars = candles_from_events(ev, group_cols=("symbol",)).select(
+        "symbol",
+        F.timestamp_seconds("bucket_start").alias("ts"),
+        F.col("close").cast("double").alias("close"),
+        F.col("volume").cast("double").alias("volume"),
+    )
+    cut = bars.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    src = tempfile.mkdtemp(prefix="t11_bars_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _stage_two_halves(bars, (F.col("ts") <= cut, F.col("ts") > cut), src)
+        stream = (
+            spark.readStream.schema(bars.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stateful_momentum_suite(stream, ("symbol",), "ts")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t11_stateful_momentum_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "t11_stateful_momentum stream did not finish in 300 s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table("t11_stateful_momentum_out").select(
+        "symbol",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "close",
+        F.round("rsi14", 6).alias("rsi14"),
+        "obv_micro",
+        F.round("macd_line", 6).alias("macd_line"),
+        F.round("macd_signal", 6).alias("macd_signal"),
+        F.round("macd_hist", 6).alias("macd_hist"),
+    )
+
+
+def _t11_oracle(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
+    def ewma(src: str, val: str, period: int, alias: str) -> str:
+        decay = 1.0 - 2.0 / (period + 1)
+        den = repr(float(sum(decay**k for k in range(period))))
+        return f"""
+            SELECT a.symbol, a.rn, a.bucket_start,
+                   sum(power({decay!r}, a.rn - b.rn) * b.{val}) / {den}
+                       AS {alias}
+            FROM {src} a JOIN {src} b
+              ON a.symbol = b.symbol
+             AND b.rn BETWEEN a.rn - {period - 1} AND a.rn
+            GROUP BY a.symbol, a.rn, a.bucket_start
+            HAVING count(*) = {period}
+        """
+
+    return f"""
+        WITH candles AS (
+            SELECT event_type AS symbol,
+                CAST(epoch(time_bucket(INTERVAL '300 seconds', ts)) AS BIGINT)
+                    AS bucket_start,
+                arg_max(value, event_id) AS close,
+                sum(value) AS volume
+            FROM events
+            GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT symbol, bucket_start, close,
+                   close - lag(close) OVER w AS delta,
+                   row_number() OVER w AS rn,
+                   CAST(round(volume * 1000000) AS BIGINT) AS vol_micro,
+                   lag(close) OVER w AS prev_close
+            FROM candles
+            WINDOW w AS (PARTITION BY symbol ORDER BY bucket_start)
+        ),
+        g AS (
+            SELECT symbol, bucket_start, rn,
+                   avg(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER f
+                       AS avg_gain,
+                   avg(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER f
+                       AS avg_loss
+            FROM d
+            WINDOW f AS (PARTITION BY symbol ORDER BY bucket_start
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        ),
+        rsi_t AS (
+            SELECT symbol, bucket_start,
+                   CASE WHEN rn >= 15 THEN
+                       round(CASE WHEN avg_gain = 0 AND avg_loss = 0 THEN 50.0
+                                  WHEN avg_loss = 0 THEN 100.0
+                                  ELSE 100.0 - 100.0
+                                       / (1.0 + avg_gain / avg_loss)
+                             END, 6)
+                   END AS rsi14
+            FROM g
+        ),
+        obv_t AS (
+            SELECT symbol, bucket_start,
+                   CAST(sum(CASE WHEN prev_close IS NULL THEN 0
+                                 WHEN close > prev_close THEN vol_micro
+                                 WHEN close < prev_close THEN -vol_micro
+                                 ELSE 0 END)
+                        OVER (PARTITION BY symbol ORDER BY bucket_start
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+                        AS BIGINT) AS obv_micro
+            FROM d
+        ),
+        m AS (SELECT symbol, bucket_start, close, rn FROM d),
+        ef AS ({ewma("m", "close", fast, "v")}),
+        es AS ({ewma("m", "close", slow, "v")}),
+        line AS (
+            SELECT ef.symbol, ef.rn, ef.bucket_start, ef.v - es.v AS macd_line
+            FROM ef JOIN es ON ef.symbol = es.symbol AND ef.rn = es.rn
+        ),
+        sig AS ({ewma("line", "macd_line", signal, "macd_signal")})
+        SELECT d.symbol,
+               d.bucket_start * 1000000 AS ts_us,
+               d.close,
+               r.rsi14,
+               o.obv_micro,
+               round(l.macd_line, 6) AS macd_line,
+               round(s.macd_signal, 6) AS macd_signal,
+               round(l.macd_line - s.macd_signal, 6) AS macd_hist
+        FROM d
+        JOIN rsi_t r ON d.symbol = r.symbol AND d.bucket_start = r.bucket_start
+        JOIN obv_t o ON d.symbol = o.symbol AND d.bucket_start = o.bucket_start
+        LEFT JOIN line l ON d.symbol = l.symbol AND d.rn = l.rn
+        LEFT JOIN sig s ON d.symbol = s.symbol AND d.rn = s.rn
+    """
+
+
 def _t6_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1's STREAMING form made driver-adjudicable: the watermarked
     stream-stream bucketed band join (the reference's core topology,
@@ -1742,6 +1897,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plain equi-join+agg shape is adjudicated by j5 and the
         # rotated-in j2 in-window, the filter-agg by q1's entry() smoke)
         # ------------------------------------------------- entry 50 ends
+        # -- head of the round-7 rotation -------------------------------
+        # t11 NEW late this round: the W15-W17 momentum family as a
+        # real stateful streaming run. Oracle-bearing and pytest-
+        # adjudicated every session; its three indicator kernels are
+        # w15/w16/w17 (in-window, first-adjudicated THIS round) and
+        # the applyInPandasWithState machinery is t9's (in-window) —
+        # rotate it into the window in round 7
+        "t11_stateful_momentum": _t11_stateful_momentum,
         # -- rotated out this round (multi-round driver-green or, for
         # ml2, five-rounds rows-only; each subsumed per the inline
         # comments above) ----------------------------------------------
@@ -2295,6 +2458,7 @@ def oracle_sql() -> dict[str, str]:
         "x43_dup_spans": X.dup_spans_oracle(),
         "x44_dup_span_removal": X.dup_span_removal_oracle(),
         "x42_ppl_buckets": X.ppl_buckets_oracle(),
+        "t11_stateful_momentum": _t11_oracle(),
         "j5_bucketed_join": """
             WITH p AS (
                 SELECT user_id, count(*) AS n_purch, sum(value) AS purch_sum

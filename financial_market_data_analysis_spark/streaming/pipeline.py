@@ -584,6 +584,176 @@ def stateful_indicator_suite(
     )
 
 
+def stateful_momentum_suite(
+    stream: DataFrame,
+    key_cols: Sequence[str] = ("symbol",),
+    ts_col: str = "ts",
+    close_col: str = "close",
+    volume_col: str = "volume",
+    rsi_period: int = 14,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+) -> DataFrame:
+    """The W15-W17 momentum family as ONE stateful streaming pass —
+    the t9 design applied to the round's indicators: RSI (Cutler's
+    simple-average form), fixed-point OBV, and MACD(12,26,9) from
+    truncated renormalized EWMAs, per key, with O(slow + signal)
+    state. Unlike W8's LEAD targets these are trailing-only, so every
+    row is FINAL on arrival — no pending buffer, no emission delay.
+
+    State per key: the last ``slow + signal − 1`` closes (34 at the
+    defaults — enough to recompute the ``signal`` most recent MACD
+    lines, each needing ``slow`` closes), the exact integer OBV
+    accumulator, the previous close, and the rows-seen counter that
+    gates the warm-up NULLs. Per-row work is O(slow·signal) float ops
+    — constant, no history re-read.
+
+    Semantics match the batch operators value-for-value on in-order
+    per-key arrival: the same oldest-first weighted folds as
+    ``rolling_ewma`` (identical float accumulation order), the same
+    flat-frame-50 / all-gain-100 RSI branches, the same HALF-UP
+    volume-micro rounding as ``F.round``; the t11 harness
+    value-hashes the emitted rows against the per-symbol batch SQL.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    max_tail = slow + signal - 1
+    dec_f = 1.0 - 2.0 / (fast + 1)
+    dec_s = 1.0 - 2.0 / (slow + 1)
+    dec_g = 1.0 - 2.0 / (signal + 1)
+    den_f = float(sum(dec_f**k for k in range(fast)))
+    den_s = float(sum(dec_s**k for k in range(slow)))
+    den_g = float(sum(dec_g**k for k in range(signal)))
+
+    def ewma(closes: list, period: int, decay: float, den: float) -> float:
+        # oldest-first fold, weight decay^(period-1-i) — the exact
+        # accumulation order of rolling_ewma's transform+aggregate
+        acc = 0.0
+        frame = closes[-period:]
+        for i, x in enumerate(frame):
+            acc += x * decay ** (period - 1 - i)
+        return acc / den
+
+    def half_up_micro(v: float) -> int:
+        # F.round / DuckDB round are HALF-AWAY-FROM-ZERO; python
+        # round() is banker's — match the engines, not python
+        x = v * 1_000_000.0
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    key_fields = [stream.schema[k] for k in key_cols]
+    out_schema = StructType(
+        key_fields
+        + [stream.schema[ts_col]]
+        + [
+            StructField(close_col, DoubleType()),
+            StructField("rsi14", DoubleType()),
+            StructField("obv_micro", LongType()),
+            StructField("macd_line", DoubleType()),
+            StructField("macd_signal", DoubleType()),
+            StructField("macd_hist", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("tail", ArrayType(DoubleType())),
+            StructField("obv", LongType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    col_order = list(key_cols) + [
+        ts_col, close_col, "rsi14", "obv_micro",
+        "macd_line", "macd_signal", "macd_hist",
+    ]
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            tail, obv, n_seen = list(state.get[0]), int(state.get[1]), int(state.get[2])
+        else:
+            tail, obv, n_seen = [], 0, 0
+        rows = pd.concat(list(pdf_iter)).sort_values(ts_col)
+        ts_us = (rows[ts_col].astype("datetime64[us]").astype("int64")).tolist()
+        emitted = []
+        for t, c, v in zip(
+            ts_us,
+            (float(x) for x in rows[close_col]),
+            (float(x) for x in rows[volume_col]),
+        ):
+            prev = tail[-1] if tail else None
+            vm = half_up_micro(v)
+            if prev is not None and c > prev:
+                obv += vm
+            elif prev is not None and c < prev:
+                obv -= vm
+            tail.append(c)
+            if len(tail) > max_tail:
+                tail.pop(0)
+            n_seen += 1
+
+            rsi = None
+            if n_seen >= rsi_period + 1:
+                deltas = [
+                    tail[i] - tail[i - 1]
+                    for i in range(len(tail) - rsi_period, len(tail))
+                ]
+                avg_gain = sum(d if d > 0 else 0.0 for d in deltas) / rsi_period
+                avg_loss = sum(-d if d < 0 else 0.0 for d in deltas) / rsi_period
+                if avg_gain == 0.0 and avg_loss == 0.0:
+                    rsi = 50.0
+                elif avg_loss == 0.0:
+                    rsi = 100.0
+                else:
+                    rsi = 100.0 - 100.0 / (1.0 + avg_gain / avg_loss)
+
+            line = sig = hist = None
+            if n_seen >= slow:
+                line = ewma(tail, fast, dec_f, den_f) - ewma(
+                    tail, slow, dec_s, den_s
+                )
+                if n_seen >= slow + signal - 1:
+                    # the `signal` most recent lines, oldest first —
+                    # recomputed from the close tail (line j-back needs
+                    # the slow-frame ending j rows ago)
+                    lines = [
+                        ewma(tail[: len(tail) - j], fast, dec_f, den_f)
+                        - ewma(tail[: len(tail) - j], slow, dec_s, den_s)
+                        for j in range(signal - 1, -1, -1)
+                    ]
+                    acc = 0.0
+                    for i, x in enumerate(lines):
+                        acc += x * dec_g ** (signal - 1 - i)
+                    sig = acc / den_g
+                    hist = line - sig
+            emitted.append([t, c, rsi, obv, line, sig, hist])
+        state.update((tail, obv, n_seen))
+        out = pd.DataFrame(
+            emitted,
+            columns=[ts_col, close_col, "rsi14", "obv_micro",
+                     "macd_line", "macd_signal", "macd_hist"],
+        )
+        out[ts_col] = pd.to_datetime(out[ts_col], unit="us")
+        out["obv_micro"] = out["obv_micro"].astype("int64")
+        for c in ("rsi14", "macd_line", "macd_signal", "macd_hist"):
+            out[c] = out[c].astype(object).where(pd.notna(out[c]), None)
+        for i, k in enumerate(key_cols):
+            out[k] = key[i]
+        yield out[col_order]
+
+    return stream.groupBy(*[F.col(k) for k in key_cols]).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def compose_hooks(
     *hooks: Callable[[DataFrame, int], None],
 ) -> Callable[[DataFrame, int], None]:
