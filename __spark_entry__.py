@@ -886,18 +886,7 @@ def _t11_stateful_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _t11_oracle(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
     def ewma(src: str, val: str, period: int, alias: str) -> str:
-        decay = 1.0 - 2.0 / (period + 1)
-        den = repr(float(sum(decay**k for k in range(period))))
-        return f"""
-            SELECT a.symbol, a.rn, a.bucket_start,
-                   sum(power({decay!r}, a.rn - b.rn) * b.{val}) / {den}
-                       AS {alias}
-            FROM {src} a JOIN {src} b
-              ON a.symbol = b.symbol
-             AND b.rn BETWEEN a.rn - {period - 1} AND a.rn
-            GROUP BY a.symbol, a.rn, a.bucket_start
-            HAVING count(*) = {period}
-        """
+        return _ewma_rank_sql(src, val, period, alias, keyed=True)
 
     return f"""
         WITH candles AS (
@@ -1487,6 +1476,29 @@ def _a11_oracle() -> str:
     """
 
 
+def _ewma_rank_sql(
+    src: str, val: str, period: int, alias: str, keyed: bool = False
+) -> str:
+    """Truncated renormalized EWMA as a rank self-join — the ONE SQL
+    form behind both the w17 (global) and t11 (per-symbol) oracles, so
+    a future retune of the EWMA shape cannot silently diverge the two
+    twins of the same indicator family (r6 review). ``keyed`` adds the
+    symbol join/group columns."""
+    decay = 1.0 - 2.0 / (period + 1)
+    den = repr(float(sum(decay**k for k in range(period))))
+    key_join = "a.symbol = b.symbol AND " if keyed else ""
+    key_cols = "a.symbol, " if keyed else ""
+    return f"""
+        SELECT {key_cols}a.rn, a.bucket_start,
+               sum(power({decay!r}, a.rn - b.rn) * b.{val}) / {den}
+                   AS {alias}
+        FROM {src} a JOIN {src} b
+          ON {key_join}b.rn BETWEEN a.rn - {period - 1} AND a.rn
+        GROUP BY {key_cols}a.rn, a.bucket_start
+        HAVING count(*) = {period}
+    """
+
+
 def _w17_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W17 — MACD(12,26,9) composed from truncated EWMAs
     (operators/windows.py ``macd``): line, signal, histogram, each
@@ -1503,17 +1515,7 @@ def _w17_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _w17_oracle(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
     def ewma(src: str, val: str, period: int, alias: str) -> str:
-        decay = 1.0 - 2.0 / (period + 1)
-        den = repr(float(sum(decay**k for k in range(period))))
-        return f"""
-            SELECT a.rn, a.bucket_start,
-                   sum(power({decay!r}, a.rn - b.rn) * b.{val}) / {den}
-                       AS {alias}
-            FROM {src} a JOIN {src} b
-              ON b.rn BETWEEN a.rn - {period - 1} AND a.rn
-            GROUP BY a.rn, a.bucket_start
-            HAVING count(*) = {period}
-        """
+        return _ewma_rank_sql(src, val, period, alias)
 
     return f"""
         {_CANDLES_CTE},
@@ -1899,11 +1901,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------- entry 50 ends
         # -- head of the round-7 rotation -------------------------------
         # t11 NEW late this round: the W15-W17 momentum family as a
-        # real stateful streaming run. Oracle-bearing and pytest-
-        # adjudicated every session; its three indicator kernels are
-        # w15/w16/w17 (in-window, first-adjudicated THIS round) and
-        # the applyInPandasWithState machinery is t9's (in-window) —
-        # rotate it into the window in round 7
+        # real stateful streaming run. Oracle-bearing, and value-hash
+        # checked against that oracle every session by the
+        # PARAMETRIZED tests/test_entry_parity.py::
+        # test_query_matches_oracle[t11_stateful_momentum] case (grep
+        # won't show it — the suite parametrizes over queries()); its
+        # three indicator kernels are w15/w16/w17 (in-window,
+        # first-adjudicated THIS round) and the applyInPandasWithState
+        # machinery is t9's (in-window) — rotate it into the window in
+        # round 7
         "t11_stateful_momentum": _t11_stateful_momentum,
         # -- rotated out this round (multi-round driver-green or, for
         # ml2, five-rounds rows-only; each subsumed per the inline

@@ -1083,6 +1083,15 @@ def dup_span_removal(
     shuffles are keyed (shingle or doc) — no pairwise comparison, cost
     linear in corpus span volume. At 100 TB hash the shingle to 64
     bits before the shuffles (the ``dup_span_coverage`` note).
+
+    Deliberately CACHE-FREE like ``dup_span_coverage``: ``toks_df``
+    is consumed three times and ``grams`` twice, each re-running the
+    row-local tokenize/gram scan — the token and gram tables are
+    corpus-sized (the gram table ~n× the text), so materializing them
+    spills at scale while recomputing is a shuffle-free scan (the
+    recompute-over-cache call documented on
+    ``dup_span_shingle_table``). The expensive keyed shuffles are not
+    duplicated either way.
     """
     from financial_market_data_analysis_spark.functions.text import (
         all_grams,

@@ -1842,7 +1842,13 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     no sort, no shuffle beyond x37's own. Higher mean logprob = lower
     perplexity = 'head' (CCNet keeps the head, samples the middle,
     drops the tail)."""
-    scored = T.bigram_logprob(load_table(spark, "documents", sf_dir))
+    # two consumers (the cut aggregate and the bucket projection)
+    # would each re-train the corpus LM; the lazy checkpoint pays
+    # bigram_logprob's tokenize + three joins once (the ml2b/x48
+    # pattern)
+    scored = T.bigram_logprob(
+        load_table(spark, "documents", sf_dir)
+    ).localCheckpoint(eager=False)
     cuts = scored.agg(
         F.expr("percentile(mean_logprob, 2.0D / 3.0D)").alias("__hi"),
         F.expr("percentile(mean_logprob, 1.0D / 3.0D)").alias("__lo"),

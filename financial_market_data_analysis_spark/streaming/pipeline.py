@@ -628,7 +628,12 @@ def stateful_momentum_suite(
         StructType,
     )
 
-    max_tail = slow + signal - 1
+    # sized by EVERY consumer: the MACD signal recomputation needs
+    # slow + signal − 1 closes, the RSI deltas need rsi_period + 1 —
+    # sizing from MACD alone would let a large rsi_period silently
+    # wrap Python's negative indices into the wrong end of the buffer
+    # (r6 review)
+    max_tail = max(slow + signal - 1, rsi_period + 1)
     dec_f = 1.0 - 2.0 / (fast + 1)
     dec_s = 1.0 - 2.0 / (slow + 1)
     dec_g = 1.0 - 2.0 / (signal + 1)
