@@ -313,6 +313,65 @@ def test_dup_spans_has_no_pairwise_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dup_span_removal_has_no_pairwise_join(spark):
+    """x44's span remover must stay linear like x43: every stage is a
+    keyed hash join (shingle or doc key) — no cartesian/broadcast
+    nested loop anywhere in the rewrite pipeline."""
+    from financial_market_data_analysis_spark.operators.dedup import (
+        dup_span_removal,
+    )
+    from financial_market_data_analysis_spark.plans.extensions import (
+        docs_augmented,
+    )
+
+    plan = (
+        dup_span_removal(docs_augmented(spark, SF_SMOKE))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_pairs_are_cell_keyed(spark):
+    """x48's quadratic stage must be bounded per k-means cell: the
+    pair generator is an equi-join on the cell key — no cartesian or
+    broadcast nested loop over the corpus (the only BNLJ-free shapes
+    the plan may contain are the broadcast single-row centroid
+    structs, which are crossJoins of ONE row)."""
+    from financial_market_data_analysis_spark.plans.extensions import (
+        q_semantic_dedup,
+    )
+
+    plan = (
+        q_semantic_dedup(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # SortMergeJoin/ShuffledHashJoin on centroid_id is the expected
+    # pair stage; a corpus-vs-corpus nested loop must never appear
+    # (single-row broadcast struct arrays ride BroadcastExchange of
+    # one row, not BroadcastNestedLoopJoin of the corpus)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:1500]
+
+
+def test_bpe_encode_join_is_token_keyed(spark):
+    """x41's encode join must be a keyed equi-join on the token, with
+    no cartesian/nested-loop fallback — the vocab side is NOT assumed
+    broadcastable at corpus scale."""
+    from financial_market_data_analysis_spark.functions.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa bc bc"), (2, "aaa bc")], "doc_id long, text string"
+    )
+    plan = bpe_encode(docs, n_merges=1)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_multires_rollup_scans_raw_events_once(spark):
     """A10's hierarchical rollup exists to avoid re-scanning the raw
     table per granularity: the 3-level union plan must contain exactly
