@@ -246,3 +246,62 @@ def test_rsi_bounded_and_obv_telescopes(spark, closes):
     for r in out:
         if r.rsi is not None:
             assert -1e-9 <= r.rsi <= 100 + 1e-9
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab cd efg hi jkl mn".split()),
+                 min_size=1, max_size=12),
+        min_size=2, max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_bpe_encode_token_count_invariants(spark, docs):
+    """x41: for every document, the BPE token count is bounded by the
+    word count below (merges never split a word past one symbol) and
+    the total character count above (the initial symbolization is one
+    symbol per character; merges only shrink), and every doc with at
+    least one token appears exactly once."""
+    from financial_market_data_analysis_spark.functions.text import bpe_encode
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bpe_encode(df, n_merges=2).collect()}
+    assert set(out) == set(range(len(docs)))
+    for i, toks in enumerate(docs):
+        r = out[i]
+        assert r.n_words == len(toks)
+        assert r.n_words <= r.n_bpe_tokens <= sum(len(t) for t in toks)
+        assert abs(r.bpe_per_word - r.n_bpe_tokens / r.n_words) < 1e-6
+
+
+@given(st.integers(min_value=8, max_value=20), st.integers(min_value=2, max_value=5))
+@settings(**_SETTINGS)
+def test_dup_span_removal_total_and_keeper_invariants(spark, doc_len, n_docs):
+    """x44 on a corpus of per-doc-unique vocabularies plus ONE exact
+    copy: the keeper (lower id) loses nothing, the copy loses every
+    position (every token of a >=8-token doc sits inside some 8-gram),
+    all other docs are untouched, and the digest of an untouched doc
+    equals md5 of its original token stream."""
+    import hashlib
+
+    from financial_market_data_analysis_spark.operators.dedup import (
+        dup_span_removal,
+    )
+
+    texts = {
+        i: " ".join(f"d{i}w{j}" for j in range(doc_len))
+        for i in range(n_docs)
+    }
+    rows = [(i, t) for i, t in texts.items()]
+    rows.append((n_docs, texts[0]))  # exact copy of doc 0, higher id
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_span_removal(df, n=8).collect()}
+    assert out[0].n_removed == 0  # the keeper survives whole
+    assert out[0].clean_digest == hashlib.md5(texts[0].encode()).hexdigest()
+    copy = out[n_docs]
+    assert copy.n_removed == copy.n_tokens == doc_len  # fully cut
+    assert copy.clean_digest == hashlib.md5(b"").hexdigest()
+    for i in range(1, n_docs):  # disjoint vocabularies: untouched
+        assert out[i].n_removed == 0
+        assert out[i].clean_digest == hashlib.md5(texts[i].encode()).hexdigest()
