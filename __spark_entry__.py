@@ -1911,6 +1911,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # machinery is t9's (in-window) — rotate it into the window in
         # round 7
         "t11_stateful_momentum": _t11_stateful_momentum,
+        # x49 NEW late this round, same status as t11 (oracle-bearing,
+        # value-hash checked by the parametrized entry-parity suite
+        # every session): quality-based keeper selection over the x16
+        # clusters — rotate into the window in round 7
+        "x49_cluster_keeper": X.q_cluster_keeper,
         # -- rotated out this round (multi-round driver-green or, for
         # ml2, five-rounds rows-only; each subsumed per the inline
         # comments above) ----------------------------------------------
@@ -2465,6 +2470,7 @@ def oracle_sql() -> dict[str, str]:
         "x44_dup_span_removal": X.dup_span_removal_oracle(),
         "x42_ppl_buckets": X.ppl_buckets_oracle(),
         "t11_stateful_momentum": _t11_oracle(),
+        "x49_cluster_keeper": X.cluster_keeper_oracle(),
         "j5_bucketed_join": """
             WITH p AS (
                 SELECT user_id, count(*) AS n_purch, sum(value) AS purch_sum

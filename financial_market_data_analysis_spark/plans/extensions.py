@@ -1333,6 +1333,73 @@ def dedup_clusters_oracle() -> str:
     """
 
 
+def q_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x49 — quality-based keeper selection over the x16 near-dup
+    clusters: the curation DECISION step the detect→cluster pipeline
+    feeds. Production dedup keeps the best member of each duplicate
+    cluster, not an arbitrary one — here the LONGEST text (the common
+    keep-the-longest convention; any scalar quality signal slots in),
+    with min doc_id breaking ties deterministically. Output is one row
+    per clustered doc: its cluster, the chosen keeper, and the drop
+    flag — the deletion list a corpus rewrite consumes.
+
+    Shape: the cluster table is x16's (min-label propagation at sketch
+    granularity); quality is a row-local length; the keeper is ONE
+    per-cluster max_by aggregate joined back — no sort, no window over
+    the corpus. The ordering key is the scalar ``n_len·10^7 − doc_id``
+    (DuckDB's arg_max takes no struct keys): longest first, then
+    SMALLEST doc id — tie-break inside the aggregate,
+    order-independent. The 10^7 stride exceeds every doc id (fixture
+    ids top out at DUP_OFFSET + corpus size ≈ 10^6)."""
+    aug = docs_augmented(spark, sf_dir)
+    clusters = D.simhash_dedup_clusters(
+        aug, n_bands=SIMHASH_BANDS, max_hamming=SIMHASH_MAX_HAMMING
+    )
+    scored = clusters.join(
+        aug.select(
+            "doc_id", F.length("text").cast("long").alias("n_len")
+        ),
+        "doc_id",
+    )
+    keepers = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id",
+            F.col("n_len") * F.lit(10_000_000) - F.col("doc_id"),
+        ).alias("keeper_id")
+    )
+    return (
+        scored.join(keepers, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+            F.col("n_len").cast("long").alias("n_len"),
+        )
+    )
+
+
+def cluster_keeper_oracle() -> str:
+    return f"""
+        WITH clusters AS ({dedup_clusters_oracle()}),
+        aug AS ({DOCS_AUG_CTE}),
+        scored AS (
+            SELECT c.doc_id, c.cluster_id,
+                   CAST(length(a.text) AS BIGINT) AS n_len
+            FROM clusters c JOIN aug a ON c.doc_id = a.doc_id
+        ),
+        keepers AS (
+            SELECT cluster_id,
+                   arg_max(doc_id, n_len * 10000000 - doc_id) AS keeper_id
+            FROM scored GROUP BY cluster_id
+        )
+        SELECT s.doc_id, s.cluster_id, k.keeper_id,
+               s.doc_id = k.keeper_id AS is_keeper,
+               s.n_len
+        FROM scored s JOIN keepers k ON s.cluster_id = k.cluster_id
+    """
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test hash split assignment."""
     d = load_table(spark, "documents", sf_dir)

@@ -20,6 +20,33 @@ from financial_market_data_analysis_spark.operators.dedup import (
 )
 
 
+def test_cluster_keeper_one_per_cluster_and_longest_wins(spark):
+    """x49: exactly one keeper per cluster; the keeper is a maximal-
+    length member (ties to the smallest doc id); every non-keeper row
+    names its cluster's keeper."""
+    from conftest import SF_SMOKE
+
+    from financial_market_data_analysis_spark.plans.extensions import (
+        q_cluster_keeper,
+    )
+
+    rows = q_cluster_keeper(spark, SF_SMOKE).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r.is_keeper]
+        assert len(keepers) == 1, cid
+        k = keepers[0]
+        max_len = max(r.n_len for r in members)
+        assert k.n_len == max_len
+        assert k.doc_id == min(
+            r.doc_id for r in members if r.n_len == max_len
+        )
+        assert all(r.keeper_id == k.doc_id for r in members)
+
+
 def test_ppl_buckets_are_balanced_and_ordered(spark):
     """x42: tercile partition must be balanced within one doc, and the
     head bucket must actually be the fluent end — its mean perplexity
