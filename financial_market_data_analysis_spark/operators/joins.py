@@ -162,3 +162,80 @@ def salted_skew_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return l.join(r, [on, "__salt"]).drop("__salt")
+
+
+def interval_lookup_join(
+    probes: DataFrame,
+    intervals: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    value_cols: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Point-in-interval (temporal-table / SCD2) lookup: each probe row
+    takes the interval row whose validity range contains its timestamp
+    — ``start <= ts`` and (``end`` IS NULL or ``ts < end``) — within
+    its key group. The J-family member the reference's latest-state
+    overwrite (predict.py's single MariaDB row) structurally cannot
+    answer: "which version was active WHEN this event happened".
+
+    NOT a non-equi theta join (which Spark would plan as a broadcast
+    nested loop — quadratic per key): like :func:`asof_join_last`, the
+    union-sort pattern. Interval starts and probe timestamps are
+    unioned, sorted once per key group, and the prevailing interval is
+    carried forward as a struct by ``last(…, ignorenulls)``; the
+    half-open containment check then just validates the carried ``end``
+    against the probe ``ts``. One shuffle on the key columns, bounded
+    per-row state, no replication — the plan a 100 TB point-in-time
+    join needs. Works for any non-overlapping interval set (SCD2
+    builds, session tables, calendar regimes).
+
+    At equal positions intervals sort BEFORE probes (side tiebreak), so
+    a probe exactly at ``start`` sees that interval — matching the
+    ``[start, end)`` convention; among intervals sharing a start,
+    ``tie_col`` orders them and the LAST wins (pair with an upstream
+    builder like the d4 SCD2 LEAD over the same tiebreak, which makes
+    earlier peers empty ``[t, t)`` intervals that can never contain a
+    probe). Probes with no containing interval are dropped (inner
+    semantics); the matched interval's ``value_cols``/``start``/``end``
+    must not collide with probe column names — rename upstream.
+    """
+    tie = F.col(tie_col) if tie_col else F.lit(0)
+    iv = intervals.select(
+        *key_cols,
+        F.col(start_col).alias("__pos"),
+        F.lit(0).alias("__side"),
+        tie.alias("__tie"),
+        F.struct(
+            F.col(start_col), F.col(end_col), *[F.col(v) for v in value_cols]
+        ).alias("__iv"),
+    )
+    pr = probes.select(
+        "*",
+        F.col(ts_col).alias("__pos"),
+        F.lit(1).alias("__side"),
+        F.lit(0).alias("__tie"),
+        F.lit(None).cast(iv.schema["__iv"].dataType).alias("__iv"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__pos", "__side", "__tie")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = pr.unionByName(iv, allowMissingColumns=True).withColumn(
+        "__hit", F.last("__iv", ignorenulls=True).over(w)
+    )
+    picked = filled.filter(
+        (F.col("__side") == 1)
+        & F.col("__hit").isNotNull()
+        & (
+            F.col("__hit")[end_col].isNull()
+            | (F.col(ts_col) < F.col("__hit")[end_col])
+        )
+    )
+    out_cols = [start_col, end_col, *value_cols]
+    return picked.withColumns(
+        {c: F.col("__hit")[c] for c in out_cols}
+    ).drop("__pos", "__side", "__tie", "__iv", "__hit")

@@ -1,0 +1,310 @@
+"""Mergeable-sketch operators: count-min heavy-hitter estimation, KMV
+(bottom-k) distinct counting, and Bloom-filter set membership.
+
+At 100 TB these ARE the summary tools: every sketch here is an
+algebraic aggregate — per-partition partial sketches merge by cell-wise
+sum (count-min), min-union (KMV), or bit-OR (Bloom) — so Spark computes
+each with map-side partial aggregation and one tiny shuffle whose
+output size is the SKETCH size (KBs), not the data size. The reference
+has no sketch surface at all (its aggregates are exact MariaDB views,
+create_database.py:60-200); these add the approximate tier a
+training-data pipeline needs when exact per-key state stops fitting.
+
+Determinism/oracle-portability: every hash is a fixed-width slice of
+md5 over a salted string, mapped to an integer identically in Spark
+(``conv(hex, 16, 10)``) and DuckDB (``('0x' || hex)::BIGINT``) — no
+engine-native hash whose value could differ across sides. Production
+swaps md5 for xxhash64 exactly as the MinHash family does
+(dedup.py:14-19); the topology is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+# ---------------------------------------------------------------------------
+# portable salted-hash slices
+
+HASH_HEX = 8  # 32-bit slices for bucket hashes
+KMV_HEX = 12  # 48-bit slices for the KMV order statistic (fits a double
+#               exactly: 2^48 < 2^53, so u = h / 2^48 is an EXACT scaling
+#               and the (k-1)/u_k estimate is one IEEE divide on both
+#               engines — bit-identical)
+KMV_SCALE = float(1 << (4 * KMV_HEX))
+
+
+def md5_long(col: Column, n: int = HASH_HEX) -> Column:
+    """First ``n`` hex chars of md5(col) as a BIGINT — the
+    engine-portable uniform hash. Oracle twin: :func:`md5_long_sql`."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, n), 16, 10).cast(
+        "long"
+    )
+
+
+def md5_long_sql(expr: str, n: int = HASH_HEX) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, {n}))::BIGINT)"
+
+
+def _salted(salt: str, parts: list[Column]) -> Column:
+    return F.concat(F.lit(salt + ":"), *parts)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def countmin_sketch(
+    counts: DataFrame,
+    key_col: str,
+    cnt_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms",
+) -> DataFrame:
+    """Fold a per-key count table into a ``depth × width`` count-min
+    sketch: one row per non-empty cell, ``(r, b, cell)`` with
+    ``cell = Σ counts of keys hashing to bucket b under hash row r``.
+
+    Cormode & Muthukrishnan 2005: estimate(key) = min over rows of its
+    cell, an overestimate with error ≤ εN at probability 1-δ for
+    width=e/ε, depth=ln(1/δ). The sketch is an algebraic aggregate —
+    partial sketches over corpus splits merge by cell-wise addition —
+    so at 100 TB it is one map-side-combined shuffle of at most
+    depth×width rows per partition, never a per-key state."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    e = counts.select(F.col(key_col), F.col(cnt_col), rows)
+    e = e.withColumn(
+        "b",
+        md5_long(_salted(salt, [F.col("r"), F.lit(":"), F.col(key_col)]))
+        % width,
+    )
+    return e.groupBy("r", "b").agg(F.sum(cnt_col).alias("cell"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate each key in ``keys`` against the sketch:
+    ``est = min over r of cell[r][h_r(key)]``. The sketch is tiny
+    (≤ depth×width rows) and broadcast; probing is an equi-join on the
+    (r, b) cell key — no shuffle of the probe side beyond the final
+    per-key min."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    ).withColumn(
+        "b",
+        md5_long(_salted(salt, [F.col("r"), F.lit(":"), F.col(key_col)]))
+        % width,
+    )
+    joined = probes.join(F.broadcast(sketch), ["r", "b"], "left").na.fill(
+        {"cell": 0}
+    )
+    return joined.groupBy(key_col).agg(F.min("cell").alias("cms_est"))
+
+
+def countmin_cells_sql(
+    keyed_counts_cte: str,
+    key_expr: str = "tok",
+    cnt_expr: str = "cnt",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms",
+) -> str:
+    """Oracle twin of :func:`countmin_sketch` over a CTE named
+    ``keyed_counts_cte`` exposing (key, cnt)."""
+    h = md5_long_sql(f"'{salt}:' || r || ':' || {key_expr}")
+    # CAST: DuckDB sum over BIGINT returns HUGEINT (surfaces as float64
+    # against Spark's long — the ml4 lesson)
+    return f"""
+        SELECT r, {h} % {width} AS b,
+               CAST(sum({cnt_expr}) AS BIGINT) AS cell
+        FROM {keyed_counts_cte}, generate_series(0, {depth - 1}) AS g(r)
+        GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct-count sketch
+
+KMV_K = 64
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = KMV_K,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group distinct-count estimate from the k minimum hash values
+    (Bar-Yossef et al. 2002 / the KMV-Θ sketch): hash each distinct key
+    to u ∈ [0,1), keep the k smallest per group, estimate
+    ``D ≈ (k-1) / u_k``. Exposes ``est_distinct`` (rounded to 4) next
+    to the exact ``n_distinct`` so the estimator's error is measured,
+    not asserted.
+
+    Scale shape: the per-group distinct is one shuffle; the bottom-k
+    is a bounded per-group window. At 100 TB the same estimate is
+    produced WITHOUT the exact-distinct pass by a bottom-k algebraic
+    aggregate (per-partition k-mins, merge = k smallest of the union);
+    the exact column here exists to adjudicate the estimator."""
+    distinct = df.select(*group_cols, key_col).distinct()
+    hashed = distinct.withColumn(
+        "__u", md5_long(_salted(salt, [F.col(key_col)]), KMV_HEX) / KMV_SCALE
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__u", key_col)
+    ranked = hashed.select(
+        *group_cols,
+        "__u",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*group_cols)).alias("__n"),
+    )
+    kth = ranked.filter(
+        (F.col("__rn") == F.least(F.lit(k), F.col("__n")))
+    ).select(
+        *group_cols,
+        F.col("__n").alias("n_distinct"),
+        F.when(F.col("__n") < k, F.col("__n").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.col("__u"))
+        .alias("__est"),
+    )
+    return kth.select(
+        *group_cols,
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round("__est", 4).alias("est_distinct"),
+        F.round(
+            F.abs(F.col("__est") - F.col("n_distinct")) / F.col("n_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def kmv_distinct_sql(
+    src_cte: str,
+    key_expr: str,
+    group_cols: list[str],
+    k: int = KMV_K,
+    salt: str = "kmv",
+    extra_ctes: str = "",
+) -> str:
+    """Oracle twin of :func:`kmv_distinct` over a CTE exposing the
+    group columns and ``key_expr``; ``extra_ctes`` (trailing comma
+    included) defines ``src_cte`` itself when needed."""
+    g = ", ".join(group_cols)
+    # hash the ALIASED key — dk renames key_expr to __k
+    h = md5_long_sql(f"'{salt}:' || __k", KMV_HEX)
+    return f"""
+        WITH {extra_ctes}
+        dk AS (SELECT DISTINCT {g}, {key_expr} AS __k FROM {src_cte}),
+        hashed AS (
+            SELECT {g}, __k, {h} / {KMV_SCALE!r} AS u FROM dk
+        ),
+        ranked AS (
+            SELECT {g}, u,
+                   row_number() OVER (PARTITION BY {g}
+                                      ORDER BY u, __k) AS rn,
+                   count(*) OVER (PARTITION BY {g}) AS n
+            FROM hashed
+        )
+        SELECT {g}, CAST(n AS BIGINT) AS n_distinct,
+               round(CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                          ELSE {float(k - 1)!r} / u END, 4) AS est_distinct,
+               round(abs(CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                              ELSE {float(k - 1)!r} / u END - n) / n, 4)
+                   AS rel_err
+        FROM ranked
+        WHERE rn = least({k}, n)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership
+
+BLOOM_M = 8192
+BLOOM_K = 2
+
+
+def bloom_bits(
+    keys: DataFrame,
+    key_col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    salt: str = "bloom",
+) -> DataFrame:
+    """The set-bit table of a Bloom filter over ``keys``: one row per
+    DISTINCT set bit position (≤ m rows total — the filter itself,
+    in relational form). Partial filters over key splits merge by
+    bit-union (DISTINCT), the classic mergeable-bitmap property."""
+    e = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+    )
+    return (
+        e.select(
+            (
+                md5_long(
+                    _salted(salt, [F.col("i"), F.lit(":"), F.col(key_col)])
+                )
+                % m
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_maybe_member(
+    probes: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe each row's ``key_col`` against the bit table: a key is a
+    *maybe-member* iff ALL k of its bit positions are set (Bloom
+    semantics — no false negatives, quantifiable false positives).
+    ``bits`` is at most m rows → broadcast; the probe side is scanned
+    once with no shuffle before the per-probe-row count.
+
+    Returns the input rows (all columns) plus ``maybe_member`` (int).
+    """
+    probe_bits = probes.withColumn(
+        "__i", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    ).withColumn(
+        "__bit",
+        md5_long(_salted(salt, [F.col("__i"), F.lit(":"), F.col(key_col)]))
+        % m,
+    )
+    bset = bits.withColumn("__set", F.lit(1))
+    hit = probe_bits.join(
+        F.broadcast(bset), probe_bits["__bit"] == bset["bit"], "left"
+    )
+    return (
+        hit.groupBy(*[c for c in probes.columns])
+        .agg((F.count("__set") == k).cast("int").alias("maybe_member"))
+    )
+
+
+def bloom_bits_sql(
+    keys_cte: str,
+    key_expr: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    salt: str = "bloom",
+) -> str:
+    h = md5_long_sql(f"'{salt}:' || i || ':' || {key_expr}")
+    return f"""
+        SELECT DISTINCT {h} % {m} AS bit
+        FROM {keys_cte}, generate_series(0, {k - 1}) AS g(i)
+    """

@@ -595,3 +595,50 @@ def indicator_suite(
     df = average_true_range(df, high_col, low_col, order_cols, partition_cols=partition_cols)
     df = forward_targets(df, close_col, "ATR", order_cols, partition_cols=partition_cols)
     return df
+
+
+def donchian_channel(
+    df: DataFrame,
+    high_col: str,
+    low_col: str,
+    close_col: str,
+    order_cols: Sequence[str | Column],
+    period: int = 20,
+    partition_cols: Sequence[str | Column] = (),
+) -> DataFrame:
+    """W18 — Donchian channel: trailing ``period``-bar highest high /
+    lowest low, their midline, and a breakout flag against the PRIOR
+    bar's channel (the turtle-trading entry signal). The range-extreme
+    sibling of W4's deviation bands, absent from the reference's view
+    set (create_database.py:76-190 has no rolling extrema view).
+
+    ``max``/``min`` over the same ROWS frame as W1-W7 — declarative
+    aggregates, whole-stage-codegen'd in the window exec, O(1) running
+    state per frame slot. Warm-up rows (frame < period) are NULL like
+    every trimmed W-operator; the breakout flag additionally needs the
+    PREVIOUS row's full channel (LAG of the frame max), so it starts
+    one bar later. Partitionable per symbol via ``partition_cols``.
+    """
+    w = trailing_window(order_cols, period - 1, partition_cols)
+    wo = ordered_window(order_cols, partition_cols)
+    cnt = F.count(F.col(close_col)).over(w)
+    upper = F.when(cnt >= period, F.max(F.col(high_col)).over(w))
+    lower = F.when(cnt >= period, F.min(F.col(low_col)).over(w))
+    df = df.withColumns(
+        {
+            "donchian_upper": upper,
+            "donchian_lower": lower,
+            "donchian_mid": (upper + lower) / F.lit(2.0),
+        }
+    )
+    prev_u = F.lag("donchian_upper").over(wo)
+    prev_l = F.lag("donchian_lower").over(wo)
+    return df.withColumn(
+        "donchian_break",
+        F.when(
+            prev_u.isNotNull(),
+            F.when(F.col(close_col) > prev_u, F.lit(1))
+            .when(F.col(close_col) < prev_l, F.lit(-1))
+            .otherwise(F.lit(0)),
+        ),
+    )

@@ -2198,3 +2198,275 @@ def pagerank_oracle() -> str:
         {",".join(its)}
         SELECT doc_id, round(rank, 6) AS pagerank FROM r{PAGERANK_ITERS}
     """
+
+
+# ---------------------------------------------------------------------------
+# x50-x53: the sketch tier (operators/sketches.py) + corpus data card
+
+
+CMS_TOP = 20
+
+
+def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x50 — count-min sketch heavy hitters: fold the corpus token
+    counts into a 4×256 CMS (operators/sketches.py ``countmin_sketch``
+    — an algebraic aggregate: partial sketches merge by cell-wise sum,
+    so at 100 TB the shuffle carries KB-sized sketches, not per-token
+    state), then probe the exact top-20 tokens against it and publish
+    estimate NEXT TO truth — the one-sided overestimate is measured,
+    not asserted. The approximate tier the reference's exact MariaDB
+    aggregate views (create_database.py:60-200) have no answer to."""
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    toks = load_table(spark, "documents", sf_dir).select(
+        F.explode(T.tokens("text")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = counts.localCheckpoint(eager=False)  # feeds sketch + top
+    sketch = SK.countmin_sketch(counts, "tok", "cnt")
+    top = counts.orderBy(F.desc("cnt"), "tok").limit(CMS_TOP)
+    est = SK.countmin_estimate(sketch, top.select("tok"), "tok")
+    return top.join(est, "tok").select(
+        "tok",
+        F.col("cnt").alias("true_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("cnt")).alias("overest"),
+    )
+
+
+def countmin_topk_oracle() -> str:
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    d, wdt = SK.CMS_DEPTH, SK.CMS_WIDTH
+    h = SK.md5_long_sql("'cms:' || r || ':' || tok")
+    return f"""
+        WITH toks AS (
+            SELECT unnest({T.tokens_sql()}) AS tok FROM documents
+        ),
+        cnts AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY tok
+        ),
+        cells AS ({SK.countmin_cells_sql("cnts")}),
+        top AS (SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok
+                LIMIT {CMS_TOP}),
+        probes AS (
+            SELECT tok, r, {h} % {wdt} AS b
+            FROM top, generate_series(0, {d - 1}) AS g(r)
+        ),
+        est AS (
+            SELECT tok, min(COALESCE(cell, 0)) AS cms_est
+            FROM probes LEFT JOIN cells USING (r, b)
+            GROUP BY tok
+        )
+        SELECT t.tok, t.cnt AS true_cnt, e.cms_est,
+               e.cms_est - t.cnt AS overest
+        FROM top t JOIN est e USING (tok)
+    """
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x51 — KMV (bottom-k) distinct-count estimate of per-source
+    BIGRAM vocabulary (operators/sketches.py ``kmv_distinct``): the
+    mergeable distinct-count sketch, published next to the exact
+    distinct so the estimator's relative error is a measured column.
+    Bigrams (not unigrams) are the key deliberately: the fixture's
+    unigram vocabulary per source (~30) sits under k=64, which would
+    only exercise the exact-fallback branch — bigram cardinality
+    (hundreds per source) makes the (k−1)/u_k estimator itself the
+    adjudicated path. The cardinality primitive a 100 TB vocabulary
+    scan uses when exact per-group distincts stop fitting (the role
+    approx_count_distinct's HLL plays, but deterministic and
+    oracle-portable)."""
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    grams = load_table(spark, "documents", sf_dir).select(
+        "source",
+        F.explode(T.all_grams(T.tokens("text"), 2)).alias("gram"),
+    )
+    return SK.kmv_distinct(grams, "gram", ["source"])
+
+
+def kmv_distinct_oracle() -> str:
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    return SK.kmv_distinct_sql(
+        "grams",
+        "gram",
+        ["source"],
+        extra_ctes=f"""
+        grams AS (
+            SELECT source, unnest({T._all_grams_sql(2)}) AS gram
+            FROM (SELECT source, {T.tokens_sql()} AS toks FROM documents)
+        ),""",
+    )
+
+
+DATACARD_QS = (0.5, 0.95)
+
+
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x52 — the corpus data card: per (source, lang) document count,
+    total token volume, mean length, and exact p50/p95 length
+    percentiles by rank selection (a8's engine-portable form) — the
+    per-slice summary every dataset release publishes (C4/Pile/RedPajama
+    datasheets). Two shuffles: one groupBy for the additive stats, one
+    per-(source,lang) window for the rank-selected percentiles; both
+    co-keyed, and the joined sides are group-count-sized (tiny)."""
+    d = load_table(spark, "documents", sf_dir)
+    stats = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens("text"))).alias("n_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+    w = Window.partitionBy("source", "lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source", "lang"))
+        .alias("n"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in DATACARD_QS])).alias("q")
+    pct = (
+        ranked.select("source", "lang", "n_chars", "rn", "n", qs)
+        .filter(
+            F.col("rn")
+            == F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n")))
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.max(F.when(F.col("q") == DATACARD_QS[0], F.col("n_chars"))).alias(
+                "chars_p50"
+            ),
+            F.max(F.when(F.col("q") == DATACARD_QS[1], F.col("n_chars"))).alias(
+                "chars_p95"
+            ),
+        )
+    )
+    return stats.join(pct, ["source", "lang"])
+
+
+def corpus_datacard_oracle() -> str:
+    q50, q95 = DATACARD_QS
+    return f"""
+        WITH ranked AS (
+            SELECT source, lang, n_chars,
+                   row_number() OVER (PARTITION BY source, lang
+                                      ORDER BY n_chars, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source, lang) AS n
+            FROM documents
+        ),
+        pct AS (
+            SELECT source, lang,
+                   max(CASE WHEN q = {q50} THEN n_chars END) AS chars_p50,
+                   max(CASE WHEN q = {q95} THEN n_chars END) AS chars_p95
+            FROM ranked, (VALUES ({q50}), ({q95})) AS qs(q)
+            WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT))
+            GROUP BY source, lang
+        ),
+        stats AS (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({T.tokens_sql()})) AS BIGINT) AS n_tokens,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY source, lang
+        )
+        SELECT s.source, s.lang, s.n_docs, s.n_tokens, s.avg_chars,
+               p.chars_p50, p.chars_p95
+        FROM stats s JOIN pct p USING (source, lang)
+    """
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x53 — Bloom-filter decontamination: the 100 TB scale path of
+    x22's broadcast shingle semi-join. The benchmark shingle set is
+    folded into an 8192-bit Bloom filter (operators/sketches.py
+    ``bloom_bits`` — ≤ m rows, KBs broadcast instead of the full
+    shingle strings); a training doc is flagged when ≥ 5 of its
+    shingles are filter maybe-members. Published NEXT TO the exact
+    overlap count so the filter's one-sided error is measured: no
+    false negatives by construction (every exact hit is a bloom hit),
+    and ``is_fp`` marks docs the filter over-flags at this m/k —
+    the precision/size trade a real pipeline tunes."""
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    d = load_table(spark, "documents", sf_dir)
+    bench = d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    train = docs_augmented(spark, sf_dir).filter(
+        ~(
+            (F.col("doc_id") % DECON_BENCH_MOD == 0)
+            & (F.col("doc_id") < DUP_OFFSET)
+        )
+    )
+    bench_sh = (
+        D.shingle_table(bench).select("shingle").distinct()
+    )
+    bench_sh = bench_sh.localCheckpoint(eager=False)  # feeds bits + exact
+    bits = SK.bloom_bits(bench_sh, "shingle")
+    tsh = D.shingle_table(train).localCheckpoint(eager=False)
+    maybe = SK.bloom_maybe_member(tsh, bits, "shingle")
+    bloom_cnt = (
+        maybe.filter(F.col("maybe_member") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom"))
+    )
+    exact_cnt = (
+        tsh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        bloom_cnt.filter(F.col("n_bloom") >= D.DECON_MIN_OVERLAP)
+        .join(exact_cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bloom",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            (F.coalesce("n_exact", F.lit(0)) < D.DECON_MIN_OVERLAP)
+            .cast("int")
+            .alias("is_fp"),
+        )
+    )
+
+
+def bloom_decontaminate_oracle() -> str:
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    m, k = SK.BLOOM_M, SK.BLOOM_K
+    t = D.DECON_MIN_OVERLAP
+    h = SK.md5_long_sql("'bloom:' || i || ':' || shingle")
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE}),
+        train AS (
+            SELECT * FROM aug
+            WHERE NOT (doc_id % {DECON_BENCH_MOD} = 0
+                       AND doc_id < {DUP_OFFSET})
+        ),
+        bench AS (SELECT * FROM documents
+                  WHERE doc_id % {DECON_BENCH_MOD} = 0),
+        tsh AS ({_shingles_sql("train")}),
+        bsh AS (SELECT DISTINCT shingle
+                FROM ({_shingles_sql("bench")}) b),
+        bits AS ({SK.bloom_bits_sql("bsh", "shingle", m, k)}),
+        pb AS (
+            SELECT doc_id, shingle, {h} % {m} AS bit
+            FROM tsh, generate_series(0, {k - 1}) AS g(i)
+        ),
+        maybe AS (
+            SELECT doc_id, shingle
+            FROM pb JOIN bits USING (bit)
+            GROUP BY doc_id, shingle
+            HAVING count(*) = {k}
+        ),
+        bcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom
+                 FROM maybe GROUP BY doc_id),
+        ecnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact
+                 FROM tsh JOIN bsh USING (shingle) GROUP BY doc_id)
+        SELECT b.doc_id, b.n_bloom,
+               COALESCE(e.n_exact, 0) AS n_exact,
+               CAST(COALESCE(e.n_exact, 0) < {t} AS INT) AS is_fp
+        FROM bcnt b LEFT JOIN ecnt e USING (doc_id)
+        WHERE b.n_bloom >= {t}
+    """

@@ -1,0 +1,168 @@
+"""Semantics tests for the sketch tier (operators/sketches.py), the
+point-in-interval lookup join (J6), and the Donchian channel (W18) —
+the invariants the driver's oracle-parity hash can't express: sketch
+error bounds (one-sided overestimates, no false negatives), interval
+boundary conventions, and partitioned evaluation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_market_data_analysis_spark.operators import sketches as SK
+from financial_market_data_analysis_spark.operators.joins import (
+    interval_lookup_join,
+)
+from financial_market_data_analysis_spark.operators.windows import (
+    donchian_channel,
+)
+
+
+def test_countmin_never_underestimates(spark):
+    rows = [(f"k{i % 13}", 1) for i in range(400)]
+    counts = (
+        spark.createDataFrame(rows, "tok STRING, one INT")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sketch = SK.countmin_sketch(counts, "tok", "cnt", depth=3, width=8)
+    est = SK.countmin_estimate(
+        sketch, counts.select("tok"), "tok", depth=3, width=8
+    )
+    joined = counts.join(est, "tok").collect()
+    assert len(joined) == 13
+    # CMS is a one-sided overestimate, never an underestimate
+    assert all(r.cms_est >= r.cnt for r in joined)
+
+
+def test_countmin_exact_when_width_exceeds_keys(spark):
+    # with width >> #keys and md5-spread buckets, collisions are
+    # unlikely → estimates equal truth for this fixed fixture
+    rows = [("a", 5), ("b", 3), ("c", 11)]
+    counts = spark.createDataFrame(rows, "tok STRING, cnt INT")
+    sketch = SK.countmin_sketch(counts, "tok", "cnt", depth=4, width=4096)
+    est = SK.countmin_estimate(
+        sketch, counts.select("tok"), "tok", depth=4, width=4096
+    )
+    got = {r.tok: r.cms_est for r in est.collect()}
+    assert got == {"a": 5, "b": 3, "c": 11}
+
+
+def test_kmv_exact_below_k_and_estimates_above(spark):
+    small = spark.createDataFrame(
+        [("g1", f"v{i}") for i in range(10)], "g STRING, k STRING"
+    )
+    out = SK.kmv_distinct(small, "k", ["g"], k=64).collect()[0]
+    assert out.n_distinct == 10
+    assert out.est_distinct == 10.0 and out.rel_err == 0.0
+
+    big = spark.createDataFrame(
+        [("g1", f"v{i}") for i in range(2000)], "g STRING, k STRING"
+    )
+    est = SK.kmv_distinct(big, "k", ["g"], k=64).collect()[0]
+    assert est.n_distinct == 2000
+    # k=64 → expected relative error ~ 1/sqrt(k-2) ≈ 13%; assert a
+    # loose 3σ envelope (deterministic fixture, so this is stable)
+    assert abs(est.est_distinct - 2000) / 2000 < 0.5
+    assert est.est_distinct != 2000.0
+
+
+def test_bloom_has_no_false_negatives(spark):
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(50)], "k STRING"
+    )
+    bits = SK.bloom_bits(members, "k", m=512, k=3)
+    probe = members.unionByName(
+        spark.createDataFrame([(f"x{i}",) for i in range(50)], "k STRING")
+    )
+    out = SK.bloom_maybe_member(probe, bits, "k", m=512, k=3).collect()
+    got = {r.k: r.maybe_member for r in out}
+    # every true member is a maybe-member — the Bloom guarantee
+    assert all(got[f"m{i}"] == 1 for i in range(50))
+    # the filter is small enough that SOME non-member must be rejected
+    assert any(got[f"x{i}"] == 0 for i in range(50))
+
+
+def test_interval_lookup_boundary_conventions(spark):
+    iv = spark.createDataFrame(
+        [(1, 100, 200, "v1"), (1, 200, None, "v2")],
+        "user_id INT, s BIGINT, e BIGINT, tag STRING",
+    )
+    pr = spark.createDataFrame(
+        [(1, 1, 50), (2, 1, 100), (3, 1, 199), (4, 1, 200), (5, 1, 999),
+         (6, 2, 150)],
+        "pid INT, user_id INT, ts BIGINT",
+    )
+    out = interval_lookup_join(
+        pr, iv, ["user_id"], "ts", "s", "e", ["tag"]
+    )
+    got = {r.pid: r.tag for r in out.collect()}
+    # probe before any interval and probe for an interval-less user drop
+    assert 1 not in got and 6 not in got
+    # ts == start is INSIDE ([start, end)); ts just under end stays
+    assert got[2] == "v1" and got[3] == "v1"
+    # ts == end belongs to the NEXT interval (half-open ranges)
+    assert got[4] == "v2" and got[5] == "v2"
+
+
+def test_interval_lookup_same_start_last_tie_wins(spark):
+    # two intervals share a start (the d4 LEAD makes the earlier peer
+    # an empty [t, t) interval) — the larger tie value must win
+    iv = spark.createDataFrame(
+        [(1, 100, 100, 7, "empty"), (1, 100, None, 9, "live")],
+        "user_id INT, s BIGINT, e BIGINT, tie INT, tag STRING",
+    )
+    pr = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 150)], "pid INT, user_id INT, ts BIGINT"
+    )
+    out = interval_lookup_join(
+        pr, iv, ["user_id"], "ts", "s", "e", ["tag"], tie_col="tie"
+    )
+    got = {r.pid: r.tag for r in out.collect()}
+    assert got == {1: "live", 2: "live"}
+
+
+def test_donchian_channel_and_breakouts(spark):
+    rows = [
+        # t, high, low, close — breakout above on t=3, below on t=5
+        (0, 10.0, 9.0, 9.5),
+        (1, 11.0, 9.5, 10.0),
+        (2, 10.5, 9.8, 10.2),
+        (3, 12.0, 10.0, 11.5),
+        (4, 11.8, 10.5, 11.0),
+        (5, 11.0, 8.0, 8.5),
+    ]
+    df = spark.createDataFrame(rows, "t INT, high DOUBLE, low DOUBLE, close DOUBLE")
+    out = (
+        donchian_channel(df, "high", "low", "close", ["t"], period=2)
+        .orderBy("t")
+        .collect()
+    )
+    # warm-up: frame < 2 rows → channel NULL, flag NULL (no prior bar)
+    assert out[0].donchian_upper is None and out[0].donchian_break is None
+    # t=1 channel = max(10,11)/min(9,9.5); flag still NULL (prev NULL)
+    assert out[1].donchian_upper == 11.0 and out[1].donchian_lower == 9.0
+    assert out[1].donchian_break is None
+    # t=3: close 11.5 > prev upper 11.0 → breakout up
+    assert out[3].donchian_break == 1
+    # t=5: close 8.5 < prev lower 10.0 → breakdown
+    assert out[5].donchian_break == -1
+    # t=2 and t=4 inside the prior channel
+    assert out[2].donchian_break == 0 and out[4].donchian_break == 0
+    # midline is the channel average
+    assert out[1].donchian_mid == 10.0
+
+
+def test_donchian_partitioned_per_symbol(spark):
+    rows = [("a", i, float(i), float(i) - 1, float(i)) for i in range(4)] + [
+        ("b", i, 100.0 + i, 99.0 + i, 100.0 + i) for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "sym STRING, t INT, high DOUBLE, low DOUBLE, close DOUBLE"
+    )
+    out = donchian_channel(
+        df, "high", "low", "close", ["t"], period=2, partition_cols=["sym"]
+    )
+    got = {(r.sym, r.t): r for r in out.collect()}
+    # symbol b's channel never sees symbol a's prices
+    assert got[("b", 1)].donchian_lower == 99.0
+    assert got[("a", 1)].donchian_upper == 1.0
