@@ -1281,6 +1281,73 @@ def _ml3_oracle() -> str:
     """
 
 
+def _t12_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 — the count-min sketch built INCREMENTALLY by Structured
+    Streaming: token occurrences from two document micro-batches flow
+    through the SAME ``countmin_sketch`` aggregation (a streaming
+    groupBy in complete mode — Spark keeps the ≤ depth×width cells as
+    running state and merges each micro-batch's partials by cell-wise
+    sum), and the top-20 tokens are then estimated against the
+    STREAMED sketch. The oracle is x50's batch SQL verbatim: the hash
+    match adjudicates the sketch's mergeability claim — the property
+    that makes it a one-pass 100 TB aggregate — under a real
+    incremental run, not by construction. The memory-sink state is the
+    sketch itself (KBs), the streaming-native cardinality the
+    reference's per-row JDBC appends (spark_consumer.py:68-84) could
+    never bound."""
+    import shutil
+    import tempfile
+
+    import financial_market_data_analysis_spark.operators.sketches as SK
+    from financial_market_data_analysis_spark.functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    cut = docs.agg(F.percentile_approx("doc_id", 0.5)).first()[0]
+    src = tempfile.mkdtemp(prefix="t12_docs_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _stage_two_halves(
+            docs, (F.col("doc_id") <= cut, F.col("doc_id") > cut), src
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        occ = stream.select(F.explode(tokens("text")).alias("tok")).withColumn(
+            "cnt", F.lit(1)
+        )
+        cells = SK.countmin_sketch(occ, "tok", "cnt")
+        q = (
+            cells.writeStream.format("memory")
+            .queryName("t12_cms_cells")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t12_stream_countmin did not finish in 300 s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(src, ignore_errors=True)
+    sketch = spark.table("t12_cms_cells")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), "tok").limit(20)
+    est = SK.countmin_estimate(sketch, top.select("tok"), "tok")
+    return top.join(est, "tok").select(
+        "tok",
+        F.col("cnt").alias("true_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("cnt")).alias("overest"),
+    )
+
+
 def _w19_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W19 — Keltner channel: truncated EWMA-20 midline (W14's
     operator) banded at ±2× the 15-row average true range (W7's
@@ -2022,7 +2089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup-under-watermark semantics stay pytest-covered in
         # tests/test_streaming.py)
         "t4b_stream_sessions": _t4b_stream_sessions,
-        "x24_pack_sequences": X.q_pack_sequences,
+        # (x24 sits past the window: driver-green r5; in-window x28's
+        # fused corpus pipeline runs the IDENTICAL greedy token-budget
+        # packer as its final stage every round)
         "x25_chunk_docs": X.q_chunk_documents,
         # (x26 sits past the window: driver-green r5; in-window x27
         # adjudicates the sibling metadata-geometry arithmetic of the
@@ -2038,7 +2107,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x34_kmeans_train": X.q_kmeans_train,
         "t10_stream_static_join": _t10_stream_static_join,
         "w13_rolling_median": _w13_rolling_median,
-        "w14_ewma": _w14_ewma,
+        # (w14 sits past the window: driver-green r5; in-window w19
+        # composes the IDENTICAL rolling_ewma kernel into its midline,
+        # and w17's MACD — also in-window — stacks three of them)
+        # x54/x55 NEW this round — in-window for first adjudication
+        "x54_weighted_sample": X.q_weighted_sample,
+        "x55_kmv_setops": X.q_kmv_setops,
         "a9_corr_matrix": _a9_corr_matrix,
         "a10_multires_rollup": _a10_multires_rollup,
         "ml4_confusion": _ml4_confusion,
@@ -2179,6 +2253,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # x16 clusters (in-window) — in-window for first adjudication
         "x49_cluster_keeper": X.q_cluster_keeper,
         # ------------------------------------------------- entry 50 ends
+        # -- head of the round-7 rotation: t12 NEW late this round
+        # (oracle-bearing — x50's batch SQL verbatim — and value-hash
+        # checked by the parametrized entry-parity suite every
+        # session); rotate into the window in round 7
+        "t12_stream_countmin": _t12_stream_countmin,
         # -- rotated out this round (multi-round driver-green or, for
         # ml2, five-rounds rows-only; each subsumed per the inline
         # comments above) ----------------------------------------------
@@ -2188,6 +2267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_stream_interval_join": _t6_stream_interval_join,
         "t1_stream_dedup": _t1_stream_dedup,
         "x26_audio_frames": X.q_audio_frames,
+        "x24_pack_sequences": X.q_pack_sequences,
+        "w14_ewma": _w14_ewma,
         "x16_dedup_clusters": X.q_dedup_clusters,
         "x37_bigram_logprob": X.q_bigram_logprob,
         "x38_chunk_dedup": X.q_chunk_dedup,
@@ -2673,7 +2754,12 @@ def oracle_sql() -> dict[str, str]:
         "ml6_calibration": _ml6_oracle(),
         "j6_interval_lookup": _j6_oracle(),
         "x50_countmin_topk": X.countmin_topk_oracle(),
+        # t12's streamed sketch must equal the batch sketch — the
+        # mergeability adjudication IS reusing x50's oracle verbatim
+        "t12_stream_countmin": X.countmin_topk_oracle(),
         "x51_kmv_distinct": X.kmv_distinct_oracle(),
+        "x54_weighted_sample": X.weighted_sample_oracle(),
+        "x55_kmv_setops": X.kmv_setops_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),
         "a11_vwap_daily": _a11_oracle(),

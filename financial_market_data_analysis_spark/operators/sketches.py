@@ -308,3 +308,28 @@ def bloom_bits_sql(
         SELECT DISTINCT {h} % {m} AS bit
         FROM {keys_cte}, generate_series(0, {k - 1}) AS g(i)
     """
+
+
+def kmv_bottomk(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = KMV_K,
+    salt: str = "kmv",
+) -> DataFrame:
+    """The raw bottom-k sketch ROWS per group — ``(group, __k, __u,
+    __rn)`` for the k smallest hash values. This is the mergeable
+    representation :func:`kmv_distinct` folds into an estimate:
+    sketches of disjoint (or overlapping) inputs merge by taking the k
+    smallest of the union — the property x55's set-algebra query
+    adjudicates. Keeping the KEY alongside the hash is what enables
+    intersection estimation (common keys under the merged threshold)."""
+    distinct = df.select(*group_cols, key_col).distinct()
+    hashed = distinct.withColumn(
+        "__u", md5_long(_salted(salt, [F.col(key_col)]), KMV_HEX) / KMV_SCALE
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__u", key_col)
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+    )

@@ -2470,3 +2470,200 @@ def bloom_decontaminate_oracle() -> str:
         FROM bcnt b LEFT JOIN ecnt e USING (doc_id)
         WHERE b.n_bloom >= {t}
     """
+
+
+X54_K = 100
+ARES_SALT = "ares"
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x54 — deterministic weighted sampling without replacement
+    (Efraimidis & Spirakis 2006 A-Res): each doc draws a hash-derived
+    uniform u ∈ (0,1] and is ranked by ``ln(u)/w`` (monotone in
+    u^(1/w)), weight = n_chars — longer docs proportionally likelier,
+    the quality-weighted corpus subsampling step between x20's
+    stratified and x39's temperature mix. Top-100 by key via
+    TakeOrdered (per-partition top-k + driver merge of K·P rows — no
+    global sort, no single-partition window). Hash randomness makes
+    the draw reproducible AND shard-stable at 100 TB: re-runs and
+    re-partitions select the identical sample."""
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    d = load_table(spark, "documents", sf_dir)
+    h = SK.md5_long(
+        F.concat(F.lit(f"{ARES_SALT}:"), F.col("doc_id").cast("string")),
+        SK.KMV_HEX,
+    )
+    # +1 keeps u strictly positive (ln(0) guard); exact double scaling
+    u = (h + 1) / F.lit(SK.KMV_SCALE)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("__key"))
+        .orderBy(F.desc("__key"), "doc_id")
+        .limit(X54_K)
+        .select(
+            "doc_id", "source", "n_chars",
+            F.round("__key", 6).alias("ares_key"),
+        )
+    )
+
+
+def weighted_sample_oracle() -> str:
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    h = SK.md5_long_sql(
+        f"'{ARES_SALT}:' || CAST(doc_id AS VARCHAR)", SK.KMV_HEX
+    )
+    return f"""
+        SELECT doc_id, source, n_chars, round(k, 6) AS ares_key
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   ln(({h} + 1) / {SK.KMV_SCALE!r}) / n_chars AS k
+            FROM documents
+        )
+        ORDER BY k DESC, doc_id
+        LIMIT {X54_K}
+    """
+
+
+SETOPS_SOURCES = ("src0", "src1")
+
+
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x55 — KMV sketch SET ALGEBRA (Beyer et al. 2007): estimate the
+    union and intersection cardinality of two sources' bigram
+    vocabularies FROM THEIR SKETCHES ALONE — the merged sketch is the
+    k smallest of the two sketches' union (never touching the full
+    vocabularies again), union ≈ (k−1)/u_k over the merged threshold,
+    intersection ≈ (common-in-both under u_k)/k × union. Exact truth
+    computed alongside, so both estimators carry measured relative
+    error. This is the capability that lets a 100 TB pipeline answer
+    "how much vocabulary do two crawls share?" from KB-sized
+    summaries."""
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    k = SK.KMV_K
+    grams = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("source").isin(*SETOPS_SOURCES))
+        .select(
+            "source",
+            F.explode(T.all_grams(T.tokens("text"), 2)).alias("gram"),
+        )
+    )
+    grams = grams.localCheckpoint(eager=False)  # feeds sketch + truth
+    sk = SK.kmv_bottomk(grams, "gram", ["source"], k=k).localCheckpoint(
+        eager=False
+    )
+    # merge = k smallest of the union of the two sketches' values
+    vals = sk.select("gram", "__u").distinct()
+    merged = vals.withColumn(
+        "rn", F.row_number().over(Window.orderBy("__u", "gram"))
+    ).filter(F.col("rn") <= k)
+    in_both = sk.groupBy("gram").agg(
+        F.countDistinct("source").alias("ns")
+    )
+    est = (
+        merged.join(in_both, "gram")
+        .agg(
+            F.max(F.when(F.col("rn") == k, F.col("__u"))).alias("u_k"),
+            F.sum((F.col("ns") == 2).cast("long")).alias("d_common"),
+        )
+        .select(
+            F.round(F.lit(float(k - 1)) / F.col("u_k"), 4).alias("est_union"),
+            F.round(
+                (F.col("d_common") / F.lit(k))
+                * (F.lit(float(k - 1)) / F.col("u_k")),
+                4,
+            ).alias("est_inter"),
+        )
+    )
+    full = (
+        grams.select("source", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.countDistinct("source").alias("ns"))
+    )
+    truth = full.agg(
+        F.count(F.lit(1)).alias("true_union"),
+        F.sum((F.col("ns") == 2).cast("long")).alias("true_inter"),
+    )
+    return est.crossJoin(truth).select(
+        "true_union",
+        "est_union",
+        F.round(
+            F.abs(F.col("est_union") - F.col("true_union"))
+            / F.col("true_union"),
+            4,
+        ).alias("err_union"),
+        "true_inter",
+        "est_inter",
+        F.round(
+            F.abs(F.col("est_inter") - F.col("true_inter"))
+            / F.col("true_inter"),
+            4,
+        ).alias("err_inter"),
+    )
+
+
+def kmv_setops_oracle() -> str:
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    k = SK.KMV_K
+    srcs = ", ".join(f"'{s}'" for s in SETOPS_SOURCES)
+    h = SK.md5_long_sql("'kmv:' || gram", SK.KMV_HEX)
+    return f"""
+        WITH grams AS (
+            SELECT source, unnest({T._all_grams_sql(2)}) AS gram
+            FROM (SELECT source, {T.tokens_sql()} AS toks FROM documents
+                  WHERE source IN ({srcs}))
+        ),
+        dk AS (SELECT DISTINCT source, gram FROM grams),
+        hashed AS (
+            SELECT source, gram, {h} / {SK.KMV_SCALE!r} AS u FROM dk
+        ),
+        sk AS (
+            SELECT source, gram, u,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY u, gram) AS rn
+            FROM hashed
+            QUALIFY rn <= {k}
+        ),
+        vals AS (SELECT DISTINCT gram, u FROM sk),
+        merged AS (
+            SELECT gram, u,
+                   row_number() OVER (ORDER BY u, gram) AS rn
+            FROM vals
+            QUALIFY rn <= {k}
+        ),
+        in_both AS (
+            SELECT gram, count(DISTINCT source) AS ns FROM sk GROUP BY gram
+        ),
+        est AS (
+            SELECT max(CASE WHEN m.rn = {k} THEN m.u END) AS u_k,
+                   CAST(sum(CASE WHEN b.ns = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d_common
+            FROM merged m JOIN in_both b USING (gram)
+        ),
+        full_v AS (
+            SELECT gram, count(DISTINCT source) AS ns
+            FROM (SELECT DISTINCT source, gram FROM grams) GROUP BY gram
+        ),
+        truth AS (
+            SELECT CAST(count(*) AS BIGINT) AS true_union,
+                   CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS true_inter
+            FROM full_v
+        )
+        SELECT t.true_union,
+               round({float(k - 1)!r} / e.u_k, 4) AS est_union,
+               round(abs(round({float(k - 1)!r} / e.u_k, 4) - t.true_union)
+                     / t.true_union, 4) AS err_union,
+               t.true_inter,
+               round((e.d_common / {k}) * ({float(k - 1)!r} / e.u_k), 4)
+                   AS est_inter,
+               round(abs(round((e.d_common / {k})
+                               * ({float(k - 1)!r} / e.u_k), 4)
+                         - t.true_inter) / t.true_inter, 4) AS err_inter
+        FROM est e, truth t
+    """

@@ -397,3 +397,38 @@ def test_corr_matrix_is_single_reduce(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1, plan[:1200]
+
+
+def test_weighted_sample_is_shuffle_free_takeordered(spark):
+    """x54's global top-k must plan as TakeOrderedAndProject (per-
+    partition top-k + driver merge) with ZERO exchanges — not a global
+    sort; at 100 TB the difference is a full-corpus shuffle."""
+    import financial_market_data_analysis_spark.plans.extensions as X
+
+    df = X.q_weighted_sample(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_interval_lookup_has_no_theta_join(spark):
+    """j6's point-in-interval lookup must NOT plan as a nested-loop /
+    cartesian theta join — the union-sort rewrite keeps it one shuffle
+    on the key. (The containment predicate as a plain join condition
+    would give BroadcastNestedLoopJoin — quadratic per key.)"""
+    import __spark_entry__ as e
+
+    df = e.queries()["j6_interval_lookup"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan[:800]
+    assert "Cartesian" not in plan, plan[:800]
+
+
+def test_countmin_probe_broadcasts_the_sketch(spark):
+    """x50's estimate join must broadcast the (≤ depth×width row)
+    sketch side — the probe side is never shuffled for the join."""
+    import financial_market_data_analysis_spark.plans.extensions as X
+
+    df = X.q_countmin_topk(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1200]

@@ -166,3 +166,44 @@ def test_donchian_partitioned_per_symbol(spark):
     # symbol b's channel never sees symbol a's prices
     assert got[("b", 1)].donchian_lower == 99.0
     assert got[("a", 1)].donchian_upper == 1.0
+
+
+def test_kmv_bottomk_is_mergeable(spark):
+    # the k-smallest of the union of two sketches == the sketch of the
+    # union — the merge property x55's set-algebra estimate rests on
+    left = spark.createDataFrame(
+        [("l", f"v{i}") for i in range(300)], "g STRING, k STRING"
+    )
+    right = spark.createDataFrame(
+        [("r", f"v{i}") for i in range(150, 450)], "g STRING, k STRING"
+    )
+    both = left.unionByName(right).select(F.lit("u").alias("g"), "k")
+    direct = SK.kmv_bottomk(both, "k", ["g"], k=32)
+    sk_l = SK.kmv_bottomk(left, "k", ["g"], k=32)
+    sk_r = SK.kmv_bottomk(right, "k", ["g"], k=32)
+    merged_vals = (
+        sk_l.select("k", "__u").unionByName(sk_r.select("k", "__u")).distinct()
+    )
+    from pyspark.sql import Window as W2
+
+    merged = merged_vals.withColumn(
+        "rn", F.row_number().over(W2.orderBy("__u", "k"))
+    ).filter(F.col("rn") <= 32)
+    a = sorted(r.k for r in direct.collect())
+    b = sorted(r.k for r in merged.collect())
+    assert a == b
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    import financial_market_data_analysis_spark.plans.extensions as X
+
+    sample = X.q_weighted_sample(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(sample) == X.X54_K
+    # A-Res with weight = n_chars: the sampled mean length must exceed
+    # the corpus mean (deterministic fixture, stable assertion)
+    import duckdb
+
+    corpus_mean = duckdb.sql(
+        "SELECT avg(n_chars) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert sample["n_chars"].mean() > corpus_mean
