@@ -1463,6 +1463,154 @@ def _ml6_oracle() -> str:
     """
 
 
+def _a12_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — mergeable histogram-quantile estimates NEXT TO a8's exact
+    rank-selected values (operators/sketches.py
+    ``histogram_quantiles``): the equi-width histogram is an additive
+    groupBy — partial-aggregatable, KB-sized per group — so at 100 TB
+    it replaces a8's per-group full sort; the estimate interpolates
+    inside the bucket where the cumulative count crosses ceil(q·n).
+    Publishing ``est_q`` against ``exact_q`` with the absolute error
+    makes the accuracy/cost trade a measured number, completing the
+    sketch tier: counts (x50), distincts (x51/x55), membership (x53),
+    quantiles (a12)."""
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    est = SK.histogram_quantiles(ev, "value", ["event_type"])
+    exact = _a8_percentiles(spark, sf_dir)
+    return est.join(exact, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        "est_q",
+        F.col("q_value").alias("exact_q"),
+        F.round(F.abs(F.col("est_q") - F.col("q_value")), 6).alias("abs_err"),
+    )
+
+
+def _a12_oracle() -> str:
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    hist = SK.histogram_quantiles_sql(
+        "ev",
+        "value",
+        ["event_type"],
+        extra_ctes="ev AS (SELECT event_type, value FROM events),",
+    )
+    return f"""
+        WITH est AS ({hist}),
+        exact AS (
+            SELECT event_type, q, value AS exact_q
+            FROM (
+                SELECT event_type, value,
+                    row_number() OVER (PARTITION BY event_type ORDER BY value)
+                        AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            ), (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+            WHERE rn = greatest(1, ceil(q * n))
+        )
+        SELECT e.event_type, e.q, e.est_q, x.exact_q,
+               round(abs(e.est_q - x.exact_q), 6) AS abs_err
+        FROM est e JOIN exact x ON e.event_type = x.event_type
+                                AND e.q = x.q
+    """
+
+
+def _ml7_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML7 — exact ROC AUC of the ml3 serving scorer via the
+    Mann-Whitney rank statistic: midranks over the score order
+    (rank + (ties−1)/2 — ties get their average rank, the standard
+    convention), AUC = (Σ midrank⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻). One
+    global rank window + one aggregation — no per-threshold sweep, no
+    driver-side sklearn (the reference computes nothing beyond argmax
+    accuracy, train.py). Midranks are integers-or-halves, so their
+    sum is EXACT in doubles and order-independent — the AUC is
+    deterministic to the bit, rounded to 6 only for the final ratio.
+    Scale note: the rank is a single total order (a8-class); at
+    100 TB partition by symbol/day and publish per-key AUCs."""
+    from financial_market_data_analysis_spark.ml import lag_matrix
+
+    c = candles_from_events(load_table(spark, "events", sf_dir))
+    m = lag_matrix(c, "close", 5, ["bucket_start"]).dropna(
+        subset=[f"close_lag{j}" for j in range(5)]
+    )
+    w = SW.orderBy("bucket_start")
+    m = m.withColumn("next_close", F.lead("close").over(w)).filter(
+        F.col("next_close").isNotNull()
+    )
+    raw = F.lit(ML3_BIAS)
+    for j, wt in enumerate(ML3_WEIGHTS):
+        raw = raw + F.lit(wt) * (F.col(f"close_lag{j}") - F.col("close_lag4"))
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6)
+    scored = m.select(
+        p.alias("p"),
+        (F.col("next_close") > F.col("close")).cast("int").alias("up"),
+    )
+    r = F.rank().over(SW.orderBy("p"))
+    c_ties = F.count(F.lit(1)).over(SW.partitionBy("p"))
+    mr = r + (c_ties - F.lit(1)) / F.lit(2.0)
+    ranked = scored.select("up", mr.alias("mr"))
+    agg = ranked.agg(
+        F.sum("up").alias("n_pos"),
+        F.sum(1 - F.col("up")).alias("n_neg"),
+        F.sum(F.when(F.col("up") == 1, F.col("mr"))).alias("s_pos"),
+    )
+    auc = (
+        F.col("s_pos")
+        - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0)
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return agg.select(
+        "n_pos", "n_neg", F.round(auc, 6).alias("auc")
+    )
+
+
+def _ml7_oracle() -> str:
+    lags = ",\n                   ".join(
+        f"lag(close, {j}) OVER (ORDER BY bucket_start) AS close_lag{j}"
+        for j in range(5)
+    )
+    terms = " + ".join(
+        f"({w}) * (close_lag{j} - close_lag4)"
+        for j, w in enumerate(ML3_WEIGHTS)
+    )
+    prob = f"round(1.0 / (1.0 + exp(-({ML3_BIAS} + {terms}))), 6)"
+    return f"""
+        WITH candles AS ({candles_oracle_sql()}),
+        m AS (
+            SELECT bucket_start, close,
+                   lead(close) OVER (ORDER BY bucket_start) AS next_close,
+                   {lags}
+            FROM candles
+        ),
+        scored AS (
+            SELECT {prob} AS p,
+                   CAST(next_close > close AS INT) AS up
+            FROM m
+            WHERE next_close IS NOT NULL
+              AND close_lag0 IS NOT NULL AND close_lag1 IS NOT NULL
+              AND close_lag2 IS NOT NULL AND close_lag3 IS NOT NULL
+              AND close_lag4 IS NOT NULL
+        ),
+        ranked AS (
+            SELECT up,
+                   rank() OVER (ORDER BY p)
+                       + (count(*) OVER (PARTITION BY p) - 1) / 2.0 AS mr
+            FROM scored
+        ),
+        agg AS (
+            SELECT CAST(sum(up) AS BIGINT) AS n_pos,
+                   CAST(sum(1 - up) AS BIGINT) AS n_neg,
+                   sum(CASE WHEN up = 1 THEN mr END) AS s_pos
+            FROM ranked
+        )
+        SELECT n_pos, n_neg,
+               round((s_pos - n_pos * (n_pos + 1) / 2.0)
+                     / (n_pos * n_neg), 6) AS auc
+        FROM agg
+    """
+
+
 def _j5_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/J2's co-located form made driver-adjudicable: two per-user
     aggregates persisted hash-BUCKETED on the join key
@@ -2102,10 +2250,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w19_keltner": _w19_keltner,
         "ml6_calibration": _ml6_calibration,
         "x29_zorder_key": X.q_zorder_key,
-        "ml3_score_parity": _ml3_score_parity,
+        # (ml3 sits past the window: driver-green r5; in-window ml4,
+        # ml6 AND ml7 each recompute the IDENTICAL fixed-coefficient
+        # logistic scorer over the same lag matrix before evaluating it)
         "j5_bucketed_join": _j5_bucketed_join,
-        "x34_kmeans_train": X.q_kmeans_train,
+        # (x34 sits past the window: driver-green r5; in-window x48
+        # RUNS the identical distributed-Lloyd trainer to learn its
+        # SemDeDup cells, and x30 measures the x34-refined IVF path's
+        # recall every round)
         "t10_stream_static_join": _t10_stream_static_join,
+        # a12/ml7 NEW this round — in-window for first adjudication
+        "a12_hist_quantiles": _a12_hist_quantiles,
+        "ml7_auc": _ml7_auc,
         "w13_rolling_median": _w13_rolling_median,
         # (w14 sits past the window: driver-green r5; in-window w19
         # composes the IDENTICAL rolling_ewma kernel into its midline,
@@ -2258,6 +2414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked by the parametrized entry-parity suite every
         # session); rotate into the window in round 7
         "t12_stream_countmin": _t12_stream_countmin,
+        # x57 NEW late this round, same status (oracle-bearing,
+        # entry-parity-checked every session) — rotate in round 7
+        "x57_doc_search": X.q_doc_search,
         # -- rotated out this round (multi-round driver-green or, for
         # ml2, five-rounds rows-only; each subsumed per the inline
         # comments above) ----------------------------------------------
@@ -2269,6 +2428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x26_audio_frames": X.q_audio_frames,
         "x24_pack_sequences": X.q_pack_sequences,
         "w14_ewma": _w14_ewma,
+        "ml3_score_parity": _ml3_score_parity,
+        "x34_kmeans_train": X.q_kmeans_train,
         "x16_dedup_clusters": X.q_dedup_clusters,
         "x37_bigram_logprob": X.q_bigram_logprob,
         "x38_chunk_dedup": X.q_chunk_dedup,
@@ -2760,6 +2921,9 @@ def oracle_sql() -> dict[str, str]:
         "x51_kmv_distinct": X.kmv_distinct_oracle(),
         "x54_weighted_sample": X.weighted_sample_oracle(),
         "x55_kmv_setops": X.kmv_setops_oracle(),
+        "a12_hist_quantiles": _a12_oracle(),
+        "ml7_auc": _ml7_oracle(),
+        "x57_doc_search": X.doc_search_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),
         "a11_vwap_daily": _a11_oracle(),

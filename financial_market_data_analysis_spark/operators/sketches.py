@@ -333,3 +333,125 @@ def kmv_bottomk(
         hashed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# histogram (mergeable) quantile estimation
+
+HIST_BINS = 64
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Per-group quantile ESTIMATES from an equi-width histogram —
+    the mergeable answer to a8's exact rank selection (its docstring's
+    "at 100 TB reach for a sketch"): the histogram is an additive
+    groupBy (partial-aggregatable, KB-sized per group), so unlike the
+    exact path there is no per-group full sort. Estimate = linear
+    interpolation inside the first bucket whose cumulative count
+    reaches ``ceil(q·n)``.
+
+    Two passes over the data (bounds, then counts) — the classic
+    two-pass equi-width histogram; both passes are map-side-combined
+    aggregations. Returns (group, q, est_q) with est_q rounded to 6.
+    Degenerate groups (min == max) estimate the constant itself."""
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(value_col).alias("__mn"),
+        F.max(value_col).alias("__mx"),
+        F.count(value_col).alias("__n"),
+    )
+    j = df.join(F.broadcast(bounds), group_cols)
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(bins))
+    idx = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(value_col) - F.col("__mn")) / width).cast("int"),
+            F.lit(bins - 1),
+        )
+    )
+    hist = (
+        j.select(*group_cols, "__mn", "__mx", "__n", idx.alias("__b"))
+        .groupBy(*group_cols, "__mn", "__mx", "__n", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(wcum))
+    qcol = F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
+    probes = cum.select("*", qcol).withColumn(
+        "__target",
+        F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("__n"))),
+    )
+    picked = probes.filter(
+        (F.col("__cum") >= F.col("__target"))
+        & (F.col("__cum") - F.col("__c") < F.col("__target"))
+    )
+    width2 = (F.col("__mx") - F.col("__mn")) / F.lit(float(bins))
+    frac = (
+        F.col("__target") - (F.col("__cum") - F.col("__c"))
+    ) / F.col("__c")
+    est = F.when(F.col("__mx") == F.col("__mn"), F.col("__mn")).otherwise(
+        F.col("__mn") + (F.col("__b") + frac) * width2
+    )
+    return picked.select(
+        *group_cols, "q", F.round(est, 6).alias("est_q")
+    )
+
+
+def histogram_quantiles_sql(
+    src_cte: str,
+    value_expr: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bins: int = HIST_BINS,
+    extra_ctes: str = "",
+) -> str:
+    """Oracle twin of :func:`histogram_quantiles` (same float op
+    order: (v-mn)/width bucket, mn + (b + frac)*width estimate)."""
+    g = ", ".join(group_cols)
+    qvals = ", ".join(f"({q})" for q in qs)
+    return f"""
+        WITH {extra_ctes}
+        bounds AS (
+            SELECT {g}, min({value_expr}) AS mn, max({value_expr}) AS mx,
+                   count({value_expr}) AS n
+            FROM {src_cte} GROUP BY {g}
+        ),
+        binned AS (
+            SELECT s.*, b.mn, b.mx, b.n,
+                   CASE WHEN b.mx = b.mn THEN 0
+                        ELSE least(CAST(floor(({value_expr} - b.mn)
+                                 / ((b.mx - b.mn) / {float(bins)!r})) AS INT),
+                                   {bins - 1})
+                   END AS bkt
+            FROM {src_cte} s JOIN bounds b USING ({g})
+        ),
+        hist AS (
+            SELECT {g}, mn, mx, n, bkt, count(*) AS c
+            FROM binned GROUP BY {g}, mn, mx, n, bkt
+        ),
+        cum AS (
+            SELECT *, sum(c) OVER (PARTITION BY {g} ORDER BY bkt
+                         ROWS UNBOUNDED PRECEDING) AS cm
+            FROM hist
+        ),
+        probes AS (
+            SELECT cum.*, q,
+                   greatest(1, CAST(ceil(q * n) AS BIGINT)) AS target
+            FROM cum, (VALUES {qvals}) AS qs(q)
+        )
+        SELECT {g}, q,
+               round(CASE WHEN mx = mn THEN mn
+                          ELSE mn + (bkt + (target - (cm - c)) * 1.0 / c)
+                               * ((mx - mn) / {float(bins)!r})
+                     END, 6) AS est_q
+        FROM probes
+        WHERE cm >= target AND cm - c < target
+    """

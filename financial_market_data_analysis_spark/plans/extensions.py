@@ -2280,9 +2280,16 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-portable)."""
     import financial_market_data_analysis_spark.operators.sketches as SK
 
-    grams = load_table(spark, "documents", sf_dir).select(
-        "source",
-        F.explode(T.all_grams(T.tokens("text"), 2)).alias("gram"),
+    # materialize the token ARRAY before the gram transform (a raw
+    # tokens(text) expression re-evaluates the regexp under every
+    # element_at the gram builder emits — measured 7 s → 0.5 s at
+    # sf0.1), and spread the single-file scan before the CPU-heavy
+    # explode (ensure_parallelism, the dedup-module convention)
+    toks = D.ensure_parallelism(
+        load_table(spark, "documents", sf_dir)
+    ).select("source", T.tokens("text").alias("__toks"))
+    grams = toks.select(
+        "source", F.explode(T.all_grams(F.col("__toks"), 2)).alias("gram")
     )
     return SK.kmv_distinct(grams, "gram", ["source"])
 
@@ -2394,10 +2401,12 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     bench = d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
-    train = docs_augmented(spark, sf_dir).filter(
-        ~(
-            (F.col("doc_id") % DECON_BENCH_MOD == 0)
-            & (F.col("doc_id") < DUP_OFFSET)
+    train = D.ensure_parallelism(
+        docs_augmented(spark, sf_dir).filter(
+            ~(
+                (F.col("doc_id") % DECON_BENCH_MOD == 0)
+                & (F.col("doc_id") < DUP_OFFSET)
+            )
         )
     )
     bench_sh = (
@@ -2405,6 +2414,8 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench_sh = bench_sh.localCheckpoint(eager=False)  # feeds bits + exact
     bits = SK.bloom_bits(bench_sh, "shingle")
+    # the corpus-side shingle fold is the CPU-heavy stage — spread the
+    # single-file scan across slots before it (ensure_parallelism)
     tsh = D.shingle_table(train).localCheckpoint(eager=False)
     maybe = SK.bloom_maybe_member(tsh, bits, "shingle")
     bloom_cnt = (
@@ -2543,13 +2554,14 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     import financial_market_data_analysis_spark.operators.sketches as SK
 
     k = SK.KMV_K
-    grams = (
-        load_table(spark, "documents", sf_dir)
-        .filter(F.col("source").isin(*SETOPS_SOURCES))
-        .select(
-            "source",
-            F.explode(T.all_grams(T.tokens("text"), 2)).alias("gram"),
+    # same token-array materialization + scan spread as x51
+    toks = D.ensure_parallelism(
+        load_table(spark, "documents", sf_dir).filter(
+            F.col("source").isin(*SETOPS_SOURCES)
         )
+    ).select("source", T.tokens("text").alias("__toks"))
+    grams = toks.select(
+        "source", F.explode(T.all_grams(F.col("__toks"), 2)).alias("gram")
     )
     grams = grams.localCheckpoint(eager=False)  # feeds sketch + truth
     sk = SK.kmv_bottomk(grams, "gram", ["source"], k=k).localCheckpoint(
@@ -2666,4 +2678,101 @@ def kmv_setops_oracle() -> str:
                                * ({float(k - 1)!r} / e.u_k), 4)
                          - t.true_inter) / t.true_inter, 4) AS err_inter
         FROM est e, truth t
+    """
+
+
+X57_TOPK = 5
+X57_QUERY_MOD = 100  # every 100th original doc is a search query
+
+
+def q_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x57 — top-k similar-DOCUMENT search: the text-side analog of
+    the ANN family (x8/x11/x12 search embeddings; this searches the
+    corpus itself). Query docs (every 100th original — each has an
+    injected near-dup in the augmented corpus, so there is a true hit
+    to find) band-join into the corpus LSH buckets exactly like x6,
+    the candidates are exact-Jaccard re-ranked, and the top-5 per
+    query are returned with their rank.
+
+    Scale shape: the query side's bands are TINY and broadcast — the
+    corpus is banded once (row-local folds), never self-joined; the
+    verify stage is candidate-bounded like every LSH path. This is
+    the retrieval topology of a dedup-aware training-data search
+    service ("what in the corpus is this eval item leaking from?"),
+    one rung past x22's boolean decontamination flag."""
+    aug = docs_augmented(spark, sf_dir)
+    corpus = D.ensure_parallelism(aug)
+    sh_arr = D.shingle_arrays(corpus)
+    # bands feed both the corpus side and (filtered) the query side —
+    # checkpoint so the k-fold md5 signature work runs once
+    bands = D.lsh_bands(sh_arr).localCheckpoint(eager=False)
+    qbands = bands.filter(
+        (F.col("doc_id") % X57_QUERY_MOD == 0)
+        & (F.col("doc_id") < DUP_OFFSET)
+    ).select(
+        F.col("doc_id").alias("doc_a"), "band", "band_hash"
+    )
+    cand = (
+        bands.join(F.broadcast(qbands), ["band", "band_hash"])
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    scored = D.jaccard_verify(cand, aug)
+    w = Window.partitionBy("doc_a").orderBy(F.desc("jaccard"), "doc_b")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= X57_TOPK)
+        .select(
+            F.col("doc_a").alias("query_id"),
+            F.col("doc_b").alias("hit_id"),
+            "n_inter",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def doc_search_oracle() -> str:
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE}),
+        sh AS ({_shingles_sql("aug")}),
+        {_seeded_bands_cte()},
+        qb AS (
+            SELECT doc_id, band, band_hash FROM bands
+            WHERE doc_id % {X57_QUERY_MOD} = 0 AND doc_id < {DUP_OFFSET}
+        ),
+        cand AS (
+            SELECT DISTINCT q.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM qb q JOIN bands b
+              ON q.band = b.band AND q.band_hash = b.band_hash
+             AND b.doc_id <> q.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        scored AS (
+            SELECT c.doc_a, c.doc_b,
+                   COALESCE(i.n_inter, 0) AS n_inter,
+                   CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                       / CAST(sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)
+                              AS DOUBLE) AS jaccard
+            FROM cand c
+            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+            JOIN sizes sa ON sa.doc_id = c.doc_a
+            JOIN sizes sb ON sb.doc_id = c.doc_b
+        )
+        SELECT doc_a AS query_id, doc_b AS hit_id, n_inter,
+               round(jaccard, 6) AS jaccard, CAST(rnk AS INT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {X57_TOPK}
     """

@@ -207,3 +207,45 @@ def test_weighted_sample_favors_heavy_docs(spark):
         "SELECT avg(n_chars) FROM '/root/testdata/sf0.001/documents.parquet'"
     ).fetchone()[0]
     assert sample["n_chars"].mean() > corpus_mean
+
+
+def test_histogram_quantiles_on_uniform_grid(spark):
+    # values 1..64 with 64 bins: ceil(q*n) lands exactly; estimate must
+    # be within one bucket width of the exact rank value
+    rows = [("g", float(v)) for v in range(1, 65)]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = {
+        r.q: r.est_q
+        for r in SK.histogram_quantiles(df, "v", ["g"], bins=64).collect()
+    }
+    assert abs(out[0.5] - 32.0) <= 1.0
+    assert abs(out[0.95] - 61.0) <= 1.0
+    assert abs(out[0.99] - 64.0) <= 1.0
+
+
+def test_histogram_quantiles_degenerate_group(spark):
+    # min == max: every estimate is the constant
+    df = spark.createDataFrame([("g", 7.0)] * 5, "g STRING, v DOUBLE")
+    out = SK.histogram_quantiles(df, "v", ["g"]).collect()
+    assert len(out) == 3 and all(r.est_q == 7.0 for r in out)
+
+
+def test_auc_rank_formula_against_known_case(spark):
+    # perfectly separated scores → AUC 1; with one tie pair straddling
+    # the classes the midrank convention gives 0.875 (U = 3.5 of 4)
+    from pyspark.sql import Window as W2
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "p DOUBLE, up INT")
+        r = F.rank().over(W2.orderBy("p"))
+        c = F.count(F.lit(1)).over(W2.partitionBy("p"))
+        mr = r + (c - F.lit(1)) / F.lit(2.0)
+        a = df.select("up", mr.alias("mr")).agg(
+            F.sum("up").alias("n1"),
+            F.sum(1 - F.col("up")).alias("n0"),
+            F.sum(F.when(F.col("up") == 1, F.col("mr"))).alias("s"),
+        ).collect()[0]
+        return (a.s - a.n1 * (a.n1 + 1) / 2.0) / (a.n1 * a.n0)
+
+    assert auc_of([(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)]) == 1.0
+    assert auc_of([(0.1, 0), (0.5, 0), (0.5, 1), (0.9, 1)]) == 0.875
