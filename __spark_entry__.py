@@ -1224,36 +1224,44 @@ ML3_WEIGHTS = (0.02, -0.015, 0.01, -0.005)  # on close_lag{0..3} − close_lag4
 ML3_BIAS = 0.1
 
 
-def _ml3_score_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ML scoring-parity: logistic serving path over the ml1 lag matrix
-    with FIXED coefficients — ``p = 1/(1+exp(−(w·x + b)))``, features
-    ``close_lag{j} − close_lag4``. The DuckDB twin computes the
-    identical closed form, rounded to 6 decimals on both sides (the
-    x19/x33 float precedent), so the prediction path — the reference's
-    predict.py inference semantics — gets a hard value-hash signal.
-    MLlib *training* remains rows-only by design (ml2); a pytest
-    separately asserts MLlib's own transform() equals this closed form
-    given the fitted model's coefficients."""
+def _ml3_scored(
+    spark: SparkSession, sf_dir: str, with_label: bool = False
+) -> DataFrame:
+    """The ONE fixed-coefficient logistic scorer pipeline behind
+    ml3/ml4/ml6/ml7 (candles → lag matrix → dropna → [next-bar label]
+    → ``prob`` = 1/(1+exp(−(w·x+b)))), extracted so a retune of the
+    coefficient handling cannot silently diverge the four twins (the
+    ``_ewma_rank_sql`` precedent, r6 review). ``prob`` is UNROUNDED —
+    each consumer decides its rounding; ``with_label`` appends
+    ``next_close`` and drops the final unlabeled bar (the dropped
+    lag-null rows are a strict prefix, so the LEAD is unaffected)."""
     from financial_market_data_analysis_spark.ml import lag_matrix
 
     c = candles_from_events(load_table(spark, "events", sf_dir))
     m = lag_matrix(c, "close", 5, ["bucket_start"]).dropna(
         subset=[f"close_lag{j}" for j in range(5)]
     )
+    if with_label:
+        w = SW.orderBy("bucket_start")
+        m = m.withColumn("next_close", F.lead("close").over(w)).filter(
+            F.col("next_close").isNotNull()
+        )
     raw = F.lit(ML3_BIAS)
-    for j, w in enumerate(ML3_WEIGHTS):
-        raw = raw + F.lit(w) * (F.col(f"close_lag{j}") - F.col("close_lag4"))
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
-    return m.select(
-        "bucket_start",
-        F.round(prob, 6).alias("prob_up"),
-        (prob > 0.5).cast("int").alias("pred_up"),
+    for j, wt in enumerate(ML3_WEIGHTS):
+        raw = raw + F.lit(wt) * (F.col(f"close_lag{j}") - F.col("close_lag4"))
+    return m.withColumn(
+        "prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
     )
 
 
-def _ml3_oracle() -> str:
-    """DuckDB twin of _ml3_score_parity: identical closed-form logistic
-    scoring over the same lag matrix, rounded to 6 decimals."""
+_ML3_LAGS_OK = " AND ".join(
+    f"close_lag{j} IS NOT NULL" for j in range(5)
+)
+
+
+def _ml3_sql_parts(with_label: bool = False) -> tuple[str, str]:
+    """(m-CTE chain, prob expression) — the single SQL twin of
+    ``_ml3_scored`` shared by all four ml oracles."""
     lags = ",\n                   ".join(
         f"lag(close, {j}) OVER (ORDER BY bucket_start) AS close_lag{j}"
         for j in range(5)
@@ -1262,22 +1270,52 @@ def _ml3_oracle() -> str:
         f"({w}) * (close_lag{j} - close_lag4)"
         for j, w in enumerate(ML3_WEIGHTS)
     )
-    raw = f"({ML3_BIAS} + {terms})"
-    prob = f"(1.0 / (1.0 + exp(-{raw})))"
-    return f"""
-        WITH candles AS ({candles_oracle_sql()}),
+    prob = f"(1.0 / (1.0 + exp(-({ML3_BIAS} + {terms}))))"
+    lead = (
+        "lead(close) OVER (ORDER BY bucket_start) AS next_close,\n"
+        "                   "
+        if with_label
+        else ""
+    )
+    cte = f"""candles AS ({candles_oracle_sql()}),
         m AS (
-            SELECT bucket_start,
-                   {lags}
+            SELECT bucket_start, close,
+                   {lead}{lags}
             FROM candles
-        )
+        )"""
+    return cte, prob
+
+
+def _ml3_score_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML scoring-parity: logistic serving path over the ml1 lag matrix
+    with FIXED coefficients (the shared ``_ml3_scored`` pipeline) —
+    ``p = 1/(1+exp(−(w·x + b)))``, features ``close_lag{j} −
+    close_lag4``. The DuckDB twin computes the identical closed form,
+    rounded to 6 decimals on both sides (the x19/x33 float precedent),
+    so the prediction path — the reference's predict.py inference
+    semantics — gets a hard value-hash signal. MLlib *training*
+    remains rows-only by design (ml2); a pytest separately asserts
+    MLlib's own transform() equals this closed form given the fitted
+    model's coefficients."""
+    s = _ml3_scored(spark, sf_dir)
+    return s.select(
+        "bucket_start",
+        F.round("prob", 6).alias("prob_up"),
+        (F.col("prob") > 0.5).cast("int").alias("pred_up"),
+    )
+
+
+def _ml3_oracle() -> str:
+    """DuckDB twin of _ml3_score_parity: identical closed-form logistic
+    scoring over the same lag matrix, rounded to 6 decimals."""
+    cte, prob = _ml3_sql_parts()
+    return f"""
+        WITH {cte}
         SELECT bucket_start,
                round({prob}, 6) AS prob_up,
                CAST({prob} > 0.5 AS INT) AS pred_up
         FROM m
-        WHERE close_lag0 IS NOT NULL AND close_lag1 IS NOT NULL
-          AND close_lag2 IS NOT NULL AND close_lag3 IS NOT NULL
-          AND close_lag4 IS NOT NULL
+        WHERE {_ML3_LAGS_OK}
     """
 
 
@@ -1337,6 +1375,7 @@ def _t12_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds estimate probe + join
     )
     top = counts.orderBy(F.desc("cnt"), "tok").limit(20)
     est = SK.countmin_estimate(sketch, top.select("tok"), "tok")
@@ -1398,21 +1437,10 @@ def _ml6_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (predict.py stops at argmax; this is the score-quality view a
     production scorer ships with). One distributed aggregation; bins
     come from the ROUNDED probability (the ml3-adjudicated value), so
-    bin edges are decided on identical doubles in both engines."""
-    from financial_market_data_analysis_spark.ml import lag_matrix
-
-    c = candles_from_events(load_table(spark, "events", sf_dir))
-    m = lag_matrix(c, "close", 5, ["bucket_start"]).dropna(
-        subset=[f"close_lag{j}" for j in range(5)]
-    )
-    w = SW.orderBy("bucket_start")
-    m = m.withColumn("next_close", F.lead("close").over(w)).filter(
-        F.col("next_close").isNotNull()
-    )
-    raw = F.lit(ML3_BIAS)
-    for j, wt in enumerate(ML3_WEIGHTS):
-        raw = raw + F.lit(wt) * (F.col(f"close_lag{j}") - F.col("close_lag4"))
-    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6)
+    bin edges are decided on identical doubles in both engines.
+    Scorer = the shared ``_ml3_scored`` pipeline."""
+    m = _ml3_scored(spark, sf_dir, with_label=True)
+    prob = F.round("prob", 6)
     binned = m.select(
         F.least(
             F.floor(prob * ML6_BINS).cast("int"), F.lit(ML6_BINS - 1)
@@ -1428,23 +1456,10 @@ def _ml6_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ml6_oracle() -> str:
-    lags = ",\n                   ".join(
-        f"lag(close, {j}) OVER (ORDER BY bucket_start) AS close_lag{j}"
-        for j in range(5)
-    )
-    terms = " + ".join(
-        f"({w}) * (close_lag{j} - close_lag4)"
-        for j, w in enumerate(ML3_WEIGHTS)
-    )
-    prob = f"round(1.0 / (1.0 + exp(-({ML3_BIAS} + {terms}))), 6)"
+    cte, p_raw = _ml3_sql_parts(with_label=True)
+    prob = f"round({p_raw}, 6)"
     return f"""
-        WITH candles AS ({candles_oracle_sql()}),
-        m AS (
-            SELECT bucket_start, close,
-                   lead(close) OVER (ORDER BY bucket_start) AS next_close,
-                   {lags}
-            FROM candles
-        ),
+        WITH {cte},
         binned AS (
             SELECT CAST(least(floor({prob} * {ML6_BINS}),
                               {ML6_BINS - 1}) AS INT) AS bin,
@@ -1452,9 +1467,7 @@ def _ml6_oracle() -> str:
                    CAST(next_close > close AS INT) AS up
             FROM m
             WHERE next_close IS NOT NULL
-              AND close_lag0 IS NOT NULL AND close_lag1 IS NOT NULL
-              AND close_lag2 IS NOT NULL AND close_lag3 IS NOT NULL
-              AND close_lag4 IS NOT NULL
+              AND {_ML3_LAGS_OK}
         )
         SELECT bin, CAST(count(*) AS BIGINT) AS n,
                round(avg(p), 6) AS mean_pred,
@@ -1528,23 +1541,11 @@ def _ml7_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is EXACT in doubles and order-independent — the AUC is
     deterministic to the bit, rounded to 6 only for the final ratio.
     Scale note: the rank is a single total order (a8-class); at
-    100 TB partition by symbol/day and publish per-key AUCs."""
-    from financial_market_data_analysis_spark.ml import lag_matrix
-
-    c = candles_from_events(load_table(spark, "events", sf_dir))
-    m = lag_matrix(c, "close", 5, ["bucket_start"]).dropna(
-        subset=[f"close_lag{j}" for j in range(5)]
-    )
-    w = SW.orderBy("bucket_start")
-    m = m.withColumn("next_close", F.lead("close").over(w)).filter(
-        F.col("next_close").isNotNull()
-    )
-    raw = F.lit(ML3_BIAS)
-    for j, wt in enumerate(ML3_WEIGHTS):
-        raw = raw + F.lit(wt) * (F.col(f"close_lag{j}") - F.col("close_lag4"))
-    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6)
+    100 TB partition by symbol/day and publish per-key AUCs.
+    Scorer = the shared ``_ml3_scored`` pipeline."""
+    m = _ml3_scored(spark, sf_dir, with_label=True)
     scored = m.select(
-        p.alias("p"),
+        F.round("prob", 6).alias("p"),
         (F.col("next_close") > F.col("close")).cast("int").alias("up"),
     )
     r = F.rank().over(SW.orderBy("p"))
@@ -1566,31 +1567,16 @@ def _ml7_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ml7_oracle() -> str:
-    lags = ",\n                   ".join(
-        f"lag(close, {j}) OVER (ORDER BY bucket_start) AS close_lag{j}"
-        for j in range(5)
-    )
-    terms = " + ".join(
-        f"({w}) * (close_lag{j} - close_lag4)"
-        for j, w in enumerate(ML3_WEIGHTS)
-    )
-    prob = f"round(1.0 / (1.0 + exp(-({ML3_BIAS} + {terms}))), 6)"
+    cte, p_raw = _ml3_sql_parts(with_label=True)
+    prob = f"round({p_raw}, 6)"
     return f"""
-        WITH candles AS ({candles_oracle_sql()}),
-        m AS (
-            SELECT bucket_start, close,
-                   lead(close) OVER (ORDER BY bucket_start) AS next_close,
-                   {lags}
-            FROM candles
-        ),
+        WITH {cte},
         scored AS (
             SELECT {prob} AS p,
                    CAST(next_close > close AS INT) AS up
             FROM m
             WHERE next_close IS NOT NULL
-              AND close_lag0 IS NOT NULL AND close_lag1 IS NOT NULL
-              AND close_lag2 IS NOT NULL AND close_lag3 IS NOT NULL
-              AND close_lag4 IS NOT NULL
+              AND {_ML3_LAGS_OK}
         ),
         ranked AS (
             SELECT up,
@@ -2030,22 +2016,10 @@ def _ml4_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics block of reference predict.py/train.py, computed in one
     distributed aggregation instead of sklearn on the driver). Bars
     whose next-bar label doesn't exist (the last row) are excluded on
-    both sides; rates rounded to 6 decimals."""
-    from financial_market_data_analysis_spark.ml import lag_matrix
-
-    c = candles_from_events(load_table(spark, "events", sf_dir))
-    m = lag_matrix(c, "close", 5, ["bucket_start"]).dropna(
-        subset=[f"close_lag{j}" for j in range(5)]
-    )
-    w = SW.orderBy("bucket_start")
-    m = m.withColumn("next_close", F.lead("close").over(w)).filter(
-        F.col("next_close").isNotNull()
-    )
-    raw = F.lit(ML3_BIAS)
-    for j, wt in enumerate(ML3_WEIGHTS):
-        raw = raw + F.lit(wt) * (F.col(f"close_lag{j}") - F.col("close_lag4"))
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
-    pred = (prob > 0.5).cast("int")
+    both sides; rates rounded to 6 decimals. Scorer = the shared
+    ``_ml3_scored`` pipeline."""
+    m = _ml3_scored(spark, sf_dir, with_label=True)
+    pred = (F.col("prob") > 0.5).cast("int")
     actual = (F.col("next_close") > F.col("close")).cast("int")
     scored = m.select(pred.alias("pred"), actual.alias("actual"))
     agg = scored.agg(
@@ -2068,31 +2042,15 @@ def _ml4_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ml4_oracle() -> str:
-    lags = ",\n                   ".join(
-        f"lag(close, {j}) OVER (ORDER BY bucket_start) AS close_lag{j}"
-        for j in range(5)
-    )
-    terms = " + ".join(
-        f"({w}) * (close_lag{j} - close_lag4)"
-        for j, w in enumerate(ML3_WEIGHTS)
-    )
-    prob = f"(1.0 / (1.0 + exp(-({ML3_BIAS} + {terms}))))"
+    cte, prob = _ml3_sql_parts(with_label=True)
     return f"""
-        WITH candles AS ({candles_oracle_sql()}),
-        m AS (
-            SELECT bucket_start, close,
-                   lead(close) OVER (ORDER BY bucket_start) AS next_close,
-                   {lags}
-            FROM candles
-        ),
+        WITH {cte},
         scored AS (
             SELECT CAST({prob} > 0.5 AS INT) AS pred,
                    CAST(next_close > close AS INT) AS actual
             FROM m
             WHERE next_close IS NOT NULL
-              AND close_lag0 IS NOT NULL AND close_lag1 IS NOT NULL
-              AND close_lag2 IS NOT NULL AND close_lag3 IS NOT NULL
-              AND close_lag4 IS NOT NULL
+              AND {_ML3_LAGS_OK}
         ),
         agg AS (
             SELECT
@@ -2321,8 +2279,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and x32 adjudicate in-window)
         # (x19 sits past the window: two-rounds driver-green; its TF/DF
         # count tables are the same corpus-count machinery in-window
-        # x37 trains its LM from, and its per-doc ranked top-k is the
-        # bounded-window ranking x46 adjudicates per shard)
+        # x42 trains its interpolated LM from — x37, the direct LM
+        # query, also sits past the window now — and its per-doc
+        # ranked top-k is the bounded-window ranking x46 adjudicates
+        # per shard)
         # (x21 sits past the window: two-rounds driver-green; its
         # regexp detect/redact kernel has no dependent queries and is
         # pytest-covered every session)

@@ -2717,10 +2717,19 @@ def q_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("doc_a"))
         .select("doc_a", F.col("doc_id").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    scored = D.jaccard_verify(cand, aug)
+    # verify cost bounded to candidate docs, and the shingle table is
+    # PERSISTED across jaccard_verify's three references (its
+    # documented caller contract; the x6 pattern) — without this the
+    # whole augmented corpus would be re-shingled three times per run
+    cand_docs = D.ensure_parallelism(
+        aug.join(F.broadcast(D.candidate_ids(cand)), "doc_id")
+    )
+    sh = D.shingle_table(cand_docs).persist()
+    scored = D.jaccard_verify(cand, aug, shingles=sh)
     w = Window.partitionBy("doc_a").orderBy(F.desc("jaccard"), "doc_b")
-    return (
+    out = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= X57_TOPK)
         .select(
@@ -2730,7 +2739,10 @@ def q_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard", 6).alias("jaccard"),
             F.col("rnk").cast("int").alias("rnk"),
         )
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return out
 
 
 def doc_search_oracle() -> str:

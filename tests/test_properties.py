@@ -305,3 +305,81 @@ def test_dup_span_removal_total_and_keeper_invariants(spark, doc_len, n_docs):
     for i in range(1, n_docs):  # disjoint vocabularies: untouched
         assert out[i].n_removed == 0
         assert out[i].clean_digest == hashlib.md5(texts[i].encode()).hexdigest()
+
+
+key_lists = st.lists(
+    st.text(alphabet="abcxyz01", min_size=1, max_size=6),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(key_lists)
+@settings(**_SETTINGS)
+def test_countmin_overestimates_on_random_keys(spark, keys):
+    """CMS one-sided error: for ANY multiset of keys, every point
+    estimate ≥ the true count (Cormode-Muthukrishnan invariant)."""
+    from financial_market_data_analysis_spark.operators import sketches as SK
+
+    counts = (
+        spark.createDataFrame([(k,) for k in keys], "tok STRING")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sketch = SK.countmin_sketch(counts, "tok", "cnt", depth=2, width=4)
+    est = SK.countmin_estimate(
+        sketch, counts.select("tok"), "tok", depth=2, width=4
+    )
+    rows = counts.join(est, "tok").collect()
+    assert rows and all(r.cms_est >= r.cnt for r in rows)
+
+
+@given(key_lists, key_lists)
+@settings(**_SETTINGS)
+def test_bloom_no_false_negatives_on_random_sets(spark, members, probes):
+    """Bloom guarantee on ANY member/probe sets: every member probes
+    as maybe-member (false negatives are structurally impossible)."""
+    from financial_market_data_analysis_spark.operators import sketches as SK
+
+    mdf = spark.createDataFrame([(k,) for k in set(members)], "k STRING")
+    bits = SK.bloom_bits(mdf, "k", m=64, k=2)
+    probe = spark.createDataFrame(
+        [(k,) for k in set(members) | set(probes)], "k STRING"
+    )
+    out = SK.bloom_maybe_member(probe, bits, "k", m=64, k=2).collect()
+    got = {r.k: r.maybe_member for r in out}
+    assert all(got[m] == 1 for m in set(members))
+
+
+@given(key_lists, key_lists)
+@settings(**_SETTINGS)
+def test_kmv_merge_equals_union_sketch_on_random_sets(spark, xs, ys):
+    """Sketch-of-union == merge-of-sketches for ANY two key sets —
+    the mergeability x55's set algebra and any distributed rollup of
+    bottom-k sketches rely on."""
+    from pyspark.sql import Window as W2
+
+    from financial_market_data_analysis_spark.operators import sketches as SK
+
+    k = 8
+    left = spark.createDataFrame([("l", x) for x in set(xs)], "g STRING, k STRING")
+    right = spark.createDataFrame([("r", y) for y in set(ys)], "g STRING, k STRING")
+    both = left.unionByName(right).select(F.lit("u").alias("g"), "k")
+    direct = sorted(
+        r.k for r in SK.kmv_bottomk(both, "k", ["g"], k=k).collect()
+    )
+    merged_vals = (
+        SK.kmv_bottomk(left, "k", ["g"], k=k)
+        .select("k", "__u")
+        .unionByName(SK.kmv_bottomk(right, "k", ["g"], k=k).select("k", "__u"))
+        .distinct()
+    )
+    merged = sorted(
+        r.k
+        for r in merged_vals.withColumn(
+            "rn", F.row_number().over(W2.orderBy("__u", "k"))
+        )
+        .filter(F.col("rn") <= k)
+        .collect()
+    )
+    assert direct == merged
