@@ -2377,6 +2377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # x57 NEW late this round, same status (oracle-bearing,
         # entry-parity-checked every session) — rotate in round 7
         "x57_doc_search": X.q_doc_search,
+        # x58 NEW late this round, same status — rotate in round 7
+        "x58_source_overlap": X.q_source_overlap,
         # -- rotated out this round (multi-round driver-green or, for
         # ml2, five-rounds rows-only; each subsumed per the inline
         # comments above) ----------------------------------------------
@@ -2884,6 +2886,7 @@ def oracle_sql() -> dict[str, str]:
         "a12_hist_quantiles": _a12_oracle(),
         "ml7_auc": _ml7_oracle(),
         "x57_doc_search": X.doc_search_oracle(),
+        "x58_source_overlap": X.source_overlap_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),
         "a11_vwap_daily": _a11_oracle(),

@@ -2788,3 +2788,173 @@ def doc_search_oracle() -> str:
         )
         WHERE rnk <= {X57_TOPK}
     """
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x58 — the full pairwise source-overlap matrix FROM SKETCHES:
+    x55's two-set KMV algebra generalized to every pair of the
+    corpus's sources in ONE plan. Per-source bottom-k sketches
+    (20×k rows total) are pair-exploded against the source-pair list,
+    each pair's merged threshold is the k-th smallest of its two
+    sketches' union, and the intersection estimate is
+    (common-under-threshold / k) × (k−1)/u_k — published next to the
+    exact pairwise intersection so all 190 error cells are measured.
+
+    This is the "which crawls share vocabulary" matrix a corpus-mix
+    decision consumes; at 100 TB the exact half disappears and the
+    sketches (KBs per source, computed in the same pass as x51) are
+    the ONLY thing pairwise-joined — the matrix costs O(pairs × k)
+    regardless of corpus size, the entire point of the sketch tier."""
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    k = SK.KMV_K
+    toks = D.ensure_parallelism(
+        load_table(spark, "documents", sf_dir)
+    ).select("source", T.tokens("text").alias("__toks"))
+    grams = toks.select(
+        "source", F.explode(T.all_grams(F.col("__toks"), 2)).alias("gram")
+    ).localCheckpoint(eager=False)  # feeds sketches + exact truth
+    sk = SK.kmv_bottomk(grams, "gram", ["source"], k=k).localCheckpoint(
+        eager=False
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    # per-pair union of the two sketches' (gram, u) values — two
+    # equi-joins unioned (an OR join condition would plan as a nested
+    # loop; equi-keyed it broadcasts the 190-row pair list)
+    skv = sk.select("source", "gram", "__u")
+    union_rows = (
+        pairs.join(skv, F.col("source") == F.col("source_a"))
+        .select("source_a", "source_b", "gram", "__u")
+        .unionByName(
+            pairs.join(skv, F.col("source") == F.col("source_b")).select(
+                "source_a", "source_b", "gram", "__u"
+            )
+        )
+        .distinct()
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy("__u", "gram")
+    merged = union_rows.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= k
+    )
+    # grams present in BOTH sketches of the pair
+    a = sk.select(F.col("source").alias("source_a"), "gram")
+    b = sk.select(F.col("source").alias("source_b"), "gram")
+    both = a.join(b, "gram").filter(F.col("source_a") < F.col("source_b"))
+    est = (
+        merged.join(
+            both.withColumn("__in_both", F.lit(1)),
+            ["source_a", "source_b", "gram"],
+            "left",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.max(F.when(F.col("rn") == k, F.col("__u"))).alias("u_k"),
+            F.sum(F.coalesce("__in_both", F.lit(0))).alias("d_common"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                (F.col("d_common") / F.lit(k))
+                * (F.lit(float(k - 1)) / F.col("u_k")),
+                4,
+            ).alias("est_inter"),
+        )
+    )
+    dk = grams.distinct()
+    ta = dk.select(F.col("source").alias("source_a"), "gram")
+    tb = dk.select(F.col("source").alias("source_b"), "gram")
+    truth = (
+        ta.join(tb, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("true_inter"))
+    )
+    return est.join(truth, ["source_a", "source_b"]).select(
+        "source_a",
+        "source_b",
+        "true_inter",
+        "est_inter",
+        F.round(
+            F.abs(F.col("est_inter") - F.col("true_inter"))
+            / F.col("true_inter"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def source_overlap_oracle() -> str:
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    k = SK.KMV_K
+    h = SK.md5_long_sql("'kmv:' || gram", SK.KMV_HEX)
+    return f"""
+        WITH grams AS (
+            SELECT source, unnest({T._all_grams_sql(2)}) AS gram
+            FROM (SELECT source, {T.tokens_sql()} AS toks FROM documents)
+        ),
+        dk AS (SELECT DISTINCT source, gram FROM grams),
+        hashed AS (
+            SELECT source, gram, {h} / {SK.KMV_SCALE!r} AS u FROM dk
+        ),
+        sk AS (
+            SELECT source, gram, u,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY u, gram) AS rn
+            FROM hashed
+            QUALIFY rn <= {k}
+        ),
+        srcs AS (SELECT DISTINCT source FROM sk),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b
+            FROM srcs a JOIN srcs b ON a.source < b.source
+        ),
+        union_rows AS (
+            SELECT DISTINCT p.source_a, p.source_b, s.gram, s.u
+            FROM pairs p JOIN sk s
+              ON s.source = p.source_a OR s.source = p.source_b
+        ),
+        merged AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY source_a, source_b
+                       ORDER BY u, gram) AS mrn
+            FROM union_rows
+            QUALIFY mrn <= {k}
+        ),
+        inboth AS (
+            SELECT a.source AS source_a, b.source AS source_b, a.gram
+            FROM sk a JOIN sk b
+              ON a.gram = b.gram AND a.source < b.source
+        ),
+        est AS (
+            SELECT m.source_a, m.source_b,
+                   max(CASE WHEN m.mrn = {k} THEN m.u END) AS u_k,
+                   CAST(sum(CASE WHEN bo.gram IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS d_common
+            FROM merged m
+            LEFT JOIN inboth bo ON bo.source_a = m.source_a
+                             AND bo.source_b = m.source_b
+                             AND bo.gram = m.gram
+            GROUP BY m.source_a, m.source_b
+        ),
+        truth AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS true_inter
+            FROM dk a JOIN dk b
+              ON a.gram = b.gram AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT t.source_a, t.source_b, t.true_inter,
+               round((e.d_common / {k})
+                     * ({float(k - 1)!r} / e.u_k), 4) AS est_inter,
+               round(abs(round((e.d_common / {k})
+                               * ({float(k - 1)!r} / e.u_k), 4)
+                         - t.true_inter) / t.true_inter, 4) AS rel_err
+        FROM est e JOIN truth t
+          ON e.source_a = t.source_a AND e.source_b = t.source_b
+    """
