@@ -1426,6 +1426,64 @@ def _w19_oracle(period: int = 20) -> str:
     """
 
 
+def _w20_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W20 — Ichimoku overlay (operators/windows.py ``ichimoku``):
+    tenkan/kijun midlines over 9/26-bar frames and the two cloud
+    spans as visible at each bar (the chart's 26-bar forward
+    displacement expressed causally as a LAG — no future-looking
+    column). Midlines are frame extrema averaged — deterministic to
+    the bit, rounded to 6 for the published columns; rows where any
+    frame or displaced span is incomplete are trimmed on both
+    sides."""
+    out = W.ichimoku(_candles(spark, sf_dir), "high", "low", _ORDER)
+    return out.filter(F.col("senkou_b").isNotNull()).select(
+        "bucket_start",
+        "close",
+        F.round("tenkan_sen", 6).alias("tenkan_sen"),
+        F.round("kijun_sen", 6).alias("kijun_sen"),
+        F.round("senkou_a", 6).alias("senkou_a"),
+        F.round("senkou_b", 6).alias("senkou_b"),
+    )
+
+
+def _w20_oracle(tenkan: int = 9, kijun: int = 26, senkou: int = 52) -> str:
+    def mid(p: int) -> str:
+        return (
+            f"CASE WHEN rn >= {p} THEN "
+            f"(max(high) OVER (ORDER BY bucket_start ROWS BETWEEN "
+            f"{p - 1} PRECEDING AND CURRENT ROW) + "
+            f"min(low) OVER (ORDER BY bucket_start ROWS BETWEEN "
+            f"{p - 1} PRECEDING AND CURRENT ROW)) / 2.0 END"
+        )
+
+    return f"""
+        {_CANDLES_CTE},
+        m AS (
+            SELECT bucket_start, close,
+                   {mid(tenkan)} AS tenkan_sen,
+                   {mid(kijun)} AS kijun_sen,
+                   {mid(senkou)} AS sb_now
+            FROM (SELECT bucket_start, close, high, low,
+                         row_number() OVER (ORDER BY bucket_start) AS rn
+                  FROM candles)
+        ),
+        d AS (
+            SELECT bucket_start, close, tenkan_sen, kijun_sen,
+                   lag((tenkan_sen + kijun_sen) / 2.0, {kijun})
+                       OVER (ORDER BY bucket_start) AS senkou_a,
+                   lag(sb_now, {kijun})
+                       OVER (ORDER BY bucket_start) AS senkou_b
+            FROM m
+        )
+        SELECT bucket_start, close,
+               round(tenkan_sen, 6) AS tenkan_sen,
+               round(kijun_sen, 6) AS kijun_sen,
+               round(senkou_a, 6) AS senkou_a,
+               round(senkou_b, 6) AS senkou_b
+        FROM d WHERE senkou_b IS NOT NULL
+    """
+
+
 ML6_BINS = 10
 
 
@@ -2379,6 +2437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x57_doc_search": X.q_doc_search,
         # x58 NEW late this round, same status — rotate in round 7
         "x58_source_overlap": X.q_source_overlap,
+        # w20 NEW late this round, same status — rotate in round 7
+        "w20_ichimoku": _w20_ichimoku,
         # -- rotated out this round (multi-round driver-green or, for
         # ml2, five-rounds rows-only; each subsumed per the inline
         # comments above) ----------------------------------------------
@@ -2887,6 +2947,7 @@ def oracle_sql() -> dict[str, str]:
         "ml7_auc": _ml7_oracle(),
         "x57_doc_search": X.doc_search_oracle(),
         "x58_source_overlap": X.source_overlap_oracle(),
+        "w20_ichimoku": _w20_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),
         "a11_vwap_daily": _a11_oracle(),

@@ -642,3 +642,52 @@ def donchian_channel(
             .otherwise(F.lit(0)),
         ),
     )
+
+
+def ichimoku(
+    df: DataFrame,
+    high_col: str,
+    low_col: str,
+    order_cols: Sequence[str | Column],
+    tenkan: int = 9,
+    kijun: int = 26,
+    senkou: int = 52,
+    partition_cols: Sequence[str | Column] = (),
+) -> DataFrame:
+    """W20 — Ichimoku overlay AS VISIBLE AT EACH BAR: tenkan-sen and
+    kijun-sen are (frame-max(high)+frame-min(low))/2 over their
+    respective trailing frames, and the two senkou (cloud) spans are
+    the values COMPUTED ``kijun`` bars ago (the chart's forward
+    displacement, expressed causally as a LAG so every output row
+    contains exactly what a trader sees at that bar — no
+    future-looking column). Completes the overlay family next to W4
+    (deviation), W18 (range), W19 (EWMA+ATR).
+
+    All midlines are max/min selects averaged — two raw doubles and a
+    halving, deterministic to the bit; warm-up rows where any frame or
+    displaced value is incomplete are NULL (frame-count gated like
+    every trimmed W-operator). Partitionable per symbol."""
+    wo = ordered_window(order_cols, partition_cols)
+
+    def mid(period: int) -> Column:
+        w = trailing_window(order_cols, period - 1, partition_cols)
+        cnt = F.count(F.col(high_col)).over(w)
+        return F.when(
+            cnt >= period,
+            (F.max(F.col(high_col)).over(w) + F.min(F.col(low_col)).over(w))
+            / F.lit(2.0),
+        )
+
+    df = df.withColumns(
+        {
+            "tenkan_sen": mid(tenkan),
+            "kijun_sen": mid(kijun),
+            "__senkou_b_now": mid(senkou),
+        }
+    )
+    span_a_now = (F.col("tenkan_sen") + F.col("kijun_sen")) / F.lit(2.0)
+    return (
+        df.withColumn("senkou_a", F.lag(span_a_now, kijun).over(wo))
+        .withColumn("senkou_b", F.lag("__senkou_b_now", kijun).over(wo))
+        .drop("__senkou_b_now")
+    )

@@ -60,3 +60,22 @@ def test_full_row_width_and_registry_columns(spark):
               "bid_6_size", "ask_3", "delta_MA12", "up2"):
         assert c in df.columns, c
     assert df.count() > 0
+
+
+def test_adjudication_window_boundary_is_stable():
+    """The driver adjudicates the FIRST 50 queries() entries; the
+    rotation comments in __spark_entry__.py are load-bearing only if
+    the boundary stays where they say it is. Guard the invariant so an
+    accidental dict reorder fails fast (gen_queries_md.py asserts the
+    same at doc-generation time; this catches it in every test run)."""
+    import __spark_entry__ as e
+
+    keys = list(e.queries())
+    assert keys[49] == "x49_cluster_keeper", keys[45:52]
+    # every oracle key maps to a query, and rows-only set is exactly
+    # the three documented queries
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(keys)
+    assert set(keys) - set(oracles) == {
+        "ml5_window_mlp", "ml2_train_metrics", "x6b_minhash_xxhash"
+    }
