@@ -70,16 +70,62 @@ def main() -> None:
                 timings[name] = elapsed
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Persist the COMPLETE per-query map as a first-class artifact. The
+    # driver's BENCH_r{N}.json keeps only the last 2,000 chars of
+    # stdout and json-parses the final line, so once the catalog passed
+    # ~70 queries the full inline map stopped surviving (r4-r6 recorded
+    # parsed=null). BENCH_FULL.json in the repo is the source of truth
+    # for per-query regression adjudication; the stdout line below is
+    # sized to fit the driver's tail so its parsed summary works again.
+    full = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "passes": passes,
+        "sf": sf_val,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
+
+    # Inline map: slowest queries first (the ones regression review
+    # cares about), truncated so the whole line stays under the
+    # driver's 2,000-char tail. The full map is in BENCH_FULL.json.
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    line_queries: dict[str, float] = {}
+    budget = 1900 - len(json.dumps(
+        {**{k: v for k, v in full.items() if k != "queries"},
+         "queries": {}, "queries_full_file": "BENCH_FULL.json"},
+        separators=(",", ":")))
+    used = 0
+    for name, secs in ranked:
+        cost = len(name) + len(json.dumps(secs)) + 4  # "name":val,
+        if used + cost > budget:
+            break
+        line_queries[name] = secs
+        used += cost
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": line_queries,
+                "n_queries": len(timings),
+                "queries_full_file": "BENCH_FULL.json",
                 "passes": passes,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -233,6 +233,7 @@ def lsh_bands(
     n_hashes: int = N_MINHASH,
     band_size: int = BAND_SIZE,
     hash_method: str = "md5",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, band, band_hash) — row-local banding over the shingle-array
     table: band hash = hash of the band's minhashes in seed order,
@@ -241,16 +242,27 @@ def lsh_bands(
     ``hash_method="oph-md5"`` switches to one-permutation hashing:
     shingles are digested ONCE and bucketed into the k signature slots
     (see ``oph_band_structs``) instead of paying k independent folds.
+
+    ``carry_cols`` passes extra ``src`` columns through to the output
+    unchanged — the streaming ingest gate (t13) carries ``sh_arr``
+    itself so the downstream stream-static probe can Jaccard-verify
+    ROW-LOCALLY at join time (a streaming side cannot join back to its
+    own shingle table: that would be a stream-stream self-join).
     """
+    carry = [F.col(c) for c in carry_cols]
     if hash_method == "oph-md5":
         hashed = F.transform(
             F.col("sh_arr"), lambda s: F.md5(s.cast("binary"))
         )
         pre = (
             src.select(
-                F.col(id_col), oph_bucketed(hashed, n_hashes).alias("__hb")
+                F.col(id_col), *carry,
+                oph_bucketed(hashed, n_hashes).alias("__hb"),
             )
-            .select(F.col(id_col), oph_slots("__hb", n_hashes).alias("__sl"))
+            .select(
+                F.col(id_col), *carry,
+                oph_slots("__hb", n_hashes).alias("__sl"),
+            )
         )
         structs = []
         for b in range(n_hashes // band_size):
@@ -263,9 +275,11 @@ def lsh_bands(
                 F.struct(F.lit(b).alias("band"), bh.alias("band_hash"))
             )
         return pre.select(
-            F.col(id_col), F.explode(F.array(*structs)).alias("bb")
+            F.col(id_col), *carry, F.explode(F.array(*structs)).alias("bb")
         ).select(
-            id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+            id_col, *carry_cols,
+            F.col("bb.band").alias("band"),
+            F.col("bb.band_hash").alias("band_hash"),
         )
     structs = []
     for b in range(n_hashes // band_size):
@@ -277,8 +291,12 @@ def lsh_bands(
             bh = F.xxhash64(*mhs).cast("string")
         structs.append(F.struct(F.lit(b).alias("band"), bh.alias("band_hash")))
     return src.select(
-        F.col(id_col), F.explode(F.array(*structs)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+        F.col(id_col), *carry, F.explode(F.array(*structs)).alias("bb")
+    ).select(
+        id_col, *carry_cols,
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
 
 
 def band_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:

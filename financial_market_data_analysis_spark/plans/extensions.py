@@ -264,18 +264,24 @@ def _oph_bands_cte() -> str:
     """
 
 
-def _seeded_bands_cte() -> str:
+def _seeded_bands_cte(
+    sh: str = "sh", mh: str = "mh", bands: str = "bands"
+) -> str:
+    """Seeded MinHash band CTE pair over the shingle table ``sh``;
+    CTE names are parameterized so one oracle can band TWO corpora
+    side-by-side (the t13 ingest gate bands the incoming slice and
+    the corpus index independently)."""
     k, bs = D.N_MINHASH, D.BAND_SIZE
     return f"""
-        mh AS (
+        {mh} AS (
             SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
-            FROM sh, generate_series(0, {k - 1}) g(seed)
+            FROM {sh}, generate_series(0, {k - 1}) g(seed)
             GROUP BY doc_id, seed
         ),
-        bands AS (
+        {bands} AS (
             SELECT doc_id, CAST(seed // {bs} AS INT) AS band,
                    md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
-            FROM mh GROUP BY doc_id, seed // {bs}
+            FROM {mh} GROUP BY doc_id, seed // {bs}
         )
     """
 
@@ -2957,4 +2963,106 @@ def source_overlap_oracle() -> str:
                          - t.true_inter) / t.true_inter, 4) AS rel_err
         FROM est e JOIN truth t
           ON e.source_a = t.source_a AND e.source_b = t.source_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# t13 — streaming ingest dedup gate (incoming feed + oracle; the
+# streaming topology itself lives in __spark_entry__.py with the other
+# availableNow harnesses)
+
+T13_RECRAWL_MOD = 83   # every 83rd doc re-arrives verbatim (exact dup)
+T13_FRESH_MOD = 17     # every 17th doc arrives truncated (mostly novel)
+T13_PREFIX_CHARS = 40  # the truncated slice keeps only this prefix
+T13_THRESHOLD = 0.5    # admit/reject Jaccard bound (x6's default)
+
+
+def ingest_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t13 ingest feed: three deterministic arrival slices over the
+    documents corpus — near-duplicates (the ``docs_augmented``
+    injection: suffix-perturbed copies), verbatim re-crawls (exact
+    dups, Jaccard 1.0 against their originals), and truncated
+    40-char-prefix docs (share a few leading shingles with their
+    parent but rarely collide on any LSH band → admitted as novel).
+    Ids are offset per slice so all three coexist; every slice keeps
+    ≥ SHINGLE tokens (fixture docs are ≥10 tokens), so every incoming
+    doc produces band rows and appears in the gate's output."""
+    d = load_table(spark, "documents", sf_dir)
+    near = d.filter(F.col("doc_id") % DOC_DUP_MOD == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(DUP_SUFFIX)).alias("text"),
+    )
+    recrawl = d.filter(F.col("doc_id") % T13_RECRAWL_MOD == 0).select(
+        (F.col("doc_id") + 2 * DUP_OFFSET).alias("doc_id"), "text"
+    )
+    fresh = d.filter(F.col("doc_id") % T13_FRESH_MOD == 0).select(
+        (F.col("doc_id") + 3 * DUP_OFFSET).alias("doc_id"),
+        F.substring("text", 1, T13_PREFIX_CHARS).alias("text"),
+    )
+    return near.unionByName(recrawl).unionByName(fresh)
+
+
+_T13_INCOMING_CTE = f"""
+    SELECT doc_id + {DUP_OFFSET} AS doc_id, text || '{DUP_SUFFIX}' AS text
+    FROM documents WHERE doc_id % {DOC_DUP_MOD} = 0
+    UNION ALL
+    SELECT doc_id + {2 * DUP_OFFSET}, text
+    FROM documents WHERE doc_id % {T13_RECRAWL_MOD} = 0
+    UNION ALL
+    SELECT doc_id + {3 * DUP_OFFSET}, substr(text, 1, {T13_PREFIX_CHARS})
+    FROM documents WHERE doc_id % {T13_FRESH_MOD} = 0
+"""
+
+
+def ingest_gate_oracle() -> str:
+    """Batch twin of the t13 streamed gate: band the incoming slice and
+    the corpus independently, candidate = any shared (band, band_hash),
+    score exact Jaccard, keep the best match per incoming doc (ties →
+    min corpus id — the same ordering the engine's max-struct encodes),
+    and flag ``is_dup`` at the T13_THRESHOLD bound. Incoming docs with
+    no band collision stay in the output with a NULL match."""
+    return f"""
+        WITH incoming AS ({_T13_INCOMING_CTE}),
+        sh_i AS ({_shingles_sql("incoming")}),
+        sh_c AS ({_shingles_sql("documents")}),
+        {_seeded_bands_cte("sh_i", "mh_i", "bands_i")},
+        {_seeded_bands_cte("sh_c", "mh_c", "bands_c")},
+        sizes_i AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+            FROM sh_i GROUP BY doc_id
+        ),
+        sizes_c AS (SELECT doc_id, count(*) AS n_sh FROM sh_c GROUP BY doc_id),
+        cand AS (
+            SELECT DISTINCT i.doc_id AS in_id, c.doc_id AS corp_id
+            FROM bands_i i JOIN bands_c c USING (band, band_hash)
+        ),
+        inter AS (
+            SELECT c.in_id, c.corp_id, count(*) AS n_inter
+            FROM cand c
+            JOIN sh_i a ON a.doc_id = c.in_id
+            JOIN sh_c b ON b.doc_id = c.corp_id AND b.shingle = a.shingle
+            GROUP BY c.in_id, c.corp_id
+        ),
+        scored AS (
+            SELECT c.in_id, c.corp_id,
+                   COALESCE(i.n_inter, 0)
+                   / (si.n_sh + sc.n_sh - COALESCE(i.n_inter, 0)) AS jacc
+            FROM cand c
+            LEFT JOIN inter i ON i.in_id = c.in_id AND i.corp_id = c.corp_id
+            JOIN sizes_i si ON si.doc_id = c.in_id
+            JOIN sizes_c sc ON sc.doc_id = c.corp_id
+        ),
+        best AS (
+            SELECT in_id, corp_id, jacc,
+                   row_number() OVER (
+                       PARTITION BY in_id ORDER BY jacc DESC, corp_id
+                   ) AS rn
+            FROM scored
+        )
+        SELECT si.doc_id, si.n_sh,
+               b.corp_id AS best_match,
+               round(b.jacc, 6) AS best_jaccard,
+               COALESCE(b.jacc >= {T13_THRESHOLD}, FALSE) AS is_dup
+        FROM sizes_i si
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.in_id = si.doc_id
     """

@@ -90,6 +90,70 @@ def test_train_window_classifier_runs(spark):
     )
 
 
+def test_ml2_seeded_fit_accuracy_is_stable(spark):
+    """ml2 is rows-only in the driver contract (an LR fit is not
+    SQL-expressible), so a silent MLlib regression could hide behind
+    "rows=1". Bound that blind spot (r6 verdict #3): on the frozen
+    sf0.001 fixture the seeded fit is fully deterministic — two
+    independent fits must produce the IDENTICAL ordered prediction
+    vector, and the held-out accuracy must sit in a tight band around
+    the recorded value (0.70745, 133/188 — re-derive with
+    tools/verify_contract.py's fixture if the testdata ever changes).
+    The band is wide enough for legitimate cross-version float drift
+    yet far above the ~0.5 a broken scaler/assembler would score."""
+    c = candles_from_events(load_table(spark, "events", SF_SMOKE))
+    bars = indicator_suite(c, ["bucket_start"])
+    feats = [
+        "close", "volume", "vol_MA6", "vol_MA20", "price_MA20",
+        "upper_BB_dist", "lower_BB_dist", "stoch", "price_change", "ATR",
+    ]
+    model_a, _, test_a, metrics_a = train_target_classifier(bars, feats)
+    model_b, _, test_b, _ = train_target_classifier(bars, feats)
+    pred_a = [
+        r.prediction
+        for r in model_a.transform(test_a)
+        .select("bucket_start", "prediction").orderBy("bucket_start").collect()
+    ]
+    pred_b = [
+        r.prediction
+        for r in model_b.transform(test_b)
+        .select("bucket_start", "prediction").orderBy("bucket_start").collect()
+    ]
+    assert pred_a == pred_b
+    m = metrics_a.collect()[0]
+    assert m.n_test == 188
+    assert abs(m.accuracy - 0.70745) < 0.05, m.accuracy
+
+
+def test_ml5_seeded_fit_accuracy_is_stable(spark):
+    """Same blind-spot bound for ml5's windowed-MLP fit (r6 verdict
+    #3): identical prediction vector across two seeded fits and
+    accuracy pinned near the recorded 0.73262 (137/187) on the frozen
+    sf0.001 fixture — default hyperparameters, i.e. exactly what
+    q_ml_window_mlp runs."""
+    from financial_market_data_analysis_spark.ml import train_window_classifier
+
+    c = candles_from_events(load_table(spark, "events", SF_SMOKE))
+    bars = indicator_suite(c, ["bucket_start"])
+    feats = ["close", "volume", "vol_MA6", "price_MA20", "ATR"]
+    model_a, _, test_a, metrics_a = train_window_classifier(bars, feats)
+    model_b, _, test_b, _ = train_window_classifier(bars, feats)
+    pred_a = [
+        r.prediction
+        for r in model_a.transform(test_a)
+        .select("bucket_start", "prediction").orderBy("bucket_start").collect()
+    ]
+    pred_b = [
+        r.prediction
+        for r in model_b.transform(test_b)
+        .select("bucket_start", "prediction").orderBy("bucket_start").collect()
+    ]
+    assert pred_a == pred_b
+    m = metrics_a.collect()[0]
+    assert m.n_test == 187
+    assert abs(m.accuracy - 0.73262) < 0.05, m.accuracy
+
+
 def test_mllib_scoring_matches_closed_form(spark):
     """MLlib's LogisticRegressionModel.transform must agree with the
     closed-form ``sigmoid(coef·x + intercept)`` computed from the

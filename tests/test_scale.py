@@ -87,6 +87,71 @@ def test_salted_join_spreads_hot_key(spark):
     assert n_distinct == 8
 
 
+def test_salted_join_skew_stress_parity_and_spread(spark):
+    """r6 verdict #6: the measured skew datapoint. Build a deliberately
+    90%-one-key frame at sf0.01 (9k of 10k event rows forced onto one
+    key), run the salted join, and assert BOTH halves of the skew
+    story: (a) exact value parity with the plain join, and (b) the hot
+    key's rows really do land on many shuffle partitions — the
+    mechanism that keeps one reducer from absorbing 90% of a 100 TB
+    join. AQE is disabled for the measurement (its coalescing folds a
+    10k-row test into one partition, hiding the spread the salt
+    creates; at real scale AQE keeps partitions apart on its own)."""
+    sf01 = "/root/testdata/sf0.01"
+    ev = load_table(spark, "events", sf01).select("event_id", "event_type")
+    skewed = ev.withColumn(
+        "event_type",
+        F.when(F.pmod(F.xxhash64("event_id"), F.lit(10)) < 9, F.lit("hot"))
+        .otherwise(F.col("event_type")),
+    )
+    dim = skewed.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_n"))
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # the test session runs 4 shuffle partitions; the spread claim
+    # needs more reducers than salts to be observable
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Force the SHUFFLE join path: salting only matters when the dim is
+    # too big to broadcast (a broadcast join never shuffles the skewed
+    # side in the first place — at this fixture size Spark would just
+    # broadcast and the partition-spread measurement would be vacuous).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_skew_join(skewed, dim, "event_type", n_salts=16)
+        plain = skewed.join(dim, "event_type")
+        # (a) exact parity, both directions
+        a = salted.select("event_id", "event_type", "type_n")
+        b = plain.select("event_id", "event_type", "type_n")
+        assert a.count() == b.count() == 10000
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        # the frame really is skewed: the hot key carries ~90%
+        hot_n = b.filter(F.col("event_type") == "hot").count()
+        assert hot_n >= 8500, hot_n
+        # (b) the hot key's joined rows occupy many partitions
+        spread = (
+            salted.filter(F.col("event_type") == "hot")
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+        assert spread >= 8, f"hot key landed on only {spread} partitions"
+        # the un-salted plain join concentrates them on exactly one —
+        # the contrast that proves the salt, not the data, spreads it
+        plain_spread = (
+            plain.filter(F.col("event_type") == "hot")
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+        assert plain_spread == 1, plain_spread
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
 def test_full_row_plan_quality(spark):
     """The flagship wide-row plan keeps its scale shape: every feed
     join broadcasts (no sort-merge), filters reach the scans, and the

@@ -5,8 +5,10 @@ catches hidden config dependencies), every `queries()` entry run at
 sf0.01 side-by-side with its DuckDB oracle, columns sorted by name,
 floats compared with rtol=1e-9, timestamps at microsecond precision.
 
-Run:  python tools/verify_contract.py [sf_dir]
-Exit code is non-zero when any query mismatches.
+Run:  python tools/verify_contract.py [sf_dir] [--only q1,q2,...]
+Exit code is non-zero when any query mismatches. ``--only`` restricts
+the run to a comma-separated subset — the per-milestone spot-check
+path; the pre-commit gate is always the full run.
 """
 
 from __future__ import annotations
@@ -29,7 +31,13 @@ def main() -> int:
     import pandas as pd
     from pyspark.sql import SparkSession
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
     spark = SparkSession.builder.master("local[8]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as entry
@@ -42,6 +50,8 @@ def main() -> int:
     oracles = entry.oracle_sql()
     n_ok = n_bad = 0
     for name, fn in entry.queries().items():
+        if only is not None and name not in only:
+            continue
         sdf = fn(spark, sf).toPandas()
         o = oracles.get(name)
         if o is None:
