@@ -2334,13 +2334,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     adjudication set. Per the r6 verdict's #1 ask, the four queries
     that have never had a driver row — t12_stream_countmin,
     x57_doc_search, x58_source_overlap, w20_ichimoku — rotate INTO the
-    window this round; to make room, four multi-round driver-green
-    queries (a9 r5+r6, x30 r4-r6, j2 r3/r4/r6, a8 r3/r4/r6) move past
-    it, each displacement annotated inline where it happens. After
-    this round every oracle-bearing query in the catalog will have had
-    a hard driver signal at least once. Every displaced query stays
-    covered by the pytest oracle-parity suite every session regardless
-    of the driver's window."""
+    window this round, and the new t13 streaming ingest-dedup gate
+    joins them for first adjudication; to make room, five multi-round
+    driver-green queries (a9 r5+r6, x30 r4-r6, j2 r3/r4/r6,
+    a8 r3/r4/r6, t10 r5+r6) move past it, each displacement annotated
+    inline where it happens. After this round every oracle-bearing
+    query in the catalog except the brand-new x59 will have had a hard
+    driver signal at least once. Every displaced query stays covered
+    by the pytest oracle-parity suite every session regardless of the
+    driver's window."""
     return {
         # -- flagships + never/newly-adjudicated queries first ------------
         # (pipeline_full_row sits past the window: two-rounds
@@ -2568,6 +2570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_salted_join": _j2_salted_join,
         "a8_percentiles": _a8_percentiles,
         "t10_stream_static_join": _t10_stream_static_join,
+        # x59/x60 NEW this round, past the window (oracle-bearing,
+        # entry-parity-checked every session) — rotate in round 8
+        "x59_frame_dedup": X.q_frame_dedup,
+        "x60_incremental_dedup": X.q_incremental_dedup,
         # -- rotated out in earlier rounds (multi-round driver-green
         # or, for ml2, five-rounds rows-only; each subsumed per the
         # inline comments above) ----------------------------------------
@@ -3072,6 +3078,8 @@ def oracle_sql() -> dict[str, str]:
         # t13: the streamed gate must decide exactly what a batch dedup
         # of the same arrivals against the same corpus would decide
         "t13_stream_ingest_dedup": X.ingest_gate_oracle(),
+        "x59_frame_dedup": X.frame_dedup_oracle(),
+        "x60_incremental_dedup": X.incremental_dedup_oracle(),
         "x51_kmv_distinct": X.kmv_distinct_oracle(),
         "x54_weighted_sample": X.weighted_sample_oracle(),
         "x55_kmv_setops": X.kmv_setops_oracle(),

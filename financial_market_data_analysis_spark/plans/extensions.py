@@ -3066,3 +3066,310 @@ def ingest_gate_oracle() -> str:
         FROM sizes_i si
         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.in_id = si.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# x59 — binary segment-fingerprint dedup across media assets
+
+X59_FRAME_BYTES = 32   # fixed-stride byte window ("frame") length
+X59_HOP_BYTES = 16     # stride between window starts (50% overlap)
+X59_MIN_SHARED = 4     # report pairs sharing at least this many frames
+X59_HOT_FRAME_CAP = 50  # drop digests present in more assets than this
+
+
+def q_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x59 — segment-fingerprint dedup across BINARY media assets: the
+    frame-hash near-dup detection a video/audio pipeline runs, on the
+    engine's opaque-payload media table (reference has no analog; this
+    is the multimodal member of the dedup family next to x43's
+    token-span detector). Each asset's payload is cut into fixed-stride
+    32-byte windows (hop 16 — the content-address granularity; a real
+    video pipeline would use decoded frame perceptual hashes in the
+    same topology), each window md5-fingerprinted ROW-LOCALLY, and
+    assets sharing ≥ X59_MIN_SHARED distinct fingerprints are reported
+    with their overlap ratio (shared / smaller asset's frame count).
+    The ``docs_augmented`` near-dup assets share almost every window
+    with their parent, so every injected pair is found.
+
+    Scale shape: window explode is linear in payload bytes / hop and
+    row-local; the pair discovery is a keyed equi-join on the digest —
+    never all-pairs. The one quadratic hazard of frame dedup — a
+    ubiquitous segment (black frame, silence, zero padding) minting
+    candidate pairs between every pair of assets that contain it — is
+    capped by the hot-frame guard: digests present in more than
+    X59_HOT_FRAME_CAP assets are excluded from pairing (standard
+    stop-frame removal; the guard's own count is one partial-agg
+    shuffle). Overlap denominators use the UNguarded per-asset distinct
+    frame counts, so the ratio stays an honest containment measure.
+    """
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        media_from_documents,
+    )
+
+    media = media_from_documents(docs_augmented(spark, sf_dir))
+    return frame_fingerprint_pairs(media)
+
+
+def frame_fingerprint_pairs(
+    media: DataFrame,
+    frame_bytes: int = X59_FRAME_BYTES,
+    hop_bytes: int = X59_HOP_BYTES,
+    min_shared: int = X59_MIN_SHARED,
+    hot_cap: int = X59_HOT_FRAME_CAP,
+) -> DataFrame:
+    """The x59 core over any (media_id, payload) table — parameterized
+    so tests can exercise the hot-frame guard directly; see
+    ``q_frame_dedup`` for semantics and the scale argument."""
+    fb, hop = frame_bytes, hop_bytes
+    m = D.ensure_parallelism(
+        media.select("media_id", "payload").filter(
+            F.length("payload") >= fb
+        )
+    )
+    fr = (
+        m.select(
+            "media_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (length(payload) - {fb}) div {hop}),"
+                    f" k -> md5(substring(payload, k * {hop} + 1, {fb})))"
+                )
+            ).alias("digest"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds sizes, the guard, and both join sides
+    )
+    sizes = fr.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_fr"))
+    hot = (
+        fr.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_assets"))
+        .filter(F.col("n_assets") > hot_cap)
+        .select("digest")
+    )
+    cold = fr.join(F.broadcast(hot), "digest", "left_anti")
+    pairs = (
+        cold.select(F.col("media_id").alias("media_a"), "digest")
+        .join(
+            cold.select(F.col("media_id").alias("media_b"), "digest"),
+            "digest",
+        )
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("media_id").alias("media_a"), F.col("n_fr").alias("n_a")),
+            "media_a",
+        )
+        .join(
+            sizes.select(F.col("media_id").alias("media_b"), F.col("n_fr").alias("n_b")),
+            "media_b",
+        )
+        .select(
+            "media_a",
+            "media_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b"), 6
+            ).alias("overlap_ratio"),
+        )
+    )
+
+
+def frame_dedup_oracle() -> str:
+    fb, hop = X59_FRAME_BYTES, X59_HOP_BYTES
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE}),
+        media AS (
+            SELECT doc_id AS media_id, text AS payload FROM aug
+            WHERE length(text) >= {fb}
+        ),
+        fr AS (
+            SELECT DISTINCT media_id, digest FROM (
+                SELECT media_id,
+                       unnest(list_transform(
+                           generate_series(0, (length(payload) - {fb}) // {hop}),
+                           k -> md5(substr(payload, k * {hop} + 1, {fb}))
+                       )) AS digest
+                FROM media
+            )
+        ),
+        sizes AS (SELECT media_id, count(*) AS n_fr FROM fr GROUP BY media_id),
+        hot AS (
+            SELECT digest FROM fr GROUP BY digest
+            HAVING count(*) > {X59_HOT_FRAME_CAP}
+        ),
+        cold AS (SELECT * FROM fr WHERE digest NOT IN (SELECT digest FROM hot)),
+        pairs AS (
+            SELECT a.media_id AS media_a, b.media_id AS media_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM cold a JOIN cold b
+              ON a.digest = b.digest AND a.media_id < b.media_id
+            GROUP BY a.media_id, b.media_id
+            HAVING count(*) >= {X59_MIN_SHARED}
+        )
+        SELECT p.media_a, p.media_b, p.n_shared,
+               round(p.n_shared / least(sa.n_fr, sb.n_fr), 6) AS overlap_ratio
+        FROM pairs p
+        JOIN sizes sa ON sa.media_id = p.media_a
+        JOIN sizes sb ON sb.media_id = p.media_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# x60 — incremental corpus-snapshot dedup (delta maintenance)
+
+X60_ARRIVAL2_MOD = 70   # second arrival slice (overlaps slice 1 at lcm 350)
+X60_ARRIVAL2_OFFSET = 4 * DUP_OFFSET
+X60_SUFFIX2 = " alternate near duplicate tail"
+X60_THRESHOLD = 0.5
+
+
+def arrivals_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The x60 delta: two arrival slices over the corpus. Slice 1 is
+    the ``docs_augmented`` injection (parent % DOC_DUP_MOD == 0, suffix
+    A); slice 2 perturbs every 70th parent with a different suffix.
+    Parents divisible by lcm(50, 70) = 350 mint BOTH arrivals, so the
+    delta contains new-new near-dup pairs as well as new-old ones."""
+    d = load_table(spark, "documents", sf_dir)
+    a1 = d.filter(F.col("doc_id") % DOC_DUP_MOD == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(DUP_SUFFIX)).alias("text"),
+    )
+    a2 = d.filter(F.col("doc_id") % X60_ARRIVAL2_MOD == 0).select(
+        (F.col("doc_id") + X60_ARRIVAL2_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(X60_SUFFIX2)).alias("text"),
+    )
+    return a1.unionByName(a2)
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x60 — INCREMENTAL near-dup maintenance: given the existing
+    corpus snapshot (old) and a delta of new arrivals, emit the
+    verified near-dup pairs the delta introduces — new-vs-old AND
+    new-vs-new — without ever re-pairing old-vs-old. This is the
+    nightly maintenance job of a deduplicated 100 TB corpus: the x6
+    full-corpus self-join re-pays O(corpus) banding and all bucket
+    pairs every run, while this job bands ONLY the delta and probes it
+    into the combined bucket space, so its cost scales with the
+    arrival rate (t13 is the per-document streamed form of the same
+    decision; this is the set-returning batch form that also resolves
+    duplicates WITHIN the delta).
+
+    Old-corpus bands are recomputed here because the fixture has no
+    persisted index; in production they are read back from the stored
+    band table (the banding is deterministic, so recompute vs reread
+    is a cost choice, not a semantics one). The old-old exclusion is
+    structural — the band join's LEFT side is the delta's bands only —
+    not a post-filter; candidates are ordered (new-new pairs by doc
+    id, new-old pairs new-first) and exact-Jaccard verified
+    candidate-bounded exactly like x6."""
+    old = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    new = arrivals_delta(spark, sf_dir)
+    new_sh = D.shingle_arrays(D.ensure_parallelism(new))
+    old_sh = D.shingle_arrays(D.ensure_parallelism(old))
+    new_bands = D.lsh_bands(new_sh).localCheckpoint(eager=False)
+    old_bands = D.lsh_bands(old_sh)
+    # delta bands probe the combined bucket space; old-old pairs cannot
+    # arise because the left side holds only new docs
+    nn = (
+        new_bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+        .join(
+            new_bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    no = (
+        new_bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+        .join(
+            old_bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+    )
+    cand = (
+        nn.select("doc_a", "doc_b")
+        .unionByName(no.select("doc_a", "doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # verify bounded to candidate docs over the COMBINED text table
+    both = new.unionByName(old)
+    cand_docs = D.ensure_parallelism(
+        both.join(F.broadcast(D.candidate_ids(cand)), "doc_id")
+    )
+    sh = D.shingle_table(cand_docs).persist()
+    scored = D.jaccard_verify(cand, both, shingles=sh)
+    out = (
+        scored.filter(F.col("jaccard") >= X60_THRESHOLD)
+        .select(
+            F.when(F.col("doc_b") >= DUP_OFFSET, F.lit("new-new"))
+            .otherwise(F.lit("new-old"))
+            .alias("pair_kind"),
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sh.unpersist()
+    return out
+
+
+_X60_ARRIVALS_CTE = f"""
+    SELECT doc_id + {DUP_OFFSET} AS doc_id, text || '{DUP_SUFFIX}' AS text
+    FROM documents WHERE doc_id % {DOC_DUP_MOD} = 0
+    UNION ALL
+    SELECT doc_id + {X60_ARRIVAL2_OFFSET}, text || '{X60_SUFFIX2}'
+    FROM documents WHERE doc_id % {X60_ARRIVAL2_MOD} = 0
+"""
+
+
+def incremental_dedup_oracle() -> str:
+    return f"""
+        WITH arrivals AS ({_X60_ARRIVALS_CTE}),
+        sh_n AS ({_shingles_sql("arrivals")}),
+        sh_o AS ({_shingles_sql("documents")}),
+        {_seeded_bands_cte("sh_n", "mh_n", "bands_n")},
+        {_seeded_bands_cte("sh_o", "mh_o", "bands_o")},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_n a JOIN bands_n b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+            UNION
+            SELECT DISTINCT n.doc_id, o.doc_id
+            FROM bands_n n JOIN bands_o o
+              ON n.band = o.band AND n.band_hash = o.band_hash
+        ),
+        sh_all AS (
+            SELECT * FROM sh_n UNION ALL SELECT * FROM sh_o
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh_all GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh_all a ON a.doc_id = c.doc_a
+            JOIN sh_all b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        scored AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+                   COALESCE(i.n_inter, 0)
+                   / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)) AS jaccard
+            FROM cand c
+            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+            JOIN sizes sa ON sa.doc_id = c.doc_a
+            JOIN sizes sb ON sb.doc_id = c.doc_b
+        )
+        SELECT CASE WHEN doc_b >= {DUP_OFFSET} THEN 'new-new'
+                    ELSE 'new-old' END AS pair_kind,
+               doc_a, doc_b, n_inter, round(jaccard, 6) AS jaccard
+        FROM scored WHERE jaccard >= {X60_THRESHOLD}
+    """

@@ -324,3 +324,58 @@ def test_model_save_load_round_trip(spark, tmp_path):
     redo = loaded.transform(test).select("bucket_start", "prediction")
     assert orig.exceptAll(redo).count() == 0
     assert orig.count() == redo.count() > 0
+
+
+def test_frame_fingerprint_pairs_finds_shared_segments(spark):
+    """x59 core: two payloads sharing a long byte run pair up; the
+    overlap ratio is shared/min and a disjoint payload pairs with
+    nothing."""
+    from financial_market_data_analysis_spark.plans.extensions import (
+        frame_fingerprint_pairs,
+    )
+
+    shared = b"A" * 31 + bytes(range(64)) + b"B" * 31
+    rows = [
+        (1, shared),
+        (2, shared + b"tail-only-in-two" * 4),
+        (3, bytes(range(128, 254)) * 2),  # disjoint content
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        (r.media_a, r.media_b): (r.n_shared, r.overlap_ratio)
+        for r in frame_fingerprint_pairs(
+            media, frame_bytes=32, hop_bytes=16, min_shared=2, hot_cap=50
+        ).collect()
+    }
+    assert (1, 2) in out
+    n_shared, ratio = out[(1, 2)]
+    assert n_shared >= 2
+    # asset 1 is the smaller side and is a strict prefix of asset 2,
+    # so every one of its windows is shared
+    assert ratio == 1.0
+    assert not any(3 in pair for pair in out)
+
+
+def test_frame_fingerprint_hot_frame_guard(spark):
+    """The hot-frame guard is the quadratic-blowup bound: a segment
+    present in MORE than hot_cap assets must mint no pairs (with the
+    cap raised, the same data pairs every asset against every other —
+    the explosion the guard exists to stop)."""
+    from financial_market_data_analysis_spark.plans.extensions import (
+        frame_fingerprint_pairs,
+    )
+
+    ubiquitous = b"\x00" * 64  # same leading segment in every asset
+    rows = [
+        (i, ubiquitous + f"unique-tail-{i:04d}-".encode() * 3)
+        for i in range(12)
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    guarded = frame_fingerprint_pairs(
+        media, frame_bytes=32, hop_bytes=16, min_shared=1, hot_cap=10
+    )
+    assert guarded.count() == 0
+    unguarded = frame_fingerprint_pairs(
+        media, frame_bytes=32, hop_bytes=16, min_shared=1, hot_cap=1000
+    )
+    assert unguarded.count() == 12 * 11 // 2
