@@ -1493,6 +1493,130 @@ def _t13_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t14_stream_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 — the SELF-MAINTAINING streaming dedup index: t13's ingest
+    gate plus the state update t13 deliberately lacks. Each micro-batch
+    is deduped against corpus ∪ previously-ADMITTED arrivals (the index
+    parquet, re-read per batch so earlier appends are visible) AND
+    against smaller-id docs of its own batch; admitted docs' band rows
+    (with carried shingle arrays) are appended to the index inside the
+    same ``foreachBatch``, so a novel doc arriving in batch 1 rejects
+    its own near-dup arriving in batch 2 — cross-batch memory the
+    oracle adjudicates via the feed's paired-novel slice (see
+    ``t14_arrivals``). This is the T9-style foreachBatch incremental
+    materialization applied to index maintenance: batch-scoped joins,
+    an append-only state table partitioned by the probe key, no
+    unbounded executor state.
+
+    Decision rule (chain-independent, order-free within a batch): a doc
+    is a duplicate iff it has a verified-Jaccard match ≥ threshold in
+    the index or among smaller-id same-batch docs; ``matched_id`` is
+    the smallest such match. Rejected docs do NOT enter the index (a
+    dup's content is already represented by its match), which is what
+    makes the sequential semantics non-trivial and worth adjudicating.
+
+    Scale shape: per batch, one hash join against the index on
+    (band, band_hash) plus one batch-local self-join — both
+    arrival-rate-sized on the probe side; the index grows only by
+    admitted-doc bands (append-only parquet, compactable offline)."""
+    import shutil
+    import tempfile
+
+    thr = float(X.T14_THRESHOLD)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    corp_sh = D.shingle_arrays(D.ensure_parallelism(docs))
+    work = tempfile.mkdtemp(prefix="t14_")
+    index_dir = f"{work}/index"
+    dec_dir = f"{work}/decisions"
+    src = f"{work}/arrivals"
+    D.lsh_bands(corp_sh, carry_cols=("sh_arr",)).select(
+        "band",
+        "band_hash",
+        F.col("doc_id").alias("m_id"),
+        F.col("sh_arr").alias("m_sh"),
+    ).write.parquet(index_dir)
+
+    def _jacc(a: str, b: str):
+        inter = F.size(F.array_intersect(a, b))
+        return inter / (F.size(a) + F.size(b) - inter)
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        bands = D.lsh_bands(
+            D.shingle_arrays(batch_df), carry_cols=("sh_arr",)
+        ).localCheckpoint(eager=True)  # banded once: probed, self-joined, filtered
+        idx = spark.read.parquet(index_dir)
+        hits_idx = (
+            bands.join(idx, ["band", "band_hash"])
+            .filter(_jacc("sh_arr", "m_sh") >= thr)
+            .select("doc_id", "m_id")
+        )
+        right = bands.select(
+            F.col("doc_id").alias("m_id"),
+            F.col("sh_arr").alias("m_sh"),
+            "band",
+            "band_hash",
+        )
+        hits_batch = (
+            bands.join(right, ["band", "band_hash"])
+            .filter(F.col("m_id") < F.col("doc_id"))
+            .filter(_jacc("sh_arr", "m_sh") >= thr)
+            .select("doc_id", "m_id")
+        )
+        matched = (
+            hits_idx.unionByName(hits_batch)
+            .groupBy("doc_id")
+            .agg(F.min("m_id").alias("matched_id"))
+        )
+        decisions = (
+            bands.select("doc_id")
+            .distinct()
+            .join(matched, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("matched_id").isNotNull().alias("is_dup"),
+                "matched_id",
+            )
+            .localCheckpoint(eager=True)  # settle BEFORE the index append below
+        )
+        decisions.write.mode("append").parquet(dec_dir)
+        admitted = decisions.filter(~F.col("is_dup")).select("doc_id")
+        bands.join(admitted, "doc_id").select(
+            "band",
+            "band_hash",
+            F.col("doc_id").alias("m_id"),
+            F.col("sh_arr").alias("m_sh"),
+        ).write.mode("append").parquet(index_dir)
+
+    arrivals = X.t14_arrivals(spark, sf_dir)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _stage_two_halves(
+            arrivals,
+            (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1),
+            src,
+        )
+        stream = (
+            spark.readStream.schema(arrivals.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t14_stream_index_dedup did not finish in 300 s")
+        out = spark.read.parquet(dec_dir).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def _w19_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W19 — Keltner channel: truncated EWMA-20 midline (W14's
     operator) banded at ±2× the 15-row average true range (W7's
@@ -2574,6 +2698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entry-parity-checked every session) — rotate in round 8
         "x59_frame_dedup": X.q_frame_dedup,
         "x60_incremental_dedup": X.q_incremental_dedup,
+        # t14 NEW this round, past the window, same status — rotate in
+        # round 8 (the self-maintaining index form of t13)
+        "t14_stream_index_dedup": _t14_stream_index_dedup,
         # -- rotated out in earlier rounds (multi-round driver-green
         # or, for ml2, five-rounds rows-only; each subsumed per the
         # inline comments above) ----------------------------------------
@@ -3080,6 +3207,9 @@ def oracle_sql() -> dict[str, str]:
         "t13_stream_ingest_dedup": X.ingest_gate_oracle(),
         "x59_frame_dedup": X.frame_dedup_oracle(),
         "x60_incremental_dedup": X.incremental_dedup_oracle(),
+        # t14: the sequential (batch-by-batch) gate must equal the
+        # staged batch computation of the same arrival order
+        "t14_stream_index_dedup": X.index_dedup_oracle(),
         "x51_kmv_distinct": X.kmv_distinct_oracle(),
         "x54_weighted_sample": X.weighted_sample_oracle(),
         "x55_kmv_setops": X.kmv_setops_oracle(),

@@ -3373,3 +3373,153 @@ def incremental_dedup_oracle() -> str:
                doc_a, doc_b, n_inter, round(jaccard, 6) AS jaccard
         FROM scored WHERE jaccard >= {X60_THRESHOLD}
     """
+
+
+# ---------------------------------------------------------------------------
+# t14 — self-maintaining streaming dedup index (feed + oracle; the
+# foreachBatch topology lives in __spark_entry__.py)
+
+T14_PAIR_OFFSET = 5 * DUP_OFFSET
+T14_THRESHOLD = T13_THRESHOLD
+
+
+def t14_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t14 feed: t13's three arrival slices PLUS a paired-novel
+    slice — every 17th parent's 40-char prefix arrives TWICE, once
+    with an even id (micro-batch 1) and once with an odd id
+    (micro-batch 2). The prefix is novel against the corpus (t13
+    admits it), so the even copy is admitted into the index by batch 1
+    and the odd copy must then be rejected BY THE INDEX STATE in batch
+    2 — the cross-batch memory t13 deliberately lacks and this
+    topology exists to adjudicate."""
+    d = load_table(spark, "documents", sf_dir)
+    base = ingest_incoming(spark, sf_dir)
+    prefix = F.substring("text", 1, T13_PREFIX_CHARS).alias("text")
+    pair_even = d.filter(F.col("doc_id") % T13_FRESH_MOD == 0).select(
+        (F.lit(T14_PAIR_OFFSET) + 2 * F.col("doc_id")).alias("doc_id"), prefix
+    )
+    pair_odd = d.filter(F.col("doc_id") % T13_FRESH_MOD == 0).select(
+        (F.lit(T14_PAIR_OFFSET) + 2 * F.col("doc_id") + 1).alias("doc_id"),
+        prefix,
+    )
+    return base.unionByName(pair_even).unionByName(pair_odd)
+
+
+_T14_ARRIVALS_CTE = f"""
+    {_T13_INCOMING_CTE}
+    UNION ALL
+    SELECT {T14_PAIR_OFFSET} + 2 * doc_id, substr(text, 1, {T13_PREFIX_CHARS})
+    FROM documents WHERE doc_id % {T13_FRESH_MOD} = 0
+    UNION ALL
+    SELECT {T14_PAIR_OFFSET} + 2 * doc_id + 1, substr(text, 1, {T13_PREFIX_CHARS})
+    FROM documents WHERE doc_id % {T13_FRESH_MOD} = 0
+"""
+
+
+def index_dedup_oracle() -> str:
+    """Batch twin of the t14 sequential gate. Stage semantics: a doc is
+    a duplicate iff it has a verified-Jaccard match (≥ T14_THRESHOLD)
+    in the corpus, among arrivals ADMITTED by earlier micro-batches,
+    or among SMALLER-id docs of its own batch (the chain-independent
+    within-batch rule: any match with a smaller same-batch id rejects,
+    whether or not that smaller doc was itself admitted).
+    ``matched_id`` is the smallest matching id across all three match
+    classes; admitted docs report NULL. Batch membership is id parity
+    (batch 1 = even ids)."""
+    k, bs = D.N_MINHASH, D.BAND_SIZE
+    return f"""
+        WITH arrivals AS ({_T14_ARRIVALS_CTE}),
+        sh_a AS ({_shingles_sql("arrivals")}),
+        sh_c AS ({_shingles_sql("documents")}),
+        {_seeded_bands_cte("sh_a", "mh_a", "bands_a")},
+        {_seeded_bands_cte("sh_c", "mh_c", "bands_c")},
+        sizes_a AS (SELECT doc_id, count(*) AS n_sh FROM sh_a GROUP BY doc_id),
+        sizes_c AS (SELECT doc_id, count(*) AS n_sh FROM sh_c GROUP BY doc_id),
+        cand_corp AS (
+            SELECT DISTINCT a.doc_id AS in_id, c.doc_id AS m_id
+            FROM bands_a a JOIN bands_c c USING (band, band_hash)
+        ),
+        cand_arr AS (
+            SELECT DISTINCT x.doc_id AS in_id, y.doc_id AS m_id
+            FROM bands_a x JOIN bands_a y USING (band, band_hash)
+            WHERE x.doc_id <> y.doc_id
+        ),
+        ver_corp AS (
+            SELECT c.in_id, c.m_id
+            FROM cand_corp c
+            JOIN sizes_a sa ON sa.doc_id = c.in_id
+            JOIN sizes_c sc ON sc.doc_id = c.m_id
+            LEFT JOIN (
+                SELECT cc.in_id, cc.m_id, count(*) AS n_inter
+                FROM cand_corp cc
+                JOIN sh_a a ON a.doc_id = cc.in_id
+                JOIN sh_c b ON b.doc_id = cc.m_id AND b.shingle = a.shingle
+                GROUP BY cc.in_id, cc.m_id
+            ) i ON i.in_id = c.in_id AND i.m_id = c.m_id
+            WHERE COALESCE(i.n_inter, 0)
+                  / (sa.n_sh + sc.n_sh - COALESCE(i.n_inter, 0))
+                  >= {T14_THRESHOLD}
+        ),
+        ver_arr AS (
+            SELECT c.in_id, c.m_id
+            FROM cand_arr c
+            JOIN sizes_a sa ON sa.doc_id = c.in_id
+            JOIN sizes_a sb ON sb.doc_id = c.m_id
+            LEFT JOIN (
+                SELECT cc.in_id, cc.m_id, count(*) AS n_inter
+                FROM cand_arr cc
+                JOIN sh_a a ON a.doc_id = cc.in_id
+                JOIN sh_a b ON b.doc_id = cc.m_id AND b.shingle = a.shingle
+                GROUP BY cc.in_id, cc.m_id
+            ) i ON i.in_id = c.in_id AND i.m_id = c.m_id
+            WHERE COALESCE(i.n_inter, 0)
+                  / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0))
+                  >= {T14_THRESHOLD}
+        ),
+        batch1 AS (SELECT doc_id FROM arrivals WHERE doc_id % 2 = 0),
+        rej1 AS (
+            SELECT DISTINCT b.doc_id FROM batch1 b
+            WHERE EXISTS (SELECT 1 FROM ver_corp v WHERE v.in_id = b.doc_id)
+               OR EXISTS (SELECT 1 FROM ver_arr v
+                          JOIN batch1 s ON s.doc_id = v.m_id
+                          WHERE v.in_id = b.doc_id AND v.m_id < b.doc_id)
+        ),
+        adm1 AS (
+            SELECT doc_id FROM batch1
+            WHERE doc_id NOT IN (SELECT doc_id FROM rej1)
+        ),
+        batch2 AS (SELECT doc_id FROM arrivals WHERE doc_id % 2 = 1),
+        rej2 AS (
+            SELECT DISTINCT b.doc_id FROM batch2 b
+            WHERE EXISTS (SELECT 1 FROM ver_corp v WHERE v.in_id = b.doc_id)
+               OR EXISTS (SELECT 1 FROM ver_arr v
+                          JOIN adm1 s ON s.doc_id = v.m_id
+                          WHERE v.in_id = b.doc_id)
+               OR EXISTS (SELECT 1 FROM ver_arr v
+                          JOIN batch2 s ON s.doc_id = v.m_id
+                          WHERE v.in_id = b.doc_id AND v.m_id < b.doc_id)
+        ),
+        matches AS (
+            SELECT in_id, m_id FROM ver_corp
+            UNION
+            SELECT v.in_id, v.m_id FROM ver_arr v
+            JOIN adm1 s ON s.doc_id = v.m_id
+            WHERE v.in_id % 2 = 1
+            UNION
+            SELECT v.in_id, v.m_id FROM ver_arr v
+            WHERE v.m_id < v.in_id AND v.m_id % 2 = v.in_id % 2
+        ),
+        verdicts AS (
+            SELECT doc_id, TRUE AS is_dup FROM rej1
+            UNION ALL
+            SELECT doc_id, TRUE FROM rej2
+        )
+        SELECT a.doc_id,
+               COALESCE(v.is_dup, FALSE) AS is_dup,
+               CASE WHEN v.is_dup THEN
+                   (SELECT min(m.m_id) FROM matches m
+                    WHERE m.in_id = a.doc_id)
+               END AS matched_id
+        FROM (SELECT doc_id FROM sh_a GROUP BY doc_id) a
+        LEFT JOIN verdicts v ON v.doc_id = a.doc_id
+    """

@@ -577,3 +577,55 @@ def test_bpe_merges_degenerate_vocab_is_empty_not_crash(spark):
 
     docs = spark.createDataFrame([(1, "a b c a b")], ["doc_id", "text"])
     assert bpe_merges(docs).count() == 0
+
+
+def test_x60_incremental_never_pairs_old_with_old(spark):
+    """x60's contract: the maintenance job reports pairs the DELTA
+    introduces — two near-identical docs that both live in the OLD
+    snapshot must NOT be re-paired (that pair either was already
+    handled by a previous run or predates the index; re-emitting it
+    every night is the O(corpus²) cost the incremental job exists to
+    avoid). Built directly on the operator composition with a tiny
+    corpus: old = {1, 2 near-dups of each other, 3 unrelated},
+    delta = {10 ~ 1}. Expected output: exactly (10, 1)-class pairs,
+    never (1, 2)."""
+    import financial_market_data_analysis_spark.operators.dedup as D
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    old = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " phi"),          # old-old near-dup of 1
+            (3, "completely different words " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base + " chi")], "doc_id long, text string"
+    )
+    new_bands = D.lsh_bands(D.shingle_arrays(new))
+    old_bands = D.lsh_bands(D.shingle_arrays(old))
+    nn = (
+        new_bands.selectExpr("doc_id as doc_a", "band", "band_hash")
+        .join(
+            new_bands.selectExpr("doc_id as doc_b", "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .filter("doc_a < doc_b")
+    )
+    no = (
+        new_bands.selectExpr("doc_id as doc_a", "band", "band_hash")
+        .join(
+            old_bands.selectExpr("doc_id as doc_b", "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+    )
+    cand = nn.select("doc_a", "doc_b").unionByName(
+        no.select("doc_a", "doc_b")
+    ).distinct()
+    pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert (10, 1) in pairs and (10, 2) in pairs
+    assert not any({a, b} <= {1, 2, 3} for a, b in pairs), pairs
