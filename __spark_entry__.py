@@ -1714,6 +1714,91 @@ def _w20_oracle(tenkan: int = 9, kijun: int = 26, senkou: int = 52) -> str:
     """
 
 
+ADX_PERIOD = 14
+
+
+def _w21_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W21 — Average Directional Index (operators/windows.py ``adx``):
+    trend STRENGTH alongside the w15/w17 momentum oscillators —
+    ``±DI`` from frame-averaged directional movement over ATR, ``DX``
+    their normalized spread, ``ADX`` its frame average. Cutler-style
+    simple averages keep every stage frame-bounded (the same
+    recursion-vs-frame trade documented on ``rsi``); warm-up rows
+    (fewer than 2·period real deltas) are trimmed; all published
+    columns rounded to 6."""
+    out = W.adx(
+        _candles(spark, sf_dir), "high", "low", "close", _ORDER,
+        period=ADX_PERIOD,
+    )
+    return out.filter(F.col("adx").isNotNull()).select(
+        "bucket_start",
+        F.round("plus_di", 6).alias("plus_di"),
+        F.round("minus_di", 6).alias("minus_di"),
+        F.round("dx", 6).alias("dx"),
+        F.round("adx", 6).alias("adx"),
+    )
+
+
+def _w21_oracle(period: int = ADX_PERIOD) -> str:
+    frame = (
+        f"OVER (ORDER BY bucket_start "
+        f"ROWS BETWEEN {period - 1} PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+        {_CANDLES_CTE},
+        d AS (
+            SELECT bucket_start, high, low, close,
+                   lag(close) OVER w0 AS prev_close,
+                   high - lag(high) OVER w0 AS up,
+                   lag(low) OVER w0 - low AS dn,
+                   row_number() OVER w0 AS rn
+            FROM candles WINDOW w0 AS (ORDER BY bucket_start)
+        ),
+        m AS (
+            SELECT bucket_start, rn,
+                   CASE WHEN up > dn AND up > 0 THEN up ELSE 0.0 END AS pdm,
+                   CASE WHEN dn > up AND dn > 0 THEN dn ELSE 0.0 END AS mdm,
+                   greatest(high - low, abs(high - prev_close),
+                            abs(low - prev_close)) AS tr
+            FROM d WHERE prev_close IS NOT NULL
+        ),
+        di AS (
+            SELECT bucket_start, rn,
+                   avg(pdm) {frame} AS apdm,
+                   avg(mdm) {frame} AS amdm,
+                   avg(tr) {frame} AS atr
+            FROM m
+        ),
+        dx AS (
+            SELECT bucket_start,
+                   CASE WHEN atr = 0 THEN 0.0
+                        ELSE 100.0 * apdm / atr END AS plus_di,
+                   CASE WHEN atr = 0 THEN 0.0
+                        ELSE 100.0 * amdm / atr END AS minus_di
+            FROM di WHERE rn >= {period + 1}
+        ),
+        dx2 AS (
+            SELECT bucket_start, plus_di, minus_di,
+                   CASE WHEN plus_di + minus_di = 0 THEN 0.0
+                        ELSE 100.0 * abs(plus_di - minus_di)
+                             / (plus_di + minus_di) END AS dx
+            FROM dx
+        ),
+        a AS (
+            SELECT bucket_start, plus_di, minus_di, dx,
+                   avg(dx) {frame} AS adx,
+                   row_number() OVER (ORDER BY bucket_start) AS rn2
+            FROM dx2
+        )
+        SELECT bucket_start,
+               round(plus_di, 6) AS plus_di,
+               round(minus_di, 6) AS minus_di,
+               round(dx, 6) AS dx,
+               round(adx, 6) AS adx
+        FROM a WHERE rn2 >= {period}
+    """
+
+
 ML6_BINS = 10
 
 
@@ -1852,6 +1937,79 @@ def _ml7_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_pos", "n_neg", F.round(auc, 6).alias("auc")
     )
+
+
+ML8_TEST_MOD = 4  # every 4th bar (by bucket index) is held out
+
+
+def _ml8_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML8 — next-bar close forecast by CLOSED-FORM OLS: slope =
+    covar_pop/var_pop and intercept from the train means, served on a
+    deterministic interleaved holdout — the x62 thesis applied to
+    regression (training that IS aggregation needs no model server and
+    no rows-only escape: fit AND serve are oracle-checked end-to-end,
+    where ml2/ml5's iterative MLlib fits cannot be). The reference
+    trains a biGRU for exactly this target (biGRU_model.py); this is
+    the one-parameter baseline every such model must beat.
+
+    Scale shape: ONE aggregation over the train rows (covar/var/means
+    are partial-aggregatable — each executor folds its slice, the
+    driver-side merge is O(partitions)), broadcast of a 1-row
+    parameter frame back onto the holdout scan, then row-local
+    scoring. The LEAD label is the W8 ordered-window family;
+    partition by symbol at 100 TB as documented there."""
+    c = _candles(spark, sf_dir)
+    lab = c.select(
+        "bucket_start",
+        "close",
+        F.lead("close").over(SW.orderBy("bucket_start")).alias("next_close"),
+    ).filter(F.col("next_close").isNotNull())
+    is_test = (F.col("bucket_start") / F.lit(300)).cast("long") % ML8_TEST_MOD == 0
+    train = lab.filter(~is_test)
+    params = train.agg(
+        (F.covar_pop("close", "next_close") / F.var_pop("close")).alias("b"),
+        F.avg("next_close").alias("my"),
+        F.avg("close").alias("mx"),
+    ).select("b", (F.col("my") - F.col("b") * F.col("mx")).alias("a"))
+    test = lab.filter(is_test)
+    pred = F.col("a") + F.col("b") * F.col("close")
+    return test.crossJoin(F.broadcast(params)).select(
+        "bucket_start",
+        "close",
+        "next_close",
+        F.round(pred, 6).alias("pred"),
+        F.round(F.col("next_close") - pred, 6).alias("resid"),
+        F.round("b", 6).alias("slope"),
+        F.round("a", 6).alias("intercept"),
+    )
+
+
+def _ml8_oracle(mod: int = ML8_TEST_MOD) -> str:
+    return f"""
+        {_CANDLES_CTE},
+        lab AS (
+            SELECT bucket_start, close,
+                   lead(close) OVER (ORDER BY bucket_start) AS next_close
+            FROM candles
+        ),
+        lab2 AS (
+            SELECT *, (bucket_start // 300) % {mod} = 0 AS is_test
+            FROM lab WHERE next_close IS NOT NULL
+        ),
+        params AS (
+            SELECT covar_pop(close, next_close) / var_pop(close) AS b,
+                   avg(next_close) - covar_pop(close, next_close)
+                       / var_pop(close) * avg(close) AS a
+            FROM lab2 WHERE NOT is_test
+        )
+        SELECT t.bucket_start, t.close, t.next_close,
+               round(p.a + p.b * t.close, 6) AS pred,
+               round(t.next_close - (p.a + p.b * t.close), 6) AS resid,
+               round(p.b, 6) AS slope,
+               round(p.a, 6) AS intercept
+        FROM lab2 t CROSS JOIN params p
+        WHERE t.is_test
+    """
 
 
 def _ml7_oracle() -> str:
@@ -2704,6 +2862,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # x61 NEW this round, past the window, same status — rotate in
         # round 8 (degree-oriented triangle counting over the x15 graph)
         "x61_triangle_counts": X.q_triangle_counts,
+        # w21 NEW this round, past the window, same status — rotate in
+        # round 8 (ADX trend strength, the w15/w17 oscillators' sibling)
+        "w21_adx": _w21_adx,
+        # x62 NEW this round, past the window, same status — rotate in
+        # round 8 (in-engine Naive Bayes train+score: the learned doc
+        # gate whose training is pure aggregation, hence oracle-checked
+        # end-to-end where the MLlib fits can only be rows-only)
+        "x62_nb_classifier": X.q_nb_classifier,
+        # x63 NEW this round, past the window, same status — rotate in
+        # round 8 (int8 scalar quantization + measured reconstruction
+        # fidelity: the storage-side sibling of the x8-x12 ANN family)
+        "x63_embed_quantize": X.q_embed_quantize,
+        # x64 NEW this round, past the window, same status — rotate in
+        # round 8 (DSIR importance resampling: distribution-matching
+        # doc selection from fixed-size hashed-bigram LM ratios)
+        "x64_dsir_weights": X.q_dsir_weights,
+        # ml8 NEW this round, past the window, same status — rotate in
+        # round 8 (closed-form OLS forecast: fit+serve oracle-checked,
+        # the aggregation-as-training baseline under ml2/ml5's fits)
+        "ml8_linreg_forecast": _ml8_linreg,
         # -- rotated out in earlier rounds (multi-round driver-green
         # or, for ml2, five-rounds rows-only; each subsumed per the
         # inline comments above) ----------------------------------------
@@ -3224,6 +3402,11 @@ def oracle_sql() -> dict[str, str]:
         "x57_doc_search": X.doc_search_oracle(),
         "x58_source_overlap": X.source_overlap_oracle(),
         "w20_ichimoku": _w20_oracle(),
+        "w21_adx": _w21_oracle(),
+        "x62_nb_classifier": X.nb_classifier_oracle(),
+        "x63_embed_quantize": X.embed_quantize_oracle(),
+        "x64_dsir_weights": X.dsir_weights_oracle(),
+        "ml8_linreg_forecast": _ml8_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),
         "a11_vwap_daily": _a11_oracle(),

@@ -503,6 +503,82 @@ def on_balance_volume(
     ).drop("__signed_vol")
 
 
+def adx(
+    df: DataFrame,
+    high_col: str,
+    low_col: str,
+    close_col: str,
+    order_cols: Sequence[str | Column],
+    period: int = 14,
+    partition_cols: Sequence[str | Column] = (),
+) -> DataFrame:
+    """W21 — Average Directional Index (trend-strength oscillator), the
+    directional-movement sibling of W15's RSI: ``+DM/−DM`` from
+    bar-to-bar high/low excursions, ``±DI = 100·avg(DM)/ATR``,
+    ``DX = 100·|+DI−−DI|/(+DI+−DI)``, ``ADX = avg(DX)``. Like W15, the
+    simple-average (Cutler-style) form replaces Wilder's recursive
+    smoothing deliberately: recursion is unbounded-history, while this
+    form is one LAG plus two stacked ``period``-row window passes —
+    frame-bounded, partitionable, oracle-checkable (the same design
+    trade documented on ``rsi`` and ``rolling_ewma``).
+
+    Emits ``plus_di``/``minus_di``/``dx`` (non-NULL once ``period``
+    real deltas fill the frame) and ``adx`` (non-NULL once ``period``
+    DX rows fill the second frame — warm-up 2·period bars total). The
+    true range and DM columns stay NULL on rows without a previous bar
+    so the frame gates count REAL deltas only (the r5 gappy-series
+    finding on ``rsi``); zero denominators are clamped explicitly
+    (flat frame → DI 0; +DI+−DI = 0 → DX 0) because engines disagree
+    on x/0. Both window passes share one (partition, order) key, so
+    Catalyst evaluates them in a single sort pipeline — no extra
+    shuffle for the second pass.
+    """
+    ow = ordered_window(order_cols, partition_cols)
+    w = trailing_window(order_cols, period - 1, partition_cols)
+    h, low, c = F.col(high_col), F.col(low_col), F.col(close_col)
+    prev_c = F.lag(close_col).over(ow)
+    up = h - F.lag(high_col).over(ow)
+    dn = F.lag(low_col).over(ow) - low
+    d = df.withColumns(
+        {
+            "__pdm": F.when(
+                up.isNotNull() & dn.isNotNull(),
+                F.when((up > dn) & (up > 0), up).otherwise(F.lit(0.0)),
+            ).cast("double"),
+            "__mdm": F.when(
+                up.isNotNull() & dn.isNotNull(),
+                F.when((dn > up) & (dn > 0), dn).otherwise(F.lit(0.0)),
+            ).cast("double"),
+            "__tr": F.when(
+                prev_c.isNotNull(),
+                F.greatest(h - low, F.abs(h - prev_c), F.abs(low - prev_c)),
+            ).cast("double"),
+        }
+    )
+    cnt = F.count("__tr").over(w)
+    atr = F.avg("__tr").over(w)
+    pdi = F.when(atr == 0, F.lit(0.0)).otherwise(
+        F.lit(100.0) * F.avg("__pdm").over(w) / atr
+    )
+    mdi = F.when(atr == 0, F.lit(0.0)).otherwise(
+        F.lit(100.0) * F.avg("__mdm").over(w) / atr
+    )
+    dx_raw = F.when(pdi + mdi == 0, F.lit(0.0)).otherwise(
+        F.lit(100.0) * F.abs(pdi - mdi) / (pdi + mdi)
+    )
+    gate = cnt >= period
+    d = d.withColumns(
+        {
+            "plus_di": F.when(gate, pdi),
+            "minus_di": F.when(gate, mdi),
+            "dx": F.when(gate, dx_raw),
+        }
+    ).drop("__pdm", "__mdm", "__tr")
+    return d.withColumn(
+        "adx", F.when(F.count("dx").over(w) >= period, F.avg("dx").over(w))
+    )
+
+
 def sliding_join_back(
     df: DataFrame,
     ts_col: str = "ts",

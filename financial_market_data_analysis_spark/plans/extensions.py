@@ -3657,3 +3657,398 @@ def triangle_counts_oracle() -> str:
         SELECT n.doc_id, CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri
         FROM nodes n LEFT JOIN counts c ON c.doc_id = n.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# x62 — multinomial Naive Bayes document classifier (train + score in-engine)
+
+NB_MARK_MOD = 5  # docs with doc_id % 5 == 0 stay unmarked (noise floor)
+
+
+def docs_lang_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's documents table draws every language's text from
+    the SAME vocabulary (measured: a trained classifier lands exactly
+    on the en-majority baseline), so the labels carry no text signal to
+    learn. Deterministically append a per-language marker token to 80%
+    of docs — the ``docs_augmented`` injection pattern — so training
+    has signal to find while the UNMARKED 20% keeps a real noise floor
+    the classifier must fall back to priors on. Engine/oracle twins."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % NB_MARK_MOD != 0,
+            F.concat(F.col("text"), F.lit(" langmark"), F.col("lang")),
+        ).otherwise(F.col("text")),
+    )
+
+
+DOCS_MARKED_CTE = f"""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % {NB_MARK_MOD} <> 0
+                THEN text || ' langmark' || lang ELSE text END AS text
+    FROM documents
+"""
+
+
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x62 — multinomial Naive Bayes language classifier trained and
+    served entirely in-engine: the classical closed-form classifier a
+    corpus pipeline reaches for when a *learned* doc-level gate (lang
+    routing, quality triage, domain tagging) must run over 100 TB
+    without an external model server — and, unlike the MLlib fits
+    (ml2/ml5, rows-only by necessity), its training IS aggregation, so
+    the whole train→score→predict pipeline is oracle-checkable in SQL.
+
+    Train: Laplace-smoothed per-(lang, token) multinomial counts plus
+    log priors over the x17 hash-split TRAIN docs. Score: every TEST
+    doc against every class — ``Σ_tok ln((cnt+1)/(tot_c+V)) + ln P(c)``
+    — then argmax. Scale shape: the count/vocab tables are
+    partial-aggregatable shuffles keyed on (lang, token); the CLASS
+    parameter table is 4 rows (broadcast); scoring joins the exploded
+    test tokens to the count table — a plain keyed shuffle join, NOT a
+    broadcast, because a 100 TB corpus's vocabulary is itself large —
+    and the argmax is a 4-rows-per-doc window partitioned on doc_id.
+    The exact ``countDistinct`` vocab size is one extra shuffle; at
+    scale the x51 KMV estimate slots in. Scores are rounded to 6 and
+    the argmax ranks on the ROUNDED value with a class-name tie-break,
+    so both engines decide near-ties on identical doubles (balanced
+    splits make equal log-priors — hence exact ties on zero-token
+    docs — structurally possible, not just ULP-possible).
+
+    Corpus: ``docs_lang_marked`` — the fixture's labels are
+    text-independent, so a marker token is injected at 80% coverage to
+    give training real signal (see that helper's docstring).
+    """
+    sp = T.hash_split(docs_lang_marked(spark, sf_dir))
+    train = sp.filter(F.col("split") == "train")
+    trtok = train.select("lang", F.explode(T.tokens("text")).alias("token"))
+    counts = (
+        trtok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("lang").alias("c_lang"), "token", "cnt")
+    )
+    ctot = trtok.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    vocab = trtok.agg(F.countDistinct("token").alias("v"))
+    priors = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_train = priors.agg(F.sum("n_docs").alias("n"))
+    classes = (
+        priors.join(ctot, "lang")
+        .crossJoin(F.broadcast(n_train))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("c_lang"),
+            F.log(F.col("n_docs") / F.col("n")).alias("log_prior"),
+            "tot",
+            "v",
+        )
+    )
+    test = sp.filter(F.col("split") == "test")
+    testtok = test.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    tok_scores = (
+        testtok.crossJoin(F.broadcast(classes))
+        .join(counts, ["c_lang", "token"], "left")
+        .groupBy("doc_id", "c_lang")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tot") + F.col("v"))
+                )
+            ).alias("tok_sum")
+        )
+    )
+    spine = test.select("doc_id", "lang")
+    scored = (
+        spine.crossJoin(F.broadcast(classes.select("c_lang", "log_prior")))
+        .join(tok_scores, ["doc_id", "c_lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "c_lang",
+            F.round(
+                F.coalesce(F.col("tok_sum"), F.lit(0.0)) + F.col("log_prior"), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("c_lang"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("c_lang").alias("pred_lang"),
+            F.col("score").alias("nb_score"),
+            (F.col("lang") == F.col("c_lang")).alias("correct"),
+        )
+    )
+
+
+def nb_classifier_oracle() -> str:
+    return f"""
+        WITH marked AS ({DOCS_MARKED_CTE}),
+        split AS ({T.hash_split_sql()}),
+        docs AS (
+            SELECT d.doc_id, d.lang, d.text, s.split
+            FROM marked d JOIN split s USING (doc_id)
+        ),
+        trtok AS MATERIALIZED (
+            SELECT lang, unnest({T.tokens_sql()}) AS token
+            FROM docs WHERE split = 'train'
+        ),
+        counts AS (
+            SELECT lang AS c_lang, token, count(*) AS cnt
+            FROM trtok GROUP BY 1, 2
+        ),
+        ctot AS (SELECT lang, count(*) AS tot FROM trtok GROUP BY lang),
+        vocab AS (SELECT count(DISTINCT token) AS v FROM trtok),
+        priors AS (
+            SELECT lang, count(*) AS n_docs
+            FROM docs WHERE split = 'train' GROUP BY lang
+        ),
+        ptot AS (SELECT sum(n_docs) AS n FROM priors),
+        classes AS (
+            SELECT p.lang AS c_lang, ln(p.n_docs / t.n) AS log_prior,
+                   ct.tot, vb.v
+            FROM priors p
+            JOIN ctot ct ON ct.lang = p.lang
+            CROSS JOIN ptot t CROSS JOIN vocab vb
+        ),
+        testtok AS MATERIALIZED (
+            SELECT doc_id, unnest({T.tokens_sql()}) AS token
+            FROM docs WHERE split = 'test'
+        ),
+        tok_scores AS (
+            SELECT tt.doc_id, c.c_lang,
+                   sum(ln((COALESCE(cnt.cnt, 0) + 1.0) / (c.tot + c.v)))
+                       AS tok_sum
+            FROM testtok tt
+            CROSS JOIN classes c
+            LEFT JOIN counts cnt
+              ON cnt.c_lang = c.c_lang AND cnt.token = tt.token
+            GROUP BY 1, 2
+        ),
+        spine AS (SELECT doc_id, lang FROM docs WHERE split = 'test'),
+        scored AS (
+            SELECT s.doc_id, s.lang, c.c_lang,
+                   round(COALESCE(ts.tok_sum, 0.0) + c.log_prior, 6) AS score
+            FROM spine s
+            CROSS JOIN classes c
+            LEFT JOIN tok_scores ts
+              ON ts.doc_id = s.doc_id AND ts.c_lang = c.c_lang
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, c_lang) AS rk
+            FROM scored
+        )
+        SELECT doc_id, lang, c_lang AS pred_lang, score AS nb_score,
+               lang = c_lang AS correct
+        FROM ranked WHERE rk = 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# x63 — int8 scalar quantization of the embedding column + measured fidelity
+
+QUANT_LEVELS = 255  # 8-bit codes 0..255
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x63 — scalar (per-dimension min/max) int8 quantization of the
+    embedding column, published WITH its measured fidelity: per vector
+    the reconstruction MSE, the cosine of original vs reconstruction,
+    and the max absolute element error. This is the storage-side
+    counterpart of the x8-x12 ANN family — at 100 TB you keep int8
+    codes (4× smaller, SIMD-friendly) and this query is the
+    quality-number gate that tells you whether the recall budget
+    survives the compression (the same publish-the-measurement duty
+    x30 performs for bucket tuning).
+
+    Scale shape: one posexplode pass over the corpus; the per-dimension
+    min/max table is DIM rows — broadcast back (the A1 global-params
+    pattern), so quantize/dequantize/error is a row-local projection
+    after one partial-aggregatable shuffle, and the per-vector rollup
+    re-keys on vec_id once. No all-pairs anything. Codes are exact
+    integers from identical doubles in both engines; the error sums
+    round at 12/9 decimals (they live at 1e-7 scale — the usual 6
+    would flatten them to zero). ``try_divide`` guards the zero-range
+    and zero-norm edges (ANSI mode throws on /0; DuckDB yields NULL —
+    try_divide matches)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    stats = ex.groupBy("pos").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    j = ex.join(F.broadcast(stats), "pos")
+    rng = F.col("hi") - F.col("lo")
+    code = F.round(
+        F.try_divide((F.col("x") - F.col("lo")) * F.lit(float(QUANT_LEVELS)), rng)
+    )
+    xr = F.coalesce(
+        F.col("lo") + code * rng / F.lit(float(QUANT_LEVELS)), F.col("lo")
+    )
+    per = j.withColumn("xr", xr)
+    err = F.col("x") - F.col("xr")
+    return per.groupBy("vec_id").agg(
+        F.round(F.avg(err * err), 12).alias("mse"),
+        F.round(
+            F.try_divide(
+                F.sum(F.col("x") * F.col("xr")),
+                F.sqrt(F.sum(F.col("x") * F.col("x")))
+                * F.sqrt(F.sum(F.col("xr") * F.col("xr"))),
+            ),
+            9,
+        ).alias("cos_recon"),
+        F.round(F.max(F.abs(err)), 9).alias("max_abs_err"),
+    )
+
+
+def embed_quantize_oracle() -> str:
+    return f"""
+        WITH ex AS MATERIALIZED (
+            SELECT vec_id, g.j AS pos,
+                   CAST(embedding[g.j] AS DOUBLE) AS x
+            FROM embeddings, generate_series(1, {EMB_DIM_K}) g(j)
+        ),
+        stats AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos),
+        per AS (
+            SELECT vec_id, x,
+                   CASE WHEN hi > lo
+                        THEN lo + round((x - lo) * {QUANT_LEVELS}.0 / (hi - lo))
+                             * (hi - lo) / {QUANT_LEVELS}.0
+                        ELSE lo END AS xr
+            FROM ex JOIN stats USING (pos)
+        )
+        SELECT vec_id,
+               round(avg((x - xr) * (x - xr)), 12) AS mse,
+               round(sum(x * xr)
+                     / (sqrt(sum(x * x)) * sqrt(sum(xr * xr))), 9) AS cos_recon,
+               round(max(abs(x - xr)), 9) AS max_abs_err
+        FROM per GROUP BY vec_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# x64 — DSIR-style importance resampling weights (hashed-bigram LM ratio)
+
+DSIR_BUCKETS = 256  # 2 hex digits of md5(bigram) — the hashed feature space
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x64 — Data Selection via Importance Resampling (DSIR, Xie et
+    al. 2023) over hashed bigram features: every document gets the log
+    importance weight ``Σ_b [ln p_target(b) − ln p_raw(b)]`` of its
+    bigram-bucket bag under two Laplace-smoothed multinomials — the
+    target slice's and the whole corpus's — and ``selected`` marks
+    docs more target-like than raw (weight > 0). This is the
+    distribution-matching selector a pretraining pipeline runs when
+    the target is "more text LIKE this trusted subset", one rung above
+    x42's absolute-perplexity partition.
+
+    Target slice: the ``DSIR_TARGET_LANG`` ('en') docs of the
+    ``docs_lang_marked`` corpus (the x62 fixture note applies — raw
+    fixture text carries no lang signal, so the marker injection gives
+    the target distribution something measurable; any doc predicate
+    slots in as the target definition).
+
+    Scale shape: hashing n-grams into a FIXED bucket space is the
+    whole point of DSIR at scale — both LMs are DSIR_BUCKETS(256)-row
+    tables regardless of corpus size, built by one partial-aggregatable
+    shuffle each (the target pass is a filter of the same scan), then
+    BROADCAST back so per-doc scoring is one keyed re-aggregation on
+    doc_id. No vocabulary-sized join anywhere. Selection here is the
+    zero threshold (ratio > 1); a budgeted top-k selection composes
+    the a12 histogram-quantile sketch for the cutoff instead of a
+    global sort."""
+    d = docs_lang_marked(spark, sf_dir)
+    bigs = d.select(
+        "doc_id",
+        "lang",
+        F.explode(T.all_grams(T.tokens("text"), 2)).alias("bigram"),
+    ).withColumn(
+        "bucket", F.substring(F.md5(F.col("bigram").cast("binary")), 1, 2)
+    )
+    raw = bigs.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
+    rtot = raw.agg(F.sum("r_cnt").alias("r_tot"))
+    tgt = (
+        bigs.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    ttot = tgt.agg(F.sum("t_cnt").alias("t_tot"))
+    b = F.lit(float(DSIR_BUCKETS))
+    stats = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("t_tot") + b)
+                )
+                - F.log((F.col("r_cnt") + F.lit(1.0)) / (F.col("r_tot") + b))
+            ).alias("log_ratio"),
+        )
+    )
+    per_doc = (
+        bigs.join(F.broadcast(stats), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_big"),
+            F.sum("log_ratio").alias("s"),
+        )
+    )
+    spine = d.select("doc_id", "lang")
+    out = spine.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("n_big"), F.lit(0)).cast("int").alias("n_bigrams"),
+        F.round(F.coalesce(F.col("s"), F.lit(0.0)), 6).alias("logratio"),
+    )
+    return out.withColumn("selected", F.col("logratio") > 0)
+
+
+def dsir_weights_oracle() -> str:
+    return f"""
+        WITH marked AS ({DOCS_MARKED_CTE}),
+        bigs AS MATERIALIZED (
+            SELECT doc_id, lang,
+                   substr(md5(bigram), 1, 2) AS bucket
+            FROM (
+                SELECT doc_id, lang, unnest({T._all_grams_sql(2)}) AS bigram
+                FROM (SELECT doc_id, lang, {T.tokens_sql()} AS toks
+                      FROM marked)
+            )
+        ),
+        raw AS (SELECT bucket, count(*) AS r_cnt FROM bigs GROUP BY bucket),
+        rtot AS (SELECT sum(r_cnt) AS r_tot FROM raw),
+        tgt AS (
+            SELECT bucket, count(*) AS t_cnt FROM bigs
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+        ),
+        ttot AS (SELECT sum(t_cnt) AS t_tot FROM tgt),
+        stats AS (
+            SELECT r.bucket,
+                   ln((COALESCE(t.t_cnt, 0) + 1.0) / (tt.t_tot + {DSIR_BUCKETS}.0))
+                   - ln((r.r_cnt + 1.0) / (rt.r_tot + {DSIR_BUCKETS}.0))
+                       AS log_ratio
+            FROM raw r
+            LEFT JOIN tgt t ON t.bucket = r.bucket
+            CROSS JOIN rtot rt CROSS JOIN ttot tt
+        ),
+        per_doc AS (
+            SELECT b.doc_id, count(*) AS n_big, sum(s.log_ratio) AS s
+            FROM bigs b JOIN stats s ON s.bucket = b.bucket
+            GROUP BY b.doc_id
+        )
+        SELECT m.doc_id, m.lang,
+               CAST(COALESCE(p.n_big, 0) AS INT) AS n_bigrams,
+               round(COALESCE(p.s, 0.0), 6) AS logratio,
+               round(COALESCE(p.s, 0.0), 6) > 0 AS selected
+        FROM marked m LEFT JOIN per_doc p ON p.doc_id = m.doc_id
+    """

@@ -629,3 +629,56 @@ def test_x60_incremental_never_pairs_old_with_old(spark):
     pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
     assert (10, 1) in pairs and (10, 2) in pairs
     assert not any({a, b} <= {1, 2, 3} for a, b in pairs), pairs
+
+
+def test_nb_classifier_learns_above_chance(spark):
+    """x62's oracle row proves Spark and DuckDB agree; this pins that
+    the classifier actually LEARNS — on the fixture corpus (whose
+    languages differ by stopword distribution) test accuracy must beat
+    the 4-class chance rate by a wide margin, predictions must span
+    more than one class, and every test doc must get exactly one row."""
+    from financial_market_data_analysis_spark.functions.text import hash_split
+    from financial_market_data_analysis_spark.plans.extensions import (
+        NB_MARK_MOD,
+        q_nb_classifier,
+    )
+    from conftest import SF_SMOKE
+
+    out = q_nb_classifier(spark, SF_SMOKE)
+    rows = out.collect()
+    n_test = (
+        hash_split(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+        .filter(F.col("split") == "test")
+        .count()
+    )
+    assert len(rows) == n_test  # one prediction per test doc, none dropped
+    marked = [r for r in rows if r.doc_id % NB_MARK_MOD != 0]
+    acc_marked = sum(r.correct for r in marked) / len(marked)
+    # docs carrying the injected marker must be classified near-perfectly
+    assert acc_marked > 0.9, acc_marked
+    acc = sum(r.correct for r in rows) / len(rows)
+    assert acc > 0.6, acc  # 5 classes → chance ~0.2, majority ~0.38
+    assert len({r.pred_lang for r in rows}) > 1  # not a constant classifier
+
+
+def test_dsir_selection_enriches_target_distribution(spark):
+    """x64's reason to exist: the selected subset must be ENRICHED in
+    the target distribution (en docs) relative to the raw corpus —
+    measured precision lift, not just oracle parity — and the log
+    weights must center near zero for raw-typical docs (the two
+    smoothed LMs share most of their mass)."""
+    from financial_market_data_analysis_spark.plans.extensions import (
+        DSIR_TARGET_LANG,
+        q_dsir_weights,
+    )
+    from conftest import SF_SMOKE
+
+    rows = q_dsir_weights(spark, SF_SMOKE).collect()
+    assert len(rows) == 500  # one weight per doc, zero-bigram docs kept
+    sel = [r for r in rows if r.selected]
+    assert sel, "selection must be non-empty"
+    p_overall = sum(r.lang == DSIR_TARGET_LANG for r in rows) / len(rows)
+    p_sel = sum(r.lang == DSIR_TARGET_LANG for r in sel) / len(sel)
+    assert p_sel > 1.5 * p_overall, (p_sel, p_overall)  # measured ~0.71 vs 0.39
+    # selected ⇔ positive rounded weight (the zero-threshold contract)
+    assert all((r.logratio > 0) == r.selected for r in rows)

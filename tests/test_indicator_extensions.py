@@ -447,3 +447,50 @@ def test_rolling_corr_and_rsi_null_gaps_emit_null(spark):
     for t in (0, 1, 2, 3, 4, 5, 6, 7):
         assert r[t] is None, t
     assert r[8] is not None and r[8] == 100.0  # strictly rising resumes
+
+
+def test_adx_trends_flats_and_warmup(spark):
+    """W21 semantics the oracle-parity row can't pin alone: a steady
+    uptrend drives +DI > −DI with DX/ADX → 100, a dead-flat series
+    clamps every stage to 0 (no 0/0 leakage), and the warm-up trim is
+    exactly 2·period bars."""
+    from financial_market_data_analysis_spark.operators.windows import adx
+
+    def bars(vals):
+        return spark.createDataFrame(
+            [(i, v + 1.0, v - 1.0, v) for i, v in enumerate(vals)],
+            "t INT, high DOUBLE, low DOUBLE, close DOUBLE",
+        )
+
+    up = adx(bars([float(i) for i in range(40)]), "high", "low", "close", ["t"], period=14)
+    got = up.filter(F.col("adx").isNotNull()).collect()
+    # first non-null ADX needs period DX rows, each needing period deltas
+    assert up.filter(F.col("adx").isNotNull()).count() == 40 - 2 * 14 + 1
+    assert all(r.plus_di > r.minus_di and r.minus_di == 0.0 for r in got)
+    assert all(r.dx == 100.0 and r.adx == 100.0 for r in got)
+
+    flat = adx(bars([5.0] * 40), "high", "low", "close", ["t"], period=14)
+    rows = flat.filter(F.col("adx").isNotNull()).collect()
+    # flat frame: ATR = high-low = 2 (nonzero), DMs all 0 → DI 0, and
+    # the +DI+−DI = 0 clamp keeps DX/ADX at 0 instead of NULL/NaN
+    assert rows and all(
+        r.plus_di == 0.0 and r.minus_di == 0.0 and r.dx == 0.0 and r.adx == 0.0
+        for r in rows
+    )
+
+
+def test_adx_is_per_key_when_partitioned(spark):
+    from financial_market_data_analysis_spark.operators.windows import adx
+
+    rows = [("a", i, float(i) + 1, float(i) - 1, float(i)) for i in range(30)] + [
+        ("b", i, 100.0 - i + 1, 100.0 - i - 1, 100.0 - i) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k STRING, t INT, high DOUBLE, low DOUBLE, close DOUBLE")
+    out = adx(df, "high", "low", "close", ["t"], period=5, partition_cols=["k"])
+    got = {
+        (r.k, r.t): (r.plus_di, r.minus_di)
+        for r in out.filter(F.col("adx").isNotNull()).collect()
+    }
+    # each key's trend direction is its own: a rises, b falls
+    assert all(p > m for (k, _), (p, m) in got.items() if k == "a")
+    assert all(m > p for (k, _), (p, m) in got.items() if k == "b")

@@ -543,3 +543,36 @@ def test_triangle_counts_wedges_come_from_oriented_edges(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan, plan[:800]
     assert "NestedLoop" not in plan, plan[:800]
+
+
+def test_embed_quantize_broadcasts_dim_stats_and_bounds_error(spark):
+    """x63's scale shape: the per-dimension min/max table (DIM rows)
+    must come back as a BROADCAST join against the exploded corpus —
+    a shuffle there would re-key the whole corpus on dimension index.
+    And the quantizer's error contract: every element error is at most
+    half a quantization step of its dimension, so the per-vector
+    max_abs_err is bounded by the widest dimension's step/2."""
+    from financial_market_data_analysis_spark.plans.extensions import (
+        QUANT_LEVELS,
+        q_embed_quantize,
+    )
+
+    df = q_embed_quantize(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+
+    import pandas as pd
+
+    emb = pd.DataFrame(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist()
+    )
+    widest = float((emb.max() - emb.min()).max())
+    half_step = widest / QUANT_LEVELS / 2
+    rows = df.collect()
+    assert rows and all(r.max_abs_err <= half_step * 1.0001 for r in rows)
+    # int8 at this data's spread keeps cosine fidelity essentially intact
+    assert all(r.cos_recon > 0.999 for r in rows)
+    assert all(r.mse >= 0 for r in rows)
