@@ -486,6 +486,96 @@ def _a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _a13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — CUBE over (lang, source) on the documents table: all four
+    aggregation levels (per-pair, per-lang, per-source, grand total) in
+    ONE pass — the missing sibling of a7's ROLLUP (a rollup drills one
+    hierarchy; a cube cross-tabulates independent dimensions, the
+    datacard slice-report shape). Same plan story as a7: one Expand +
+    partial-aggregatable hash aggregate, one shuffle for every level —
+    NOT 4 scans. ``grouping_id`` disambiguates subtotal NULLs from
+    data NULLs; char sums are exact integers."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+def _a13_oracle() -> str:
+    return """
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(GROUPING(lang, source) AS INT) AS gid
+        FROM documents
+        GROUP BY CUBE (lang, source)
+    """
+
+
+def _d5_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — CDC changelog compaction: apply an ordered upsert/delete
+    changelog down to current state, latest-wins per key — the MERGE
+    the lakehouse ingestion tier runs to materialize a mutable table
+    from an append-only event feed. Here the events table IS the
+    changelog: key = user_id, 'purchase' rows act as deletes, all
+    others upsert their value; order is (ts, event_id) — event_id
+    uniqueness makes the winner deterministic. Emits one row per
+    surviving key with its last value and the fold depth (n_ops).
+
+    Scale shape: one keyed shuffle — the per-key row_number window
+    (and the n_ops count rides the SAME window partition, so Catalyst
+    shares one sort). At 100 TB the equivalent single-aggregation form
+    is ``max_by`` over the (ts, event_id) scalar order per key, which
+    adds map-side partial aggregation; the window form is kept here
+    because both engines order it identically and the delete filter
+    needs the winner's op either way."""
+    ev = load_table(spark, "events", sf_dir)
+    w = SW.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    d = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "value",
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    ).withColumns(
+        {
+            "rk": F.row_number().over(w),
+            "n_ops": F.count(F.lit(1)).over(SW.partitionBy("user_id")),
+        }
+    )
+    return (
+        d.filter((F.col("rk") == 1) & (F.col("op") != "delete"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts_us").alias("last_ts_us"),
+            F.col("value").alias("current_value"),
+            F.col("n_ops").cast("long").alias("n_ops"),
+        )
+    )
+
+
+def _d5_oracle() -> str:
+    return """
+        WITH d AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+                   CASE WHEN event_type = 'purchase' THEN 'delete'
+                        ELSE 'upsert' END AS op,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk,
+                   count(*) OVER (PARTITION BY user_id) AS n_ops
+            FROM events
+        )
+        SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
+               value AS current_value, CAST(n_ops AS BIGINT) AS n_ops
+        FROM d WHERE rk = 1 AND op <> 'delete'
+    """
+
+
 def _w12_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W12 — rolling 20-bucket Pearson correlation between the
     purchase and view per-bucket average series (operators/windows.py
@@ -1385,6 +1475,86 @@ def _t12_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").alias("true_cnt"),
         "cms_est",
         (F.col("cms_est") - F.col("cnt")).alias("overest"),
+    )
+
+
+def _t15_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 — d5's CDC changelog compaction run as a LIVE two-micro-batch
+    availableNow stream: the upsert/delete feed flows into a
+    complete-mode groupBy that keeps ONE struct per key — the running
+    ``max`` over (ts_us, event_id, op, value), i.e. the latest-wins
+    winner with its op and value carried — plus the fold depth. The
+    delete filter applies AFTER the state (a deleted key must remember
+    it was deleted, or a late upsert from an earlier micro-batch could
+    resurrect it). The oracle is d5's batch SQL verbatim: the hash
+    match adjudicates that incremental materialized-view maintenance
+    decides exactly what batch compaction of the same changelog
+    decides.
+
+    Scale shape: per-key state is ONE struct (not the row history —
+    max/count are commutative monoids, so micro-batch partials merge
+    map-side); the memory sink holds |keys| rows. This is the
+    streaming-native MERGE the reference's per-row JDBC upserts
+    (spark_consumer.py:68-84) approximate with none of the replay
+    safety."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts_us", "value", "event_type"
+    )
+    cut = ev.agg(F.percentile_approx("event_id", 0.5)).first()[0]
+    src = tempfile.mkdtemp(prefix="t15_cdc_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _stage_two_halves(
+            ev, (F.col("event_id") <= cut, F.col("event_id") > cut), src
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        rec = F.struct(
+            F.col("ts_us"),
+            F.col("event_id"),
+            F.when(F.col("event_type") == "purchase", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            F.col("value"),
+        )
+        state = (
+            stream.select("user_id", rec.alias("rec"))
+            .groupBy("user_id")
+            .agg(
+                F.max("rec").alias("last"),
+                F.count(F.lit(1)).alias("n_ops"),
+            )
+        )
+        q = (
+            state.writeStream.format("memory")
+            .queryName("t15_cdc_state")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t15_stream_cdc_apply did not finish in 300 s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(src, ignore_errors=True)
+    return (
+        spark.table("t15_cdc_state")
+        .filter(F.col("last.op") != "delete")
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.ts_us").alias("last_ts_us"),
+            F.col("last.value").alias("current_value"),
+            F.col("n_ops").cast("long").alias("n_ops"),
+        )
     )
 
 
@@ -2882,6 +3052,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 8 (closed-form OLS forecast: fit+serve oracle-checked,
         # the aggregation-as-training baseline under ml2/ml5's fits)
         "ml8_linreg_forecast": _ml8_linreg,
+        # a13 NEW this round, past the window, same status — rotate in
+        # round 8 (CUBE cross-tabulation: a7 ROLLUP's missing sibling)
+        "a13_cube": _a13_cube,
+        # d5 NEW this round, past the window, same status — rotate in
+        # round 8 (CDC changelog → current-state compaction with
+        # delete semantics: the lakehouse MERGE materialization)
+        "d5_cdc_apply": _d5_cdc_apply,
+        # t15 NEW this round, past the window, same status — rotate in
+        # round 8 (d5 as incremental materialized-view maintenance
+        # under a real availableNow stream, one-struct-per-key state)
+        "t15_stream_cdc_apply": _t15_stream_cdc_apply,
         # -- rotated out in earlier rounds (multi-round driver-green
         # or, for ml2, five-rounds rows-only; each subsumed per the
         # inline comments above) ----------------------------------------
@@ -3407,6 +3588,11 @@ def oracle_sql() -> dict[str, str]:
         "x63_embed_quantize": X.embed_quantize_oracle(),
         "x64_dsir_weights": X.dsir_weights_oracle(),
         "ml8_linreg_forecast": _ml8_oracle(),
+        "a13_cube": _a13_oracle(),
+        "d5_cdc_apply": _d5_oracle(),
+        # t15: incremental maintenance must equal batch compaction of
+        # the same changelog — the adjudication reuses d5's SQL verbatim
+        "t15_stream_cdc_apply": _d5_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),
         "a11_vwap_daily": _a11_oracle(),
