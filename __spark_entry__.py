@@ -3063,6 +3063,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 8 (d5 as incremental materialized-view maintenance
         # under a real availableNow stream, one-struct-per-key state)
         "t15_stream_cdc_apply": _t15_stream_cdc_apply,
+        # x65 NEW this round, past the window, same status — rotate in
+        # round 8 (JL random projection with measured pair distortion:
+        # the dimension-cut composing with x63's int8 element cut)
+        "x65_random_projection": X.q_random_projection,
         # -- rotated out in earlier rounds (multi-round driver-green
         # or, for ml2, five-rounds rows-only; each subsumed per the
         # inline comments above) ----------------------------------------
@@ -3593,6 +3597,7 @@ def oracle_sql() -> dict[str, str]:
         # t15: incremental maintenance must equal batch compaction of
         # the same changelog — the adjudication reuses d5's SQL verbatim
         "t15_stream_cdc_apply": _d5_oracle(),
+        "x65_random_projection": X.random_projection_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),
         "a11_vwap_daily": _a11_oracle(),

@@ -4052,3 +4052,141 @@ def dsir_weights_oracle() -> str:
                round(COALESCE(p.s, 0.0), 6) > 0 AS selected
         FROM marked m LEFT JOIN per_doc p ON p.doc_id = m.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# x65 — Johnson-Lindenstrauss random projection + measured distortion
+
+RP_OUT_DIMS = 16  # 64 → 16: the 4× dim cut JL bounds the distortion of
+RP_PAIR_MOD = 5   # distortion sample: vec_id % 5 == 0 paired with +17
+RP_PAIR_OFFSET = 17
+
+
+def _rp_signs() -> list[list[int]]:
+    """The ±1 projection matrix (Achlioptas 2003: Rademacher entries
+    satisfy the JL lemma — no Gaussians needed), derived from md5 of
+    the (row, col) index so BOTH engines inline the identical literal
+    matrix: twin-by-construction, like every other shared constant."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp_{i}_{j}".encode()).hexdigest()[0], 16) % 2
+            else -1
+            for i in range(EMB_DIM_K)
+        ]
+        for j in range(RP_OUT_DIMS)
+    ]
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x65 — random-projection dimensionality reduction (the
+    Johnson-Lindenstrauss step an embedding pipeline runs before
+    LSH/IVF when the raw dimension is too wide to index), published
+    WITH its measured distortion: Euclidean distances of a
+    deterministic pair sample before vs after the 64→16 projection.
+    x63 compresses the REPRESENTATION (int8 per element); this cuts
+    the DIMENSION — the two compose, and both publish the fidelity
+    number that decides whether the downstream recall budget survives.
+
+    Scale shape: the ±1 matrix is a compile-time literal (KBs), so the
+    projection is a pure row-local fold inside whole-stage codegen —
+    O(d·k) per row, one corpus scan, ZERO shuffles for the transform
+    itself; the distortion sample is one self-equi-join on the offset
+    key. Projected components are rounded to 6 BEFORE the distance so
+    both engines measure distances over identical doubles; the fold
+    order is i=0..63 in both engines (Spark ``aggregate`` and the
+    generated SQL sum are both sequential), so even pre-round values
+    are bit-identical."""
+    signs = _rp_signs()
+    scale = float(RP_OUT_DIMS) ** 0.5
+    e = load_table(spark, "embeddings", sf_dir)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def proj(j: int):
+        lit = F.array(*[F.lit(float(s)) for s in signs[j]])
+        return F.round(
+            F.aggregate(
+                F.zip_with(emb, lit, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(scale),
+            6,
+        )
+
+    p = e.select(
+        "vec_id",
+        emb.alias("x"),
+        F.array(*[proj(j) for j in range(RP_OUT_DIMS)]).alias("y"),
+    )
+    a = p.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    ).filter(F.col("id_a") % RP_PAIR_MOD == 0)
+    b = p.select(
+        (F.col("vec_id") - RP_PAIR_OFFSET).alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+
+    def dist(u: str, v: str):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col(u), F.col(v), lambda p_, q_: (p_ - q_) * (p_ - q_)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+
+    d_orig = dist("xa", "xb")
+    d_proj = dist("ya", "yb")
+    return a.join(b, "id_a").select(
+        "id_a",
+        "id_b",
+        F.round(d_orig, 6).alias("dist_orig"),
+        F.round(d_proj, 6).alias("dist_proj"),
+        F.round(F.try_divide(d_proj, d_orig), 6).alias("ratio"),
+    )
+
+
+def random_projection_oracle() -> str:
+    signs = _rp_signs()
+    scale = float(RP_OUT_DIMS) ** 0.5
+
+    def proj_sql(tbl: str, j: int) -> str:
+        terms = " + ".join(
+            f"CAST({tbl}.embedding[{i + 1}] AS DOUBLE) * {signs[j][i]}.0"
+            for i in range(EMB_DIM_K)
+        )
+        return f"round(({terms}) / {scale!r}, 6)"
+
+    ya = ", ".join(proj_sql("a", j) for j in range(RP_OUT_DIMS))
+    yb = ", ".join(proj_sql("b", j) for j in range(RP_OUT_DIMS))
+    d_orig = " + ".join(
+        f"(CAST(a.embedding[{i + 1}] AS DOUBLE) - CAST(b.embedding[{i + 1}] AS DOUBLE))"
+        f" * (CAST(a.embedding[{i + 1}] AS DOUBLE) - CAST(b.embedding[{i + 1}] AS DOUBLE))"
+        for i in range(EMB_DIM_K)
+    )
+    d_proj = " + ".join(
+        f"(ya[{j + 1}] - yb[{j + 1}]) * (ya[{j + 1}] - yb[{j + 1}])"
+        for j in range(RP_OUT_DIMS)
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   [{ya}] AS ya, [{yb}] AS yb,
+                   sqrt({d_orig}) AS d_orig
+            FROM embeddings a
+            JOIN embeddings b ON b.vec_id = a.vec_id + {RP_PAIR_OFFSET}
+            WHERE a.vec_id % {RP_PAIR_MOD} = 0
+        )
+        SELECT id_a, id_b,
+               round(d_orig, 6) AS dist_orig,
+               round(sqrt({d_proj}), 6) AS dist_proj,
+               round(sqrt({d_proj}) / d_orig, 6) AS ratio
+        FROM pairs
+    """

@@ -383,3 +383,25 @@ def test_kmv_merge_equals_union_sketch_on_random_sets(spark, xs, ys):
         .collect()
     )
     assert direct == merged
+
+
+@given(st.lists(price, min_size=30, max_size=45))
+@settings(**_SETTINGS)
+def test_adx_dis_nonneg_and_dx_adx_bounded(spark, closes):
+    """W21: on any series, ±DI ≥ 0 (averages of non-negative DMs over a
+    positive ATR), DX ∈ [0, 100] (a normalized spread of non-negatives),
+    and ADX ∈ [0, 100] (an average of DX values)."""
+    from financial_market_data_analysis_spark.operators.windows import adx
+
+    rows = [
+        (i, float(v) + 0.5, float(v) - 0.5, float(v))
+        for i, v in enumerate(closes)
+    ]
+    df = spark.createDataFrame(rows, "t INT, high DOUBLE, low DOUBLE, close DOUBLE")
+    for r in adx(df, "high", "low", "close", ["t"], period=5).collect():
+        for v in (r.plus_di, r.minus_di):
+            if v is not None:
+                assert v >= -1e-9
+        for v in (r.dx, r.adx):
+            if v is not None:
+                assert -1e-9 <= v <= 100 + 1e-9

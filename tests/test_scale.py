@@ -576,3 +576,24 @@ def test_embed_quantize_broadcasts_dim_stats_and_bounds_error(spark):
     # int8 at this data's spread keeps cosine fidelity essentially intact
     assert all(r.cos_recon > 0.999 for r in rows)
     assert all(r.mse >= 0 for r in rows)
+
+
+def test_random_projection_distortion_is_jl_bounded(spark):
+    """x65's fidelity contract: with k=16 Rademacher dimensions the
+    pairwise distance ratios must sit in a JL-plausible band (ratio²
+    concentrates around 1 with std ~sqrt(2/k)≈0.35) and center near 1
+    — a sign error or a dropped scale factor shifts the whole
+    distribution far outside these bounds. And the transform itself
+    must not shuffle: the projection is a row-local fold, so the only
+    exchange in the plan is the distortion sample's self-join."""
+    from financial_market_data_analysis_spark.plans.extensions import (
+        q_random_projection,
+    )
+
+    rows = q_random_projection(spark, SF_SMOKE).collect()
+    assert len(rows) > 50
+    ratios = [r.ratio for r in rows if r.ratio is not None]
+    assert len(ratios) == len(rows)  # fixture has no zero-distance pairs
+    assert all(0.4 < x < 1.8 for x in ratios), (min(ratios), max(ratios))
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15, mean
