@@ -11,6 +11,7 @@ parquet footer caching).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -54,20 +55,44 @@ def main() -> None:
     # as "passes" in the output for transparency.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for _ in range(passes):
-        for name, fn in qs.items():
-            t0 = time.perf_counter()
-            try:
-                # count() forces full evaluation of every row without
-                # collecting results to the driver.
-                fn(spark, sf_dir).count()
-                elapsed = round(time.perf_counter() - t0, 4)
-            except Exception as exc:  # never let one query kill the bench
-                elapsed = -1.0
-                print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            prev = timings.get(name)
-            if prev is None or (0 <= elapsed < prev) or prev < 0:
-                timings[name] = elapsed
+
+    def time_one(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        try:
+            # count() forces full evaluation of every row without
+            # collecting results to the driver.
+            fn(spark, sf_dir).count()
+            elapsed = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # never let one query kill the bench
+            elapsed = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+        prev = timings.get(name)
+        if prev is None or (0 <= elapsed < prev) or prev < 0:
+            timings[name] = elapsed
+
+    for p in range(passes):
+        for i, (name, fn) in enumerate(qs.items()):
+            # Release Python-side references to localCheckpoint()ed
+            # DataFrames so the JVM ContextCleaner can drop their
+            # pinned blocks — otherwise a 145-query pass accumulates
+            # checkpoint blocks and the resulting GC pressure shows up
+            # as per-query fixed-overhead creep (the r7 +8% common-
+            # basis drift). Outside the timed region; every 10 queries
+            # bounds the driver-side cost to ~1 s per pass.
+            if i % 10 == 0:
+                gc.collect()
+            time_one(name, fn)
+
+    # Third refinement pass for the sub-1 s noise band (r7 verdict #3):
+    # queries this cheap are dominated by scheduler jitter, and two
+    # samples still let a single stall through — one more min() sample
+    # costs <1 min total and stabilizes the round-over-round compare.
+    noisy = [n for n, t in timings.items() if 0 <= t < 1.0]
+    for i, name in enumerate(noisy):
+        if i % 10 == 0:
+            gc.collect()
+        time_one(name, qs[name])
+    eff_passes = f"{passes}+1x<1s" if noisy else passes
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -85,7 +110,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "n_queries": len(timings),
-        "passes": passes,
+        "passes": eff_passes,
         "sf": sf_val,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -122,7 +147,7 @@ def main() -> None:
                 "queries": line_queries,
                 "n_queries": len(timings),
                 "queries_full_file": "BENCH_FULL.json",
-                "passes": passes,
+                "passes": eff_passes,
                 "sf": sf_val,
             },
             separators=(",", ":"),

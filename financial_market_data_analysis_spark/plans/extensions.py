@@ -10,7 +10,7 @@ Spark and SQL so both engines see the same synthetic dups.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from financial_market_data_analysis_spark.functions import text as T
@@ -3179,6 +3179,14 @@ def frame_fingerprint_pairs(
 
 
 def frame_dedup_oracle() -> str:
+    """ASCII ASSUMPTION (r7 advice): the engine windows the BINARY
+    payload by BYTES (Spark ``substring`` on binary), while this
+    oracle windows the VARCHAR text by CHARACTERS — DuckDB has no blob
+    ``substr``/slice, so a byte-based oracle is not expressible.
+    Parity therefore requires the fixture text to be pure ASCII
+    (1 char == 1 byte). That invariant is asserted loudly by
+    ``tests/test_extensions.py::test_x59_oracle_ascii_assumption`` so
+    a fixture change can never silently diverge the two sides."""
     fb, hop = X59_FRAME_BYTES, X59_HOP_BYTES
     return f"""
         WITH aug AS ({DOCS_AUG_CTE}),
@@ -4080,6 +4088,47 @@ def _rp_signs() -> list[list[int]]:
     ]
 
 
+def _rp_project_expr() -> Column:
+    """The 64→16 JL projection as ONE array expression over the
+    ``embedding`` column: component j = round(Σ_i x_i·sign_ji / √k, 6).
+    Shared by x65 (distortion measurement) and x66 (retrieval recall
+    over the projected space) so both queries project identically —
+    a pure row-local fold inside whole-stage codegen, zero shuffles."""
+    signs = _rp_signs()
+    scale = float(RP_OUT_DIMS) ** 0.5
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def proj(j: int):
+        lit = F.array(*[F.lit(float(s)) for s in signs[j]])
+        return F.round(
+            F.aggregate(
+                F.zip_with(emb, lit, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(scale),
+            6,
+        )
+
+    return F.array(*[proj(j) for j in range(RP_OUT_DIMS)])
+
+
+def _rp_proj_sql(tbl: str) -> str:
+    """DuckDB twin of ``_rp_project_expr`` for table alias ``tbl`` —
+    the identical literal matrix, fold order i=0..63, /√k, round 6."""
+    signs = _rp_signs()
+    scale = float(RP_OUT_DIMS) ** 0.5
+
+    def one(j: int) -> str:
+        terms = " + ".join(
+            f"CAST({tbl}.embedding[{i + 1}] AS DOUBLE) * {signs[j][i]}.0"
+            for i in range(EMB_DIM_K)
+        )
+        return f"round(({terms}) / {scale!r}, 6)"
+
+    return "[" + ", ".join(one(j) for j in range(RP_OUT_DIMS)) + "]"
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x65 — random-projection dimensionality reduction (the
     Johnson-Lindenstrauss step an embedding pipeline runs before
@@ -4099,28 +4148,9 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is i=0..63 in both engines (Spark ``aggregate`` and the
     generated SQL sum are both sequential), so even pre-round values
     are bit-identical."""
-    signs = _rp_signs()
-    scale = float(RP_OUT_DIMS) ** 0.5
     e = load_table(spark, "embeddings", sf_dir)
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-
-    def proj(j: int):
-        lit = F.array(*[F.lit(float(s)) for s in signs[j]])
-        return F.round(
-            F.aggregate(
-                F.zip_with(emb, lit, lambda x, s: x * s),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            / F.lit(scale),
-            6,
-        )
-
-    p = e.select(
-        "vec_id",
-        emb.alias("x"),
-        F.array(*[proj(j) for j in range(RP_OUT_DIMS)]).alias("y"),
-    )
+    p = e.select("vec_id", emb.alias("x"), _rp_project_expr().alias("y"))
     a = p.select(
         F.col("vec_id").alias("id_a"),
         F.col("x").alias("xa"),
@@ -4154,18 +4184,8 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def random_projection_oracle() -> str:
-    signs = _rp_signs()
-    scale = float(RP_OUT_DIMS) ** 0.5
-
-    def proj_sql(tbl: str, j: int) -> str:
-        terms = " + ".join(
-            f"CAST({tbl}.embedding[{i + 1}] AS DOUBLE) * {signs[j][i]}.0"
-            for i in range(EMB_DIM_K)
-        )
-        return f"round(({terms}) / {scale!r}, 6)"
-
-    ya = ", ".join(proj_sql("a", j) for j in range(RP_OUT_DIMS))
-    yb = ", ".join(proj_sql("b", j) for j in range(RP_OUT_DIMS))
+    ya = _rp_proj_sql("a")
+    yb = _rp_proj_sql("b")
     d_orig = " + ".join(
         f"(CAST(a.embedding[{i + 1}] AS DOUBLE) - CAST(b.embedding[{i + 1}] AS DOUBLE))"
         f" * (CAST(a.embedding[{i + 1}] AS DOUBLE) - CAST(b.embedding[{i + 1}] AS DOUBLE))"
@@ -4178,7 +4198,7 @@ def random_projection_oracle() -> str:
     return f"""
         WITH pairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   [{ya}] AS ya, [{yb}] AS yb,
+                   {ya} AS ya, {yb} AS yb,
                    sqrt({d_orig}) AS d_orig
             FROM embeddings a
             JOIN embeddings b ON b.vec_id = a.vec_id + {RP_PAIR_OFFSET}
@@ -4189,4 +4209,165 @@ def random_projection_oracle() -> str:
                round(sqrt({d_proj}), 6) AS dist_proj,
                round(sqrt({d_proj}) / d_orig, 6) AS ratio
         FROM pairs
+    """
+
+
+# ---------------------------------------------------------------------------
+# x66 — retrieval recall over the projected space (x65 ∘ x30)
+
+def q_projected_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x66 — the retrieval-level fidelity number for the x65 dimension
+    cut (r7 verdict #5): recall@k of brute/LSH/IVF search run ENTIRELY
+    in the 16-dim projected space, measured against x8's exact top-k on
+    the raw 64-dim vectors. x63/x65 publish representation-level
+    proxies (reconstruction error, pair distortion); this is the
+    number that actually gates the 100 TB compression decision — a
+    projection with pretty distortion stats but 0.3 recall@10 is not a
+    4× storage win, it is a broken index. ``proj_brute`` isolates pure
+    projection loss (search is exact, only the space changed);
+    ``proj_lsh`` / ``proj_ivf`` stack the approximate index loss on
+    top, exactly as a production pipeline would deploy them.
+
+    Scale shape: the projection is x65's row-local zero-shuffle fold,
+    computed ONCE (lazily checkpointed) and shared by the corpus side,
+    the query side, and the IVF centroid sample; each method then
+    reuses the x8/x11/x12 operator kernels with ``vec_col="y"`` and
+    ``dim=16`` — same banding/probing shuffle shapes, 4× less vector
+    arithmetic per candidate. The exact 64-dim ground truth is the
+    expensive part and is computed once and localCheckpointed (the x30
+    pattern: it feeds every method join plus the query spine)."""
+    corpus = load_table(spark, "embeddings", sf_dir)
+    exact = (
+        S.brute_force_topk(corpus, _query_vecs(spark, sf_dir), k=TOP_K)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    proj = (
+        corpus.select("vec_id", _rp_project_expr().alias("y"))
+        .localCheckpoint(eager=False)  # one projection pass feeds all 3 methods
+    )
+    pq = proj.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "y"
+    )
+    cent = proj.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), "y"
+    )
+    methods = {
+        "proj_brute": S.brute_force_topk(proj, pq, k=TOP_K, vec_col="y"),
+        "proj_lsh": S.lsh_topk(
+            proj, pq, k=TOP_K, vec_col="y", method="gaussian",
+            n_planes=S.N_PLANES, dim=RP_OUT_DIMS,
+        ),
+        "proj_ivf": S.ivf_topk(
+            proj, pq, cent, k=TOP_K, nprobe=IVF_NPROBE, vec_col="y"
+        ),
+    }
+    spine = exact.select("query_id").distinct()
+
+    def one(method: str, approx: DataFrame) -> DataFrame:
+        hits = (
+            exact.join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return (
+            spine.join(hits, "query_id", "left")
+            .na.fill({"n_hits": 0})
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.col("n_hits").cast("int").alias("n_hits"),
+                (F.col("n_hits") / F.lit(float(TOP_K))).alias("recall_at_k"),
+            )
+        )
+
+    out = None
+    for m, approx in methods.items():
+        out = one(m, approx) if out is None else out.unionByName(one(m, approx))
+    return out
+
+
+def projected_recall_oracle() -> str:
+    cos = """
+    (list_dot_product(CAST(e.y AS DOUBLE[]), CAST(q.y AS DOUBLE[]))
+     / (sqrt(list_dot_product(CAST(e.y AS DOUBLE[]), CAST(e.y AS DOUBLE[])))
+        * sqrt(list_dot_product(CAST(q.y AS DOUBLE[]), CAST(q.y AS DOUBLE[])))))
+"""
+    cos_ec = cos.replace("q.y", "c.y")
+    bucket = S.gaussian_bucket_sql("y", S.N_PLANES, RP_OUT_DIMS, 7)
+    methods = {
+        "proj_brute": f"""
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id, row_number() OVER (
+                    PARTITION BY q.query_id ORDER BY {cos} DESC, e.vec_id) AS rk
+                FROM proj e, qp q
+            ) WHERE rk <= {TOP_K}
+        """,
+        "proj_lsh": f"""
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id, row_number() OVER (
+                    PARTITION BY q.query_id ORDER BY {cos} DESC, e.vec_id) AS rk
+                FROM buck e JOIN qbuck q ON e.bucket = q.bucket
+            ) WHERE rk <= {TOP_K}
+        """,
+        "proj_ivf": f"""
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id, row_number() OVER (
+                    PARTITION BY q.query_id ORDER BY {cos} DESC, e.vec_id) AS rk
+                FROM assign e JOIN probes q ON e.centroid_id = q.centroid_id
+            ) WHERE rk <= {TOP_K}
+        """,
+    }
+    hits = ",\n        ".join(
+        f"""hits_{name} AS (
+            SELECT x.query_id, count(*) AS n_hits
+            FROM exact x JOIN m_{name} a
+              ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+            GROUP BY x.query_id
+        )"""
+        for name in methods
+    )
+    selects = "\n        UNION ALL\n        ".join(
+        f"""SELECT '{name}' AS method, s.query_id,
+               CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+               COALESCE(h.n_hits, 0) / CAST({TOP_K} AS DOUBLE) AS recall_at_k
+        FROM qs s LEFT JOIN hits_{name} h USING (query_id)"""
+        for name in methods
+    )
+    mats = ",\n        ".join(
+        f"m_{name} AS MATERIALIZED ({sql})" for name, sql in methods.items()
+    )
+    return f"""
+        WITH exact AS MATERIALIZED (
+            SELECT query_id, vec_id FROM ({ann_brute_oracle()})
+        ),
+        proj AS MATERIALIZED (
+            SELECT em.vec_id, {_rp_proj_sql("em")} AS y FROM embeddings em
+        ),
+        qp AS (SELECT vec_id AS query_id, y FROM proj
+               WHERE vec_id < {N_QUERY_VECS}),
+        cent AS (SELECT vec_id AS centroid_id, y FROM proj
+                 WHERE vec_id % {CENTROID_MOD} = 0),
+        buck AS (SELECT vec_id, y, {bucket} AS bucket FROM proj),
+        qbuck AS (SELECT query_id, y, {bucket} AS bucket FROM qp),
+        assign AS (
+            SELECT vec_id, y, centroid_id FROM (
+                SELECT e.vec_id, e.y, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {cos_ec} DESC, c.centroid_id) AS rk
+                FROM proj e CROSS JOIN cent c
+            ) WHERE rk = 1
+        ),
+        probes AS (
+            SELECT query_id, y, centroid_id FROM (
+                SELECT e.query_id, e.y, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.query_id
+                           ORDER BY {cos_ec} DESC, c.centroid_id) AS rk
+                FROM qp e CROSS JOIN cent c
+            ) WHERE rk <= {IVF_NPROBE}
+        ),
+        {mats},
+        qs AS (SELECT DISTINCT query_id FROM exact),
+        {hits}
+        {selects}
     """

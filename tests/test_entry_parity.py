@@ -71,11 +71,42 @@ def test_adjudication_window_boundary_is_stable():
     import __spark_entry__ as e
 
     keys = list(e.queries())
-    assert keys[49] == "x49_cluster_keeper", keys[45:52]
+    assert keys[49] == "x65_random_projection", keys[45:52]
+    # the entire r7 never-adjudicated backlog sits inside the window
+    backlog = [
+        "x59_frame_dedup", "x60_incremental_dedup", "t14_stream_index_dedup",
+        "x61_triangle_counts", "w21_adx", "x62_nb_classifier",
+        "x63_embed_quantize", "x64_dsir_weights", "ml8_linreg_forecast",
+        "a13_cube", "d5_cdc_apply", "t15_stream_cdc_apply",
+        "x65_random_projection",
+    ]
+    assert keys[37:50] == backlog, keys[37:50]
     # every oracle key maps to a query, and rows-only set is exactly
     # the three documented queries
     oracles = e.oracle_sql()
     assert set(oracles) <= set(keys)
-    assert set(keys) - set(oracles) == {
+    rows_only = set(keys) - set(oracles)
+    assert rows_only == {
         "ml5_window_mlp", "ml2_train_metrics", "x6b_minhash_xxhash"
     }
+    # r7 verdict #2: every window slot carries a hash-signal query —
+    # the rows-only entries sit permanently past position 50
+    assert rows_only.isdisjoint(keys[:50]), sorted(rows_only & set(keys[:50]))
+
+
+def test_no_rotation_debt():
+    """r7 verdict #7: fail the suite the moment any oracle-bearing
+    query has existed a full round without a driver CORRECTNESS row
+    and is not scheduled for one (i.e. sits outside the first-50
+    window). Round 7 let that backlog reach 13 silently; this makes
+    silent accumulation impossible. New queries must be stamped into
+    tools/query_births.json via `tools/check_rotation_debt.py
+    --update` when added."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from check_rotation_debt import check
+
+    debt = check()
+    assert not debt, "\n".join(debt)

@@ -379,3 +379,27 @@ def test_frame_fingerprint_hot_frame_guard(spark):
         media, frame_bytes=32, hop_bytes=16, min_shared=1, hot_cap=1000
     )
     assert unguarded.count() == 12 * 11 // 2
+
+
+def test_x59_oracle_ascii_assumption(spark):
+    """frame_dedup_oracle windows VARCHAR text by CHARACTERS while the
+    engine windows the binary payload by BYTES (DuckDB has no blob
+    substr, so a byte-based oracle is inexpressible — r7 advice).
+    Parity is sound only while the fixture text is pure ASCII; fail
+    LOUDLY here the moment a fixture change breaks that, instead of
+    letting x59 silently diverge at the driver gate."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMOKE
+    from financial_market_data_analysis_spark.plans.extensions import (
+        docs_augmented,
+    )
+
+    aug = docs_augmented(spark, SF_SMOKE)
+    non_ascii = aug.filter(
+        F.octet_length("text") != F.length("text")
+    ).count()
+    assert non_ascii == 0, (
+        f"{non_ascii} non-ASCII docs: the x59 char-based DuckDB oracle "
+        "no longer matches the byte-based engine; regenerate or filter"
+    )

@@ -597,3 +597,34 @@ def test_random_projection_distortion_is_jl_bounded(spark):
     assert all(0.4 < x < 1.8 for x in ratios), (min(ratios), max(ratios))
     mean = sum(ratios) / len(ratios)
     assert 0.85 < mean < 1.15, mean
+
+
+def test_cube_is_single_expand_single_shuffle(spark):
+    """a13's structural claim (r7 verdict #6): CUBE over (lang, source)
+    plans as ONE Expand feeding a partial-aggregatable hash aggregate
+    with ONE exchange — all four aggregation levels from a single scan
+    and a single shuffle, never 4 scans or a shuffle per level."""
+    import __spark_entry__ as e
+
+    df = e.queries()["a13_cube"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, plan[:1200]
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert plan.count("Scan parquet") == 1, plan[:1200]
+    # map-side partial aggregation must sit below the exchange
+    assert "partial_count" in plan, plan[:1200]
+
+
+def test_cdc_apply_shares_one_keyed_sort(spark):
+    """d5's structural claim (r7 verdict #6): the latest-wins
+    row_number and the n_ops count ride the SAME user_id window
+    partition, so the plan has exactly ONE exchange and ONE sort —
+    both Window operators consume the same sorted shuffle. A second
+    sort/exchange would double the only shuffle in the query."""
+    import __spark_entry__ as e
+
+    df = e.queries()["d5_cdc_apply"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert plan.count("+- Sort ") == 1, plan[:1500]
+    assert plan.count("Window") == 2, plan[:1500]
