@@ -67,28 +67,36 @@ _ORDER = ["bucket_start"]
 _CANDLES_CTE = f"WITH candles AS ({candles_oracle_sql()})"
 
 
-def _stage_two_halves(df: DataFrame, half_filters, src: str) -> None:
-    """Write a DataFrame as two sequential single-file parquet appends —
-    the two-micro-batch feed for the availableNow streaming harnesses.
+def _stage_batches(df: DataFrame, filters, src: str) -> None:
+    """Write a DataFrame as N sequential single-file parquet appends —
+    the N-micro-batch feed for the availableNow streaming harnesses.
 
     FileStreamSource orders files by modification time; on a coarse-
-    granularity filesystem the two writes can land with IDENTICAL
-    mtimes, and the tie then breaks on the random temp part-file path —
-    which could invert micro-batch order and violate the stateful
-    operators' in-order per-key arrival contract (r4 advice). The
-    second file's mtime is therefore explicitly bumped past the first's
-    so the order is strict by construction.
+    granularity filesystem two writes can land with IDENTICAL mtimes,
+    and the tie then breaks on the random temp part-file path — which
+    could invert micro-batch order and violate the stateful operators'
+    in-order per-key arrival contract (r4 advice). Each file's mtime is
+    therefore explicitly bumped past its predecessor's so the order is
+    strict by construction.
     """
     import glob
     import os as _os
 
-    df.filter(half_filters[0]).coalesce(1).write.mode("append").parquet(src)
-    first = set(glob.glob(_os.path.join(src, "*.parquet")))
-    df.filter(half_filters[1]).coalesce(1).write.mode("append").parquet(src)
-    base = max(_os.path.getmtime(p) for p in first)
-    for p in glob.glob(_os.path.join(src, "*.parquet")):
-        if p not in first:
-            _os.utime(p, (base + 2, base + 2))
+    prev: set[str] = set()
+    last_mtime = None
+    for flt in filters:
+        df.filter(flt).coalesce(1).write.mode("append").parquet(src)
+        cur = set(glob.glob(_os.path.join(src, "*.parquet")))
+        if last_mtime is not None:
+            for p in cur - prev:
+                _os.utime(p, (last_mtime + 2, last_mtime + 2))
+        last_mtime = max(_os.path.getmtime(p) for p in cur)
+        prev = cur
+
+
+def _stage_two_halves(df: DataFrame, half_filters, src: str) -> None:
+    """Two-batch form of :func:`_stage_batches` (the common case)."""
+    _stage_batches(df, half_filters, src)
 
 
 # ---------------------------------------------------------------------------
@@ -1478,6 +1486,220 @@ def _t12_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t17_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17 — the WATERMARK LATE-DATA POLICY (T5) as a hard driver
+    signal (it had only pytest coverage): a 5-minute tumbling count/sum
+    aggregation under a 10-minute watermark, driven by a two-batch
+    availableNow stream whose SECOND batch contains only stragglers
+    deliberately older than (cut − 2×delay) — far beyond any watermark
+    boundary subtlety. After batch 1 the watermark sits at
+    (global max − 10 min), so every batch-2 row must be DROPPED before
+    the aggregation; the oracle aggregates exactly the non-straggler
+    rows, so if the engine let one late row through, the window it
+    lands in hash-mismatches. The batch split uses an exact integer
+    midpoint cut ((min+max)//2 µs — NOT percentile_approx, because
+    here the split defines the ANSWER and must be oracle-mirrorable),
+    and stragglers sit ≥ 2×delay below it while the fixture's span
+    keeps the cut ≥ 2×delay+300 s below the max (asserted), so no row
+    is within 10 minutes of the boundary on either side.
+
+    THREE batches, not two: Spark filters late records against the
+    watermark of the PREVIOUS batch (``watermarkForLateEvents`` — the
+    deliberately lenient one-batch lag), so a straggler arriving in
+    batch 1 is judged against batch 0's INITIAL (epoch-zero) watermark
+    and sails through — measured here: the 2-batch design dropped 0
+    rows, the 3-batch design reports the full straggler count in
+    batch 2's ``numRowsDroppedByWatermark``. Batches 0/1 split the
+    kept rows at a deterministic recency threshold (batch 1 = the
+    newest eighth, all above batch 0's watermark), batch 2 = the
+    stragglers, judged against a fully-advanced watermark.
+
+    Update-mode emission flows through the t15b foreachBatch pattern
+    (per-batch_id overwrite — idempotent replay), and the final read
+    takes each window's LAST update. Scale shape: watermark state is
+    bounded per window key; dropped-late rows cost a row-local filter,
+    never state."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir).select("ts", "user_id", "value")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).first()
+    delay_us = 600 * 1_000_000
+    cut = (bounds.mn + bounds.mx) // 2
+    assert bounds.mx - cut > 2 * delay_us + 300 * 1_000_000, (
+        "fixture span too short for an unambiguous late margin"
+    )
+    is_straggler = (F.unix_micros("ts") < cut - 2 * delay_us) & (
+        F.col("user_id") % 7 == 0
+    )
+    cut2 = bounds.mx - (bounds.mx - bounds.mn) // 8
+    is_recent = F.unix_micros("ts") >= cut2
+    work = tempfile.mkdtemp(prefix="t17_late_")
+    src_dir = f"{work}/arrivals"
+    upd = f"{work}/updates"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _stage_batches(
+            ev,
+            (
+                ~is_straggler & ~is_recent,
+                ~is_straggler & is_recent,
+                is_straggler,
+            ),
+            src_dir,
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .withWatermark("ts", "10 minutes")
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sum_value"),
+            )
+            .select(
+                F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                "n",
+                "sum_value",
+            )
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(f"{upd}/b{batch_id}")
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t17_late_drop did not finish in 300 s")
+        all_upd = spark.read.option("recursiveFileLookup", "true").parquet(upd)
+        latest = all_upd.groupBy("window_start_us").agg(
+            F.max(F.struct("batch_id", "n", "sum_value")).alias("s")
+        )
+        out = latest.select(
+            "window_start_us",
+            F.col("s.n").alias("n"),
+            F.round("s.sum_value", 6).alias("sum_value"),
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _t17_oracle() -> str:
+    b = _floor_div("epoch_us(ts)", 300_000_000)
+    return f"""
+        WITH bounds AS (
+            SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut
+            FROM events
+        ),
+        kept AS (
+            SELECT ts, value FROM events, bounds
+            WHERE NOT (epoch_us(ts) < cut - 1200000000 AND user_id % 7 = 0)
+        )
+        SELECT {b} * 300000000 AS window_start_us,
+               count(*) AS n,
+               round(sum(value), 6) AS sum_value
+        FROM kept
+        GROUP BY 1
+    """
+
+
+def _t16_stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16 — a12's histogram-quantile sketch built INCREMENTALLY by
+    Structured Streaming: per-(event_type, bucket) counts are an
+    additive monoid, so a complete-mode groupBy holds the whole sketch
+    as ≤ groups×bins running cells and merges each micro-batch's
+    partials by cell-wise sum — the quantile estimate is then
+    interpolated from the STREAMED cells by the exact same tail the
+    batch operator uses (``histogram_quantiles_from_hist``). Bucket
+    bounds are the STATIC side of a stream-static broadcast join,
+    computed once up front (production histograms run with
+    precomputed/fixed bounds — per-batch bounds would make buckets
+    non-mergeable; over the finite adjudication feed the static bounds
+    equal the batch operator's pass-1, which is what lets the oracle
+    be a12's estimate SQL verbatim). Completes the streamed-sketch
+    pair: counts (t12 count-min), quantiles (t16 histogram).
+
+    Scale shape: state is KB-sized (groups × 32 bins), arrival work is
+    one broadcast join + one partial-aggregated count per batch; the
+    interpolation runs over the sketch, never the feed."""
+    import shutil
+    import tempfile
+
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    bounds = SK.histogram_bounds(ev, "value", ["event_type"])
+    cut = ev.agg(F.percentile_approx("event_id", 0.5)).first()[0]
+    src = tempfile.mkdtemp(prefix="t16_hist_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _stage_two_halves(
+            ev, (F.col("event_id") <= cut, F.col("event_id") > cut), src
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        cells = (
+            stream.join(F.broadcast(bounds), "event_type")
+            .select(
+                "event_type", "__mn", "__mx", "__n",
+                SK.histogram_bucket_idx("value").alias("__b"),
+            )
+            .groupBy("event_type", "__mn", "__mx", "__n", "__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        q = (
+            cells.writeStream.format("memory")
+            .queryName("t16_hist_cells")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t16_stream_hist_quantiles did not finish in 300 s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(src, ignore_errors=True)
+    return SK.histogram_quantiles_from_hist(
+        spark.table("t16_hist_cells"), ["event_type"]
+    )
+
+
+def _t16_oracle() -> str:
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    return SK.histogram_quantiles_sql(
+        "ev",
+        "value",
+        ["event_type"],
+        extra_ctes="ev AS (SELECT event_type, value FROM events),",
+    )
+
+
 def _t15_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T15 — d5's CDC changelog compaction run as a LIVE two-micro-batch
     availableNow stream: the upsert/delete feed flows into a
@@ -2199,6 +2421,59 @@ def _a12_oracle() -> str:
     """
 
 
+def _ml9_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML9 — the MANY-MODELS pattern: one closed-form OLS per group in
+    a SINGLE aggregation pass — here a diurnal trend model per
+    event_type (value regressed on second-of-day), slope =
+    covar_pop/var_pop, intercept from the group means, fit quality =
+    corr². ml8 fits ONE global model; this is the shape a 100 TB
+    feature store actually needs — a model per symbol/entity/segment —
+    and the closed-form thesis (x62/ml8: training that IS aggregation
+    stays oracle-checkable) makes every one of the G models
+    hash-adjudicated, where a per-group MLlib fit loop would be G
+    driver-side jobs and rows-only.
+
+    Scale shape: ONE partial-aggregatable groupBy — each executor
+    folds covar/var/mean partials for its slice of every group, one
+    shuffle of G×5 scalars, no window, no sort, no per-group
+    iteration. G can be millions before the reduce side notices."""
+    ev = load_table(spark, "events", sf_dir)
+    sod = (F.col("ts_us") % F.lit(86_400_000_000)).cast("double") / F.lit(1e6)
+    d = ev.select("event_type", sod.alias("x"), F.col("value").alias("y"))
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("b"),
+        F.avg("y").alias("my"),
+        F.avg("x").alias("mx"),
+        F.corr("x", "y").alias("r"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round("b", 6).alias("slope"),
+        F.round(F.col("my") - F.col("b") * F.col("mx"), 6).alias("intercept"),
+        F.round(F.col("r") * F.col("r"), 6).alias("r2"),
+    )
+
+
+def _ml9_oracle() -> str:
+    return """
+        WITH d AS (
+            SELECT event_type,
+                   (epoch_us(ts) % 86400000000) / 1e6 AS x,
+                   value AS y
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n,
+               round(covar_pop(x, y) / var_pop(x), 6) AS slope,
+               round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 6)
+                   AS intercept,
+               round(corr(x, y) * corr(x, y), 6) AS r2
+        FROM d GROUP BY event_type
+    """
+
+
 def _ml7_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML7 — exact ROC AUC of the ml3 serving scorer via the
     Mann-Whitney rank statistic: midranks over the score order
@@ -2594,6 +2869,50 @@ def _w17_oracle(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
                round(sig.macd_signal, 6) AS macd_signal,
                round(line.macd_line - sig.macd_signal, 6) AS macd_hist
         FROM line JOIN sig ON line.rn = sig.rn
+    """
+
+
+def _w22_cmf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W22 — Chaikin Money Flow over the 5-minute candles
+    (operators/windows.py ``chaikin_money_flow``): the volume-weighted
+    accumulation/distribution oscillator, CMF-20 — the flow-direction
+    sibling of W16's OBV and the last classic volume indicator missing
+    next to it. Flat bars contribute zero flow on both engines
+    (try_divide/NULLIF + coalesce); warm-up rows are trimmed; the one
+    computed float is rounded to 6 (the EWMA-family precedent)."""
+    out = W.chaikin_money_flow(
+        _candles(spark, sf_dir), "high", "low", "close", "volume", _ORDER,
+        period=20,
+    )
+    return out.filter(F.col("cmf").isNotNull()).select(
+        "bucket_start",
+        "close",
+        F.round("cmf", 6).alias("cmf20"),
+    )
+
+
+def _w22_oracle(period: int = 20) -> str:
+    return f"""
+        {_CANDLES_CTE},
+        f AS (
+            SELECT bucket_start, close,
+                   COALESCE(((close - low) - (high - close))
+                            / NULLIF(high - low, 0), 0) * volume AS mfv,
+                   volume
+            FROM candles
+        ),
+        s AS (
+            SELECT bucket_start, close,
+                   sum(mfv) OVER w AS s_mfv,
+                   sum(volume) OVER w AS s_vol,
+                   count(*) OVER w AS cnt
+            FROM f
+            WINDOW w AS (ORDER BY bucket_start
+                         ROWS BETWEEN {period - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT bucket_start, close,
+               round(s_mfv / s_vol, 6) AS cmf20
+        FROM s WHERE cnt >= {period}
     """
 
 
@@ -3135,6 +3454,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retrieval-level number that gates the compression decision,
         # r7 verdict #5)
         "x66_projected_recall": X.q_projected_recall,
+        # t16 NEW in round 8, past the window, same status — rotate in
+        # round 9 (a12's histogram-quantile sketch as a real
+        # complete-mode stream: the streamed-sketch pair's quantile
+        # half next to t12's count-min)
+        "t16_stream_hist_quantiles": _t16_stream_hist_quantiles,
+        # w22 NEW in round 8, past the window, same status — rotate in
+        # round 9 (Chaikin Money Flow: OBV's volume-flow sibling)
+        "w22_cmf": _w22_cmf,
+        # ml9 NEW in round 8, past the window, same status — rotate in
+        # round 9 (per-group closed-form OLS: the many-models pattern,
+        # G hash-adjudicated fits in one partial-aggregatable pass)
+        "ml9_grouped_ols": _ml9_grouped_ols,
+        # x67 NEW in round 8, past the window, same status — rotate in
+        # round 9 (local clustering coefficient: x61's triangles
+        # normalized to the clique-vs-hub score a keeper policy needs)
+        "x67_clustering_coef": X.q_clustering_coef,
+        # t17 NEW in round 8, past the window, same status — rotate in
+        # round 9 (the T5 late-data drop policy as a hard hash signal:
+        # a straggler batch far below the watermark must change NOTHING)
+        "t17_late_drop": _t17_late_drop,
         # -- displaced THIS round to make room for the 13-query backlog
         # (each two-rounds driver-green r6+r7 and subsumed per the
         # inline comments above; all stay pytest-oracle-checked every
@@ -3690,6 +4029,11 @@ def oracle_sql() -> dict[str, str]:
         "t15_stream_cdc_apply": _d5_oracle(),
         "t15b_stream_cdc_sink": _d5_oracle(),
         "x66_projected_recall": X.projected_recall_oracle(),
+        "t16_stream_hist_quantiles": _t16_oracle(),
+        "w22_cmf": _w22_oracle(),
+        "ml9_grouped_ols": _ml9_oracle(),
+        "x67_clustering_coef": X.clustering_coef_oracle(),
+        "t17_late_drop": _t17_oracle(),
         "x65_random_projection": X.random_projection_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),

@@ -341,6 +341,34 @@ def kmv_bottomk(
 HIST_BINS = 64
 
 
+def histogram_bounds(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Pass 1 of the two-pass equi-width histogram: per-group min/max/
+    count — shared with t16, where the bounds are the STATIC side of a
+    stream-static join (production histograms run with precomputed or
+    fixed bucket bounds; recomputing them per micro-batch would make
+    the buckets non-mergeable)."""
+    return df.groupBy(*group_cols).agg(
+        F.min(value_col).alias("__mn"),
+        F.max(value_col).alias("__mx"),
+        F.count(value_col).alias("__n"),
+    )
+
+
+def histogram_bucket_idx(value_col: str, bins: int = HIST_BINS):
+    """Bucket index of ``value_col`` given joined __mn/__mx bounds —
+    the row-local pass-2 expression shared by the batch histogram and
+    t16's per-micro-batch fold."""
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(bins))
+    return F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(value_col) - F.col("__mn")) / width).cast("int"),
+            F.lit(bins - 1),
+        )
+    )
+
+
 def histogram_quantiles(
     df: DataFrame,
     value_col: str,
@@ -360,24 +388,30 @@ def histogram_quantiles(
     two-pass equi-width histogram; both passes are map-side-combined
     aggregations. Returns (group, q, est_q) with est_q rounded to 6.
     Degenerate groups (min == max) estimate the constant itself."""
-    bounds = df.groupBy(*group_cols).agg(
-        F.min(value_col).alias("__mn"),
-        F.max(value_col).alias("__mx"),
-        F.count(value_col).alias("__n"),
-    )
+    bounds = histogram_bounds(df, value_col, group_cols)
     j = df.join(F.broadcast(bounds), group_cols)
-    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(bins))
-    idx = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
-        F.least(
-            F.floor((F.col(value_col) - F.col("__mn")) / width).cast("int"),
-            F.lit(bins - 1),
-        )
-    )
+    idx = histogram_bucket_idx(value_col, bins)
     hist = (
         j.select(*group_cols, "__mn", "__mx", "__n", idx.alias("__b"))
         .groupBy(*group_cols, "__mn", "__mx", "__n", "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    return histogram_quantiles_from_hist(hist, group_cols, qs, bins)
+
+
+def histogram_quantiles_from_hist(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """The interpolation tail of :func:`histogram_quantiles`, split out
+    so a STREAMED histogram state can reuse it (t16): input is the
+    additive histogram relation (group cols, __mn, __mx, __n, __b,
+    __c) regardless of whether the counts came from a batch groupBy or
+    a complete-mode streaming aggregation — the estimate math is
+    identical by construction, which is what the t16 oracle match
+    adjudicates."""
     wcum = (
         Window.partitionBy(*group_cols)
         .orderBy("__b")

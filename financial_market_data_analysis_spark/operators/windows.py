@@ -720,6 +720,40 @@ def donchian_channel(
     )
 
 
+def chaikin_money_flow(
+    df: DataFrame,
+    high_col: str,
+    low_col: str,
+    close_col: str,
+    vol_col: str,
+    order_cols: Sequence[str | Column],
+    period: int = 20,
+    partition_cols: Sequence[str | Column] = (),
+) -> DataFrame:
+    """W22 — Chaikin Money Flow: the volume-weighted accumulation/
+    distribution oscillator — multiplier ((close−low)−(high−close))/
+    (high−low) per bar, CMF = Σ(multiplier·volume) / Σ(volume) over a
+    trailing ``period`` frame. The volume-flow sibling of W16's OBV
+    (which only signs volume by close direction); absent from the
+    reference's view set (create_database.py:76-190 ends at stochastic
+    /ATR). Flat bars (high == low) contribute zero flow (``try_divide``
+    NULL coalesced), the standard convention. Same declarative ROWS
+    frame as W1-W7 — two windowed sums over one sort, partitionable
+    per symbol; warm-up rows (frame < period) are NULL."""
+    w = trailing_window(order_cols, period - 1, partition_cols)
+    h, l, c = F.col(high_col), F.col(low_col), F.col(close_col)
+    mfm = F.try_divide((c - l) - (h - c), h - l)
+    mfv = F.coalesce(mfm, F.lit(0.0)) * F.col(vol_col)
+    cnt = F.count(c).over(w)
+    return df.withColumn(
+        "cmf",
+        F.when(
+            cnt >= period,
+            F.try_divide(F.sum(mfv).over(w), F.sum(F.col(vol_col)).over(w)),
+        ),
+    )
+
+
 def ichimoku(
     df: DataFrame,
     high_col: str,

@@ -3667,6 +3667,92 @@ def triangle_counts_oracle() -> str:
     """
 
 
+def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x67 — local clustering coefficient per node of the near-dup
+    graph: cc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)) — x61's
+    triangle counts normalized by the wedge count, the standard
+    local-density score. On a dedup graph it separates CLIQUES
+    (template farms / bulk boilerplate: cc ≈ 1 — safe to keep one
+    representative and drop the rest) from HUBS (cc ≈ 0 with high
+    degree: a doc that near-matches many mutually-unrelated docs —
+    usually a short/generic text whose shingles collide everywhere,
+    exactly the rows a keeper policy must NOT collapse into one
+    cluster). Degree-1 nodes have no wedge and get cc = 0 by the
+    usual convention.
+
+    Scale shape: x61's degree-oriented triangle kernel (out-degrees
+    O(√E) under any skew) plus one degree aggregation and one keyed
+    join — all graph-sized, run under the same graph-scoped shuffle
+    partition count."""
+    pairs = D.simhash_neardup_pairs(
+        docs_augmented(spark, sf_dir),
+        n_bands=SIMHASH_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        tri = _triangle_counts(pairs)
+        deg = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        out = tri.join(deg, "doc_id").select(
+            "doc_id",
+            "deg",
+            "n_tri",
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    F.lit(2.0) * F.col("n_tri")
+                    / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clust_coef"),
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return out
+
+
+def clustering_coef_oracle() -> str:
+    return f"""
+        WITH {_simhash_pairs_cte()},
+        e AS (
+            SELECT id_a AS a, id_b AS b FROM neardup
+            WHERE hamming <= {SIMHASH_MAX_HAMMING}
+        ),
+        tri AS (
+            SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        pn AS (
+            SELECT u AS doc_id FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri
+        ),
+        counts AS (
+            SELECT doc_id, count(*) AS n_tri FROM pn GROUP BY doc_id
+        ),
+        deg AS (
+            SELECT doc_id, count(*) AS deg FROM (
+                SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e
+            ) GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(d.deg AS BIGINT) AS deg,
+               CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri,
+               round(CASE WHEN d.deg >= 2
+                          THEN 2.0 * COALESCE(c.n_tri, 0)
+                               / (d.deg * (d.deg - 1))
+                          ELSE 0.0 END, 6) AS clust_coef
+        FROM deg d LEFT JOIN counts c ON c.doc_id = d.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # x62 — multinomial Naive Bayes document classifier (train + score in-engine)
 

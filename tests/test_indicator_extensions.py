@@ -494,3 +494,87 @@ def test_adx_is_per_key_when_partitioned(spark):
     # each key's trend direction is its own: a rises, b falls
     assert all(p > m for (k, _), (p, m) in got.items() if k == "a")
     assert all(m > p for (k, _), (p, m) in got.items() if k == "b")
+
+
+def test_chaikin_money_flow_bounds_and_flat_bars(spark):
+    """w22: CMF is a volume-weighted average of multipliers in [-1, 1],
+    so every emitted value must sit inside that band; a flat bar
+    (high == low) contributes zero flow rather than NULL-poisoning the
+    window (try_divide + coalesce)."""
+    from pyspark.sql import functions as F
+
+    from financial_market_data_analysis_spark.operators import windows as W
+
+    rows = []
+    for i in range(30):
+        # bar 7 is flat: high == low == close
+        if i == 7:
+            rows.append((i, 10.0, 10.0, 10.0, 100.0))
+        else:
+            rows.append((i, 10.0 + i * 0.1, 9.0, 9.5 + i * 0.05, 50.0 + i))
+    df = spark.createDataFrame(
+        rows, "bucket_start long, high double, low double, close double, volume double"
+    )
+    out = W.chaikin_money_flow(
+        df, "high", "low", "close", "volume", ["bucket_start"], period=10
+    )
+    vals = [r.cmf for r in out.filter(F.col("cmf").isNotNull()).collect()]
+    assert len(vals) == 30 - 10 + 1
+    assert all(-1.0 <= v <= 1.0 for v in vals), (min(vals), max(vals))
+
+
+def test_ml9_grouped_ols_fits_are_sane(spark):
+    """ml9: one closed-form model per group — r² must be a valid
+    fraction of variance (0..1), every group present, and the fitted
+    line must reproduce a synthetic exact linear relation."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from conftest import SF_SMOKE
+
+    out = {r.event_type: r for r in e.queries()["ml9_grouped_ols"](spark, SF_SMOKE).collect()}
+    assert len(out) >= 3
+    for r in out.values():
+        assert r.n > 0 and 0.0 <= r.r2 <= 1.0 + 1e-9
+
+    # exact fit: y = 3x + 2 per group must recover slope/intercept
+    rows = [("g", float(x), 3.0 * x + 2.0) for x in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, x double, y double")
+    g = df.groupBy("event_type").agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("b"),
+        (F.avg("y") - (F.covar_pop("x", "y") / F.var_pop("x")) * F.avg("x")).alias("a"),
+    ).first()
+    assert abs(g.b - 3.0) < 1e-9 and abs(g.a - 2.0) < 1e-9
+
+
+def test_clustering_coef_on_known_graph(spark):
+    """x67 kernel check on a hand graph: a triangle node inside a
+    4-clique has cc=1; a star hub has cc=0; a bridge between two
+    triangles has cc below 1."""
+    from financial_market_data_analysis_spark.plans.extensions import (
+        _triangle_counts,
+    )
+    from pyspark.sql import functions as F
+
+    # 4-clique {1,2,3,4} + star hub 10 connected to 20,21,22 (no
+    # edges among leaves) + node 5 bridging two triangles (5,6,7) and
+    # (5,8,9)
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (10, 20), (10, 21), (10, 22),
+        (5, 6), (6, 7), (5, 7), (5, 8), (8, 9), (5, 9),
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    tri = {r.doc_id: r.n_tri for r in _triangle_counts(pairs).collect()}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+
+    def cc(v):
+        d = deg[v]
+        return 0.0 if d < 2 else 2.0 * tri.get(v, 0) / (d * (d - 1))
+
+    assert cc(1) == 1.0          # clique member: all wedges closed
+    assert cc(10) == 0.0         # star hub: no closed wedge
+    assert tri[5] == 2 and abs(cc(5) - 2 * 2 / (4 * 3)) < 1e-12  # bridge

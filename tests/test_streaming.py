@@ -1080,3 +1080,32 @@ def test_sliding_join_back_nondivisible_slide(spark):
     assert got == expected
     # spot-check: the edge event at +950 is in 3 windows (ceil(700/300))
     assert len([g for g in got if g[0] == base_u + 950]) == 3
+
+
+def test_t17_straggler_set_is_nonempty(spark):
+    """t17 adjudicates the late-data DROP — which is vacuous if the
+    staged straggler batch happens to be empty. Pin the two properties
+    the hash signal depends on: (1) the marked straggler subset is
+    non-empty at the smoke scale, and (2) every straggler sits at
+    least 2×delay below the midpoint cut, i.e. far past any watermark
+    boundary subtlety."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMOKE
+    from financial_market_data_analysis_spark.sources.batch import load_table
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).first()
+    cut = (b.mn + b.mx) // 2
+    delay_us = 600 * 1_000_000
+    stragglers = ev.filter(
+        (F.unix_micros("ts") < cut - 2 * delay_us) & (F.col("user_id") % 7 == 0)
+    )
+    n = stragglers.count()
+    assert n > 0, "no stragglers staged — t17's drop adjudication is vacuous"
+    # margin on the other side: the cut is far below the max, so the
+    # watermark after batch 1 is far above every straggler window
+    assert b.mx - cut > 2 * delay_us + 300 * 1_000_000
