@@ -36,6 +36,7 @@ from financial_market_data_analysis_spark.functions.text import (
     unigram_logprob_sql,
     vocab_topk_sql,
 )
+from financial_market_data_analysis_spark.functions import text as T
 from financial_market_data_analysis_spark.plans import extensions as X
 from financial_market_data_analysis_spark.operators import dedup as D
 from financial_market_data_analysis_spark.operators import windows as W
@@ -1700,6 +1701,131 @@ def _t16_oracle() -> str:
     )
 
 
+def _t18_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18 — x51's KMV (bottom-k) distinct sketch maintained
+    INCREMENTALLY: per-source bigram arrivals flow through a
+    foreachBatch loop that keeps, per source, the k smallest distinct
+    hash values — the mergeable KMV-Θ state — as a copy-on-write
+    snapshot (v{batch_id}, the t15b replay-safe epoch pattern: a
+    retried batch rebuilds its own version from the untouched
+    previous one). Merge per batch = union(previous k-mins, batch's
+    distinct hashes) → per-source bottom-k — the standard KMV merge,
+    K-bounded state however many rows arrive. The estimate is then
+    read off the FINAL state ((k−1)/u_k, exact-fallback below k) and
+    published next to the batch-computed exact distinct, exactly like
+    x51 — whose SQL is the oracle verbatim: the hash match adjudicates
+    the sketch-merge property (streamed union of bottom-k sets ==
+    one-shot bottom-k of the whole feed) under a real incremental run.
+    Completes the streamed-sketch trio: counts (t12 count-min),
+    quantiles (t16 histogram), distincts (t18 KMV).
+
+    Scale shape: per-batch cost is one arrival-sized distinct + a
+    window over (state ≤ k·groups rows + batch distinct); state on
+    disk is KBs per epoch. The exact column exists only to adjudicate
+    the estimator — at 100 TB it is dropped and the sketch IS the
+    answer."""
+    import os
+    import shutil
+    import tempfile
+
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    k = SK.KMV_K
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    cut = docs.agg(F.percentile_approx("doc_id", 0.5)).first()[0]
+    work = tempfile.mkdtemp(prefix="t18_kmv_")
+    src_dir = f"{work}/arrivals"
+    snap = f"{work}/state"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _stage_two_halves(
+            docs, (F.col("doc_id") <= cut, F.col("doc_id") > cut), src_dir
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def batch_u(df: DataFrame) -> DataFrame:
+            toks = df.select("source", T.tokens("text").alias("__toks"))
+            grams = toks.select(
+                "source",
+                F.explode(T.all_grams(F.col("__toks"), 2)).alias("gram"),
+            )
+            return grams.select(
+                "source",
+                (
+                    SK.md5_long(
+                        SK._salted("kmv", [F.col("gram")]), SK.KMV_HEX
+                    )
+                    / SK.KMV_SCALE
+                ).alias("u"),
+            ).distinct()
+
+        def merge(batch_df: DataFrame, batch_id: int) -> None:
+            arr = batch_u(batch_df)
+            prev = f"{snap}/v{batch_id - 1}"
+            if batch_id > 0 and os.path.isdir(prev):
+                arr = spark.read.parquet(prev).unionByName(arr).distinct()
+            w = SW.partitionBy("source").orderBy("u")
+            bottom = (
+                arr.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k)
+                .select("source", "u")
+            )
+            bottom.write.mode("overwrite").parquet(f"{snap}/v{batch_id}")
+
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t18_stream_kmv did not finish in 300 s")
+        last = max(int(d[1:]) for d in os.listdir(snap))
+        state = spark.read.parquet(f"{snap}/v{last}")
+        est = state.groupBy("source").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.max("u").alias("__uk"),
+        )
+        toks = D.ensure_parallelism(docs).select(
+            "source", T.tokens("text").alias("__toks")
+        )
+        exact = (
+            toks.select(
+                "source",
+                F.explode(T.all_grams(F.col("__toks"), 2)).alias("gram"),
+            )
+            .groupBy("source")
+            .agg(F.countDistinct("gram").alias("n_distinct"))
+        )
+        e = F.when(
+            F.col("__cnt") < k, F.col("__cnt").cast("double")
+        ).otherwise(F.lit(float(k - 1)) / F.col("__uk"))
+        out = (
+            exact.join(est, "source")
+            .select(
+                "source",
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                F.round(e, 4).alias("est_distinct"),
+                F.round(
+                    F.abs(e - F.col("n_distinct")) / F.col("n_distinct"), 4
+                ).alias("rel_err"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def _t15_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T15 — d5's CDC changelog compaction run as a LIVE two-micro-batch
     availableNow stream: the upsert/delete feed flows into a
@@ -1849,21 +1975,12 @@ def _t15b_stream_cdc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-        def merge(batch_df: DataFrame, batch_id: int) -> None:
-            prev = f"{snap}/v{batch_id - 1}"
-            if batch_id > 0 and os.path.isdir(prev):
-                old = spark.read.parquet(prev)
-                merged = old.join(
-                    F.broadcast(batch_df.select("user_id")),
-                    "user_id",
-                    "left_anti",
-                ).unionByName(batch_df)
-            else:
-                merged = batch_df
-            merged.write.mode("overwrite").parquet(f"{snap}/v{batch_id}")
+        from financial_market_data_analysis_spark.streaming.pipeline import (
+            snapshot_merge_sink,
+        )
 
         q = (
-            state.writeStream.foreachBatch(merge)
+            state.writeStream.foreachBatch(snapshot_merge_sink(spark, snap))
             .outputMode("update")
             .option("checkpointLocation", f"{work}/ckpt")
             .trigger(availableNow=True)
@@ -3474,6 +3591,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9 (the T5 late-data drop policy as a hard hash signal:
         # a straggler batch far below the watermark must change NOTHING)
         "t17_late_drop": _t17_late_drop,
+        # t18 NEW in round 8, past the window, same status — rotate in
+        # round 9 (x51's KMV distinct sketch streamed with an explicit
+        # bottom-k COW state: the streamed-sketch trio's third leg)
+        "t18_stream_kmv": _t18_stream_kmv,
+        # x68 NEW in round 8, past the window, same status — rotate in
+        # round 9 (graded per-(doc, eval-set) contamination fractions:
+        # the datasheet report behind x22's binary gate)
+        "x68_contamination_scores": X.q_contamination_scores,
         # -- displaced THIS round to make room for the 13-query backlog
         # (each two-rounds driver-green r6+r7 and subsumed per the
         # inline comments above; all stay pytest-oracle-checked every
@@ -4034,6 +4159,8 @@ def oracle_sql() -> dict[str, str]:
         "ml9_grouped_ols": _ml9_oracle(),
         "x67_clustering_coef": X.clustering_coef_oracle(),
         "t17_late_drop": _t17_oracle(),
+        "t18_stream_kmv": X.kmv_distinct_oracle(),
+        "x68_contamination_scores": X.contamination_scores_oracle(),
         "x65_random_projection": X.random_projection_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),

@@ -1649,6 +1649,91 @@ def decontaminate_oracle() -> str:
     """
 
 
+X68_SETS = 3          # bench docs fan out into 3 disjoint eval "sets"
+X68_FLAG_FRAC = 0.2   # per-doc contamination fraction that flags removal
+
+
+def q_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x68 — the graded CONTAMINATION REPORT behind x22's binary gate
+    (GPT-3/Pile appendix methodology): for every (training doc, eval
+    set) pair with any shingle collision, publish the collision count,
+    the doc's shingle total, and the contamination FRACTION
+    n_hits/n_shingles — the number a release datasheet reports per
+    benchmark, and the threshold base for graded policies (drop at
+    ≥20%, quarantine below). x22 answers "is it contaminated?"; this
+    answers "by which benchmark, and how much?" — per-set attribution
+    is what lets a pipeline drop only the affected eval's overlap
+    instead of the whole doc. The bench side fans into {X68_SETS}
+    disjoint sets by doc-id bucket (the multi-benchmark shape).
+
+    Scale shape: identical to x22 — the bench shingle side is tiny and
+    BROADCAST (carrying its set id), the corpus is scanned once and
+    shingled row-locally, and every aggregation after the filter is
+    bounded by contamination volume, not corpus size. The per-doc
+    shingle total rides the SAME shingle table (one scan, two
+    groupBys co-keyed on doc_id)."""
+    d = load_table(spark, "documents", sf_dir)
+    bench = d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    train = docs_augmented(spark, sf_dir).filter(
+        ~((F.col("doc_id") % DECON_BENCH_MOD == 0) & (F.col("doc_id") < DUP_OFFSET))
+    )
+    tsh = D.shingle_table(train).localCheckpoint(eager=False)
+    n_sh = tsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    bsh = (
+        D.shingle_table(bench)
+        .select(
+            ((F.col("doc_id") / DECON_BENCH_MOD).cast("long") % X68_SETS)
+            .cast("int")
+            .alias("bench_set"),
+            "shingle",
+        )
+        .distinct()
+    )
+    hits = (
+        tsh.join(F.broadcast(bsh), "shingle")
+        .groupBy("doc_id", "bench_set")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    frac = F.col("n_hits") / F.col("n_shingles")
+    return hits.join(n_sh, "doc_id").select(
+        "doc_id",
+        "bench_set",
+        "n_hits",
+        "n_shingles",
+        F.round(frac, 6).alias("contam_frac"),
+        (frac >= X68_FLAG_FRAC).cast("int").alias("flagged"),
+    )
+
+
+def contamination_scores_oracle() -> str:
+    m = DECON_BENCH_MOD
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE}),
+        train AS (
+            SELECT * FROM aug
+            WHERE NOT (doc_id % {m} = 0 AND doc_id < {DUP_OFFSET})
+        ),
+        bench AS (SELECT * FROM documents WHERE doc_id % {m} = 0),
+        tsh AS ({_shingles_sql("train")}),
+        nsh AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY doc_id),
+        bsh AS (
+            SELECT DISTINCT CAST((doc_id // {m}) % {X68_SETS} AS INT)
+                       AS bench_set, shingle
+            FROM ({_shingles_sql("bench")}) b
+        ),
+        hits AS (
+            SELECT t.doc_id, b.bench_set, count(*) AS n_hits
+            FROM tsh t JOIN bsh b USING (shingle)
+            GROUP BY t.doc_id, b.bench_set
+        )
+        SELECT h.doc_id, h.bench_set, h.n_hits, s.n_shingles,
+               round(h.n_hits * 1.0 / s.n_shingles, 6) AS contam_frac,
+               CAST(h.n_hits * 1.0 / s.n_shingles >= {X68_FLAG_FRAC}
+                    AS INT) AS flagged
+        FROM hits h JOIN nsh s USING (doc_id)
+    """
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (top-bigram / dup-trigram fractions)."""
     return T.repetition_signals(load_table(spark, "documents", sf_dir))

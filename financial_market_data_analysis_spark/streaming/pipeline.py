@@ -173,6 +173,41 @@ def parquet_append_sink(
     )
 
 
+def snapshot_merge_sink(spark, snap_dir: str):
+    """foreachBatch sink factory: copy-on-write snapshot MERGE of
+    per-key streaming-agg state (t15b; r7 verdict #4). Batch N reads
+    snapshot ``v{N-1}``, anti-joins the keys this batch touched (the
+    update-mode rows carry the full merged state per touched key —
+    streaming-agg state is cumulative), unions the fresh rows, and
+    OVERWRITES ``v{N}``. Replay safety is structural: a retried batch
+    N re-reads the untouched ``v{N-1}`` and deterministically rewrites
+    its own ``v{N}`` — the epoch pattern a lakehouse MERGE
+    (Delta/Iceberg) implements at file granularity; with raw parquet
+    the whole-snapshot copy-on-write is the honest equivalent, and at
+    100 TB the rewrite narrows to affected key-bucket partitions via
+    dynamic partition overwrite (the K1 sink's layout) or a table
+    format's MERGE. The first column of the batch DataFrame is the
+    key. Factored out of the t15b harness so the replay contract is
+    directly unit-testable (tests/test_streaming.py)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def merge(batch_df, batch_id: int) -> None:
+        key = batch_df.columns[0]
+        prev = f"{snap_dir}/v{batch_id - 1}"
+        if batch_id > 0 and os.path.isdir(prev):
+            old = spark.read.parquet(prev)
+            merged = old.join(
+                F.broadcast(batch_df.select(key)), key, "left_anti"
+            ).unionByName(batch_df)
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(f"{snap_dir}/v{batch_id}")
+
+    return merge
+
+
 def compact_warehouse(
     spark: SparkSession,
     src_path: str,

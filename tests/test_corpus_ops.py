@@ -682,3 +682,34 @@ def test_dsir_selection_enriches_target_distribution(spark):
     assert p_sel > 1.5 * p_overall, (p_sel, p_overall)  # measured ~0.71 vs 0.39
     # selected ⇔ positive rounded weight (the zero-threshold contract)
     assert all((r.logratio > 0) == r.selected for r in rows)
+
+
+def test_x68_contamination_report_is_nonvacuous_and_consistent(spark):
+    """x68 must actually flag something on the fixture (the augmented
+    near-dups of bench docs are contaminated by construction), its
+    fractions must be valid (0 < frac <= 1), and the binary x22 gate
+    must agree: every doc x22 flags at min_overlap appears in x68 with
+    at least that many total hits across sets."""
+    from pyspark.sql import functions as F
+
+    import financial_market_data_analysis_spark.plans.extensions as X
+    from conftest import SF_SMOKE
+    from financial_market_data_analysis_spark.operators.dedup import (
+        DECON_MIN_OVERLAP,
+    )
+
+    rep = X.q_contamination_scores(spark, SF_SMOKE).localCheckpoint()
+    rows = rep.collect()
+    assert rows, "empty contamination report"
+    assert any(r.flagged == 1 for r in rows), "nothing flagged"
+    for r in rows:
+        assert 1 <= r.n_hits <= r.n_shingles
+        assert 0 < r.contam_frac <= 1
+
+    gate = {r.doc_id for r in X.q_decontaminate(spark, SF_SMOKE).collect()}
+    totals = {
+        r.doc_id: r.total
+        for r in rep.groupBy("doc_id").agg(F.sum("n_hits").alias("total")).collect()
+    }
+    for doc in gate:
+        assert totals.get(doc, 0) >= DECON_MIN_OVERLAP, doc

@@ -405,3 +405,65 @@ def test_adx_dis_nonneg_and_dx_adx_bounded(spark, closes):
         for v in (r.dx, r.adx):
             if v is not None:
                 assert -1e-9 <= v <= 100 + 1e-9
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+        min_size=3,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_histogram_quantile_estimate_bounded_and_monotone(spark, vals):
+    """a12/t16 kernel invariants: every histogram quantile estimate
+    lies inside [min, max] of its group, and estimates are
+    NON-DECREASING in q (cumulative counts are monotone, so the picked
+    bucket index and in-bucket fraction are too)."""
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, v double")
+    rows = SK.histogram_quantiles(df, "v", ["g"], qs=(0.25, 0.5, 0.75, 0.95)).collect()
+    assert len(rows) == 4
+    lo, hi = min(vals), max(vals)
+    eps = 1e-6 + (hi - lo) * 1e-9
+    by_q = {r.q: r.est_q for r in rows}
+    for q, est in by_q.items():
+        assert lo - eps <= est <= hi + eps, (q, est, lo, hi)
+    qs = sorted(by_q)
+    for a, b in zip(qs, qs[1:]):
+        assert by_q[a] <= by_q[b] + eps
+
+
+@given(
+    bars=st.lists(
+        st.tuples(
+            st.floats(min_value=1, max_value=100, allow_nan=False),  # seed price
+            st.floats(min_value=0, max_value=5, allow_nan=False),    # range
+            st.floats(min_value=0, max_value=1, allow_nan=False),    # close frac
+            st.floats(min_value=1, max_value=1e4, allow_nan=False),  # volume
+        ),
+        min_size=12,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_cmf_always_within_unit_band(spark, bars):
+    """w22 invariant: CMF is a volume-weighted mean of multipliers in
+    [-1, 1], so it can never leave that band — for ANY bar geometry,
+    including flat bars (range 0)."""
+    from financial_market_data_analysis_spark.operators import windows as W
+
+    rows = []
+    for i, (p, rng, cf, vol) in enumerate(bars):
+        low, high = p, p + rng
+        close = low + rng * cf
+        rows.append((i, high, low, close, vol))
+    df = spark.createDataFrame(
+        rows, "bucket_start long, high double, low double, close double, volume double"
+    )
+    out = W.chaikin_money_flow(
+        df, "high", "low", "close", "volume", ["bucket_start"], period=10
+    )
+    vals = [r.cmf for r in out.collect() if r.cmf is not None]
+    assert all(-1.0 - 1e-9 <= v <= 1.0 + 1e-9 for v in vals)

@@ -1109,3 +1109,42 @@ def test_t17_straggler_set_is_nonempty(spark):
     # margin on the other side: the cut is far below the max, so the
     # watermark after batch 1 is far above every straggler window
     assert b.mx - cut > 2 * delay_us + 300 * 1_000_000
+
+
+def test_snapshot_merge_sink_replay_is_idempotent(spark, tmp_path):
+    """t15b's replay contract, driven directly: re-running a batch id
+    (a micro-batch RETRY after partial failure) must leave the exact
+    same snapshot as running it once — because batch N rebuilds v{N}
+    from the untouched v{N-1}, never appends. Also checks the merge
+    semantics: a key updated in batch 1 is replaced, an untouched key
+    survives, a new key is added."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from financial_market_data_analysis_spark.streaming.pipeline import (
+        snapshot_merge_sink,
+    )
+
+    snap = str(tmp_path / "snap")
+    sink = snapshot_merge_sink(spark, snap)
+
+    b0 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "user_id long, val double"
+    )
+    b1 = spark.createDataFrame(
+        [(2, 99.0), (3, 30.0)], "user_id long, val double"
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    once = {r.user_id: r.val for r in spark.read.parquet(f"{snap}/v1").collect()}
+    assert once == {1: 10.0, 2: 99.0, 3: 30.0}
+
+    # retry batch 1 (same payload, same id) — the replay case
+    sink(b1, 1)
+    again = {r.user_id: r.val for r in spark.read.parquet(f"{snap}/v1").collect()}
+    assert again == once
+
+    # retry with a DIFFERENT payload (the failed-then-recomputed case)
+    b1b = spark.createDataFrame([(3, 33.0)], "user_id long, val double")
+    sink(b1b, 1)
+    redo = {r.user_id: r.val for r in spark.read.parquet(f"{snap}/v1").collect()}
+    assert redo == {1: 10.0, 2: 20.0, 3: 33.0}
