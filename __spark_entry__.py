@@ -3599,6 +3599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9 (graded per-(doc, eval-set) contamination fractions:
         # the datasheet report behind x22's binary gate)
         "x68_contamination_scores": X.q_contamination_scores,
+        # x69 NEW in round 8, past the window, same status — rotate in
+        # round 9 (measured precision/recall of every LSH band config:
+        # the dedup-side twin of x30's ANN recall harness)
+        "x69_lsh_tuning": X.q_lsh_tuning,
         # -- displaced THIS round to make room for the 13-query backlog
         # (each two-rounds driver-green r6+r7 and subsumed per the
         # inline comments above; all stay pytest-oracle-checked every
@@ -4161,6 +4165,7 @@ def oracle_sql() -> dict[str, str]:
         "t17_late_drop": _t17_oracle(),
         "t18_stream_kmv": X.kmv_distinct_oracle(),
         "x68_contamination_scores": X.contamination_scores_oracle(),
+        "x69_lsh_tuning": X.lsh_tuning_oracle(),
         "x65_random_projection": X.random_projection_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),

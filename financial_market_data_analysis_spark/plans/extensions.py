@@ -265,13 +265,17 @@ def _oph_bands_cte() -> str:
 
 
 def _seeded_bands_cte(
-    sh: str = "sh", mh: str = "mh", bands: str = "bands"
+    sh: str = "sh", mh: str = "mh", bands: str = "bands",
+    band_size: int | None = None,
 ) -> str:
     """Seeded MinHash band CTE pair over the shingle table ``sh``;
     CTE names are parameterized so one oracle can band TWO corpora
     side-by-side (the t13 ingest gate bands the incoming slice and
-    the corpus index independently)."""
-    k, bs = D.N_MINHASH, D.BAND_SIZE
+    the corpus index independently), and ``band_size`` so the x69
+    tuning sweep can emit several band configurations over ONE shared
+    ``mh`` CTE."""
+    k = D.N_MINHASH
+    bs = D.BAND_SIZE if band_size is None else band_size
     return f"""
         {mh} AS (
             SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
@@ -4541,4 +4545,188 @@ def projected_recall_oracle() -> str:
         qs AS (SELECT DISTINCT query_id FROM exact),
         {hits}
         {selects}
+    """
+
+
+# ---------------------------------------------------------------------------
+# x69 — LSH band-configuration tuning sweep (measured precision/recall)
+
+X69_BAND_SIZES = (1, 2, 4, 8)
+X69_THRESHOLD = 0.5
+
+
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x69 — the MEASURED precision/recall of every (b bands × r rows)
+    MinHash-LSH configuration over the k=8 signature — x30's
+    "an approximate index must publish its recall" thesis applied to
+    the DEDUP side. For each band size r ∈ {1,2,4,8}: candidate pairs
+    from the band equi-join, the verified subset (exact Jaccard ≥ 0.5),
+    precision = verified/candidates, and recall measured against the
+    KNOWN injected near-dup pairs (parent, parent+offset) whose true
+    Jaccard clears the threshold — the unbiased positive set the
+    fixture provides by construction. r=1 maximizes candidates (8
+    bands of 1 row: high recall, worst precision); r=8 is a single
+    all-rows band (near-exact-dup gate). The published table is the
+    s-curve made empirical — the number that decides a 100 TB band
+    retune, instead of the 1-(1-J^r)^b formula's guess.
+
+    Scale shape: ONE shingle scan and ONE minhash computation feed all
+    four configs (the signature is config-independent; banding is a
+    row-local regrouping of the same k hashes); each config costs its
+    band self-join — candidate-volume-sized — and a candidate-bounded
+    verify. The truth set is injection-sized and computed once."""
+    aug = docs_augmented(spark, sf_dir)
+    sh_arr = D.shingle_arrays(D.ensure_parallelism(aug)).localCheckpoint(
+        eager=False
+    )
+    sh = sh_arr.select(
+        "doc_id", F.explode("sh_arr").alias("shingle")
+    ).localCheckpoint(eager=False)
+    present = sh_arr.select("doc_id").distinct()
+    inj = (
+        present.filter(
+            (F.col("doc_id") % DOC_DUP_MOD == 0) & (F.col("doc_id") < DUP_OFFSET)
+        )
+        .select(F.col("doc_id").alias("doc_a"))
+        .join(
+            present.select((F.col("doc_id") - DUP_OFFSET).alias("doc_a"),
+                           F.col("doc_id").alias("doc_b")),
+            "doc_a",
+        )
+    )
+    truth = (
+        D.jaccard_verify(inj, None, shingles=sh)
+        .filter(F.col("jaccard") >= X69_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_true = truth.count()
+
+    out = None
+    for bs in X69_BAND_SIZES:
+        bands = D.lsh_bands(sh_arr, band_size=bs)
+        right = bands.select(
+            F.col("doc_id").alias("doc_b"), "band", "band_hash"
+        )
+        pairs = (
+            bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+            .join(right, ["band", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .localCheckpoint(eager=True)  # feeds verify AND the count
+        )
+        ver = (
+            D.jaccard_verify(pairs, None, shingles=sh)
+            .filter(F.col("jaccard") >= X69_THRESHOLD)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)  # feeds recall join AND the count
+        )
+        row = spark.createDataFrame(
+            [(bs, D.N_MINHASH // bs)], "band_size int, n_bands int"
+        ).crossJoin(
+            pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
+        ).crossJoin(
+            ver.agg(F.count(F.lit(1)).alias("n_verified"))
+        ).crossJoin(
+            ver.join(truth, ["doc_a", "doc_b"]).agg(
+                F.count(F.lit(1)).alias("n_found")
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "band_size",
+        "n_bands",
+        "n_candidates",
+        "n_verified",
+        F.round(
+            F.when(F.col("n_candidates") == 0, F.lit(0.0)).otherwise(
+                F.col("n_verified") / F.col("n_candidates")
+            ),
+            6,
+        ).alias("precision"),
+        F.lit(n_true).cast("long").alias("n_true_pairs"),
+        "n_found",
+        F.round(
+            F.when(F.lit(n_true) == 0, F.lit(0.0)).otherwise(
+                F.col("n_found") / F.lit(float(n_true))
+            ),
+            6,
+        ).alias("recall"),
+    )
+
+
+def lsh_tuning_oracle() -> str:
+    thr = X69_THRESHOLD
+    jacc = """CAST(i.n_inter AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)"""
+
+    def ver_cte(pairs: str, out: str) -> str:
+        return f"""
+        {out} AS (
+            SELECT p.doc_a, p.doc_b
+            FROM {pairs} p
+            JOIN (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_inter
+                FROM sh a JOIN sh b ON b.shingle = a.shingle
+                JOIN {pairs} q ON q.doc_a = a.doc_id AND q.doc_b = b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ) i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+            JOIN sizes sa ON sa.doc_id = p.doc_a
+            JOIN sizes sb ON sb.doc_id = p.doc_b
+            WHERE {jacc} >= {thr}
+        )"""
+
+    blocks, selects = [], []
+    for bs in X69_BAND_SIZES:
+        nb = D.N_MINHASH // bs
+        blocks.append(f"""
+        bands_{bs} AS (
+            SELECT doc_id, CAST(seed // {bs} AS INT) AS band,
+                   md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+            FROM mh GROUP BY doc_id, seed // {bs}
+        ),
+        pairs_{bs} AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_{bs} a JOIN bands_{bs} b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),{ver_cte(f"pairs_{bs}", f"ver_{bs}")}""")
+        selects.append(f"""
+        SELECT {bs} AS band_size, {nb} AS n_bands,
+               (SELECT count(*) FROM pairs_{bs}) AS n_candidates,
+               (SELECT count(*) FROM ver_{bs}) AS n_verified,
+               round(CASE WHEN (SELECT count(*) FROM pairs_{bs}) = 0 THEN 0.0
+                     ELSE (SELECT count(*) FROM ver_{bs}) * 1.0
+                          / (SELECT count(*) FROM pairs_{bs}) END, 6)
+                   AS precision,
+               (SELECT count(*) FROM truth) AS n_true_pairs,
+               (SELECT count(*) FROM ver_{bs} v
+                JOIN truth t ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b)
+                   AS n_found,
+               round(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
+                     ELSE (SELECT count(*) FROM ver_{bs} v
+                           JOIN truth t ON t.doc_a = v.doc_a
+                                       AND t.doc_b = v.doc_b) * 1.0
+                          / (SELECT count(*) FROM truth) END, 6) AS recall""")
+
+    body = ",".join(blocks)
+    union = "\n        UNION ALL\n        ".join(selects)
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE}),
+        sh AS ({_shingles_sql("aug")}),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        mh AS (
+            SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
+            FROM sh, generate_series(0, {D.N_MINHASH - 1}) g(seed)
+            GROUP BY doc_id, seed
+        ),
+        present AS (SELECT DISTINCT doc_id FROM sh),
+        inj AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM present a JOIN present b ON b.doc_id = a.doc_id + {DUP_OFFSET}
+            WHERE a.doc_id % {DOC_DUP_MOD} = 0 AND a.doc_id < {DUP_OFFSET}
+        ),{ver_cte("inj", "truth")},{body}
+        {union}
     """

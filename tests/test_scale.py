@@ -628,3 +628,15 @@ def test_cdc_apply_shares_one_keyed_sort(spark):
     assert plan.count("Exchange") == 1, plan[:1500]
     assert plan.count("+- Sort ") == 1, plan[:1500]
     assert plan.count("Window") == 2, plan[:1500]
+
+
+def test_contamination_scores_broadcast_bench_side(spark):
+    """x68 must keep x22's scale shape: the (bench_set, shingle) side
+    is broadcast — the corpus-sized shingle table is never shuffled
+    for the contamination join — and no cartesian/nested-loop appears."""
+    import financial_market_data_analysis_spark.plans.extensions as X
+
+    df = X.q_contamination_scores(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan[:800]
