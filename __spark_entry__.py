@@ -1622,6 +1622,99 @@ def _t17_oracle() -> str:
     """
 
 
+def _t19_stream_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19 — ml8's closed-form OLS trained INCREMENTALLY by a real
+    stream: the five training moments (n, Σx, Σy, Σxy, Σx²) are a
+    commutative monoid, so a complete-mode global aggregation holds
+    the entire "model state" as one row and merges each micro-batch's
+    partials — training-as-aggregation (x62/ml8/ml9/ml10), STREAMED.
+    The holdout filter is applied row-locally before the aggregation
+    (train rows only enter the state), and the final read derives
+    slope/intercept from the streamed moments and scores the held-out
+    bars batch-side. Oracle: ml8's batch SQL VERBATIM — the hash match
+    adjudicates that incremental moment-merging fits exactly the model
+    one-shot training fits. Completes the streamed pair for every
+    sketch AND model this engine trains: what t12/t16/t18 are to
+    x50/a12/x51, t19 is to ml8.
+
+    Scale shape: per-batch work is a row-local projection plus a
+    5-scalar partial aggregate; state is ONE row. The candle
+    computation itself runs per-batch on arrival slices (stateless
+    projections) — bars are complete because the batch split is on
+    bucket boundaries (parity of the 5-min bucket index), so no bar
+    straddles the cut."""
+    import shutil
+    import tempfile
+
+    c = _candles(spark, sf_dir)
+    lab = c.select(
+        "bucket_start",
+        "close",
+        F.lead("close").over(SW.orderBy("bucket_start")).alias("next_close"),
+    ).filter(F.col("next_close").isNotNull())
+    is_test = (F.col("bucket_start") / F.lit(300)).cast("long") % ML8_TEST_MOD == 0
+    train = lab.filter(~is_test)
+    src_dir = tempfile.mkdtemp(prefix="t19_ols_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # split the TRAIN rows on bucket-index parity: labeled rows are
+        # precomputed (the LEAD needs its successor bar, which a file
+        # split would sever), so the stream carries (x, y) examples —
+        # the shape a feature-store feed actually delivers
+        par = (F.col("bucket_start") / F.lit(300)).cast("long") % 2
+        _stage_two_halves(train, (par == 0, par == 1), src_dir)
+        stream = (
+            spark.readStream.schema(train.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        moments = stream.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("close").alias("sx"),
+            F.sum("next_close").alias("sy"),
+            F.sum(F.col("close") * F.col("next_close")).alias("sxy"),
+            F.sum(F.col("close") * F.col("close")).alias("sx2"),
+        )
+        q = (
+            moments.writeStream.format("memory")
+            .queryName("t19_ols_moments")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t19_stream_ols did not finish in 300 s")
+        m = spark.table("t19_ols_moments")
+        b = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+            F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")
+        )
+        params = m.select(
+            b.alias("b"),
+            (F.col("sy") / F.col("n") - b * (F.col("sx") / F.col("n"))).alias("a"),
+        )
+        test = lab.filter(is_test)
+        pred = F.col("a") + F.col("b") * F.col("close")
+        out = (
+            test.crossJoin(F.broadcast(params))
+            .select(
+                "bucket_start",
+                "close",
+                "next_close",
+                F.round(pred, 6).alias("pred"),
+                F.round(F.col("next_close") - pred, 6).alias("resid"),
+                F.round("b", 6).alias("slope"),
+                F.round("a", 6).alias("intercept"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return out
+
+
 def _t16_stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 — a12's histogram-quantile sketch built INCREMENTALLY by
     Structured Streaming: per-(event_type, bucket) counts are an
@@ -2538,6 +2631,122 @@ def _a12_oracle() -> str:
     """
 
 
+ML10_FOLDS = 4
+
+
+def _ml10_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML10 — K-fold CROSS-VALIDATION as aggregation algebra: ml8's
+    closed-form OLS fitted K times with each fold held out — from ONE
+    pass over the data. The trick is leave-fold-out sums: per-fold
+    moments (n, Σx, Σy, Σxy, Σx²) are one groupBy; each fold's
+    training moments are the grand totals MINUS its own row, so the K
+    models cost K arithmetic expressions over a K-row frame, not K
+    scans (the naive CV loop is K full jobs — unrunnable at 100 TB,
+    where this shape is one shuffle plus a broadcast join back).
+    Each fold's held-out rows are then scored by ITS model (fold-keyed
+    broadcast join) and per-fold test RMSE is published — the honest
+    out-of-sample error ml8's single split approximates. Params are
+    rounded to 6 BEFORE scoring so both engines square identical
+    residuals.
+
+    The closed-form thesis one step further: not just training-as-
+    aggregation (x62/ml8/ml9) but model-SELECTION-as-aggregation —
+    every number on the CV report is hash-adjudicated."""
+    c = _candles(spark, sf_dir)
+    lab = c.select(
+        "bucket_start",
+        "close",
+        F.lead("close").over(SW.orderBy("bucket_start")).alias("next_close"),
+    ).filter(F.col("next_close").isNotNull())
+    lab = lab.withColumn(
+        "fold",
+        ((F.col("bucket_start") / F.lit(300)).cast("long") % ML10_FOLDS).cast("int"),
+    )
+    fs = lab.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("double").alias("fn"),
+        F.sum("close").alias("fx"),
+        F.sum("next_close").alias("fy"),
+        F.sum(F.col("close") * F.col("next_close")).alias("fxy"),
+        F.sum(F.col("close") * F.col("close")).alias("fx2"),
+    )
+    tot = fs.agg(
+        F.sum("fn").alias("tn"),
+        F.sum("fx").alias("tx"),
+        F.sum("fy").alias("ty"),
+        F.sum("fxy").alias("txy"),
+        F.sum("fx2").alias("tx2"),
+    )
+    n = F.col("tn") - F.col("fn")
+    sx = F.col("tx") - F.col("fx")
+    sy = F.col("ty") - F.col("fy")
+    sxy = F.col("txy") - F.col("fxy")
+    sx2 = F.col("tx2") - F.col("fx2")
+    b = (sxy - sx * sy / n) / (sx2 - sx * sx / n)
+    a = sy / n - b * (sx / n)
+    params = fs.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        F.round(b, 6).alias("slope"),
+        F.round(a, 6).alias("intercept"),
+    )
+    pred = F.col("intercept") + F.col("slope") * F.col("close")
+    return (
+        lab.join(F.broadcast(params), "fold")
+        .groupBy("fold", "slope", "intercept")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(
+                F.sqrt(F.avg(F.pow(F.col("next_close") - pred, F.lit(2)))), 6
+            ).alias("rmse"),
+        )
+        .select("fold", "n_test", "slope", "intercept", "rmse")
+    )
+
+
+def _ml10_oracle(k: int = ML10_FOLDS) -> str:
+    return f"""
+        {_CANDLES_CTE},
+        lab AS (
+            SELECT bucket_start, close,
+                   lead(close) OVER (ORDER BY bucket_start) AS next_close
+            FROM candles
+        ),
+        lab2 AS (
+            SELECT bucket_start, close, next_close,
+                   CAST((bucket_start // 300) % {k} AS INT) AS fold
+            FROM lab WHERE next_close IS NOT NULL
+        ),
+        fs AS (
+            SELECT fold, CAST(count(*) AS DOUBLE) AS fn,
+                   sum(close) AS fx, sum(next_close) AS fy,
+                   sum(close * next_close) AS fxy,
+                   sum(close * close) AS fx2
+            FROM lab2 GROUP BY fold
+        ),
+        tot AS (
+            SELECT sum(fn) AS tn, sum(fx) AS tx, sum(fy) AS ty,
+                   sum(fxy) AS txy, sum(fx2) AS tx2
+            FROM fs
+        ),
+        params AS (
+            SELECT fold,
+                   round(((txy - fxy) - (tx - fx) * (ty - fy) / (tn - fn))
+                         / ((tx2 - fx2) - (tx - fx) * (tx - fx) / (tn - fn)),
+                         6) AS slope,
+                   round((ty - fy) / (tn - fn)
+                         - ((txy - fxy) - (tx - fx) * (ty - fy) / (tn - fn))
+                           / ((tx2 - fx2) - (tx - fx) * (tx - fx) / (tn - fn))
+                           * ((tx - fx) / (tn - fn)), 6) AS intercept
+            FROM fs CROSS JOIN tot
+        )
+        SELECT l.fold, count(*) AS n_test, p.slope, p.intercept,
+               round(sqrt(avg(pow(l.next_close
+                                  - (p.intercept + p.slope * l.close), 2))), 6)
+                   AS rmse
+        FROM lab2 l JOIN params p ON p.fold = l.fold
+        GROUP BY l.fold, p.slope, p.intercept
+    """
+
+
 def _ml9_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML9 — the MANY-MODELS pattern: one closed-form OLS per group in
     a SINGLE aggregation pass — here a diurnal trend model per
@@ -2986,6 +3195,41 @@ def _w17_oracle(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
                round(sig.macd_signal, 6) AS macd_signal,
                round(line.macd_line - sig.macd_signal, 6) AS macd_hist
         FROM line JOIN sig ON line.rn = sig.rn
+    """
+
+
+def _w23_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W23 — Williams %R-14 over the 5-minute candles
+    (operators/windows.py ``williams_r``): the top-measured twin of
+    W5's stochastic, completing the range-position oscillator pair.
+    Flat frames are NULL on both engines (try_divide/NULLIF); warm-up
+    rows trimmed; rounded to 6."""
+    out = W.williams_r(
+        _candles(spark, sf_dir), "high", "low", "close", _ORDER, period=14
+    )
+    return out.filter(F.col("williams_r").isNotNull()).select(
+        "bucket_start",
+        "close",
+        F.round("williams_r", 6).alias("wr14"),
+    )
+
+
+def _w23_oracle(period: int = 14) -> str:
+    return f"""
+        {_CANDLES_CTE},
+        s AS (
+            SELECT bucket_start, close,
+                   max(high) OVER w AS hh,
+                   min(low) OVER w AS ll,
+                   count(*) OVER w AS cnt
+            FROM candles
+            WINDOW w AS (ORDER BY bucket_start
+                         ROWS BETWEEN {period - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT bucket_start, close,
+               round((hh - close) / NULLIF(hh - ll, 0) * -100.0, 6) AS wr14
+        FROM s
+        WHERE cnt >= {period} AND hh <> ll
     """
 
 
@@ -3603,6 +3847,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9 (measured precision/recall of every LSH band config:
         # the dedup-side twin of x30's ANN recall harness)
         "x69_lsh_tuning": X.q_lsh_tuning,
+        # ml10 NEW in round 8, past the window, same status — rotate in
+        # round 9 (K-fold CV by leave-fold-out sum algebra: K models +
+        # out-of-sample RMSE from one pass, every number oracle-checked)
+        "ml10_cv_ols": _ml10_cv_ols,
+        # t19 NEW in round 8, past the window, same status — rotate in
+        # round 9 (ml8 trained by complete-mode moment merging under a
+        # real stream; oracle is ml8's SQL verbatim)
+        "t19_stream_ols": _t19_stream_ols,
+        # w23 NEW in round 8, past the window, same status — rotate in
+        # round 9 (Williams %R: the stochastic's top-measured twin)
+        "w23_williams_r": _w23_williams_r,
         # -- displaced THIS round to make room for the 13-query backlog
         # (each two-rounds driver-green r6+r7 and subsumed per the
         # inline comments above; all stay pytest-oracle-checked every
@@ -4166,6 +4421,9 @@ def oracle_sql() -> dict[str, str]:
         "t18_stream_kmv": X.kmv_distinct_oracle(),
         "x68_contamination_scores": X.contamination_scores_oracle(),
         "x69_lsh_tuning": X.lsh_tuning_oracle(),
+        "ml10_cv_ols": _ml10_oracle(),
+        "t19_stream_ols": _ml8_oracle(),
+        "w23_williams_r": _w23_oracle(),
         "x65_random_projection": X.random_projection_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),

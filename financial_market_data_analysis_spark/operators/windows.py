@@ -720,6 +720,34 @@ def donchian_channel(
     )
 
 
+def williams_r(
+    df: DataFrame,
+    high_col: str,
+    low_col: str,
+    close_col: str,
+    order_cols: Sequence[str | Column],
+    period: int = 14,
+    partition_cols: Sequence[str | Column] = (),
+) -> DataFrame:
+    """W23 — Williams %R: (highest high − close) / (highest high −
+    lowest low) × −100 over a trailing ``period`` frame — the
+    inverted-scale sibling of W5's stochastic %K (same frame extrema,
+    measured from the top of the range and scaled to [−100, 0]).
+    Flat frames (max == min) yield NULL via ``try_divide``, matching
+    W5's degenerate-window convention; warm-up rows are NULL."""
+    w = trailing_window(order_cols, period - 1, partition_cols)
+    hh = F.max(F.col(high_col)).over(w)
+    ll = F.min(F.col(low_col)).over(w)
+    cnt = F.count(F.col(close_col)).over(w)
+    return df.withColumn(
+        "williams_r",
+        F.when(
+            cnt >= period,
+            F.try_divide(hh - F.col(close_col), hh - ll) * F.lit(-100.0),
+        ),
+    )
+
+
 def chaikin_money_flow(
     df: DataFrame,
     high_col: str,
