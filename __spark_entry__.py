@@ -3858,6 +3858,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # w23 NEW in round 8, past the window, same status — rotate in
         # round 9 (Williams %R: the stochastic's top-measured twin)
         "w23_williams_r": _w23_williams_r,
+        # x70 NEW in round 8, past the window, same status — rotate in
+        # round 9 (product quantization + ADC search with measured
+        # recall: the 32x-compression leg of the ANN storage story)
+        "x70_pq_adc_recall": X.q_pq_adc_recall,
         # -- displaced THIS round to make room for the 13-query backlog
         # (each two-rounds driver-green r6+r7 and subsumed per the
         # inline comments above; all stay pytest-oracle-checked every
@@ -4424,6 +4428,7 @@ def oracle_sql() -> dict[str, str]:
         "ml10_cv_ols": _ml10_oracle(),
         "t19_stream_ols": _ml8_oracle(),
         "w23_williams_r": _w23_oracle(),
+        "x70_pq_adc_recall": X.pq_adc_recall_oracle(),
         "x65_random_projection": X.random_projection_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),

@@ -4730,3 +4730,210 @@ def lsh_tuning_oracle() -> str:
         ),{ver_cte("inj", "truth")},{body}
         {union}
     """
+
+
+# ---------------------------------------------------------------------------
+# x70 — product quantization (PQ) codes + ADC search with measured recall
+
+PQ_M = 8            # subquantizers: 64 dims → 8 subvectors of 8 dims
+PQ_SUBDIM = EMB_DIM_K // PQ_M
+
+
+def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x70 — PRODUCT QUANTIZATION: the third leg of the embedding
+    compression story (x63 cuts bits per element, x65/x66 cut
+    dimensions, PQ cuts to M=8 codebook CODES per vector — 64 floats →
+    8 small ints, 32× — the compression scheme real billion-vector
+    IVF-PQ indexes run on). Each vector is split into 8 subvectors of
+    8 dims; each subvector is coded as its nearest centroid (L2, ties
+    to the lowest id) from a deterministic per-subquantizer codebook
+    (the x12 sample-as-codebook pattern — the trained variant is the
+    x34 Lloyd composition, measured separately by x30). Search is ADC
+    (asymmetric distance computation): the query stays exact, each
+    candidate's distance is the sum over subquantizers of the distance
+    from the query's subvector to the candidate's CODE centroid — the
+    table-lookup sum a production index does per cell. Published
+    number: recall@10 of ADC ranking vs the exact L2 top-k — the
+    measurement that decides whether 32× compression survives the
+    retrieval budget (x30's thesis, storage edition).
+
+    Scale shape: code assignment is one corpus×M explode joined
+    against a BROADCAST codebook (K·M rows — KBs); codes are 8 ints
+    per vector; the per-query distance TABLE is queries×M×K (tiny,
+    broadcast), so ADC scoring touches only (vec, m, code) triples —
+    at 100 TB the codes table is the only corpus-sized operand, 32×
+    smaller than the raw vectors, and the sum-per-vec is one
+    partial-aggregatable groupBy."""
+    e = load_table(spark, "embeddings", sf_dir)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sub = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(emb, m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+            )
+            for m in range(PQ_M)
+        ])
+    ).alias("s")
+    corpus_sub = e.select("vec_id", sub).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+    cents_sub = (
+        e.filter(F.col("vec_id") % CENTROID_MOD == 0)
+        .select(F.col("vec_id").alias("cid"), sub)
+        .select("cid", F.col("s.m").alias("m"), F.col("s.sv").alias("csv"))
+    )
+
+    def l2(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d", "cid")
+    codes = (
+        corpus_sub.join(F.broadcast(cents_sub), "m")
+        .withColumn("d", l2("sv", "csv"))
+        .withColumn("rk", F.row_number().over(w_code))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+        .localCheckpoint(eager=False)  # feeds the ADC join once per query set
+    )
+    q_sub = (
+        e.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), sub)
+        .select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("qsv"))
+    )
+    # per-(query, m, centroid) distance table — tiny, broadcast
+    dtab = (
+        q_sub.join(F.broadcast(cents_sub), "m")
+        .select("query_id", "m", "cid", l2("qsv", "csv").alias("dpart"))
+    )
+    adc = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes.m == dtab.m) & (codes.code == dtab.cid),
+        )
+        .groupBy("vec_id", "query_id")
+        .agg(F.sum("dpart").alias("adist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    approx = (
+        adc.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    # exact L2 ground truth (the metric ADC approximates)
+    qv = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), emb.alias("qv")
+    )
+    scored = e.select("vec_id", emb.alias("cv")).crossJoin(
+        F.broadcast(qv)
+    ).select("query_id", "vec_id", l2("cv", "qv").alias("d"))
+    w_ex = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w_ex))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .na.fill({"n_hits": 0})
+        .select(
+            "query_id",
+            F.col("n_hits").cast("int").alias("n_hits"),
+            (F.col("n_hits") / F.lit(float(TOP_K))).alias("recall_at_k"),
+        )
+    )
+
+
+def pq_adc_recall_oracle() -> str:
+    d = PQ_SUBDIM
+
+    def l2_sql(a: str, b: str) -> str:
+        terms = " + ".join(
+            f"(CAST({a}[{i + 1}] AS DOUBLE) - CAST({b}[{i + 1}] AS DOUBLE))"
+            f" * (CAST({a}[{i + 1}] AS DOUBLE) - CAST({b}[{i + 1}] AS DOUBLE))"
+            for i in range(d)
+        )
+        return f"({terms})"
+
+    full = " + ".join(
+        f"(CAST(a.embedding[{i + 1}] AS DOUBLE) - CAST(b.embedding[{i + 1}] AS DOUBLE))"
+        f" * (CAST(a.embedding[{i + 1}] AS DOUBLE) - CAST(b.embedding[{i + 1}] AS DOUBLE))"
+        for i in range(EMB_DIM_K)
+    )
+    return f"""
+        WITH msx AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+        csub AS (
+            SELECT e.vec_id AS cid, ms.m,
+                   e.embedding[ms.m * {d} + 1 : ms.m * {d} + {d}] AS csv
+            FROM embeddings e, msx ms
+            WHERE e.vec_id % {CENTROID_MOD} = 0
+        ),
+        vsub AS (
+            SELECT e.vec_id, ms.m,
+                   e.embedding[ms.m * {d} + 1 : ms.m * {d} + {d}] AS sv
+            FROM embeddings e, msx ms
+        ),
+        codes AS (
+            SELECT vec_id, m, cid AS code FROM (
+                SELECT v.vec_id, v.m, c.cid,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id, v.m
+                           ORDER BY {l2_sql('v.sv', 'c.csv')}, c.cid) AS rk
+                FROM vsub v JOIN csub c ON c.m = v.m
+            ) WHERE rk = 1
+        ),
+        qsub AS (
+            SELECT vec_id AS query_id, m, sv AS qsv FROM vsub
+            WHERE vec_id < {N_QUERY_VECS}
+        ),
+        dtab AS (
+            SELECT q.query_id, q.m, c.cid,
+                   {l2_sql('q.qsv', 'c.csv')} AS dpart
+            FROM qsub q JOIN csub c ON c.m = q.m
+        ),
+        adc AS (
+            SELECT k.vec_id, t.query_id, sum(t.dpart) AS adist
+            FROM codes k JOIN dtab t ON t.m = k.m AND t.cid = k.code
+            GROUP BY k.vec_id, t.query_id
+        ),
+        approx AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY adist, vec_id) AS rk
+                FROM adc
+            ) WHERE rk <= {TOP_K}
+        ),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT b.vec_id AS query_id, a.vec_id,
+                       row_number() OVER (PARTITION BY b.vec_id
+                           ORDER BY {full}, a.vec_id) AS rk
+                FROM embeddings a, embeddings b
+                WHERE b.vec_id < {N_QUERY_VECS}
+            ) WHERE rk <= {TOP_K}
+        ),
+        hits AS (
+            SELECT e.query_id, count(*) AS n_hits
+            FROM exact e JOIN approx x
+              ON x.query_id = e.query_id AND x.vec_id = e.vec_id
+            GROUP BY e.query_id
+        )
+        SELECT q.query_id,
+               CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+               COALESCE(h.n_hits, 0) / CAST({TOP_K} AS DOUBLE) AS recall_at_k
+        FROM (SELECT DISTINCT query_id FROM exact) q
+        LEFT JOIN hits h USING (query_id)
+    """

@@ -640,3 +640,18 @@ def test_contamination_scores_broadcast_bench_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan[:800]
+
+
+def test_pq_codes_join_broadcasts_codebook(spark):
+    """x70's scale shape: code assignment and the ADC distance-table
+    join must BROADCAST the codebook side (K·M rows — KBs); the only
+    corpus-sized operand is the codes table. The exact-ground-truth
+    side legitimately uses a broadcast nested-loop (tiny query set ×
+    corpus — the x8 pattern); what must NOT appear is a non-broadcast
+    cartesian."""
+    import financial_market_data_analysis_spark.plans.extensions as X
+
+    df = X.q_pq_adc_recall(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:800]
