@@ -1715,6 +1715,100 @@ def _t19_stream_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _t20_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20 — streaming ANOMALY DETECTION state: per-(event_type)
+    running moments (n, Σv, Σv²) held as complete-mode state — the
+    commutative monoid behind a production monitoring gate — and the
+    final read flags every event whose |z-score| ≥ 3 against the
+    STREAMED moments (population σ, the reference's STD() convention).
+    The oracle computes the same flags from one-shot batch moments, so
+    the hash match adjudicates that incremental moment-merging yields
+    exactly the batch detector — the t19 thesis applied to the
+    serving-side gate instead of the model. Publishing the flagged
+    rows (not the moments) makes the adjudication end-to-end: a drift
+    in either the state merge OR the scoring math changes the output.
+
+    Scale shape: state is 3 scalars per key; scoring is one broadcast
+    join of the K-row moment table onto the event scan — row-local,
+    no shuffle of the big side. At 100 TB the same topology scores
+    each micro-batch inside foreachBatch against the running state."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    cut = ev.agg(F.percentile_approx("event_id", 0.5)).first()[0]
+    src_dir = tempfile.mkdtemp(prefix="t20_anom_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _stage_two_halves(
+            ev, (F.col("event_id") <= cut, F.col("event_id") > cut), src_dir
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        moments = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("value").alias("s1"),
+            F.sum(F.col("value") * F.col("value")).alias("s2"),
+        )
+        q = (
+            moments.writeStream.format("memory")
+            .queryName("t20_anom_moments")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t20_stream_anomaly did not finish in 300 s")
+        m = spark.table("t20_anom_moments")
+        mu = F.col("s1") / F.col("n")
+        sig = F.sqrt(F.col("s2") / F.col("n") - mu * mu)
+        params = m.select("event_type", mu.alias("mu"), sig.alias("sig"))
+        z = F.try_divide(F.col("value") - F.col("mu"), F.col("sig"))
+        out = (
+            ev.join(F.broadcast(params), "event_type")
+            .filter(F.abs(z) >= 3.0)
+            .select(
+                "event_id",
+                "event_type",
+                "value",
+                F.round(z, 6).alias("zscore"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return out
+
+
+def _t20_oracle() -> str:
+    return """
+        WITH m AS (
+            SELECT event_type,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(value) AS s1,
+                   sum(value * value) AS s2
+            FROM events GROUP BY event_type
+        ),
+        p AS (
+            SELECT event_type, s1 / n AS mu,
+                   sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sig
+            FROM m
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - p.mu) / NULLIF(p.sig, 0), 6) AS zscore
+        FROM events e JOIN p USING (event_type)
+        WHERE abs((e.value - p.mu) / NULLIF(p.sig, 0)) >= 3.0
+    """
+
+
 def _t16_stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 — a12's histogram-quantile sketch built INCREMENTALLY by
     Structured Streaming: per-(event_type, bucket) counts are an
@@ -3862,6 +3956,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9 (product quantization + ADC search with measured
         # recall: the 32x-compression leg of the ANN storage story)
         "x70_pq_adc_recall": X.q_pq_adc_recall,
+        # t20 NEW in round 8, past the window, same status — rotate in
+        # round 9 (streamed moment state scoring a 3-sigma gate;
+        # oracle = the batch detector verbatim)
+        "t20_stream_anomaly": _t20_stream_anomaly,
+        # x71/x72 NEW in round 8, past the window, same status —
+        # rotate in round 9 (class-separability centroid matrix;
+        # per-source unigram KL divergence for mixture design)
+        "x71_centroid_matrix": X.q_centroid_matrix,
+        "x72_source_kl": X.q_source_kl,
         # -- displaced THIS round to make room for the 13-query backlog
         # (each two-rounds driver-green r6+r7 and subsumed per the
         # inline comments above; all stay pytest-oracle-checked every
@@ -4429,6 +4532,9 @@ def oracle_sql() -> dict[str, str]:
         "t19_stream_ols": _ml8_oracle(),
         "w23_williams_r": _w23_oracle(),
         "x70_pq_adc_recall": X.pq_adc_recall_oracle(),
+        "t20_stream_anomaly": _t20_oracle(),
+        "x71_centroid_matrix": X.centroid_matrix_oracle(),
+        "x72_source_kl": X.source_kl_oracle(),
         "x65_random_projection": X.random_projection_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),

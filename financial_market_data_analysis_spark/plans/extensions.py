@@ -4937,3 +4937,155 @@ def pq_adc_recall_oracle() -> str:
         FROM (SELECT DISTINCT query_id FROM exact) q
         LEFT JOIN hits h USING (query_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# x71 — per-label centroid cosine matrix; x72 — per-source token KL
+
+def q_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x71 — the CLASS-SEPARABILITY report: mean embedding per label
+    and the full pairwise cosine matrix between those centroids — the
+    first diagnostic a curation pipeline runs before trusting labels
+    for stratified sampling or classifier training (two labels whose
+    centroids sit at cosine ≈ 1 are not separable classes; a label
+    whose centroid drifts from the rest flags a domain shift). The
+    matrix is computed WITHOUT reassembling vectors: centroids live as
+    (label, pos, mean) rows, the cross-label dot products are one
+    pos-keyed self-join of a (labels × 64)-row frame, and the norms
+    come from the same frame — nothing corpus-sized ever shuffles
+    twice.
+
+    Scale shape: ONE posexplode pass over the corpus (partial-agg
+    means per (label, pos)); everything after operates on labels×dims
+    rows (KBs). The label count bounds the matrix, not the corpus."""
+    e = load_table(spark, "embeddings", sf_dir)
+    m = (
+        e.select(
+            "label",
+            F.posexplode(
+                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            ).alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .localCheckpoint(eager=False)  # feeds dots, norms, and counts
+    )
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    norms = m.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("mv") * F.col("mv"))).alias("nrm")
+    )
+    a = m.select(F.col("label").alias("label_a"), "pos", F.col("mv").alias("va"))
+    b = m.select(F.col("label").alias("label_b"), "pos", F.col("mv").alias("vb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na")), "label_a")
+        .join(norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb")), "label_b")
+        .join(counts.select(F.col("label").alias("label_a"), F.col("n_vecs").alias("n_a")), "label_a")
+        .join(counts.select(F.col("label").alias("label_b"), F.col("n_vecs").alias("n_b")), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.try_divide(F.col("dot"), F.col("na") * F.col("nb")), 6
+            ).alias("centroid_cos"),
+        )
+    )
+
+
+def centroid_matrix_oracle() -> str:
+    return f"""
+        WITH m AS (
+            SELECT label, d.pos, avg(CAST(embedding[d.pos] AS DOUBLE)) AS mv
+            FROM embeddings, (SELECT unnest(generate_series(1, {EMB_DIM_K}))
+                              AS pos) d
+            GROUP BY label, d.pos
+        ),
+        counts AS (SELECT label, count(*) AS n_vecs FROM embeddings
+                   GROUP BY label),
+        norms AS (SELECT label, sqrt(sum(mv * mv)) AS nrm FROM m
+                  GROUP BY label),
+        dots AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   sum(a.mv * b.mv) AS dot
+            FROM m a JOIN m b ON b.pos = a.pos AND a.label < b.label
+            GROUP BY a.label, b.label
+        )
+        SELECT d.label_a, d.label_b,
+               ca.n_vecs AS n_a, cb.n_vecs AS n_b,
+               round(d.dot / NULLIF(na.nrm * nb.nrm, 0), 6) AS centroid_cos
+        FROM dots d
+        JOIN norms na ON na.label = d.label_a
+        JOIN norms nb ON nb.label = d.label_b
+        JOIN counts ca ON ca.label = d.label_a
+        JOIN counts cb ON cb.label = d.label_b
+    """
+
+
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x72 — per-source TOKEN-DISTRIBUTION DIVERGENCE: KL(P_source ‖
+    P_corpus) over the unigram distributions — the domain-shift number
+    a mixture designer reads before setting x39's temperatures (a
+    source at KL ≈ 0 adds no diversity; a high-KL source needs its
+    own eval slice). Every token in a source exists in the corpus by
+    construction, so the ratio is always defined. Published with the
+    token volume and vocabulary size per source.
+
+    Scale shape: one tokenize+explode scan, one (source, token)
+    groupBy; the global distribution is a re-aggregation of that
+    table (partial-agg, no second scan); the KL sum is one more
+    groupBy keyed on source. All joins are token-keyed equi-joins —
+    at 100 TB the token key is co-partitionable end to end."""
+    toks = D.ensure_parallelism(
+        load_table(spark, "documents", sf_dir)
+    ).select("source", F.explode(T.tokens("text")).alias("tok"))
+    sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    sc = sc.localCheckpoint(eager=False)  # feeds totals, global, and the sum
+    stot = sc.groupBy("source").agg(
+        F.sum("c").alias("st"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    gc_ = sc.groupBy("tok").agg(F.sum("c").alias("g"))
+    gtot = sc.agg(F.sum("c")).first()[0]
+    p = F.col("c") / F.col("st")
+    q = F.col("g") / F.lit(float(gtot))
+    return (
+        sc.join(gc_, "tok")
+        .join(F.broadcast(stot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("st").cast("long").alias("n_tokens"),
+            F.max("n_vocab").cast("long").alias("n_vocab"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+    )
+
+
+def source_kl_oracle() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT source, unnest({T.tokens_sql()}) AS tok FROM documents
+        ),
+        sc AS (SELECT source, tok, count(*) AS c FROM toks
+               GROUP BY source, tok),
+        stot AS (SELECT source, sum(c) AS st, count(*) AS n_vocab FROM sc
+                 GROUP BY source),
+        g AS (SELECT tok, sum(c) AS g FROM sc GROUP BY tok),
+        gt AS (SELECT sum(c) AS gt FROM sc)
+        SELECT s.source,
+               CAST(max(t.st) AS BIGINT) AS n_tokens,
+               CAST(max(t.n_vocab) AS BIGINT) AS n_vocab,
+               round(sum((s.c * 1.0 / t.st)
+                         * ln((s.c * 1.0 / t.st)
+                              / (g.g * 1.0 / gt.gt))), 6) AS kl_vs_corpus
+        FROM sc s
+        JOIN g ON g.tok = s.tok
+        JOIN stot t ON t.source = s.source
+        CROSS JOIN gt
+        GROUP BY s.source
+    """
