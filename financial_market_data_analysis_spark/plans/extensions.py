@@ -4553,6 +4553,7 @@ def projected_recall_oracle() -> str:
 
 X69_BAND_SIZES = (1, 2, 4, 8)
 X69_THRESHOLD = 0.5
+X69_SAMPLE_MOD = 7  # deterministic 1-in-7 candidate sample for precision
 
 
 def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4560,11 +4561,14 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH configuration over the k=8 signature — x30's
     "an approximate index must publish its recall" thesis applied to
     the DEDUP side. For each band size r ∈ {1,2,4,8}: candidate pairs
-    from the band equi-join, the verified subset (exact Jaccard ≥ 0.5),
-    precision = verified/candidates, and recall measured against the
-    KNOWN injected near-dup pairs (parent, parent+offset) whose true
-    Jaccard clears the threshold — the unbiased positive set the
-    fixture provides by construction. r=1 maximizes candidates (8
+    from the band equi-join, a DETERMINISTIC 1-in-7 candidate sample
+    exact-verified for precision (verified/sampled — the production
+    measurement: nobody exact-verifies an r=1 config's full candidate
+    flood, 85k pairs per 1k docs measured at sf0.1), and recall
+    against the KNOWN injected near-dup pairs (parent, parent+offset)
+    whose true Jaccard clears the threshold — a truth pair is found
+    iff it is a CANDIDATE, no verification needed, because truth
+    pairs pass the Jaccard gate by construction. r=1 maximizes candidates (8
     bands of 1 row: high recall, worst precision); r=8 is a single
     all-rows band (near-exact-dup gate). The published table is the
     s-curve made empirical — the number that decides a 100 TB band
@@ -4573,8 +4577,9 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE shingle scan and ONE minhash computation feed all
     four configs (the signature is config-independent; banding is a
     row-local regrouping of the same k hashes); each config costs its
-    band self-join — candidate-volume-sized — and a candidate-bounded
-    verify. The truth set is injection-sized and computed once."""
+    band self-join — candidate-volume-sized — plus a SAMPLE-bounded
+    verify and an injection-sized recall join. The truth set is
+    computed once."""
     aug = docs_augmented(spark, sf_dir)
     sh_arr = D.shingle_arrays(D.ensure_parallelism(aug)).localCheckpoint(
         eager=False
@@ -4582,6 +4587,20 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = sh_arr.select(
         "doc_id", F.explode("sh_arr").alias("shingle")
     ).localCheckpoint(eager=False)
+    # everything below operates on pair/sample/truth frames that are
+    # thousands of rows at most — run the sweep under a graph-sized
+    # shuffle-partition count (the x16/x61 convention: session-width
+    # shuffles of tiny frames are pure empty-task scheduling latency;
+    # measured ~9 s -> ~6 s at sf0.1 from this scope alone)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _lsh_tuning_body(spark, sh_arr, sh)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _lsh_tuning_body(spark: SparkSession, sh_arr: DataFrame, sh: DataFrame) -> DataFrame:
     present = sh_arr.select("doc_id").distinct()
     inj = (
         present.filter(
@@ -4602,34 +4621,42 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_true = truth.count()
 
+    # the signature is config-independent: fold the k md5 minhashes
+    # ONCE (docs x k rows, eagerly checkpointed) and derive every band
+    # configuration from the materialized rows — without this the four
+    # configs would each re-run the dominant-cost k-fold hash pass
+    sigs = D.minhash_signatures(None, shingle_arr=sh_arr).localCheckpoint(
+        eager=True
+    )
     out = None
     for bs in X69_BAND_SIZES:
-        bands = D.lsh_bands(sh_arr, band_size=bs)
-        right = bands.select(
-            F.col("doc_id").alias("doc_b"), "band", "band_hash"
+        pairs = D.lsh_candidate_pairs(sigs, band_size=bs).localCheckpoint(
+            eager=True  # feeds the sample, the recall join, and the count
         )
-        pairs = (
-            bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
-            .join(right, ["band", "band_hash"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-            .localCheckpoint(eager=True)  # feeds verify AND the count
-        )
-        ver = (
-            D.jaccard_verify(pairs, None, shingles=sh)
-            .filter(F.col("jaccard") >= X69_THRESHOLD)
-            .select("doc_a", "doc_b")
-            .localCheckpoint(eager=True)  # feeds recall join AND the count
+        # precision from a DETERMINISTIC 1-in-7 candidate sample: at
+        # 100 TB nobody exact-verifies the candidate flood an r=1
+        # config mints (85k pairs per 1k docs measured at sf0.1) — the
+        # production measurement is a sampled precision, and the
+        # sample predicate is mirrored verbatim by the oracle. Recall
+        # needs NO verification at all: truth pairs clear the Jaccard
+        # threshold by construction, so a truth pair is found iff it
+        # is a candidate.
+        samp = pairs.filter(
+            (F.col("doc_a") + F.col("doc_b")) % X69_SAMPLE_MOD == 0
+        ).localCheckpoint(eager=True)  # feeds verify AND the count
+        ver = D.jaccard_verify(samp, None, shingles=sh).filter(
+            F.col("jaccard") >= X69_THRESHOLD
         )
         row = spark.createDataFrame(
             [(bs, D.N_MINHASH // bs)], "band_size int, n_bands int"
         ).crossJoin(
             pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
         ).crossJoin(
+            samp.agg(F.count(F.lit(1)).alias("n_sampled"))
+        ).crossJoin(
             ver.agg(F.count(F.lit(1)).alias("n_verified"))
         ).crossJoin(
-            ver.join(truth, ["doc_a", "doc_b"]).agg(
+            pairs.join(truth, ["doc_a", "doc_b"]).agg(
                 F.count(F.lit(1)).alias("n_found")
             )
         )
@@ -4638,10 +4665,11 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_size",
         "n_bands",
         "n_candidates",
+        "n_sampled",
         "n_verified",
         F.round(
-            F.when(F.col("n_candidates") == 0, F.lit(0.0)).otherwise(
-                F.col("n_verified") / F.col("n_candidates")
+            F.when(F.col("n_sampled") == 0, F.lit(0.0)).otherwise(
+                F.col("n_verified") / F.col("n_sampled")
             ),
             6,
         ).alias("precision"),
@@ -4653,7 +4681,7 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("recall"),
-    )
+    ).localCheckpoint(eager=True)
 
 
 def lsh_tuning_oracle() -> str:
@@ -4692,21 +4720,26 @@ def lsh_tuning_oracle() -> str:
             FROM bands_{bs} a JOIN bands_{bs} b
               ON a.band = b.band AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
-        ),{ver_cte(f"pairs_{bs}", f"ver_{bs}")}""")
+        ),
+        samp_{bs} AS (
+            SELECT * FROM pairs_{bs}
+            WHERE (doc_a + doc_b) % {X69_SAMPLE_MOD} = 0
+        ),{ver_cte(f"samp_{bs}", f"ver_{bs}")}""")
         selects.append(f"""
         SELECT {bs} AS band_size, {nb} AS n_bands,
                (SELECT count(*) FROM pairs_{bs}) AS n_candidates,
+               (SELECT count(*) FROM samp_{bs}) AS n_sampled,
                (SELECT count(*) FROM ver_{bs}) AS n_verified,
-               round(CASE WHEN (SELECT count(*) FROM pairs_{bs}) = 0 THEN 0.0
+               round(CASE WHEN (SELECT count(*) FROM samp_{bs}) = 0 THEN 0.0
                      ELSE (SELECT count(*) FROM ver_{bs}) * 1.0
-                          / (SELECT count(*) FROM pairs_{bs}) END, 6)
+                          / (SELECT count(*) FROM samp_{bs}) END, 6)
                    AS precision,
                (SELECT count(*) FROM truth) AS n_true_pairs,
-               (SELECT count(*) FROM ver_{bs} v
+               (SELECT count(*) FROM pairs_{bs} v
                 JOIN truth t ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b)
                    AS n_found,
                round(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
-                     ELSE (SELECT count(*) FROM ver_{bs} v
+                     ELSE (SELECT count(*) FROM pairs_{bs} v
                            JOIN truth t ON t.doc_a = v.doc_a
                                        AND t.doc_b = v.doc_b) * 1.0
                           / (SELECT count(*) FROM truth) END, 6) AS recall""")

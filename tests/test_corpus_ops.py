@@ -713,3 +713,22 @@ def test_x68_contamination_report_is_nonvacuous_and_consistent(spark):
     }
     for doc in gate:
         assert totals.get(doc, 0) >= DECON_MIN_OVERLAP, doc
+
+
+def test_source_kl_nonnegative_and_centroid_cos_bounded(spark):
+    """x72: KL divergence is non-negative by Gibbs' inequality — a
+    negative value means the distributions were normalized wrong.
+    x71: a cosine outside [-1, 1] means the norm algebra broke."""
+    import financial_market_data_analysis_spark.plans.extensions as X
+    from conftest import SF_SMOKE
+
+    kl = X.q_source_kl(spark, SF_SMOKE).collect()
+    assert kl, "no sources"
+    for r in kl:
+        assert r.kl_vs_corpus >= -1e-9, (r.source, r.kl_vs_corpus)
+        assert r.n_vocab <= r.n_tokens
+
+    cm = X.q_centroid_matrix(spark, SF_SMOKE).collect()
+    assert cm, "no label pairs"
+    for r in cm:
+        assert -1.0 - 1e-9 <= r.centroid_cos <= 1.0 + 1e-9
