@@ -2755,7 +2755,7 @@ def _ml10_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = lab.withColumn(
         "fold",
         ((F.col("bucket_start") / F.lit(300)).cast("long") % ML10_FOLDS).cast("int"),
-    )
+    ).localCheckpoint(eager=False)  # fold sums AND scoring read it once
     fs = lab.groupBy("fold").agg(
         F.count(F.lit(1)).cast("double").alias("fn"),
         F.sum("close").alias("fx"),

@@ -5000,10 +5000,15 @@ def q_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos", "v"),
         )
         .groupBy("label", "pos")
-        .agg(F.avg("v").alias("mv"))
+        # carry the per-label vector count in the SAME aggregation so
+        # the counts frame needs no second corpus scan (plan-audited:
+        # one Scan parquet for the whole matrix)
+        .agg(F.avg("v").alias("mv"), F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)  # feeds dots, norms, and counts
     )
-    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    counts = m.filter(F.col("pos") == 0).select(
+        "label", F.col("cnt").alias("n_vecs")
+    )
     norms = m.groupBy("label").agg(
         F.sqrt(F.sum(F.col("mv") * F.col("mv"))).alias("nrm")
     )
