@@ -522,6 +522,105 @@ def _a13_oracle() -> str:
     """
 
 
+def _d7_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 — the DATA-QUALITY CHECK SUITE a warehouse runs before
+    trusting a load (the dbt-test / Great-Expectations class, absent
+    from the reference, which trusts its JDBC appends blindly): four
+    checks over the orders/lineitem relationship published as one
+    report row each — (1) orphan lineitems (l_orderkey with no parent
+    order: referential integrity), (2) childless orders (an order with
+    zero lineitems — legal in TPC-H data but the count belongs in the
+    report), (3) totalprice reconciliation (orders whose o_totalprice
+    drifts > 0.01 from the lineitem-derived sum Σ extprice·(1−disc)·
+    (1+tax)), and (4) duplicate primary keys in orders. Each row:
+    check name, violation count, and the worst/first offending key (or
+    NULL when clean).
+
+    Scale shape: two scans (orders, lineitem), each check an
+    anti-join / aggregation on the join key — all co-keyed on
+    orderkey, so at 100 TB the whole suite rides ONE shuffle
+    partitioning; no check materializes more than (violations) rows."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    ok = o.select("o_orderkey", "o_totalprice")
+    derived = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("derived_total")
+    )
+
+    orphans = derived.join(
+        ok.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey",
+        "left_anti",
+    )
+    childless = ok.join(
+        derived.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey",
+        "left_anti",
+    )
+    recon = (
+        ok.join(derived, ok.o_orderkey == derived.l_orderkey)
+        .select(
+            "o_orderkey",
+            F.abs(F.col("o_totalprice") - F.col("derived_total")).alias("err"),
+        )
+        .filter(F.col("err") > 0.01)
+    )
+    dup_pk = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+
+    def report(name: str, df: DataFrame, key: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+            F.min(key).cast("long").alias("first_offender"),
+        )
+
+    return (
+        report("orphan_lineitems", orphans, "l_orderkey")
+        .unionByName(report("childless_orders", childless, "o_orderkey"))
+        .unionByName(report("totalprice_mismatch", recon, "o_orderkey"))
+        .unionByName(report("duplicate_order_pk", dup_pk, "o_orderkey"))
+    )
+
+
+def _d7_oracle() -> str:
+    return """
+        WITH derived AS (
+            SELECT l_orderkey,
+                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                       AS derived_total
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT 'orphan_lineitems' AS check_name,
+               count(*) AS n_violations,
+               CAST(min(l_orderkey) AS BIGINT) AS first_offender
+        FROM derived d
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = d.l_orderkey)
+        UNION ALL
+        SELECT 'childless_orders', count(*),
+               CAST(min(o_orderkey) AS BIGINT)
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM derived d
+                          WHERE d.l_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT 'totalprice_mismatch', count(*),
+               CAST(min(o_orderkey) AS BIGINT)
+        FROM orders o JOIN derived d ON d.l_orderkey = o.o_orderkey
+        WHERE abs(o.o_totalprice - d.derived_total) > 0.01
+        UNION ALL
+        SELECT 'duplicate_order_pk', count(*),
+               CAST(min(o_orderkey) AS BIGINT)
+        FROM (SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1)
+    """
+
+
 def _d5_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 — CDC changelog compaction: apply an ordered upsert/delete
     changelog down to current state, latest-wins per key — the MERGE
@@ -3965,6 +4064,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source unigram KL divergence for mixture design)
         "x71_centroid_matrix": X.q_centroid_matrix,
         "x72_source_kl": X.q_source_kl,
+        # d7 NEW in round 8, past the window, same status — rotate in
+        # round 9 (dbt-test-class data-quality suite: referential
+        # integrity + aggregate reconciliation as one co-keyed report)
+        "d7_quality_checks": _d7_quality_checks,
+        # x73 NEW in round 8, past the window, same status — rotate in
+        # round 9 (leakage-free split: x17's hash rule keyed on the
+        # x16 cluster anchor — near-dups cannot straddle train/test)
+        "x73_leakage_free_split": X.q_leakage_free_split,
         # -- displaced THIS round to make room for the 13-query backlog
         # (each two-rounds driver-green r6+r7 and subsumed per the
         # inline comments above; all stay pytest-oracle-checked every
@@ -4535,6 +4642,8 @@ def oracle_sql() -> dict[str, str]:
         "t20_stream_anomaly": _t20_oracle(),
         "x71_centroid_matrix": X.centroid_matrix_oracle(),
         "x72_source_kl": X.source_kl_oracle(),
+        "d7_quality_checks": _d7_oracle(),
+        "x73_leakage_free_split": X.leakage_free_split_oracle(),
         "x65_random_projection": X.random_projection_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),

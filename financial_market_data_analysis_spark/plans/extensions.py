@@ -1416,6 +1416,63 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.hash_split(d).select("doc_id", "bucket", "split")
 
 
+def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x73 — the LEAKAGE-FREE train/val/test split: x17's hash split
+    keyed on the near-dup CLUSTER instead of the document, so two
+    near-duplicates can never land on opposite sides of the eval
+    boundary (the classic eval-leakage failure: a test doc whose
+    near-copy sat in train inflates every metric it touches). Every
+    doc's split anchor is its x16 cluster id (the component's min
+    doc_id) when it is clustered, its own id otherwise; the split is
+    then the same content-free md5-bucket rule as x17 applied to the
+    ANCHOR — docs in one cluster share an anchor, hence a split, BY
+    CONSTRUCTION, and singletons reproduce x17's assignment exactly.
+
+    Scale shape: x16's sketch-granularity connected components (graph-
+    sized work) plus one left join of the corpus against the
+    cluster table (clustered-docs-sized, broadcast-able) and a
+    row-local hash projection. The no-leakage property costs nothing
+    at assignment time — it is structural, not a post-hoc repair."""
+    aug = docs_augmented(spark, sf_dir)
+    clusters = D.simhash_dedup_clusters(
+        aug, n_bands=SIMHASH_BANDS, max_hamming=SIMHASH_MAX_HAMMING
+    )
+    anch = aug.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        F.coalesce("cluster_id", "doc_id").alias("anchor"),
+    )
+    out = T.hash_split(anch, id_col="anchor")
+    return out.select("doc_id", "cluster_id", "anchor", "bucket", "split")
+
+
+def leakage_free_split_oracle() -> str:
+    from financial_market_data_analysis_spark.functions.text import (
+        SPLIT_TEST_BUCKETS,
+        SPLIT_VAL_BUCKETS,
+    )
+
+    val = ", ".join(f"'{b}'" for b in SPLIT_VAL_BUCKETS)
+    test = ", ".join(f"'{b}'" for b in SPLIT_TEST_BUCKETS)
+    return f"""
+        WITH clusters AS MATERIALIZED ({dedup_clusters_oracle()}),
+        aug AS ({DOCS_AUG_CTE}),
+        anch AS (
+            SELECT a.doc_id, c.cluster_id,
+                   COALESCE(c.cluster_id, a.doc_id) AS anchor
+            FROM aug a LEFT JOIN clusters c ON c.doc_id = a.doc_id
+        )
+        SELECT doc_id, cluster_id, anchor,
+               substr(md5(CAST(anchor AS VARCHAR)), 1, 1) AS bucket,
+               CASE WHEN substr(md5(CAST(anchor AS VARCHAR)), 1, 1)
+                         IN ({val}) THEN 'val'
+                    WHEN substr(md5(CAST(anchor AS VARCHAR)), 1, 1)
+                         IN ({test}) THEN 'test'
+                    ELSE 'train' END AS split
+        FROM anch
+    """
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-k by total term frequency."""
     return T.vocab_topk(load_table(spark, "documents", sf_dir))

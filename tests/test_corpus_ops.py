@@ -732,3 +732,48 @@ def test_source_kl_nonnegative_and_centroid_cos_bounded(spark):
     assert cm, "no label pairs"
     for r in cm:
         assert -1.0 - 1e-9 <= r.centroid_cos <= 1.0 + 1e-9
+
+
+def test_leakage_free_split_has_no_cross_split_neardups(spark):
+    """x73's structural claim, checked behaviorally: no near-dup
+    cluster spans two splits (the leakage x17's doc-keyed split DOES
+    exhibit on the injected pairs — asserted too, so the test proves
+    x73 fixes a real failure rather than a vacuous one), and
+    singleton docs keep exactly their x17 assignment."""
+    from pyspark.sql import functions as F
+
+    import financial_market_data_analysis_spark.plans.extensions as X
+    from conftest import SF_SMOKE
+
+    out = X.q_leakage_free_split(spark, SF_SMOKE).localCheckpoint()
+    spans = (
+        out.filter(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+
+    # the doc-keyed split leaks on at least one injected pair
+    from financial_market_data_analysis_spark.functions.text import hash_split
+
+    aug = X.docs_augmented(spark, SF_SMOKE)
+    doc_split = hash_split(aug.select("doc_id")).select("doc_id", "split")
+    clustered = out.filter(F.col("cluster_id").isNotNull()).select(
+        "doc_id", "cluster_id"
+    )
+    leaky = (
+        clustered.join(doc_split, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert leaky > 0, "fixture has no cross-split cluster under x17 — vacuous"
+
+    singles = out.filter(F.col("cluster_id").isNull()).select("doc_id", "split")
+    diff = singles.join(
+        doc_split.withColumnRenamed("split", "s17"), "doc_id"
+    ).filter(F.col("split") != F.col("s17")).count()
+    assert diff == 0
