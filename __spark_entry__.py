@@ -4072,6 +4072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9 (leakage-free split: x17's hash rule keyed on the
         # x16 cluster anchor — near-dups cannot straddle train/test)
         "x73_leakage_free_split": X.q_leakage_free_split,
+        # x74 NEW in round 8, past the window, same status — rotate in
+        # round 9 (the filter funnel: per-stage keep/drop accounting
+        # composing the adjudicated gates in production order)
+        "x74_filter_funnel": X.q_filter_funnel,
         # -- displaced THIS round to make room for the 13-query backlog
         # (each two-rounds driver-green r6+r7 and subsumed per the
         # inline comments above; all stay pytest-oracle-checked every
@@ -4644,6 +4648,7 @@ def oracle_sql() -> dict[str, str]:
         "x72_source_kl": X.source_kl_oracle(),
         "d7_quality_checks": _d7_oracle(),
         "x73_leakage_free_split": X.leakage_free_split_oracle(),
+        "x74_filter_funnel": X.filter_funnel_oracle(),
         "x65_random_projection": X.random_projection_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),

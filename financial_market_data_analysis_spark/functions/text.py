@@ -110,11 +110,14 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_filter_sql() -> str:
+def quality_filter_sql(src: str = "documents") -> str:
+    """``src`` parameterizes the input CTE/table (default keeps the
+    x14 oracle byte-identical) so the x74 funnel can apply the same
+    rules to a survivor set."""
     toks = tokens_sql()
     stop = stopword_hits_sql("toks", LANG_STOPWORDS["en"])
     return f"""
-        WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+        WITH t AS (SELECT doc_id, text, {toks} AS toks FROM {src}),
         s AS (
             SELECT doc_id,
                 len(toks) AS n_tokens,

@@ -5184,3 +5184,113 @@ def source_kl_oracle() -> str:
         CROSS JOIN gt
         GROUP BY s.source
     """
+
+
+# ---------------------------------------------------------------------------
+# x74 — the filter funnel (end-to-end keep/drop accounting)
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x74 — the FILTER FUNNEL: the per-stage keep/drop accounting
+    every corpus release publishes (how many documents entered, what
+    each gate removed, what survived) — the capstone that composes the
+    already-adjudicated gates in production order: (1) exact dedup
+    (x5's digest keeper), (2) C4-style quality rules (x14), (3)
+    benchmark decontamination (x22's shingle-overlap rule, bench =
+    the fixture's eval subset — which also removes the eval docs
+    themselves from the training corpus, as a real pipeline must).
+    One row per stage: documents in, dropped, out. The funnel is the
+    number reviewers actually read — per-stage attrition makes a
+    misconfigured gate (dropping 90% at stage 2) visible instantly,
+    where the end-to-end survivor count alone hides it.
+
+    Scale shape: each stage is its own adjudicated operator's shape
+    (digest groupBy / row-local rules / broadcast bench anti-join);
+    the funnel adds only per-stage COUNT aggregates — partial-
+    aggregatable scalars, no new corpus-sized shuffle."""
+    base = docs_augmented(spark, sf_dir).select("doc_id", "text")
+    # the fixture's injected dups are NEAR-dups (suffixed), so stage 1
+    # would be vacuous on them; add an exact-copy slice (every 40th
+    # base doc verbatim at id + 2*DUP_OFFSET, mirrored in the oracle)
+    # so the digest keeper provably drops something
+    d0 = load_table(spark, "documents", sf_dir)
+    copies = d0.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 2 * DUP_OFFSET).alias("doc_id"), "text"
+    )
+    aug = base.unionByName(copies)
+    keepers = D.exact_dedup(aug).select(F.col("keep_id").alias("doc_id"))
+    s1 = aug.join(keepers, "doc_id").localCheckpoint(eager=False)
+    q = T.quality_filter(s1).select("doc_id", "kept")
+    s2 = s1.join(q.filter(F.col("kept") == 1).select("doc_id"), "doc_id")
+    s2 = s2.localCheckpoint(eager=False)
+    bench = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % DECON_BENCH_MOD == 0
+    )
+    flagged = D.decontaminate(s2, bench).select("doc_id")
+    s3 = s2.join(flagged, "doc_id", "left_anti")
+
+    def stage(ord_: int, name: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        return (
+            before.agg(F.count(F.lit(1)).alias("n_in"))
+            .crossJoin(after.agg(F.count(F.lit(1)).alias("n_out")))
+            .select(
+                F.lit(ord_).alias("stage_ord"),
+                F.lit(name).alias("stage"),
+                "n_in",
+                (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+                "n_out",
+            )
+        )
+
+    return (
+        stage(1, "exact_dedup", aug, s1)
+        .unionByName(stage(2, "quality_rules", s1, s2))
+        .unionByName(stage(3, "decontaminate", s2, s3))
+    )
+
+
+def filter_funnel_oracle() -> str:
+    q_sql = T.quality_filter_sql("s1")
+    return f"""
+        WITH base AS ({DOCS_AUG_CTE}),
+        aug AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT doc_id + {2 * DUP_OFFSET}, text FROM documents
+            WHERE doc_id % 40 = 0
+        ),
+        keep AS (
+            SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
+        ),
+        s1 AS (SELECT a.doc_id, a.text FROM aug a JOIN keep k
+               ON k.doc_id = a.doc_id),
+        q AS ({q_sql}),
+        s2 AS (SELECT s1.doc_id, s1.text FROM s1
+               JOIN q ON q.doc_id = s1.doc_id AND q.kept = 1),
+        bench AS (SELECT * FROM documents
+                  WHERE doc_id % {DECON_BENCH_MOD} = 0),
+        tsh AS ({_shingles_sql("s2")}),
+        bsh AS (SELECT DISTINCT shingle
+                FROM ({_shingles_sql("bench")}) b),
+        flagged AS (
+            SELECT doc_id FROM tsh JOIN bsh USING (shingle)
+            GROUP BY doc_id
+            HAVING count(*) >= {D.DECON_MIN_OVERLAP}
+        ),
+        s3 AS (SELECT doc_id FROM s2
+               WHERE doc_id NOT IN (SELECT doc_id FROM flagged))
+        SELECT 1 AS stage_ord, 'exact_dedup' AS stage,
+               (SELECT count(*) FROM aug) AS n_in,
+               (SELECT count(*) FROM aug) - (SELECT count(*) FROM s1)
+                   AS n_dropped,
+               (SELECT count(*) FROM s1) AS n_out
+        UNION ALL
+        SELECT 2, 'quality_rules',
+               (SELECT count(*) FROM s1),
+               (SELECT count(*) FROM s1) - (SELECT count(*) FROM s2),
+               (SELECT count(*) FROM s2)
+        UNION ALL
+        SELECT 3, 'decontaminate',
+               (SELECT count(*) FROM s2),
+               (SELECT count(*) FROM s2) - (SELECT count(*) FROM s3),
+               (SELECT count(*) FROM s3)
+    """

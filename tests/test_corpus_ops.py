@@ -777,3 +777,26 @@ def test_leakage_free_split_has_no_cross_split_neardups(spark):
         doc_split.withColumnRenamed("split", "s17"), "doc_id"
     ).filter(F.col("split") != F.col("s17")).count()
     assert diff == 0
+
+
+def test_filter_funnel_is_conserving_and_every_stage_bites(spark):
+    """x74 invariants: stage k's n_out equals stage k+1's n_in (no
+    documents appear or vanish between gates), counts are consistent
+    (n_in - n_dropped == n_out), and every stage drops at least one
+    document on the fixture — a funnel with a vacuous stage proves
+    nothing about that gate."""
+    import financial_market_data_analysis_spark.plans.extensions as X
+    from conftest import SF_SMOKE
+
+    rows = sorted(
+        X.q_filter_funnel(spark, SF_SMOKE).collect(),
+        key=lambda r: r.stage_ord,
+    )
+    assert [r.stage for r in rows] == [
+        "exact_dedup", "quality_rules", "decontaminate"
+    ]
+    for r in rows:
+        assert r.n_in - r.n_dropped == r.n_out
+        assert r.n_dropped > 0, f"vacuous stage: {r.stage}"
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_out == b.n_in
