@@ -522,6 +522,79 @@ def _a13_oracle() -> str:
     """
 
 
+def _a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — explicit GROUPING SETS ((lang), (source)): the
+    arbitrary-set form completing the multi-level aggregation family
+    (a7 ROLLUP drills one hierarchy, a13 CUBE cross-tabulates all
+    combinations, A14 computes EXACTLY the marginals a datacard needs
+    — per-lang and per-source — without paying for the (lang, source)
+    pairs or the grand total the cube would also mint). Same plan
+    story: ONE Expand (two projections per row) into a
+    partial-aggregatable hash aggregate — one scan, one shuffle, not
+    one query per marginal."""
+    d = load_table(spark, "documents", sf_dir)
+    d.createOrReplaceTempView("a14_docs")
+    return spark.sql(
+        """
+        SELECT lang, source,
+               count(*) AS n_docs,
+               sum(n_chars) AS sum_chars,
+               CAST(grouping_id() AS INT) AS gid
+        FROM a14_docs
+        GROUP BY GROUPING SETS ((lang), (source))
+        """
+    )
+
+
+def _a14_oracle() -> str:
+    return """
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(GROUPING(lang, source) AS INT) AS gid
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source))
+    """
+
+
+def _q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — TPC-H-Q4-shaped order-priority count: orders in a
+    one-quarter window having AT LEAST ONE qualifying lineitem — the
+    EXISTS / LEFT-SEMI join shape, the one relational join type the
+    catalog had not adjudicated (d2 covers anti, the j-family
+    equi/interval/as-of). The fixture's slim lineitem has no
+    commit/receipt dates, so the existence predicate is a bulk-line
+    test (l_quantity >= 45) instead of TPC-H's lateness test — the
+    join shape, pushdown, and aggregation are identical. Spark plans
+    the semi-join hash-partitioned on orderkey with both filters
+    pushed to the scans; the existence check never multiplies rows,
+    so the aggregate sees each order once however many lines qualify."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1993-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1993-10-01").cast("date"))
+    )
+    late = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_quantity") >= 45
+    ).select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        o.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q4_oracle() -> str:
+    return """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= DATE '1993-07-01'
+          AND o_orderdate < DATE '1993-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_quantity >= 45)
+        GROUP BY o_orderpriority
+    """
+
+
 def _d7_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D7 — the DATA-QUALITY CHECK SUITE a warehouse runs before
     trusting a load (the dbt-test / Great-Expectations class, absent
@@ -4076,6 +4149,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9 (the filter funnel: per-stage keep/drop accounting
         # composing the adjudicated gates in production order)
         "x74_filter_funnel": X.q_filter_funnel,
+        # a14/q4 NEW in round 8, past the window, same status — rotate
+        # in round 9 (explicit GROUPING SETS marginals; the EXISTS/
+        # left-semi join shape the catalog had not adjudicated)
+        "a14_grouping_sets": _a14_grouping_sets,
+        "q4_order_priority": _q4_order_priority,
         # -- displaced THIS round to make room for the 13-query backlog
         # (each two-rounds driver-green r6+r7 and subsumed per the
         # inline comments above; all stay pytest-oracle-checked every
@@ -4649,6 +4727,8 @@ def oracle_sql() -> dict[str, str]:
         "d7_quality_checks": _d7_oracle(),
         "x73_leakage_free_split": X.leakage_free_split_oracle(),
         "x74_filter_funnel": X.filter_funnel_oracle(),
+        "a14_grouping_sets": _a14_oracle(),
+        "q4_order_priority": _q4_oracle(),
         "x65_random_projection": X.random_projection_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),
         "x53_bloom_decontaminate": X.bloom_decontaminate_oracle(),
