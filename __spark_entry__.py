@@ -1814,7 +1814,18 @@ def _t19_stream_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation itself runs per-batch on arrival slices (stateless
     projections) — bars are complete because the batch split is on
     bucket boundaries (parity of the 5-min bucket index), so no bar
-    straddles the cut."""
+    straddles the cut.
+
+    Accepted adjudication risk (r8 ADVICE, documented): the engine
+    derives slope/intercept from RAW streamed moments (Σxy − ΣxΣy/n
+    algebra) while the oracle (ml8's SQL verbatim) uses DuckDB's
+    covar_pop/var_pop — a numerically different (more stable)
+    summation. Both sides round to 6 before publishing, which has
+    absorbed the ulp-level divergence on every fixture scale tested;
+    a value landing exactly on a rounding boundary could in principle
+    split the hash, in which case the fix is the t20 pattern (round
+    before compare is already the published form here — there is no
+    threshold filter on this query, only the rounded floats)."""
     import shutil
     import tempfile
 
@@ -1942,7 +1953,13 @@ def _t20_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu = F.col("s1") / F.col("n")
         sig = F.sqrt(F.col("s2") / F.col("n") - mu * mu)
         params = m.select("event_type", mu.alias("mu"), sig.alias("sig"))
-        z = F.try_divide(F.col("value") - F.col("mu"), F.col("sig"))
+        # gate on the ROUNDED z (r8 ADVICE): streamed vs batch moment
+        # summation order can differ in the last float ulps, so a raw
+        # |z| >= 3.0 comparison could flip the row set on an exact-
+        # boundary value; both engine and oracle filter on round(z, 6)
+        z = F.round(
+            F.try_divide(F.col("value") - F.col("mu"), F.col("sig")), 6
+        )
         out = (
             ev.join(F.broadcast(params), "event_type")
             .filter(F.abs(z) >= 3.0)
@@ -1950,7 +1967,7 @@ def _t20_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_id",
                 "event_type",
                 "value",
-                F.round(z, 6).alias("zscore"),
+                z.alias("zscore"),
             )
             .localCheckpoint(eager=True)
         )
@@ -1977,7 +1994,7 @@ def _t20_oracle() -> str:
         SELECT e.event_id, e.event_type, e.value,
                round((e.value - p.mu) / NULLIF(p.sig, 0), 6) AS zscore
         FROM events e JOIN p USING (event_type)
-        WHERE abs((e.value - p.mu) / NULLIF(p.sig, 0)) >= 3.0
+        WHERE abs(round((e.value - p.mu) / NULLIF(p.sig, 0), 6)) >= 3.0
     """
 
 
@@ -2088,6 +2105,7 @@ def _t18_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     import financial_market_data_analysis_spark.operators.sketches as SK
+    from financial_market_data_analysis_spark.streaming import pipeline as SP
 
     k = SK.KMV_K
     docs = load_table(spark, "documents", sf_dir).select(
@@ -2127,8 +2145,11 @@ def _t18_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def merge(batch_df: DataFrame, batch_id: int) -> None:
             arr = batch_u(batch_df)
-            prev = f"{snap}/v{batch_id - 1}"
-            if batch_id > 0 and os.path.isdir(prev):
+            # shared guarded epoch resolution (r8 ADVICE): a missing
+            # v{batch_id-1} at batch_id>0 raises instead of silently
+            # restarting the bottom-k state from this batch alone
+            prev = SP.resolve_prev_snapshot(snap, batch_id)
+            if prev is not None:
                 arr = spark.read.parquet(prev).unionByName(arr).distinct()
             w = SW.partitionBy("source").orderBy("u")
             bottom = (
@@ -3538,8 +3559,8 @@ def _w22_oracle(period: int = 20) -> str:
                          ROWS BETWEEN {period - 1} PRECEDING AND CURRENT ROW)
         )
         SELECT bucket_start, close,
-               round(s_mfv / s_vol, 6) AS cmf20
-        FROM s WHERE cnt >= {period}
+               round(s_mfv / NULLIF(s_vol, 0), 6) AS cmf20
+        FROM s WHERE cnt >= {period} AND s_vol <> 0
     """
 
 

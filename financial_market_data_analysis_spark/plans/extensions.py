@@ -5057,15 +5057,16 @@ def q_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos", "v"),
         )
         .groupBy("label", "pos")
-        # carry the per-label vector count in the SAME aggregation so
-        # the counts frame needs no second corpus scan (plan-audited:
-        # one Scan parquet for the whole matrix)
-        .agg(F.avg("v").alias("mv"), F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)  # feeds dots, norms, and counts
+        .agg(F.avg("v").alias("mv"))
+        .localCheckpoint(eager=False)  # feeds dots and norms
     )
-    counts = m.filter(F.col("pos") == 0).select(
-        "label", F.col("cnt").alias("n_vecs")
-    )
+    # n_vecs from a DIRECT row count, not from the pos==0 slice of the
+    # posexplode aggregation (r8 ADVICE): posexplode emits no rows for
+    # a NULL/empty embedding, so the exploded path would undercount —
+    # or drop a label entirely — relative to the oracle's count(*).
+    # The extra agg scans only the `label` column (parquet pruning);
+    # the corpus-sized embedding column is still read exactly once.
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
     norms = m.groupBy("label").agg(
         F.sqrt(F.sum(F.col("mv") * F.col("mv"))).alias("nrm")
     )

@@ -173,6 +173,38 @@ def parquet_append_sink(
     )
 
 
+def resolve_prev_snapshot(snap_dir: str, batch_id: int) -> str | None:
+    """Resolve the path of snapshot ``v{batch_id-1}`` for a
+    copy-on-write epoch MERGE, with the missing-snapshot case made
+    LOUD instead of silent. Returns ``None`` only for the genuine
+    cold start (``batch_id == 0``). For ``batch_id > 0`` the previous
+    snapshot MUST exist: the COW chain is v0 → v1 → … and batch N's
+    merge is defined as "v{N-1} minus touched keys, plus this batch".
+    If v{N-1} is absent (snapshot directory cleaned while the stream
+    checkpoint survived, or any non-contiguous batch-id situation),
+    falling through to ``merged = batch_df`` would silently drop
+    every key NOT touched by this batch — update-mode batches carry
+    only touched keys — which is silent data loss in the component
+    advertised as the replay-safe production sink. Raising forces the
+    operator to either restore the snapshot or restart the stream
+    with a fresh checkpoint (a clean, complete rebuild)."""
+    import os
+
+    if batch_id == 0:
+        return None
+    prev = f"{snap_dir}/v{batch_id - 1}"
+    if not os.path.isdir(prev):
+        raise RuntimeError(
+            f"snapshot MERGE: batch_id={batch_id} but previous snapshot "
+            f"{prev!r} is missing — refusing to merge (update-mode "
+            "batches carry only touched keys; merging without v"
+            f"{batch_id - 1} would silently drop all untouched state). "
+            "Restore the snapshot chain or restart the stream with a "
+            "fresh checkpoint to rebuild from scratch."
+        )
+    return prev
+
+
 def snapshot_merge_sink(spark, snap_dir: str):
     """foreachBatch sink factory: copy-on-write snapshot MERGE of
     per-key streaming-agg state (t15b; r7 verdict #4). Batch N reads
@@ -188,15 +220,15 @@ def snapshot_merge_sink(spark, snap_dir: str):
     dynamic partition overwrite (the K1 sink's layout) or a table
     format's MERGE. The first column of the batch DataFrame is the
     key. Factored out of the t15b harness so the replay contract is
-    directly unit-testable (tests/test_streaming.py)."""
-    import os
-
+    directly unit-testable (tests/test_streaming.py). A missing
+    v{N-1} at batch_id>0 RAISES via ``resolve_prev_snapshot`` rather
+    than silently restarting state from this batch's touched keys."""
     from pyspark.sql import functions as F
 
     def merge(batch_df, batch_id: int) -> None:
         key = batch_df.columns[0]
-        prev = f"{snap_dir}/v{batch_id - 1}"
-        if batch_id > 0 and os.path.isdir(prev):
+        prev = resolve_prev_snapshot(snap_dir, batch_id)
+        if prev is not None:
             old = spark.read.parquet(prev)
             merged = old.join(
                 F.broadcast(batch_df.select(key)), key, "left_anti"

@@ -1148,3 +1148,35 @@ def test_snapshot_merge_sink_replay_is_idempotent(spark, tmp_path):
     sink(b1b, 1)
     redo = {r.user_id: r.val for r in spark.read.parquet(f"{snap}/v1").collect()}
     assert redo == {1: 10.0, 2: 20.0, 3: 33.0}
+
+
+def test_snapshot_merge_sink_missing_prev_raises(spark, tmp_path):
+    """r8 ADVICE (medium): batch_id>0 with v{batch_id-1} ABSENT must
+    raise, not silently reset state to this batch's touched keys —
+    update-mode batches carry only touched keys, so the old
+    fall-through was silent data loss after snapshot cleanup or any
+    non-contiguous batch-id situation. Cold start (batch 0) still
+    writes v0 without a previous snapshot."""
+    import pytest
+
+    from financial_market_data_analysis_spark.streaming.pipeline import (
+        resolve_prev_snapshot,
+        snapshot_merge_sink,
+    )
+
+    snap = str(tmp_path / "snap")
+    sink = snapshot_merge_sink(spark, snap)
+    b = spark.createDataFrame([(1, 10.0)], "user_id long, val double")
+
+    # cold start is fine
+    assert resolve_prev_snapshot(snap, 0) is None
+    sink(b, 0)
+
+    # contiguous chain is fine
+    sink(b, 1)
+
+    # a gap (v2 missing when batch 3 arrives) must refuse loudly
+    with pytest.raises(RuntimeError, match="previous snapshot"):
+        sink(b, 3)
+    with pytest.raises(RuntimeError, match="v2"):
+        resolve_prev_snapshot(snap, 3)
