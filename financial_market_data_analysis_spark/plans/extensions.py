@@ -17,6 +17,10 @@ from financial_market_data_analysis_spark.functions import text as T
 from financial_market_data_analysis_spark.operators import dedup as D
 from financial_market_data_analysis_spark.operators import similarity as S
 from financial_market_data_analysis_spark.sources.batch import load_table
+from financial_market_data_analysis_spark.functions.core import (
+    push_small_shuffle,
+    pop_small_shuffle,
+)
 
 DUP_OFFSET = 1_000_000
 DOC_DUP_MOD = 50
@@ -47,6 +51,36 @@ DOCS_AUG_CTE = f"""
     UNION ALL
     SELECT doc_id + {DUP_OFFSET}, text || '{DUP_SUFFIX}', lang, source, n_chars
     FROM documents WHERE doc_id % {DOC_DUP_MOD} = 0
+"""
+
+EXACT_DUP_MOD = 40  # every 40th base doc gets a VERBATIM copy
+
+
+def docs_augmented_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``docs_augmented`` plus an EXACT-copy slice (every 40th base doc
+    verbatim at id + 2·DUP_OFFSET). The standard augmented corpus
+    carries only SUFFIXED near-dups, so a digest-keyed exact-dedup
+    stage is vacuous on it; queries whose first gate is exact dedup
+    (x74's funnel) use this variant instead. Lives in the fixture
+    layer — not in any query body — per the r8 verdict, so the funnel
+    adjudicates pure fixture input and other exact-dedup queries can
+    reuse the slice. Oracle twin: ``DOCS_AUG_EXACT_CTE``."""
+    d = load_table(spark, "documents", sf_dir)
+    copies = d.filter(F.col("doc_id") % EXACT_DUP_MOD == 0).select(
+        (F.col("doc_id") + 2 * DUP_OFFSET).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs_augmented(spark, sf_dir).unionByName(copies)
+
+
+DOCS_AUG_EXACT_CTE = f"""
+    {DOCS_AUG_CTE}
+    UNION ALL
+    SELECT doc_id + {2 * DUP_OFFSET}, text, lang, source, n_chars
+    FROM documents WHERE doc_id % {EXACT_DUP_MOD} = 0
 """
 
 
@@ -3719,12 +3753,11 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=SIMHASH_BANDS,
         max_hamming=SIMHASH_MAX_HAMMING,
     ).select("id_a", "id_b").localCheckpoint(eager=True)
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    old_sp = push_small_shuffle(spark)  # serial-adjudication contract: functions/core.py
     try:
         return _triangle_counts(pairs).localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        pop_small_shuffle(spark, old_sp)
 
 
 def _triangle_counts(pairs: DataFrame) -> DataFrame:
@@ -3835,8 +3868,7 @@ def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=SIMHASH_BANDS,
         max_hamming=SIMHASH_MAX_HAMMING,
     ).select("id_a", "id_b").localCheckpoint(eager=True)
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    old_sp = push_small_shuffle(spark)  # serial-adjudication contract: functions/core.py
     try:
         tri = _triangle_counts(pairs)
         deg = (
@@ -3859,7 +3891,7 @@ def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clust_coef"),
         ).localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        pop_small_shuffle(spark, old_sp)
     return out
 
 
@@ -4302,11 +4334,13 @@ RP_PAIR_MOD = 5   # distortion sample: vec_id % 5 == 0 paired with +17
 RP_PAIR_OFFSET = 17
 
 
-def _rp_signs() -> list[list[int]]:
+def _rp_signs_k(k: int) -> list[list[int]]:
     """The ±1 projection matrix (Achlioptas 2003: Rademacher entries
     satisfy the JL lemma — no Gaussians needed), derived from md5 of
     the (row, col) index so BOTH engines inline the identical literal
-    matrix: twin-by-construction, like every other shared constant."""
+    matrix: twin-by-construction, like every other shared constant.
+    The first 16 rows are exactly x65's matrix — larger k only appends
+    rows, so x75's 48-dim projection CONTAINS x65's as a prefix."""
     import hashlib
 
     return [
@@ -4316,18 +4350,23 @@ def _rp_signs() -> list[list[int]]:
             else -1
             for i in range(EMB_DIM_K)
         ]
-        for j in range(RP_OUT_DIMS)
+        for j in range(k)
     ]
 
 
-def _rp_project_expr() -> Column:
-    """The 64→16 JL projection as ONE array expression over the
+def _rp_signs() -> list[list[int]]:
+    return _rp_signs_k(RP_OUT_DIMS)
+
+
+def _rp_project_expr_k(k: int) -> Column:
+    """The 64→k JL projection as ONE array expression over the
     ``embedding`` column: component j = round(Σ_i x_i·sign_ji / √k, 6).
-    Shared by x65 (distortion measurement) and x66 (retrieval recall
-    over the projected space) so both queries project identically —
-    a pure row-local fold inside whole-stage codegen, zero shuffles."""
-    signs = _rp_signs()
-    scale = float(RP_OUT_DIMS) ** 0.5
+    Shared by x65 (distortion measurement), x66 (retrieval recall over
+    the projected space) and x75 (the dimension sweep) so every query
+    projects identically — a pure row-local fold inside whole-stage
+    codegen, zero shuffles."""
+    signs = _rp_signs_k(k)
+    scale = float(k) ** 0.5
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
     def proj(j: int):
@@ -4342,14 +4381,18 @@ def _rp_project_expr() -> Column:
             6,
         )
 
-    return F.array(*[proj(j) for j in range(RP_OUT_DIMS)])
+    return F.array(*[proj(j) for j in range(k)])
 
 
-def _rp_proj_sql(tbl: str) -> str:
-    """DuckDB twin of ``_rp_project_expr`` for table alias ``tbl`` —
+def _rp_project_expr() -> Column:
+    return _rp_project_expr_k(RP_OUT_DIMS)
+
+
+def _rp_proj_sql_k(tbl: str, k: int) -> str:
+    """DuckDB twin of ``_rp_project_expr_k`` for table alias ``tbl`` —
     the identical literal matrix, fold order i=0..63, /√k, round 6."""
-    signs = _rp_signs()
-    scale = float(RP_OUT_DIMS) ** 0.5
+    signs = _rp_signs_k(k)
+    scale = float(k) ** 0.5
 
     def one(j: int) -> str:
         terms = " + ".join(
@@ -4358,7 +4401,11 @@ def _rp_proj_sql(tbl: str) -> str:
         )
         return f"round(({terms}) / {scale!r}, 6)"
 
-    return "[" + ", ".join(one(j) for j in range(RP_OUT_DIMS)) + "]"
+    return "[" + ", ".join(one(j) for j in range(k)) + "]"
+
+
+def _rp_proj_sql(tbl: str) -> str:
+    return _rp_proj_sql_k(tbl, RP_OUT_DIMS)
 
 
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4649,12 +4696,11 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-partition count (the x16/x61 convention: session-width
     # shuffles of tiny frames are pure empty-task scheduling latency;
     # measured ~9 s -> ~6 s at sf0.1 from this scope alone)
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    old_sp = push_small_shuffle(spark)  # serial-adjudication contract: functions/core.py
     try:
         return _lsh_tuning_body(spark, sh_arr, sh)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        pop_small_shuffle(spark, old_sp)
 
 
 def _lsh_tuning_body(spark: SparkSession, sh_arr: DataFrame, sh: DataFrame) -> DataFrame:
@@ -4829,6 +4875,84 @@ PQ_M = 8            # subquantizers: 64 dims → 8 subvectors of 8 dims
 PQ_SUBDIM = EMB_DIM_K // PQ_M
 
 
+def _l2_fold(a: str, b: str) -> Column:
+    """Squared-L2 between two array columns as a sequential fold
+    (i ascending — the same order the oracle's generated ``+`` chain
+    evaluates in, so pre-round doubles are bit-identical)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_codes_dtab(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The PQ index halves shared by x70 and x75: ``codes`` (one row
+    per (vec_id, m) — the corpus compressed to M=8 small ints per
+    vector) and ``dtab`` (the per-(query, m, centroid) ADC distance
+    table — tiny, broadcast at the join). Code assignment is one
+    corpus×M explode against a BROADCAST codebook; ties to lowest cid."""
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sub = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(emb, m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+            )
+            for m in range(PQ_M)
+        ])
+    ).alias("s")
+    corpus_sub = e.select("vec_id", sub).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+    cents_sub = (
+        e.filter(F.col("vec_id") % CENTROID_MOD == 0)
+        .select(F.col("vec_id").alias("cid"), sub)
+        .select("cid", F.col("s.m").alias("m"), F.col("s.sv").alias("csv"))
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d", "cid")
+    codes = (
+        corpus_sub.join(F.broadcast(cents_sub), "m")
+        .withColumn("d", _l2_fold("sv", "csv"))
+        .withColumn("rk", F.row_number().over(w_code))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+        .localCheckpoint(eager=False)  # feeds the ADC join once per query set
+    )
+    q_sub = (
+        e.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), sub)
+        .select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("qsv"))
+    )
+    dtab = (
+        q_sub.join(F.broadcast(cents_sub), "m")
+        .select("query_id", "m", "cid", _l2_fold("qsv", "csv").alias("dpart"))
+    )
+    return codes, dtab
+
+
+def _l2_exact_topk(e: DataFrame) -> DataFrame:
+    """Exact squared-L2 top-k over the raw 64-dim vectors — the ground
+    truth x70 and x75 measure against. Computed once per query and
+    localCheckpointed by callers (it feeds every method join plus the
+    query spine). One broadcast-probe corpus scan, window rank per
+    query, ties to lowest vec_id."""
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qv = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), emb.alias("qv")
+    )
+    scored = e.select("vec_id", emb.alias("cv")).crossJoin(
+        F.broadcast(qv)
+    ).select("query_id", "vec_id", _l2_fold("cv", "qv").alias("d"))
+    w_ex = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_ex))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+
 def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x70 — PRODUCT QUANTIZATION: the third leg of the embedding
     compression story (x63 cuts bits per element, x65/x66 cut
@@ -4855,51 +4979,7 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller than the raw vectors, and the sum-per-vec is one
     partial-aggregatable groupBy."""
     e = load_table(spark, "embeddings", sf_dir)
-    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    sub = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.slice(emb, m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
-            )
-            for m in range(PQ_M)
-        ])
-    ).alias("s")
-    corpus_sub = e.select("vec_id", sub).select(
-        "vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
-    )
-    cents_sub = (
-        e.filter(F.col("vec_id") % CENTROID_MOD == 0)
-        .select(F.col("vec_id").alias("cid"), sub)
-        .select("cid", F.col("s.m").alias("m"), F.col("s.sv").alias("csv"))
-    )
-
-    def l2(a: str, b: str):
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    w_code = Window.partitionBy("vec_id", "m").orderBy("d", "cid")
-    codes = (
-        corpus_sub.join(F.broadcast(cents_sub), "m")
-        .withColumn("d", l2("sv", "csv"))
-        .withColumn("rk", F.row_number().over(w_code))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", F.col("cid").alias("code"))
-        .localCheckpoint(eager=False)  # feeds the ADC join once per query set
-    )
-    q_sub = (
-        e.filter(F.col("vec_id") < N_QUERY_VECS)
-        .select(F.col("vec_id").alias("query_id"), sub)
-        .select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("qsv"))
-    )
-    # per-(query, m, centroid) distance table — tiny, broadcast
-    dtab = (
-        q_sub.join(F.broadcast(cents_sub), "m")
-        .select("query_id", "m", "cid", l2("qsv", "csv").alias("dpart"))
-    )
+    codes, dtab = _pq_codes_dtab(e)
     adc = (
         codes.join(
             F.broadcast(dtab),
@@ -4915,19 +4995,7 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     # exact L2 ground truth (the metric ADC approximates)
-    qv = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), emb.alias("qv")
-    )
-    scored = e.select("vec_id", emb.alias("cv")).crossJoin(
-        F.broadcast(qv)
-    ).select("query_id", "vec_id", l2("cv", "qv").alias("d"))
-    w_ex = Window.partitionBy("query_id").orderBy("d", "vec_id")
-    exact = (
-        scored.withColumn("rk", F.row_number().over(w_ex))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    exact = _l2_exact_topk(e)
     hits = (
         exact.join(approx, ["query_id", "vec_id"])
         .groupBy("query_id")
@@ -4946,24 +5014,43 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pq_adc_recall_oracle() -> str:
-    d = PQ_SUBDIM
+def _pq_l2_sql(a: str, b: str) -> str:
+    """DuckDB twin of ``_l2_fold`` over PQ_SUBDIM-wide sublists —
+    explicit ``+`` chain i ascending, matching the fold order."""
+    terms = " + ".join(
+        f"(CAST({a}[{i + 1}] AS DOUBLE) - CAST({b}[{i + 1}] AS DOUBLE))"
+        f" * (CAST({a}[{i + 1}] AS DOUBLE) - CAST({b}[{i + 1}] AS DOUBLE))"
+        for i in range(PQ_SUBDIM)
+    )
+    return f"({terms})"
 
-    def l2_sql(a: str, b: str) -> str:
-        terms = " + ".join(
-            f"(CAST({a}[{i + 1}] AS DOUBLE) - CAST({b}[{i + 1}] AS DOUBLE))"
-            f" * (CAST({a}[{i + 1}] AS DOUBLE) - CAST({b}[{i + 1}] AS DOUBLE))"
-            for i in range(d)
-        )
-        return f"({terms})"
 
+def _l2_exact_sql() -> str:
+    """DuckDB twin of ``_l2_exact_topk``: exact raw-64-dim squared-L2
+    top-k CTE body (query_id, vec_id), ties to lowest vec_id."""
     full = " + ".join(
         f"(CAST(a.embedding[{i + 1}] AS DOUBLE) - CAST(b.embedding[{i + 1}] AS DOUBLE))"
         f" * (CAST(a.embedding[{i + 1}] AS DOUBLE) - CAST(b.embedding[{i + 1}] AS DOUBLE))"
         for i in range(EMB_DIM_K)
     )
     return f"""
-        WITH msx AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+            SELECT query_id, vec_id FROM (
+                SELECT b.vec_id AS query_id, a.vec_id,
+                       row_number() OVER (PARTITION BY b.vec_id
+                           ORDER BY {full}, a.vec_id) AS rk
+                FROM embeddings a, embeddings b
+                WHERE b.vec_id < {N_QUERY_VECS}
+            ) WHERE rk <= {TOP_K}
+    """
+
+
+def _pq_oracle_ctes() -> str:
+    """The PQ index CTE block shared by x70's and x75's oracles:
+    msx/csub/vsub/codes/qsub/dtab/adc — the exact SQL twins of
+    ``_pq_codes_dtab`` plus the ADC sum."""
+    d = PQ_SUBDIM
+    l2_sql = _pq_l2_sql
+    return f"""msx AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
         csub AS (
             SELECT e.vec_id AS cid, ms.m,
                    e.embedding[ms.m * {d} + 1 : ms.m * {d} + {d}] AS csv
@@ -4997,7 +5084,12 @@ def pq_adc_recall_oracle() -> str:
             SELECT k.vec_id, t.query_id, sum(t.dpart) AS adist
             FROM codes k JOIN dtab t ON t.m = k.m AND t.cid = k.code
             GROUP BY k.vec_id, t.query_id
-        ),
+        )"""
+
+
+def pq_adc_recall_oracle() -> str:
+    return f"""
+        WITH {_pq_oracle_ctes()},
         approx AS (
             SELECT query_id, vec_id FROM (
                 SELECT query_id, vec_id,
@@ -5006,15 +5098,7 @@ def pq_adc_recall_oracle() -> str:
                 FROM adc
             ) WHERE rk <= {TOP_K}
         ),
-        exact AS (
-            SELECT query_id, vec_id FROM (
-                SELECT b.vec_id AS query_id, a.vec_id,
-                       row_number() OVER (PARTITION BY b.vec_id
-                           ORDER BY {full}, a.vec_id) AS rk
-                FROM embeddings a, embeddings b
-                WHERE b.vec_id < {N_QUERY_VECS}
-            ) WHERE rk <= {TOP_K}
-        ),
+        exact AS ({_l2_exact_sql()}),
         hits AS (
             SELECT e.query_id, count(*) AS n_hits
             FROM exact e JOIN approx x
@@ -5207,17 +5291,11 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each stage is its own adjudicated operator's shape
     (digest groupBy / row-local rules / broadcast bench anti-join);
     the funnel adds only per-stage COUNT aggregates — partial-
-    aggregatable scalars, no new corpus-sized shuffle."""
-    base = docs_augmented(spark, sf_dir).select("doc_id", "text")
-    # the fixture's injected dups are NEAR-dups (suffixed), so stage 1
-    # would be vacuous on them; add an exact-copy slice (every 40th
-    # base doc verbatim at id + 2*DUP_OFFSET, mirrored in the oracle)
-    # so the digest keeper provably drops something
-    d0 = load_table(spark, "documents", sf_dir)
-    copies = d0.filter(F.col("doc_id") % 40 == 0).select(
-        (F.col("doc_id") + 2 * DUP_OFFSET).alias("doc_id"), "text"
-    )
-    aug = base.unionByName(copies)
+    aggregatable scalars, no new corpus-sized shuffle. Input is the
+    ``docs_augmented_exact`` fixture (the variant whose every-40th-doc
+    verbatim copies make stage 1 non-vacuous) — no input synthesis in
+    this body (r8 verdict item)."""
+    aug = docs_augmented_exact(spark, sf_dir).select("doc_id", "text")
     keepers = D.exact_dedup(aug).select(F.col("keep_id").alias("doc_id"))
     s1 = aug.join(keepers, "doc_id").localCheckpoint(eager=False)
     q = T.quality_filter(s1).select("doc_id", "kept")
@@ -5252,12 +5330,8 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def filter_funnel_oracle() -> str:
     q_sql = T.quality_filter_sql("s1")
     return f"""
-        WITH base AS ({DOCS_AUG_CTE}),
-        aug AS (
-            SELECT doc_id, text FROM base
-            UNION ALL
-            SELECT doc_id + {2 * DUP_OFFSET}, text FROM documents
-            WHERE doc_id % 40 = 0
+        WITH aug AS (
+            SELECT doc_id, text FROM ({DOCS_AUG_EXACT_CTE})
         ),
         keep AS (
             SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
@@ -5294,4 +5368,278 @@ def filter_funnel_oracle() -> str:
                (SELECT count(*) FROM s2),
                (SELECT count(*) FROM s2) - (SELECT count(*) FROM s3),
                (SELECT count(*) FROM s3)
+    """
+
+
+# ---------------------------------------------------------------------------
+# x75 — the compression DECISION table: recall@10 per representation per byte
+
+RP_SWEEP_DIMS = 48          # one 64→48 projection; 16/32 are PREFIX slices
+X75_BYTES = {               # storage bytes per vector per representation
+    "raw_f32": EMB_DIM_K * 4,       # 256 — the uncompressed anchor
+    "jl48": RP_SWEEP_DIMS * 4,      # 192 — 1.33× cut
+    "jl32": 32 * 4,                 # 128 — 2× cut
+    "jl16": RP_OUT_DIMS * 4,        # 64  — x65/x66's 4× cut
+    "int8": EMB_DIM_K * 1,          # 64  — x63's scalar quantization
+    "pq8": PQ_M * 1,                # 8   — x70's product quantization
+}
+
+
+def _x75_int8_recon_expr(emb: Column) -> Column:
+    """Row-local int8 scalar-quantize→dequantize of ``emb`` given
+    single-row broadcast ``lo``/``hi`` arrays — x63's exact formula
+    (same operation order, so both engines reconstruct identical
+    doubles), but folded i=0..63 INSIDE the row instead of x63's
+    posexplode+re-aggregate, so the L2 sum that feeds the x75 ranking
+    is a deterministic sequential fold (a shuffled groupBy SUM's
+    addition order is partition-dependent — fine for x63's rounded
+    error report, not for a rank cutoff)."""
+    idx = F.sequence(F.lit(0), F.lit(EMB_DIM_K - 1))
+
+    def xr(i):
+        x = F.element_at(emb, i + 1)
+        lo = F.element_at(F.col("lo"), i + 1)
+        hi = F.element_at(F.col("hi"), i + 1)
+        rng = hi - lo
+        code = F.round(F.try_divide((x - lo) * F.lit(float(QUANT_LEVELS)), rng))
+        return F.coalesce(lo + code * rng / F.lit(float(QUANT_LEVELS)), lo)
+
+    return F.transform(idx, xr)
+
+
+def q_compression_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x75 — the head-to-head COMPRESSION DECISION table the x66
+    measurement opened (r8 verdict #3): recall@10 against the exact
+    raw-64-dim L2 top-k for every compressed representation the
+    catalog has built, keyed by its storage cost —
+
+      raw_f32 256 B  (anchor: recall 1.0 by construction)
+      jl48    192 B  JL projection, 48 dims   (x65's matrix, rows 0-47)
+      jl32    128 B  JL projection, 32 dims   (prefix of the same)
+      jl16     64 B  JL projection, 16 dims   (= x65/x66's cut)
+      int8     64 B  per-dim scalar quantization (x63), asymmetric:
+                     raw query vs dequantized corpus
+      pq8       8 B  product quantization + ADC (x70)
+
+    x66 proved the 4× JL cut guts top-10 recall despite good pair
+    distortion; this table answers the question that finding raises —
+    WHICH compression do you ship at 100 TB for a given byte budget.
+    The three JL columns are PREFIX slices of ONE 48-dim projection
+    (Matryoshka-style truncation: recall is invariant to the global
+    1/√k scale, so a prefix of the 48-dim map ranks identically to a
+    properly-scaled k-dim map with the same sign rows — one corpus
+    pass buys all three budgets, which is itself the deployable
+    artifact: store 48 dims, serve any prefix).
+
+    Scale shape: the exact ground truth is computed ONCE and
+    localCheckpointed (the x30/x70 pattern); the 48-dim projection is
+    ONE row-local zero-shuffle fold shared by all three JL methods;
+    int8 reconstruction is row-local against a single-row broadcast
+    min/max frame (two 64-wide agg arrays — the A1 global-params
+    pattern with no posexplode shuffle); PQ reuses x70's
+    broadcast-codebook codes + ADC table. Every method is one
+    broadcast-probe scan of its COMPRESSED corpus — the scan cost per
+    method is the byte column being published. All L2 sums are
+    sequential folds (never shuffled partial sums), so both engines
+    rank bit-identical doubles; ties break on vec_id."""
+    e = load_table(spark, "embeddings", sf_dir)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    exact = _l2_exact_topk(e)
+    spine = exact.select("query_id").distinct()
+
+    # -- JL sweep: one 48-dim projection, three prefix budgets --------
+    proj = (
+        e.select("vec_id", _rp_project_expr_k(RP_SWEEP_DIMS).alias("y"))
+        .localCheckpoint(eager=False)  # one projection pass, three methods
+    )
+
+    def jl_approx(k: int) -> DataFrame:
+        c = proj.select("vec_id", F.slice("y", 1, k).alias("v"))
+        q = c.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        scored = c.crossJoin(F.broadcast(q)).select(
+            "query_id", "vec_id", _l2_fold("v", "qv").alias("d")
+        )
+        w = Window.partitionBy("query_id").orderBy("d", "vec_id")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+
+    # -- int8: asymmetric search, raw query vs dequantized corpus -----
+    stats = e.agg(
+        *[F.min(F.col("embedding")[i].cast("double")).alias(f"lo_{i}")
+          for i in range(EMB_DIM_K)],
+        *[F.max(F.col("embedding")[i].cast("double")).alias(f"hi_{i}")
+          for i in range(EMB_DIM_K)],
+    ).select(
+        F.array(*[F.col(f"lo_{i}") for i in range(EMB_DIM_K)]).alias("lo"),
+        F.array(*[F.col(f"hi_{i}") for i in range(EMB_DIM_K)]).alias("hi"),
+    )
+    recon = e.crossJoin(F.broadcast(stats)).select(
+        "vec_id", _x75_int8_recon_expr(emb).alias("xr")
+    )
+    qraw = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), emb.alias("qv")
+    )
+    int8_scored = recon.crossJoin(F.broadcast(qraw)).select(
+        "query_id", "vec_id", _l2_fold("xr", "qv").alias("d")
+    )
+    w_i8 = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    int8_approx = (
+        int8_scored.withColumn("rk", F.row_number().over(w_i8))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+
+    # -- pq8: x70's codes + ADC table, re-ranked here ------------------
+    codes, dtab = _pq_codes_dtab(e)
+    adc = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes.m == dtab.m) & (codes.code == dtab.cid),
+        )
+        .groupBy("vec_id", "query_id")
+        .agg(F.sum("dpart").alias("adist"))
+    )
+    w_pq = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    pq_approx = (
+        adc.withColumn("rk", F.row_number().over(w_pq))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+
+    methods = {
+        "raw_f32": exact,
+        "jl48": jl_approx(48),
+        "jl32": jl_approx(32),
+        "jl16": jl_approx(RP_OUT_DIMS),
+        "int8": int8_approx,
+        "pq8": pq_approx,
+    }
+
+    def one(name: str, approx: DataFrame) -> DataFrame:
+        hits = (
+            exact.join(approx, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return (
+            spine.join(hits, "query_id", "left")
+            .na.fill({"n_hits": 0})
+            .select(
+                F.lit(name).alias("method"),
+                F.lit(X75_BYTES[name]).cast("int").alias("bytes_per_vec"),
+                "query_id",
+                F.col("n_hits").cast("int").alias("n_hits"),
+                (F.col("n_hits") / F.lit(float(TOP_K))).alias("recall_at_k"),
+            )
+        )
+
+    out = None
+    for name, approx in methods.items():
+        part = one(name, approx)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def compression_table_oracle() -> str:
+    def jl_l2(k: int) -> str:
+        return " + ".join(
+            f"(e.y[{i + 1}] - q.y[{i + 1}]) * (e.y[{i + 1}] - q.y[{i + 1}])"
+            for i in range(k)
+        )
+
+    def xr_sql(i: int) -> str:
+        x = f"CAST(e.embedding[{i + 1}] AS DOUBLE)"
+        lo = f"s.lo[{i + 1}]"
+        hi = f"s.hi[{i + 1}]"
+        return (
+            f"CASE WHEN {hi} > {lo} THEN {lo} + "
+            f"round(({x} - {lo}) * {QUANT_LEVELS}.0 / ({hi} - {lo}))"
+            f" * ({hi} - {lo}) / {QUANT_LEVELS}.0 ELSE {lo} END"
+        )
+
+    int8_l2 = " + ".join(
+        f"(r.xr[{i + 1}] - CAST(q.embedding[{i + 1}] AS DOUBLE))"
+        f" * (r.xr[{i + 1}] - CAST(q.embedding[{i + 1}] AS DOUBLE))"
+        for i in range(EMB_DIM_K)
+    )
+    lo_arr = ", ".join(
+        f"min(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(EMB_DIM_K)
+    )
+    hi_arr = ", ".join(
+        f"max(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(EMB_DIM_K)
+    )
+    xr_arr = ", ".join(xr_sql(i) for i in range(EMB_DIM_K))
+    jl_methods = ",\n        ".join(
+        f"""m_jl{k} AS MATERIALIZED (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id, row_number() OVER (
+                    PARTITION BY q.query_id ORDER BY {jl_l2(k)}, e.vec_id) AS rk
+                FROM proj e, qproj q
+            ) WHERE rk <= {TOP_K}
+        )"""
+        for k in (48, 32, RP_OUT_DIMS)
+    )
+    named = [
+        ("raw_f32", "exact"),
+        ("jl48", "m_jl48"),
+        ("jl32", "m_jl32"),
+        ("jl16", f"m_jl{RP_OUT_DIMS}"),
+        ("int8", "m_int8"),
+        ("pq8", "m_pq8"),
+    ]
+    hits = ",\n        ".join(
+        f"""hits_{name} AS (
+            SELECT x.query_id, count(*) AS n_hits
+            FROM exact x JOIN {src} a
+              ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+            GROUP BY x.query_id
+        )"""
+        for name, src in named
+    )
+    selects = "\n        UNION ALL\n        ".join(
+        f"""SELECT '{name}' AS method,
+               CAST({X75_BYTES[name]} AS INT) AS bytes_per_vec, s.query_id,
+               CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+               COALESCE(h.n_hits, 0) / CAST({TOP_K} AS DOUBLE) AS recall_at_k
+        FROM qs s LEFT JOIN hits_{name} h USING (query_id)"""
+        for name, _ in named
+    )
+    return f"""
+        WITH {_pq_oracle_ctes()},
+        exact AS MATERIALIZED ({_l2_exact_sql()}),
+        qs AS (SELECT DISTINCT query_id FROM exact),
+        proj AS MATERIALIZED (
+            SELECT em.vec_id, {_rp_proj_sql_k("em", RP_SWEEP_DIMS)} AS y
+            FROM embeddings em
+        ),
+        qproj AS (SELECT vec_id AS query_id, y FROM proj
+                  WHERE vec_id < {N_QUERY_VECS}),
+        stats AS (SELECT [{lo_arr}] AS lo, [{hi_arr}] AS hi FROM embeddings),
+        recon AS MATERIALIZED (
+            SELECT e.vec_id, [{xr_arr}] AS xr FROM embeddings e, stats s
+        ),
+        {jl_methods},
+        m_int8 AS MATERIALIZED (
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, r.vec_id, row_number() OVER (
+                    PARTITION BY q.vec_id ORDER BY {int8_l2}, r.vec_id) AS rk
+                FROM recon r, embeddings q
+                WHERE q.vec_id < {N_QUERY_VECS}
+            ) WHERE rk <= {TOP_K}
+        ),
+        m_pq8 AS MATERIALIZED (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY adist, vec_id) AS rk
+                FROM adc
+            ) WHERE rk <= {TOP_K}
+        ),
+        {hits}
+        {selects}
     """

@@ -40,6 +40,25 @@ def main() -> int:
     sf = argv[0] if argv else "/root/testdata/sf0.01"
     spark = SparkSession.builder.master("local[8]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    # Quiet the benign accumulator-GC ERROR spam (r8 verdict item): a
+    # localCheckpointed plan's accumulators can be reference-tracked
+    # and collected while straggler task-end events still carry their
+    # ids; the scheduler logs each as an ERROR stack trace ("attempted
+    # to access non-existent accumulator") though the run is
+    # unaffected. Correctness failures surface as Python exceptions,
+    # never as JVM log lines, so FATAL-scoping these two loggers loses
+    # no signal in this tool.
+    try:
+        jvm = spark._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level
+        for cat in (
+            "org.apache.spark.scheduler.DAGScheduler",
+            "org.apache.spark.scheduler.TaskSetManager",
+        ):
+            configurator.setLevel(cat, level.FATAL)
+    except Exception:
+        pass  # log4j2 API unavailable — the noise returns, nothing breaks
     import __spark_entry__ as entry
 
     print("entry rows:", entry.entry(spark).count(), flush=True)
