@@ -1789,6 +1789,24 @@ def _t17_oracle() -> str:
     """
 
 
+def _t19_score(test: DataFrame, params: DataFrame) -> DataFrame:
+    """t19's batch-side scoring half: the 1-row (a, b) model frame is
+    BROADCAST onto the held-out bars — row-local prediction, no
+    shuffle of the big side (plan-asserted in tests/test_scale.py).
+    Split out of the streaming harness so the plan shape is testable
+    without running the stream."""
+    pred = F.col("a") + F.col("b") * F.col("close")
+    return test.crossJoin(F.broadcast(params)).select(
+        "bucket_start",
+        "close",
+        "next_close",
+        F.round(pred, 6).alias("pred"),
+        F.round(F.col("next_close") - pred, 6).alias("resid"),
+        F.round("b", 6).alias("slope"),
+        F.round("a", 6).alias("intercept"),
+    )
+
+
 def _t19_stream_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T19 — ml8's closed-form OLS trained INCREMENTALLY by a real
     stream: the five training moments (n, Σx, Σy, Σxy, Σx²) are a
@@ -1872,24 +1890,28 @@ def _t19_stream_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") / F.col("n") - b * (F.col("sx") / F.col("n"))).alias("a"),
         )
         test = lab.filter(is_test)
-        pred = F.col("a") + F.col("b") * F.col("close")
-        out = (
-            test.crossJoin(F.broadcast(params))
-            .select(
-                "bucket_start",
-                "close",
-                "next_close",
-                F.round(pred, 6).alias("pred"),
-                F.round(F.col("next_close") - pred, 6).alias("resid"),
-                F.round("b", 6).alias("slope"),
-                F.round("a", 6).alias("intercept"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        out = _t19_score(test, params).localCheckpoint(eager=True)
     finally:
         pop_small_shuffle(spark, old_sp)
         shutil.rmtree(src_dir, ignore_errors=True)
     return out
+
+
+def _t20_score(ev: DataFrame, params: DataFrame) -> DataFrame:
+    """t20's serving-side gate: the K-row moment table is BROADCAST
+    onto the event scan — row-local scoring, no shuffle of the big
+    side (plan-asserted in tests/test_scale.py). Gates on the ROUNDED
+    z (r8 ADVICE): streamed vs batch moment summation order can differ
+    in the last float ulps, so a raw |z| >= 3.0 comparison could flip
+    the row set on an exact-boundary value; both engine and oracle
+    filter on round(z, 6). Split out of the streaming harness so the
+    plan shape is testable without running the stream."""
+    z = F.round(F.try_divide(F.col("value") - F.col("mu"), F.col("sig")), 6)
+    return (
+        ev.join(F.broadcast(params), "event_type")
+        .filter(F.abs(z) >= 3.0)
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+    )
 
 
 def _t20_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1946,24 +1968,7 @@ def _t20_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu = F.col("s1") / F.col("n")
         sig = F.sqrt(F.col("s2") / F.col("n") - mu * mu)
         params = m.select("event_type", mu.alias("mu"), sig.alias("sig"))
-        # gate on the ROUNDED z (r8 ADVICE): streamed vs batch moment
-        # summation order can differ in the last float ulps, so a raw
-        # |z| >= 3.0 comparison could flip the row set on an exact-
-        # boundary value; both engine and oracle filter on round(z, 6)
-        z = F.round(
-            F.try_divide(F.col("value") - F.col("mu"), F.col("sig")), 6
-        )
-        out = (
-            ev.join(F.broadcast(params), "event_type")
-            .filter(F.abs(z) >= 3.0)
-            .select(
-                "event_id",
-                "event_type",
-                "value",
-                z.alias("zscore"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        out = _t20_score(ev, params).localCheckpoint(eager=True)
     finally:
         pop_small_shuffle(spark, old_sp)
         shutil.rmtree(src_dir, ignore_errors=True)

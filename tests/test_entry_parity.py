@@ -71,16 +71,30 @@ def test_adjudication_window_boundary_is_stable():
     import __spark_entry__ as e
 
     keys = list(e.queries())
-    assert keys[49] == "x65_random_projection", keys[45:52]
-    # the entire r7 never-adjudicated backlog sits inside the window
-    backlog = [
-        "x59_frame_dedup", "x60_incremental_dedup", "t14_stream_index_dedup",
-        "x61_triangle_counts", "w21_adx", "x62_nb_classifier",
-        "x63_embed_quantize", "x64_dsir_weights", "ml8_linreg_forecast",
-        "a13_cube", "d5_cdc_apply", "t15_stream_cdc_apply",
-        "x65_random_projection",
+    assert keys[49] == "q4_order_priority", keys[45:52]
+    # the PINNED carriers (r8 verdict #2: flagships + one per SURVEY
+    # §2 family) hold the first 15 slots permanently
+    pinned = [
+        "pipeline_full_row_part", "pipeline_bars_joined",
+        "t9_stateful_suite", "t6b_stream_left_join", "t4b_stream_sessions",
+        "x27_resize_geometry", "ml7_auc", "j5_bucketed_join",
+        "t13_stream_ingest_dedup", "a12_hist_quantiles",
+        "x28_corpus_pipeline", "x44_dup_span_removal", "j6_interval_lookup",
+        "t7_exactly_once_sink", "x48_semantic_dedup",
     ]
-    assert keys[37:50] == backlog, keys[37:50]
+    assert keys[:15] == pinned, keys[:15]
+    # the entire r8 never-adjudicated backlog sits inside the window
+    backlog = [
+        "t15b_stream_cdc_sink", "x66_projected_recall",
+        "t16_stream_hist_quantiles", "w22_cmf", "ml9_grouped_ols",
+        "x67_clustering_coef", "t17_late_drop", "t18_stream_kmv",
+        "x68_contamination_scores", "x69_lsh_tuning", "ml10_cv_ols",
+        "t19_stream_ols", "w23_williams_r", "x70_pq_adc_recall",
+        "t20_stream_anomaly", "x71_centroid_matrix", "x72_source_kl",
+        "d7_quality_checks", "x73_leakage_free_split", "x74_filter_funnel",
+        "a14_grouping_sets", "q4_order_priority",
+    ]
+    assert keys[28:50] == backlog, keys[28:50]
     # every oracle key maps to a query, and rows-only set is exactly
     # the three documented queries
     oracles = e.oracle_sql()

@@ -655,3 +655,121 @@ def test_pq_codes_join_broadcasts_codebook(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:800]
+
+
+def test_q4_semi_join_pushes_filters_to_both_scans(spark):
+    """q4's scale shape (r8 verdict #8): the EXISTS resolves to a
+    LeftSemi hash join, and BOTH scans arrive pre-filtered — the
+    order-date window on the orders side and the quantity bound on the
+    lineitem side must appear in the parquet PushedFilters, not in a
+    post-scan Filter over full scans."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q4_order_priority"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:1500]
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan, plan[:2000]
+    assert "GreaterThanOrEqual(l_quantity,45" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_is_single_expand_single_shuffle(spark):
+    """a14's scale shape: explicit GROUPING SETS ((lang), (source))
+    must plan as ONE Expand with exactly the two requested projections
+    and ONE shuffle — the minimal-width Expand that completes the
+    rollup/cube/grouping-sets family (a7/a13 carry the same assertion
+    shape for their variants)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["a14_grouping_sets"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, plan[:1500]
+    assert plan.count("Exchange") == 1, plan[:1500]
+    # the Expand row carries exactly two projection lists:
+    # Expand [[..], [..]], [output schema] — count inside the [[...]]
+    expand_line = next(ln for ln in plan.splitlines() if "Expand [[" in ln)
+    projections = expand_line.split("Expand [[", 1)[1].split("]], [", 1)[0]
+    n_projections = projections.count("], [") + 1
+    assert n_projections == 2, expand_line
+
+
+def test_d7_all_shuffles_key_on_orderkey(spark):
+    """d7's structural claim: the four quality checks are co-keyed on
+    orderkey, so every hash-partitioned exchange in the whole report
+    keys on an orderkey column — no check smuggles in a second
+    partitioning scheme (the property that lets the suite ride one
+    shuffle partitioning of the fact tables at 100 TB)."""
+    import re
+
+    import __spark_entry__ as e
+
+    df = e.queries()["d7_quality_checks"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys, plan[:800]
+    assert all("orderkey" in k for k in keys), keys
+
+
+def test_t20_scoring_broadcasts_moment_state(spark):
+    """t20's serving gate: the K-row moment table joins onto the event
+    scan as a BROADCAST hash join — the corpus-sized side is never
+    hash-shuffled for scoring (the topology that scores micro-batches
+    against running state at 100 TB)."""
+    import __spark_entry__ as e
+    from financial_market_data_analysis_spark.sources.batch import load_table
+
+    ev = load_table(spark, "events", SF_SMOKE).select(
+        "event_id", "event_type", "value"
+    )
+    params = spark.createDataFrame(
+        [("click", 0.0, 1.0)], "event_type string, mu double, sig double"
+    )
+    df = e._t20_score(ev, params)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+
+
+def test_t19_scoring_broadcasts_model_params(spark):
+    """t19's scorer: the 1-row (a, b) model frame is broadcast onto
+    the held-out bars (BroadcastNestedLoopJoin from the explicit
+    crossJoin hint) — no shuffle of the bar side, no cartesian."""
+    import __spark_entry__ as e
+
+    test = spark.createDataFrame(
+        [(0, 10.0, 11.0), (300, 11.0, 12.0)],
+        "bucket_start long, close double, next_close double",
+    )
+    params = spark.createDataFrame([(1.0, 0.5)], "b double, a double")
+    df = e._t19_score(test, params)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:800]
+
+
+def test_lsh_tuning_signature_pass_is_shared(spark):
+    """x69's dominant cost is the k-fold md5 minhash pass; it must be
+    computed ONCE and materialized (eager localCheckpoint), with all
+    four band configs derived from the checkpointed rows. If the
+    checkpoint were dropped, every config would re-run the hash fold
+    and md5 would reappear in the final executed plan."""
+    import financial_market_data_analysis_spark.plans.extensions as X
+
+    df = X.q_lsh_tuning(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "md5" not in plan, plan[:1500]
+
+
+def test_compression_table_shares_spine_and_avoids_cartesian(spark):
+    """x75's scale shape: the exact ground truth and the 48-dim
+    projection are checkpointed once and shared by every method
+    (ExistingRDD scans in the final plan), the query/params sides ride
+    broadcast joins, and no non-broadcast cartesian appears anywhere."""
+    import financial_market_data_analysis_spark.plans.extensions as X
+
+    df = X.q_compression_table(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
+    assert "ExistingRDD" in plan, plan[:1500]
