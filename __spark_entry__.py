@@ -3482,7 +3482,14 @@ def _w23_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/windows.py ``williams_r``): the top-measured twin of
     W5's stochastic, completing the range-position oscillator pair.
     Flat frames are NULL on both engines (try_divide/NULLIF); warm-up
-    rows trimmed; rounded to 6."""
+    rows trimmed; rounded to 6.
+
+    Sign-of-zero (the r9 driver mismatch): when close == hh the ratio
+    is ``0.0 * -100.0 = -0.0``; DuckDB's round keeps the sign while
+    Spark's BigDecimal-based round normalizes to ``+0.0`` — equal
+    under ``==`` but distinct under the driver's exact value-hash.
+    The oracle adds ``+ 0.0`` (IEEE: ``-0.0 + 0.0 == +0.0``, identity
+    elsewhere) so both engines emit the same zero."""
     out = W.williams_r(
         _candles(spark, sf_dir), "high", "low", "close", _ORDER, period=14
     )
@@ -3506,7 +3513,7 @@ def _w23_oracle(period: int = 14) -> str:
                          ROWS BETWEEN {period - 1} PRECEDING AND CURRENT ROW)
         )
         SELECT bucket_start, close,
-               round((hh - close) / NULLIF(hh - ll, 0) * -100.0, 6) AS wr14
+               round((hh - close) / NULLIF(hh - ll, 0) * -100.0, 6) + 0.0 AS wr14
         FROM s
         WHERE cnt >= {period} AND hh <> ll
     """

@@ -4931,6 +4931,37 @@ def _pq_codes_dtab(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     return codes, dtab
 
 
+def _adc_dist(codes: DataFrame, dtab: DataFrame) -> DataFrame:
+    """ADC distance per (vec_id, query_id) as an m-ASCENDING sequential
+    fold, not a shuffled partial SUM (r9 advice): after the codes
+    window shuffle the M=8 rows of one vector land in different
+    partitions, so ``groupBy().sum()`` adds them in arrival order —
+    nondeterministic in the last ulp, and an ulp-scale tie at the
+    rank-@k boundary could split the engine/oracle hash. Collecting
+    the 8 (m, dpart) pairs, sorting by m, and left-folding from 0.0
+    makes the addition order a fixed property of the plan; the oracle
+    mirrors it with a max-CASE pivot and an explicit left-associated
+    ``+`` chain."""
+    return (
+        codes.join(
+            F.broadcast(dtab),
+            (codes.m == dtab.m) & (codes.code == dtab.cid),
+        )
+        .select("vec_id", "query_id", codes.m.alias("cm"), "dpart")
+        .groupBy("vec_id", "query_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("cm", "dpart"))),
+                    lambda s: s["dpart"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adist")
+        )
+    )
+
+
 def _l2_exact_topk(e: DataFrame) -> DataFrame:
     """Exact squared-L2 top-k over the raw 64-dim vectors — the ground
     truth x70 and x75 measure against. Computed once per query and
@@ -4980,14 +5011,7 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregatable groupBy."""
     e = load_table(spark, "embeddings", sf_dir)
     codes, dtab = _pq_codes_dtab(e)
-    adc = (
-        codes.join(
-            F.broadcast(dtab),
-            (codes.m == dtab.m) & (codes.code == dtab.cid),
-        )
-        .groupBy("vec_id", "query_id")
-        .agg(F.sum("dpart").alias("adist"))
-    )
+    adc = _adc_dist(codes, dtab)
     w_rank = Window.partitionBy("query_id").orderBy("adist", "vec_id")
     approx = (
         adc.withColumn("rk", F.row_number().over(w_rank))
@@ -5080,10 +5104,21 @@ def _pq_oracle_ctes() -> str:
                    {l2_sql('q.qsv', 'c.csv')} AS dpart
             FROM qsub q JOIN csub c ON c.m = q.m
         ),
-        adc AS (
-            SELECT k.vec_id, t.query_id, sum(t.dpart) AS adist
+        adcp AS (
+            SELECT k.vec_id, t.query_id,
+                   {", ".join(
+                       f"max(CASE WHEN k.m = {m} THEN t.dpart END) AS d{m}"
+                       for m in range(PQ_M)
+                   )}
             FROM codes k JOIN dtab t ON t.m = k.m AND t.cid = k.code
             GROUP BY k.vec_id, t.query_id
+        ),
+        adc AS (
+            -- m-ascending left-associated chain == the engine's
+            -- sorted sequential fold from 0.0 (bit-identical doubles)
+            SELECT vec_id, query_id,
+                   {"0.0" + "".join(f" + d{m}" for m in range(PQ_M))} AS adist
+            FROM adcp
         )"""
 
 
@@ -5429,7 +5464,13 @@ def q_compression_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/√k scale, so a prefix of the 48-dim map ranks identically to a
     properly-scaled k-dim map with the same sign rows — one corpus
     pass buys all three budgets, which is itself the deployable
-    artifact: store 48 dims, serve any prefix).
+    artifact: store 48 dims, serve any prefix). Caveat (r9 advice):
+    each component is round(·, 6)-ed at the 1/√48 scale, so the jl16
+    prefix is a slightly different QUANTIZATION than x65/x66's
+    1/√16-scaled projection — rank-equivalent up to that rounding,
+    not bit-comparable, and its recall may differ marginally from
+    x66's published number (engine/oracle parity is unaffected; both
+    sides use the same 48-dim rounded map).
 
     Scale shape: the exact ground truth is computed ONCE and
     localCheckpointed (the x30/x70 pattern); the 48-dim projection is
@@ -5440,8 +5481,10 @@ def q_compression_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-codebook codes + ADC table. Every method is one
     broadcast-probe scan of its COMPRESSED corpus — the scan cost per
     method is the byte column being published. All L2 sums are
-    sequential folds (never shuffled partial sums), so both engines
-    rank bit-identical doubles; ties break on vec_id."""
+    sequential folds — including the ADC sum, which collects its 8
+    per-subquantizer partials and folds them in m order via
+    ``_adc_dist`` rather than a shuffled partial SUM (r9 advice) — so
+    both engines rank bit-identical doubles; ties break on vec_id."""
     e = load_table(spark, "embeddings", sf_dir)
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     exact = _l2_exact_topk(e)
@@ -5496,14 +5539,7 @@ def q_compression_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- pq8: x70's codes + ADC table, re-ranked here ------------------
     codes, dtab = _pq_codes_dtab(e)
-    adc = (
-        codes.join(
-            F.broadcast(dtab),
-            (codes.m == dtab.m) & (codes.code == dtab.cid),
-        )
-        .groupBy("vec_id", "query_id")
-        .agg(F.sum("dpart").alias("adist"))
-    )
+    adc = _adc_dist(codes, dtab)
     w_pq = Window.partitionBy("query_id").orderBy("adist", "vec_id")
     pq_approx = (
         adc.withColumn("rk", F.row_number().over(w_pq))
