@@ -571,10 +571,13 @@ def _q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shape, pushdown, and aggregation are identical. Spark plans
     the semi-join hash-partitioned on orderkey with both filters
     pushed to the scans; the existence check never multiplies rows,
-    so the aggregate sees each order once however many lines qualify."""
+    so the aggregate sees each order once however many lines qualify.
+    The window is 1996-Q3, inside the fixture's 1995-2001 order-date
+    range — the original 1993-Q3 window predated the data, so the r9
+    adjudication matched on zero rows (vacuously green, fixed r10)."""
     o = load_table(spark, "orders", sf_dir).filter(
-        (F.col("o_orderdate") >= F.lit("1993-07-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1993-10-01").cast("date"))
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
     )
     late = load_table(spark, "lineitem", sf_dir).filter(
         F.col("l_quantity") >= 45
@@ -590,12 +593,594 @@ def _q4_oracle() -> str:
     return """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
-        WHERE o_orderdate >= DATE '1993-07-01'
-          AND o_orderdate < DATE '1993-10-01'
+        WHERE o_orderdate >= DATE '1996-07-01'
+          AND o_orderdate < DATE '1996-10-01'
           AND EXISTS (SELECT 1 FROM lineitem
                       WHERE l_orderkey = o_orderkey
                         AND l_quantity >= 45)
         GROUP BY o_orderpriority
+    """
+
+
+# ---------------------------------------------------------------------------
+# r10 planner suite — the TPC-H join/decorrelation shapes the catalog had not
+# yet adjudicated, each re-cut to the fixture's slim schema (no partsupp, no
+# commit/receipt dates, no comment columns). What each one pins down is the
+# PLAN: argmin decorrelation (q2), two-dim star with a pair predicate (q7),
+# deterministic top-N (q10), grouped HAVING vs a global scalar (q11), outer
+# join + histogram-of-counts (q13), scalar-max subquery (q15), anti-join +
+# COUNT DISTINCT (q16), correlated-avg decorrelation (q17), disjunctive
+# join predicate (q19), EXISTS + NOT EXISTS self-joins (q21), and anti-join
+# + scalar-avg threshold (q22).
+
+
+def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped ARGMIN DECORRELATION: for every part, the supplier
+    quoting the minimum unit price — TPC-H Q2's correlated
+    ``ps_supplycost = (SELECT min ...)`` subquery, re-cut onto
+    lineitem as the part-supplier price relation (the fixture has no
+    partsupp). The Spark-first shape is NOT the window-rank rewrite: a
+    single ``min(struct(unit, suppkey))`` aggregation — lexicographic
+    struct min — is partial-aggregatable (map-side combine), so the
+    whole argmin costs ONE shuffle on partkey with no sort, and the
+    supplier dim broadcasts onto the 2000-row result. The unit price
+    is a row-local division (bit-identical on both engines), and the
+    suppkey in the struct breaks ties deterministically."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    best = li.groupBy("l_partkey").agg(
+        F.min(F.struct("unit", "l_suppkey")).alias("m")
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    return (
+        best.select(
+            F.col("l_partkey").alias("part_key"),
+            F.col("m.l_suppkey").alias("supp_key"),
+            F.round("m.unit", 6).alias("min_unit_price"),
+        )
+        .join(F.broadcast(supp), F.col("supp_key") == F.col("s_suppkey"))
+        .select("part_key", "supp_key", "s_name", "min_unit_price")
+    )
+
+
+def _q2_oracle() -> str:
+    return """
+        SELECT part_key, supp_key, s_name, min_unit_price FROM (
+            SELECT l_partkey AS part_key, l_suppkey AS supp_key,
+                   round(l_extendedprice / l_quantity, 6) AS min_unit_price,
+                   row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_extendedprice / l_quantity, l_suppkey
+                   ) AS rk
+            FROM lineitem
+        ) b JOIN supplier s ON s.s_suppkey = b.supp_key
+        WHERE rk = 1
+    """
+
+
+def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped NATION-PAIR VOLUME: shipping revenue between two
+    nations in both directions, by year — the two-dimension star where
+    the supplier side and the customer side each need their own copy
+    of the nation dim, plus a disjunctive PAIR predicate across the
+    two. Both nation-resolved dims (supplier⋈nation, customer⋈nation)
+    are filtered to the two nations BEFORE the join — at 100 TB that
+    prunes the fact rows at the (broadcast) hash-join probe instead of
+    post-join — and lineitem⋈orders is the only real shuffle."""
+    nation = load_table(spark, "nation", sf_dir)
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_3", "NATION_8"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_3", "NATION_8"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q7_oracle() -> str:
+    return """
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 6) AS revenue,
+               count(*) AS n_lines
+        FROM (
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   EXTRACT(year FROM l_shipdate) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ns ON ns.n_nationkey = s_nationkey
+            JOIN nation nc ON nc.n_nationkey = c_nationkey
+            WHERE ns.n_name IN ('NATION_3', 'NATION_8')
+              AND nc.n_name IN ('NATION_3', 'NATION_8')
+              AND ns.n_name <> nc.n_name
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """
+
+
+def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped RETURNED-ITEM RANKING: revenue lost to returns
+    ('R' lines) per customer over one quarter, top 20 — the
+    fact-filter → join → group → deterministic-top-N report shape.
+    The top-N is a row_number over (rounded revenue DESC, custkey) —
+    ranking on the ROUNDED sum with an int tiebreak so the cut is
+    reproducible across engines (an ulp in an unrounded double sum
+    could flip rank 20/21); at scale this is a single-partition final
+    window over the 20-ish survivors of a pre-aggregated frame, not a
+    global sort of the fact table."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+    w = SW.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_custkey").alias("cust_key"),
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 6).alias("acctbal"),
+            "n_name",
+        )
+    )
+
+
+def _q10_oracle() -> str:
+    return """
+        SELECT cust_key, c_name, revenue,
+               round(c_acctbal, 6) AS acctbal, n_name FROM (
+            SELECT o_custkey AS cust_key,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS revenue,
+                   row_number() OVER (
+                       ORDER BY round(sum(l_extendedprice * (1 - l_discount)),
+                                      6) DESC, o_custkey) AS rk
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY o_custkey
+        ) r
+        JOIN customer ON c_custkey = cust_key
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE rk <= 20
+    """
+
+
+Q11_SHARE_FRAC = 0.00065
+
+
+def _q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped GROUPED-HAVING vs a GLOBAL SCALAR: parts whose
+    lineitem value exceeds a fraction of the corpus-wide total — the
+    plan where one aggregation's scalar result gates another's groups.
+    Spark computes the per-part sums in ONE shuffle, derives the total
+    from a SECOND aggregation of those 2000 part rows (not a second
+    fact scan), and broadcasts the 1-row total back as a cross join —
+    the A1 global-params pattern. The share is rounded to 8 before
+    the threshold test so the gate is reproducible across engines."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("val").alias("part_value"))
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share", F.round(F.col("part_value") / F.col("total_value"), 8)
+        )
+        .filter(F.col("share") > Q11_SHARE_FRAC)
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            F.round("part_value", 6).alias("part_value"),
+            "share",
+        )
+    )
+
+
+def _q11_oracle() -> str:
+    return f"""
+        WITH pp AS (
+            SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS pv
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (SELECT sum(pv) AS tv FROM pp)
+        SELECT l_partkey AS part_key, round(pv, 6) AS part_value,
+               round(pv / tv, 8) AS share
+        FROM pp, tot
+        WHERE round(pv / tv, 8) > {Q11_SHARE_FRAC}
+    """
+
+
+def _q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped OUTER-JOIN HISTOGRAM: the distribution of customers
+    by how many (non-urgent) orders they placed, INCLUDING the
+    zero-order customers — the left-outer join whose unmatched side is
+    the point of the query, followed by a histogram-of-counts double
+    aggregation. The predicate lives in the JOIN (filtering orders
+    before the outer join), not a WHERE — a WHERE after the join would
+    silently delete the zero-order class. All-integer output: no float
+    hashing concerns. At scale: one shuffle on custkey, then the
+    second groupBy runs on a counts-sized frame."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def _q13_oracle() -> str:
+    return """
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON o_custkey = c_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """
+
+
+def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped SCALAR-MAX SUBQUERY: the supplier(s) whose quarterly
+    shipped revenue equals the maximum over all suppliers — TPC-H's
+    revenue-view + ``= (SELECT max ...)`` pattern. The max is derived
+    from the 100-row per-supplier aggregate (never a second fact
+    scan), broadcast back as a 1-row cross join, and the equality gate
+    runs on ROUNDED revenue on both engines so an ulp in the shuffled
+    sum cannot split the winner set."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, "supplier", sf_dir)
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("supp_key"), "s_name", "total_revenue"
+        )
+    )
+
+
+def _q15_oracle() -> str:
+    return """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey AS supp_key, s_name, total_revenue
+        FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """
+
+
+def _q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped ANTI-JOIN + COUNT DISTINCT: how many distinct
+    suppliers can provide each (brand, type, size-band) of part,
+    excluding a supplier blocklist — TPC-H's ``NOT IN (SELECT
+    s_suppkey ...)`` resolved as a LEFT-ANTI join (the fixture's
+    stand-in blocklist: suppliers in arrears, s_acctbal < 0; TPC-H
+    greps complaint comments the slim schema doesn't carry). The
+    part-supplier relation is the DISTINCT (partkey, suppkey) pair set
+    of lineitem (no partsupp table). Part dim and the 6-row blocklist
+    both broadcast; the count distinct is the only shuffle. Integer
+    output — no float hashing concerns."""
+    pairs = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    bad = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q16_oracle() -> str:
+    return """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """
+
+
+def _q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped CORRELATED-AVG DECORRELATION: revenue from orders of
+    less than 20% of a part's average order quantity, for one brand —
+    TPC-H's correlated ``l_quantity < (SELECT 0.2 * avg ...)``
+    subquery, decorrelated into a per-part aggregate joined back. The
+    2000-row avg frame BROADCASTS (Spark never shuffles the fact side
+    for the threshold probe). The fixture's quantities are integral
+    doubles, so each per-part avg is an exact-integer sum over an
+    exact count — bit-identical on both engines — and the 0.2·avg
+    comparison cannot straddle an ulp. One scalar output row."""
+    li = load_table(spark, "lineitem", sf_dir)
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    brand = load_table(spark, "part", sf_dir).filter(
+        F.col("p_brand") == "Brand#4"
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q17_oracle() -> str:
+    return """
+        SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = lineitem.l_partkey)
+    """
+
+
+def _q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped DISJUNCTIVE JOIN PREDICATE: revenue from three
+    brand/size/quantity windows OR-ed together — the plan shape where
+    a naive engine evaluates the disjunction post-join while a good
+    one pushes the common partkey equi-key into the hash join and the
+    OR-of-ANDs into the probe filter. Spark plans exactly that: a
+    BROADCAST hash join on partkey with the disjunction as a residual
+    join condition — zero fact-side shuffle. Single aggregate row,
+    revenue rounded to 6."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#16")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(
+            F.broadcast(part),
+            (F.col("l_partkey") == F.col("p_partkey")) & cond,
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q19_oracle() -> str:
+    return """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#16' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """
+
+
+def _q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped EXISTS + NOT-EXISTS SELF-JOINS: suppliers who were
+    the ONLY supplier with a returned line in a multi-supplier order —
+    TPC-H's waiting-suppliers query re-cut onto the return flag (the
+    slim lineitem has no commit/receipt dates), preserving the plan
+    that matters: one fact-derived pair set probed by BOTH a left-semi
+    (another supplier participated) and a left-anti (no OTHER supplier
+    had a return) self-join, all three sides co-keyed on orderkey so
+    the whole query rides one shuffle partitioning. Integer counts
+    out; suppkey is the deterministic group key."""
+    pairs = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+    )
+    all_pairs = pairs.select("l_orderkey", "l_suppkey").distinct()
+    r_pairs = (
+        pairs.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = all_pairs.select(
+        F.col("l_orderkey"), F.col("l_suppkey").alias("o_supp")
+    )
+    r_other = r_pairs.select(
+        F.col("l_orderkey"), F.col("l_suppkey").alias("o_supp")
+    )
+    cand = r_pairs.join(
+        other,
+        (r_pairs.l_orderkey == other.l_orderkey)
+        & (r_pairs.l_suppkey != other.o_supp),
+        "left_semi",
+    ).join(
+        r_other,
+        (r_pairs.l_orderkey == r_other.l_orderkey)
+        & (r_pairs.l_suppkey != r_other.o_supp),
+        "left_anti",
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    return (
+        cand.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey").alias("supp_key"), "s_name", "numwait")
+    )
+
+
+def _q21_oracle() -> str:
+    return """
+        WITH rp AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_returnflag = 'R'
+        ),
+        ap AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        SELECT s_suppkey AS supp_key, s_name, count(*) AS numwait
+        FROM rp
+        JOIN supplier ON s_suppkey = rp.l_suppkey
+        WHERE EXISTS (SELECT 1 FROM ap
+                      WHERE ap.l_orderkey = rp.l_orderkey
+                        AND ap.l_suppkey <> rp.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM rp r2
+                          WHERE r2.l_orderkey = rp.l_orderkey
+                            AND r2.l_suppkey <> rp.l_suppkey)
+        GROUP BY s_suppkey, s_name
+    """
+
+
+def _q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped ANTI-JOIN + SCALAR-AVG THRESHOLD: customers with
+    above-average positive balances with no RECENT order (none since
+    1999 — every fixture customer has ordered at some point, so the
+    all-time test would be vacuous), summarized per market segment
+    (the fixture's stand-in for TPC-H's phone country codes) — the
+    churn-candidate anti-join every CRM-ish warehouse runs. The scalar
+    avg comes from one dimension-side aggregation broadcast back; the
+    anti-join probes the date-filtered orders' custkey set (the filter
+    pushes to the orders scan, BELOW the anti-join). The fixture's
+    balances carry 2 decimals while the avg carries ~12, so the
+    threshold comparison sits far from any ulp boundary."""
+    cust = load_table(spark, "customer", sf_dir)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+    )
+
+
+def _q22_oracle() -> str:
+    return """
+        SELECT c_mktsegment, count(*) AS numcust,
+               round(sum(c_acctbal), 6) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_mktsegment
     """
 
 
@@ -3873,24 +4458,24 @@ def _pipeline_full_row_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness harness
     adjudicates the FIRST 50 entries of this dict (stable since round
-    3), so the first 50 entries are the round-9 adjudication set. Per
-    the r8 verdict's #1/#2 asks, ALL twenty-two queries born in round
-    8 that have never had a driver row (t15b, x66, t16, w22, ml9, x67,
-    t17, t18, x68, x69, ml10, t19, w23, x70, t20, x71, x72, d7, x73,
-    x74, a14, q4) rotate INTO the window this round, and the window is
-    restructured around a PERMANENT pinned set: the two flagship
-    pipeline queries plus one carrier per SURVEY §2 family (t9, t6b,
-    t4b, j5, j6, t7, t13, a12, x27, x28, x44, x48, ml7) that never
-    rotates out — they are the capability contract. To make room,
-    twenty-two two-rounds driver-green queries (x25, w19, ml6, x54,
-    x55, t12, x57, x42, x41, x50, x51, x52, x53, w15, w16, w17, a11,
-    x47, x58, w20, t11, x49 — each green r7 AND r8) move past the
-    boundary, each displacement annotated inline where it happens.
-    The thirteen round-8 first-adjudications (x59...x65) stay in for
-    their second round. tools/check_rotation_debt.py fails the suite
-    if any oracle-bearing query ever sits ≥2 rounds without a driver
-    row; every displaced query stays covered by the pytest
-    oracle-parity suite every session regardless of the window."""
+    3), so the first 50 entries are the round-10 adjudication set: the
+    PERMANENT pinned set (the two flagship pipeline queries plus one
+    carrier per SURVEY §2 family — t9, t6b, t4b, j5, j6, t7, t13, a12,
+    x27, x28, x44, x48, ml7 — the capability contract that never
+    rotates out, per the r8 verdict #2), the twenty-two round-8-born
+    queries on their second adjudication round (two of them carrying
+    r10 fixes: w23's sign-of-zero oracle and q4's vacuous date
+    window), and thirteen first-timers — x75 (born r9, the
+    compression decision table), the r10 TPC-H planner suite
+    (q2/q7/q10/q11/q13/q15/q16/q17/q19/q21/q22), and x76 (the
+    long-gram memorization scan). To make room, the thirteen
+    round-8-born queries that were twice-green by r9 (x59, x60, t14,
+    x61, w21, x62, x63, x64, ml8, a13, d5, t15, x65) move past the
+    boundary, each displacement annotated inline.
+    tools/check_rotation_debt.py fails the suite if any
+    oracle-bearing query ever sits ≥2 rounds without a driver row;
+    every displaced query stays covered by the pytest oracle-parity
+    suite every session regardless of the window."""
     return {
         # -- PINNED carriers: flagships + one per SURVEY §2 family.
         # These never rotate out (r8 verdict #2) — they are the
@@ -3910,25 +4495,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_interval_lookup": _j6_interval_lookup,        # J1 interval/SCD2 probe
         "t7_exactly_once_sink": _t7_exactly_once_sink,    # K1/T7 exactly-once recovery
         "x48_semantic_dedup": X.q_semantic_dedup,         # embedding-dedup family
-        # -- second-round adjudication of the round-8 first-timers
-        # (each green r8; they stay one more round per the two-rounds
-        # displacement convention) ------------------------------------
-        "x59_frame_dedup": X.q_frame_dedup,
-        "x60_incremental_dedup": X.q_incremental_dedup,
-        "t14_stream_index_dedup": _t14_stream_index_dedup,
-        "x61_triangle_counts": X.q_triangle_counts,
-        "w21_adx": _w21_adx,
-        "x62_nb_classifier": X.q_nb_classifier,
-        "x63_embed_quantize": X.q_embed_quantize,
-        "x64_dsir_weights": X.q_dsir_weights,
-        "ml8_linreg_forecast": _ml8_linreg,
-        "a13_cube": _a13_cube,
-        "d5_cdc_apply": _d5_cdc_apply,
-        "t15_stream_cdc_apply": _t15_stream_cdc_apply,
-        "x65_random_projection": X.q_random_projection,
-        # -- rotated IN this round for FIRST adjudication (r8 verdict
-        # #1: the entire round-8 backlog, all 22 verified green by the
-        # judge's own verify_contract run last session) ----------------
+        # -- second-round adjudication of the round-8-born set (each
+        # green in r9, their first driver row; they stay one more
+        # round per the two-rounds displacement convention). Two carry
+        # r10 FIXES that make re-adjudication load-bearing: w23 (the
+        # r9 hash miss — sign-of-zero, oracle now normalizes -0.0) and
+        # q4 (the r9 row was vacuously green on an empty 1993 date
+        # window; re-cut to 1996-Q3 inside the fixture's range). -------
         "t15b_stream_cdc_sink": _t15b_stream_cdc_sink,
         "x66_projected_recall": X.q_projected_recall,
         "t16_stream_hist_quantiles": _t16_stream_hist_quantiles,
@@ -3951,17 +4524,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x74_filter_funnel": X.q_filter_funnel,
         "a14_grouping_sets": _a14_grouping_sets,
         "q4_order_priority": _q4_order_priority,
-        # ------------------------------------------------- entry 50 ends
-        # x75 NEW in round 9, past the window (oracle-bearing,
-        # entry-parity-checked every session) — rotate in round 10:
-        # the recall-per-byte compression decision table the r8
-        # verdict #3 asked for (raw/JL-16/32/48/int8/PQ head-to-head);
-        # tools/check_rotation_debt.py enforces the rotation
+        # -- rotated IN this round (round 10) for FIRST adjudication:
+        # x75 (born r9 — the recall-per-byte compression decision
+        # table the r8 verdict #3 asked for), the r10 planner suite
+        # (the TPC-H join/decorrelation shapes q2/q7/q10/q11/q13/q15/
+        # q16/q17/q19/q21/q22 — argmin, nation-pair star, top-N,
+        # grouped-HAVING-vs-scalar, outer-join histogram, scalar-max,
+        # anti+distinct, correlated-avg, disjunctive predicate,
+        # EXISTS+NOT-EXISTS, anti+scalar-avg), and x76 (the long-gram
+        # memorization/novelty scan). All verified by
+        # tools/verify_contract.py before rotation. --------------------
         "x75_compression_table": X.q_compression_table,
-        # -- displaced THIS round (round 9) to make room for the
-        # 22-query round-8 backlog; each two-rounds driver-green
-        # (r7 AND r8) and subsumed per the inline notes; all stay
-        # pytest-oracle-checked every session -------------------------
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q7_nation_volume": _q7_nation_volume,
+        "q10_returned_items": _q10_returned_items,
+        "q11_important_parts": _q11_important_parts,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_count": _q16_supplier_count,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q21_sole_returner": _q21_sole_returner,
+        "q22_idle_balances": _q22_idle_balances,
+        "x76_ngram_novelty": X.q_ngram_novelty,
+        # ------------------------------------------------- entry 50 ends
+        # -- displaced THIS round (round 10): the thirteen round-8-born
+        # queries that got their second green driver row in r9's
+        # all-but-w23-green window (green r8-local + r9), each subsumed
+        # per the inline notes; all stay pytest-oracle-checked every
+        # session --------------------------------------------------------
+        # x59/x60: the stride-fingerprint and delta-vs-snapshot banding
+        # kernels stay unit-pinned; the dedup family is carried
+        # in-window by x44/x48/x28 and streaming t13
+        "x59_frame_dedup": X.q_frame_dedup,
+        "x60_incremental_dedup": X.q_incremental_dedup,
+        # t14: pinned t13 adjudicates the streaming dedup gate; t14's
+        # per-batch_id idempotent index append is pytest-pinned
+        "t14_stream_index_dedup": _t14_stream_index_dedup,
+        # x61: in-window x67's clustering coefficient recomputes the
+        # same degree-oriented triangle counts as its numerator
+        "x61_triangle_counts": X.q_triangle_counts,
+        # w21: the bounded-frame indicator family is carried in-window
+        # by w22/w23; the Wilder recurrence is pytest-pinned
+        "w21_adx": _w21_adx,
+        # x62: the classifier family is carried by pinned ml7 and
+        # in-window ml9/ml10
+        "x62_nb_classifier": X.q_nb_classifier,
+        # x63: in-window x75 publishes int8 recall through the same
+        # scalar quantizer (x63's exact formula, row-local fold)
+        "x63_embed_quantize": X.q_embed_quantize,
+        # x64: DSIR importance weights are dependent-free
+        "x64_dsir_weights": X.q_dsir_weights,
+        # ml8: in-window t19_stream_ols's oracle IS ml8's verbatim
+        "ml8_linreg_forecast": _ml8_linreg,
+        # a13: in-window a14 adjudicates the same Expand family at
+        # explicit GROUPING SETS granularity
+        "a13_cube": _a13_cube,
+        # d5/t15: in-window t15b replays the same CDC MERGE semantics
+        # through the snapshot sink with replay-safe epochs
+        "d5_cdc_apply": _d5_cdc_apply,
+        "t15_stream_cdc_apply": _t15_stream_cdc_apply,
+        # x65: in-window x75's jl16/32/48 prefixes subsume the JL
+        # projection method (rounding caveat documented at x75)
+        "x65_random_projection": X.q_random_projection,
+        # -- displaced in round 9 to make room for the 22-query round-8
+        # backlog; each two-rounds driver-green (r7 AND r8) and
+        # subsumed per the inline notes; all stay pytest-oracle-checked
+        # every session ------------------------------------------------
         # x25: the chunking kernel has no in-window dependents; the
         # greedy token-budget packer it feeds is adjudicated inside
         # in-window x28 every round
@@ -4599,6 +5228,18 @@ def oracle_sql() -> dict[str, str]:
         "x74_filter_funnel": X.filter_funnel_oracle(),
         "a14_grouping_sets": _a14_oracle(),
         "q4_order_priority": _q4_oracle(),
+        "q2_min_cost_supplier": _q2_oracle(),
+        "q7_nation_volume": _q7_oracle(),
+        "q10_returned_items": _q10_oracle(),
+        "q11_important_parts": _q11_oracle(),
+        "q13_customer_distribution": _q13_oracle(),
+        "q15_top_supplier": _q15_oracle(),
+        "q16_supplier_count": _q16_oracle(),
+        "q17_small_qty_revenue": _q17_oracle(),
+        "q19_disjunctive_revenue": _q19_oracle(),
+        "q21_sole_returner": _q21_oracle(),
+        "q22_idle_balances": _q22_oracle(),
+        "x76_ngram_novelty": X.ngram_novelty_oracle(),
         "x75_compression_table": X.compression_table_oracle(),
         "x65_random_projection": X.random_projection_oracle(),
         "x52_corpus_datacard": X.corpus_datacard_oracle(),

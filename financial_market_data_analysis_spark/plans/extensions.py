@@ -248,8 +248,8 @@ def q_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles_sql(src: str) -> str:
-    n = D.SHINGLE
+def _shingles_sql(src: str, n: int | None = None) -> str:
+    n = D.SHINGLE if n is None else n
     gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
     return f"""
         SELECT DISTINCT doc_id, s AS shingle FROM (
@@ -1741,6 +1741,89 @@ def decontaminate_oracle() -> str:
         FROM tsh JOIN bsh USING (shingle)
         GROUP BY doc_id
         HAVING count(*) >= {D.DECON_MIN_OVERLAP}
+    """
+
+
+X76_NGRAM = 8      # long grams — the memorization-scan granularity
+X76_CAND_MOD = 37  # every 37th doc is a "generated sample" candidate
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x76 — the N-GRAM NOVELTY / MEMORIZATION SCAN (the Lee et al. /
+    Carlini-style check a model release runs on its own samples): for
+    each candidate document — the stand-in for generated samples — the
+    fraction of its distinct 8-gram word sequences that appear NOWHERE
+    in the rest of the corpus. High novelty = genuinely new text; low
+    novelty = the sample is stitched from memorized training spans.
+    The decontamination family (x22/x53/x68) asks "did eval text leak
+    into training?"; this asks the dual — "did training text leak into
+    the output?" — and the long-gram granularity (8 vs the dedup
+    family's 3) is what separates verbatim memorization from ordinary
+    phrase reuse.
+
+    Output per candidate doc: distinct-gram count, how many of those
+    grams are seen elsewhere, and novelty = (n_grams − n_seen) /
+    n_grams — an integer-ratio division, bit-identical on both
+    engines.
+
+    Scale shape: grams are built ROW-LOCALLY (tokenize once, one
+    higher-order transform — no explode until after the per-doc
+    distinct), the reference side is reduced to DISTINCT grams before
+    the probe, and the semi-join shuffles on the gram hash — both
+    sides partial-aggregate before the exchange. At 100 TB the exact
+    path stays a gram-keyed sort-merge semi-join; the cheap screen is
+    the x53 Bloom filter over the same gram stream (documented there),
+    which this query's exact counts calibrate."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", T.tokens("text").alias("__toks")).filter(
+        F.size("__toks") >= X76_NGRAM
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(D._shingles(F.col("__toks"), X76_NGRAM)).alias("gram"),
+    )
+    cand = sh.filter(F.col("doc_id") % X76_CAND_MOD == 0)
+    ref = (
+        sh.filter(F.col("doc_id") % X76_CAND_MOD != 0)
+        .select("gram")
+        .distinct()
+    )
+    seen = (
+        cand.join(ref, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_seen"))
+    )
+    return (
+        cand.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(seen, "doc_id", "left")
+        .na.fill({"n_seen": 0})
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("int").alias("n_grams"),
+            F.col("n_seen").cast("int").alias("n_seen"),
+            F.round(
+                (F.col("n_grams") - F.col("n_seen")) / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+def ngram_novelty_oracle() -> str:
+    m = X76_CAND_MOD
+    return f"""
+        WITH sh AS ({_shingles_sql("documents", X76_NGRAM)}),
+        cand AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {m} = 0),
+        ref AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {m} <> 0)
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_grams,
+               CAST(sum(CASE WHEN r.shingle IS NOT NULL
+                             THEN 1 ELSE 0 END) AS INT) AS n_seen,
+               round((count(*) - sum(CASE WHEN r.shingle IS NOT NULL
+                                          THEN 1 ELSE 0 END))
+                     / CAST(count(*) AS DOUBLE), 6) AS novelty
+        FROM cand c LEFT JOIN ref r USING (shingle)
+        GROUP BY doc_id
     """
 
 

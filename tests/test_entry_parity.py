@@ -71,7 +71,7 @@ def test_adjudication_window_boundary_is_stable():
     import __spark_entry__ as e
 
     keys = list(e.queries())
-    assert keys[49] == "q4_order_priority", keys[45:52]
+    assert keys[49] == "x76_ngram_novelty", keys[45:52]
     # the PINNED carriers (r8 verdict #2: flagships + one per SURVEY
     # §2 family) hold the first 15 slots permanently
     pinned = [
@@ -83,7 +83,9 @@ def test_adjudication_window_boundary_is_stable():
         "t7_exactly_once_sink", "x48_semantic_dedup",
     ]
     assert keys[:15] == pinned, keys[:15]
-    # the entire r8 never-adjudicated backlog sits inside the window
+    # the r8-born set stays in for its second adjudication round
+    # (w23 and q4 carry r10 fixes that make re-adjudication
+    # load-bearing)
     backlog = [
         "t15b_stream_cdc_sink", "x66_projected_recall",
         "t16_stream_hist_quantiles", "w22_cmf", "ml9_grouped_ols",
@@ -94,7 +96,17 @@ def test_adjudication_window_boundary_is_stable():
         "d7_quality_checks", "x73_leakage_free_split", "x74_filter_funnel",
         "a14_grouping_sets", "q4_order_priority",
     ]
-    assert keys[28:50] == backlog, keys[28:50]
+    assert keys[15:37] == backlog, keys[15:37]
+    # r10 first-timers: x75 (born r9), the TPC-H planner suite, x76
+    fresh = [
+        "x75_compression_table", "q2_min_cost_supplier",
+        "q7_nation_volume", "q10_returned_items", "q11_important_parts",
+        "q13_customer_distribution", "q15_top_supplier",
+        "q16_supplier_count", "q17_small_qty_revenue",
+        "q19_disjunctive_revenue", "q21_sole_returner",
+        "q22_idle_balances", "x76_ngram_novelty",
+    ]
+    assert keys[37:50] == fresh, keys[37:50]
     # every oracle key maps to a query, and rows-only set is exactly
     # the three documented queries
     oracles = e.oracle_sql()

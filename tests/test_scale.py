@@ -773,3 +773,126 @@ def test_compression_table_shares_spine_and_avoids_cartesian(spark):
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
     assert "ExistingRDD" in plan, plan[:1500]
+
+
+def test_q2_argmin_is_aggregate_not_window(spark):
+    """q2's scale shape: the per-part argmin must plan as a (partial-
+    aggregatable) min(struct) HashAggregate — ONE shuffle on partkey,
+    no window Sort over the fact table — with the supplier dim
+    broadcast onto the 2000-row result."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q2_min_cost_supplier"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    import re
+
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and all("partkey" in k for k in keys), keys
+
+
+def test_q7_dims_broadcast_with_pair_filter(spark):
+    """q7's scale shape: both nation-resolved dims (supplier side,
+    customer side) broadcast — pre-filtered to the two nations BEFORE
+    the join — so the only candidate shuffle join is lineitem⋈orders."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q7_nation_volume"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert n_shuffle_joins <= 1, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_preserves_zero_order_customers(spark):
+    """q13's semantic + plan claim: the priority predicate lives in
+    the JOIN condition (a WHERE after the outer join would delete the
+    zero-order class), so the histogram must still account for EVERY
+    customer — sum(custdist) == |customer| — and the join stays
+    LeftOuter in the plan."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    df = e.queries()["q13_customer_distribution"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in plan, plan[:1500]
+    total = df.agg(F.sum("custdist")).collect()[0][0]
+    n_cust = load_table(spark, "customer", SF_SMOKE).count()
+    assert total == n_cust, (total, n_cust)
+
+
+def test_q16_blocklist_resolves_to_broadcast_anti_join(spark):
+    """q16's scale shape: the NOT-IN supplier blocklist must resolve
+    to a LEFT-ANTI hash join against a BROADCAST 6-row frame — never a
+    fact-side shuffle or a cartesian null-check plan."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q16_supplier_count"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_avg_threshold_probe_broadcasts(spark):
+    """q17's scale shape: the decorrelated per-part avg frame (2000
+    rows) and the brand part list must BOTH broadcast onto the fact
+    scan — the correlated subquery never forces a fact-side shuffle."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q17_small_qty_revenue"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0, (
+        plan[:2000]
+    )
+
+
+def test_q19_disjunction_is_residual_on_broadcast_join(spark):
+    """q19's scale shape: the OR-of-ANDs must ride the partkey
+    BROADCAST hash join as a residual condition — one fact scan, zero
+    shuffle, no cartesian fallback."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q19_disjunctive_revenue"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_q21_semi_and_anti_self_joins(spark):
+    """q21's plan claim: the sole-returner test is ONE left-semi
+    (another supplier participated) plus ONE left-anti (no other
+    supplier returned) self-join over the fact-derived pair set —
+    both present, no cartesian product despite the non-equi suppkey
+    term in the join conditions (the orderkey equi-key carries the
+    hash join)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q21_sole_returner"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:1500]
+    assert "LeftAnti" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_x76_novelty_probe_is_semi_join_on_deduped_refs(spark):
+    """x76's scale shape: the reference side is reduced to DISTINCT
+    grams (a gram-keyed HashAggregate) BEFORE the left-semi probe, so
+    the join input is bounded by vocabulary, not corpus volume."""
+    import __spark_entry__ as e
+
+    df = e.queries()["x76_ngram_novelty"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    import re
+
+    aggs = re.findall(r"HashAggregate\(keys=\[gram", plan)
+    assert aggs, plan[:2000]
