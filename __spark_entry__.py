@@ -1184,6 +1184,180 @@ def _q22_oracle() -> str:
     """
 
 
+def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped MARKET SHARE: one supplier nation's fraction of the
+    revenue delivered into one region's customers, per order year —
+    the conditional-sum-over-total ratio computed INSIDE a single
+    grouped aggregation (two partial-aggregatable sums, one shuffle),
+    never as two scans joined back. The customer side resolves through
+    the nation→region snowflake (all three dims broadcast); the
+    supplier side carries only its nation name for the CASE test. The
+    share divides the two same-group sums — their ulp jitter is
+    perfectly correlated at ~1e-12 relative, so round-6 is stable."""
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "ASIA"
+    )
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q8_oracle() -> str:
+    return """
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               round(sum(CASE WHEN ns.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6)
+                   AS mkt_share,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation nc ON nc.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = nc.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY o_year
+    """
+
+
+def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped CONDITIONAL-SHARE: the percentage of one month's
+    revenue that came from promotional parts — the CASE-sum / total
+    ratio inside ONE aggregate over a broadcast part join, the
+    ad-hoc KPI shape every BI layer emits. The month filter pushes to
+    the lineitem scan; one fact pass, no shuffle before the single
+    global aggregate (partial-agg combine does the work)."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q14_oracle() -> str:
+    return """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6)
+                   AS promo_share_pct,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+          AND l_shipdate < TIMESTAMP '1997-07-01'
+    """
+
+
+Q20_QTY_CUT = 40  # per-(part, supplier) 1997 shipped-qty threshold
+
+
+def _q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped NESTED SEMI-JOIN over an AGGREGATION-DERIVED KEY
+    SET: suppliers who moved bulk volume (per-(part, supplier) 1997
+    shipped quantity over the cut) of 'red'-named parts — TPC-H Q20's
+    availqty > ½·shipped test re-based on the shipped aggregate alone
+    (no partsupp table). The plan that matters: the inner aggregate
+    GROUPS THE FACT TABLE ONCE on (partkey, suppkey), the part-name
+    filter broadcasts INTO that aggregate's input (pruning before the
+    shuffle, not after), the HAVING keeps the key set small, and the
+    supplier dim is probed with a LEFT-SEMI join — the engine never
+    materializes a supplier×part cross product. Quantities are
+    integral doubles, so the threshold gate is exact on both engines."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    red = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("red %")
+    ).select("p_partkey")
+    bulk = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > Q20_QTY_CUT)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    return (
+        supp.join(
+            bulk, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select(
+            F.col("s_suppkey").alias("supp_key"),
+            "s_name",
+            F.round("s_acctbal", 6).alias("acctbal"),
+        )
+    )
+
+
+def _q20_oracle() -> str:
+    return f"""
+        SELECT s_suppkey AS supp_key, s_name,
+               round(s_acctbal, 6) AS acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'red %'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_partkey, l_suppkey
+            HAVING sum(l_quantity) > {Q20_QTY_CUT}
+        )
+    """
+
+
 def _d7_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D7 — the DATA-QUALITY CHECK SUITE a warehouse runs before
     trusting a load (the dbt-test / Great-Expectations class, absent
@@ -4548,6 +4722,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_balances": _q22_idle_balances,
         "x76_ngram_novelty": X.q_ngram_novelty,
         # ------------------------------------------------- entry 50 ends
+        # q8/q14/q20 NEW in round 10, past the window (oracle-bearing,
+        # entry-parity-checked every session) — ROTATE IN ROUND 11
+        # (tools/check_rotation_debt.py enforces it): the last three
+        # TPC-H shapes the planner suite lacked — conditional-share
+        # market share (q8), promo CASE-share (q14), and the nested
+        # semi-join over an aggregation-derived key set (q20)
+        "q8_market_share": _q8_market_share,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q20_bulk_suppliers": _q20_bulk_suppliers,
         # -- displaced THIS round (round 10): the thirteen round-8-born
         # queries that got their second green driver row in r9's
         # all-but-w23-green window (green r8-local + r9), each subsumed
@@ -5239,6 +5422,9 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive_revenue": _q19_oracle(),
         "q21_sole_returner": _q21_oracle(),
         "q22_idle_balances": _q22_oracle(),
+        "q8_market_share": _q8_oracle(),
+        "q14_promo_revenue": _q14_oracle(),
+        "q20_bulk_suppliers": _q20_oracle(),
         "x76_ngram_novelty": X.ngram_novelty_oracle(),
         "x75_compression_table": X.compression_table_oracle(),
         "x65_random_projection": X.random_projection_oracle(),

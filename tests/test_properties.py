@@ -545,3 +545,104 @@ def test_cdc_compaction_matches_sequential_fold(spark, ops):
     # the window form keeps a key iff its LAST op was an upsert — a
     # delete followed by nothing removes it, matching the fold
     assert got == state
+
+
+@st.composite
+def priced_pairs(draw, n_rows=24):
+    """Random (partkey, suppkey, extendedprice, quantity) rows with
+    deliberate collisions so argmin groups have real ties to break."""
+    rows = []
+    for _ in range(n_rows):
+        rows.append(
+            {
+                "l_partkey": draw(st.integers(min_value=1, max_value=5)),
+                "l_suppkey": draw(st.integers(min_value=1, max_value=4)),
+                "l_extendedprice": draw(price),
+                "l_quantity": float(draw(st.integers(1, 50))),
+            }
+        )
+    return rows
+
+
+@given(priced_pairs())
+@settings(**_SETTINGS)
+def test_q2_argmin_struct_matches_reference_selection(spark, rows):
+    """q2's kernel: min(struct(unit, suppkey)) per part selects exactly
+    the (unit, suppkey) pair a sequential scan with (unit, suppkey)
+    lexicographic ordering would — including tie-breaks on suppkey when
+    two suppliers quote the identical unit price."""
+    df = spark.createDataFrame(rows).withColumn(
+        "unit", F.col("l_extendedprice") / F.col("l_quantity")
+    )
+    got = {
+        r["l_partkey"]: (r["m"]["unit"], r["m"]["l_suppkey"])
+        for r in df.groupBy("l_partkey")
+        .agg(F.min(F.struct("unit", "l_suppkey")).alias("m"))
+        .collect()
+    }
+    want: dict[int, tuple[float, int]] = {}
+    for row in rows:
+        k = row["l_partkey"]
+        cand = (row["l_extendedprice"] / row["l_quantity"], row["l_suppkey"])
+        if k not in want or cand < want[k]:
+            want[k] = cand
+    assert got == want
+
+
+@st.composite
+def flagged_pairs(draw, n_rows=30):
+    rows = []
+    for _ in range(n_rows):
+        rows.append(
+            {
+                "l_orderkey": draw(st.integers(min_value=1, max_value=6)),
+                "l_suppkey": draw(st.integers(min_value=1, max_value=4)),
+                "l_returnflag": draw(st.sampled_from(["A", "N", "R"])),
+            }
+        )
+    return rows
+
+
+@given(flagged_pairs())
+@settings(**_SETTINGS)
+def test_q21_sole_returner_matches_set_semantics(spark, rows):
+    """q21's kernel: the semi+anti self-join pair selects exactly the
+    (order, supplier) pairs where the supplier returned a line, at
+    least one OTHER supplier participated in the order, and NO other
+    supplier returned — checked against a direct set computation."""
+    import __spark_entry__ as e
+
+    df = spark.createDataFrame(rows)
+    all_pairs = {(r["l_orderkey"], r["l_suppkey"]) for r in rows}
+    r_pairs = {
+        (r["l_orderkey"], r["l_suppkey"])
+        for r in rows
+        if r["l_returnflag"] == "R"
+    }
+    want = {
+        (o, s)
+        for (o, s) in r_pairs
+        if any(o2 == o and s2 != s for (o2, s2) in all_pairs)
+        and not any(o2 == o and s2 != s for (o2, s2) in r_pairs)
+    }
+    # re-run the query's join pipeline on the synthetic frame
+    ap = df.select("l_orderkey", "l_suppkey").distinct()
+    rp = (
+        df.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = ap.select("l_orderkey", F.col("l_suppkey").alias("o_supp"))
+    r_other = rp.select("l_orderkey", F.col("l_suppkey").alias("o_supp"))
+    cand = rp.join(
+        other,
+        (rp.l_orderkey == other.l_orderkey) & (rp.l_suppkey != other.o_supp),
+        "left_semi",
+    ).join(
+        r_other,
+        (rp.l_orderkey == r_other.l_orderkey)
+        & (rp.l_suppkey != r_other.o_supp),
+        "left_anti",
+    )
+    got = {(r["l_orderkey"], r["l_suppkey"]) for r in cand.collect()}
+    assert got == want

@@ -896,3 +896,54 @@ def test_x76_novelty_probe_is_semi_join_on_deduped_refs(spark):
 
     aggs = re.findall(r"HashAggregate\(keys=\[gram", plan)
     assert aggs, plan[:2000]
+
+
+def test_q8_share_is_single_grouped_aggregate(spark):
+    """q8's scale shape: the market share is two partial-aggregatable
+    CASE-sums inside ONE grouped aggregation — never two scans joined
+    back — with every dimension broadcast; the only candidate shuffle
+    join is lineitem⋈orders."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q8_market_share"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, (
+        plan[:2000]
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_q14_month_filter_pushes_to_scan(spark):
+    """q14's scale shape: the one-month window reaches the lineitem
+    parquet scan as PushedFilters (not a post-scan Filter over seven
+    years of fact rows) and the part dim broadcasts."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q14_promo_revenue"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_q20_key_set_feeds_semi_join(spark):
+    """q20's scale shape: the aggregation-derived supplier key set
+    probes the supplier dim through a LEFT-SEMI join, the inner
+    aggregate shuffles on the (partkey, suppkey) pair, and the
+    part-name filter prunes via a broadcast join BEFORE that shuffle."""
+    import re
+
+    import __spark_entry__ as e
+
+    df = e.queries()["q20_bulk_suppliers"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    pair_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning" in ln and "partkey" in ln and "suppkey" in ln
+    ]
+    assert pair_exchanges, re.findall(r"hashpartitioning\([^)]*\)", plan)
