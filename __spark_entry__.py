@@ -729,12 +729,16 @@ def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10-shaped RETURNED-ITEM RANKING: revenue lost to returns
     ('R' lines) per customer over one quarter, top 20 — the
     fact-filter → join → group → deterministic-top-N report shape.
-    The top-N is a row_number over (rounded revenue DESC, custkey) —
-    ranking on the ROUNDED sum with an int tiebreak so the cut is
-    reproducible across engines (an ulp in an unrounded double sum
-    could flip rank 20/21); at scale this is a single-partition final
-    window over the 20-ish survivors of a pre-aggregated frame, not a
-    global sort of the fact table."""
+    The top-N orders on (rounded revenue DESC, custkey) — the ROUNDED
+    sum with an int tiebreak so the cut is reproducible across engines
+    (an ulp in an unrounded double sum could flip rank 20/21) — and
+    takes the cut with orderBy().limit(), which Spark plans as
+    TakeOrderedAndProject: each partition keeps its local top-20 and
+    only those survivors reach the driver-side merge. A global
+    row_number() window here would serialize the whole aggregated
+    frame through ONE partition — the difference between a bounded
+    per-partition heap and a single-node sort when the customer
+    dimension is millions of rows."""
     li = load_table(spark, "lineitem", sf_dir).filter(
         F.col("l_returnflag") == "R"
     )
@@ -753,10 +757,9 @@ def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
-    w = SW.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
     return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        rev.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        .limit(20)
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
@@ -775,19 +778,17 @@ def _q10_oracle() -> str:
                round(c_acctbal, 6) AS acctbal, n_name FROM (
             SELECT o_custkey AS cust_key,
                    round(sum(l_extendedprice * (1 - l_discount)), 6)
-                       AS revenue,
-                   row_number() OVER (
-                       ORDER BY round(sum(l_extendedprice * (1 - l_discount)),
-                                      6) DESC, o_custkey) AS rk
+                       AS revenue
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             WHERE l_returnflag = 'R'
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1996-04-01'
             GROUP BY o_custkey
+            ORDER BY revenue DESC, cust_key
+            LIMIT 20
         ) r
         JOIN customer ON c_custkey = cust_key
         JOIN nation ON n_nationkey = c_nationkey
-        WHERE rk <= 20
     """
 
 

@@ -947,3 +947,16 @@ def test_q20_key_set_feeds_semi_join(spark):
         if "hashpartitioning" in ln and "partkey" in ln and "suppkey" in ln
     ]
     assert pair_exchanges, re.findall(r"hashpartitioning\([^)]*\)", plan)
+
+
+def test_q10_top_n_is_distributed_take_ordered(spark):
+    """q10's scale shape: the top-20 cut plans as TakeOrderedAndProject
+    (per-partition bounded heaps merged once) — NEVER a global
+    row_number() window, which would serialize the whole aggregated
+    customer frame through a single partition."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q10_returned_items"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
