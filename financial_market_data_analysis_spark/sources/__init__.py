@@ -4,5 +4,18 @@ from financial_market_data_analysis_spark.sources.batch import (
     load_tables,
     register_views,
 )
+from financial_market_data_analysis_spark.sources.files import (
+    ingest_report,
+    load_csv,
+    load_jsonl,
+)
 
-__all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLE_NAMES",
+    "ingest_report",
+    "load_csv",
+    "load_jsonl",
+    "load_table",
+    "load_tables",
+    "register_views",
+]

@@ -173,6 +173,50 @@ def parquet_append_sink(
     )
 
 
+def quarantining_ingest_sink(
+    stream: DataFrame,
+    clean_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Streaming twin of ``sources.files``' quarantining loaders: a
+    file stream parsed under a PERMISSIVE schema (with the
+    ``_corrupt_record`` capture column) splits each micro-batch into
+    the clean warehouse and the quarantine channel — BOTH through the
+    epoch-idempotent writer, so a crash between the two writes replays
+    into exactly-once on both sides (a retried epoch replaces its own
+    partition in each sink; the reference's ingest, by contrast, is
+    at-least-once with no malformed-row story at all —
+    getMarketData.py:208-218 just trusts the feed).
+
+    The batch is localCheckpointed once so the single parse feeds both
+    writes (the batch-side ``cache()`` answer to Spark's corrupt-
+    column-only query restriction), and the split predicate is
+    evaluated on the materialized rows — clean + quarantined == parsed,
+    structurally."""
+    from financial_market_data_analysis_spark.sources.files import CORRUPT_COL
+
+    write_clean = epoch_idempotent_writer(clean_dir)
+    write_quar = epoch_idempotent_writer(quarantine_dir)
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.localCheckpoint(eager=True)  # one parse, two sinks
+        clean = batch.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        quar = batch.filter(F.col(CORRUPT_COL).isNotNull())
+        write_clean(clean, epoch_id)
+        write_quar(quar, epoch_id)
+
+    return _apply_trigger(
+        stream.writeStream.foreachBatch(_write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir),
+        trigger,
+    )
+
+
 def resolve_prev_snapshot(snap_dir: str, batch_id: int) -> str | None:
     """Resolve the path of snapshot ``v{batch_id-1}`` for a
     copy-on-write epoch MERGE, with the missing-snapshot case made

@@ -208,3 +208,174 @@ def test_load_events_preserves_utc_instant_across_layouts(spark, tmp_path):
     b = load_table(spark, "events", sf_us).select("ts_us", "ts").first()
     assert a.ts_us == b.ts_us == instant_us
     assert a.ts == b.ts
+
+
+# ---------------------------------------------------------------------------
+# sources/files.py — schema-enforced CSV/JSONL ingestion with quarantine
+
+
+def _files_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+
+
+def test_csv_quarantine_captures_malformed_lines(spark, tmp_path):
+    """PERMISSIVE CSV: good rows land clean, a non-numeric value field
+    quarantines with the raw line preserved verbatim, and nothing is
+    silently dropped (clean + quarantined == input lines)."""
+    from financial_market_data_analysis_spark.sources.files import (
+        ingest_report,
+        load_csv,
+    )
+
+    p = tmp_path / "drop.csv"
+    lines = [
+        "event_id,event_type,value",
+        "1,click,0.5",
+        "2,view,oops_not_a_number",
+        "3,click,1.25",
+        "4,purchase,2.0,extra_field_breaks_arity_but_csv_keeps_first_cols",
+        "5,view,3.5",
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    clean, quarantine = load_csv(spark, str(p), _files_schema())
+    got_clean = {r["event_id"] for r in clean.collect()}
+    q_rows = quarantine.collect()
+    q_raw = {r["_corrupt_record"] for r in q_rows}
+    assert 2 not in got_clean
+    assert "2,view,oops_not_a_number" in q_raw
+    rep = ingest_report(clean, quarantine).collect()[0]
+    assert rep["n_clean"] + rep["n_quarantined"] == 5
+    assert rep["n_clean"] == len(got_clean)
+
+
+def test_jsonl_type_drift_quarantines(spark, tmp_path):
+    """PERMISSIVE JSONL: malformed JSON and type drift (string where
+    the schema declares a long) both quarantine; valid rows with
+    MISSING optional fields stay clean (null, not corrupt)."""
+    from financial_market_data_analysis_spark.sources.files import load_jsonl
+
+    p = tmp_path / "drop.jsonl"
+    lines = [
+        '{"event_id": 1, "event_type": "click", "value": 0.5}',
+        '{"event_id": "not_a_long", "event_type": "view", "value": 1.0}',
+        "{this is not json",
+        '{"event_id": 4, "event_type": "view"}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    clean, quarantine = load_jsonl(spark, str(p), _files_schema())
+    ids = {r["event_id"] for r in clean.collect()}
+    assert ids == {1, 4}
+    assert quarantine.count() == 2
+    raws = {r["_corrupt_record"] for r in quarantine.collect()}
+    assert "{this is not json" in raws
+
+
+def test_failfast_raises_on_corrupt_input(spark, tmp_path):
+    """FAILFAST mode surfaces the malformed line as an error instead of
+    quarantining — the contract a strict pipeline opts into."""
+    import pytest
+
+    from financial_market_data_analysis_spark.sources.files import load_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"event_id": 1}\n{nope\n')
+    clean, _ = load_jsonl(spark, str(p), _files_schema(), mode="FAILFAST")
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        clean.count()
+
+
+def test_csv_clean_frame_matches_parquet_twin(spark, tmp_path):
+    """Format parity: the same rows loaded via CSV and via parquet
+    produce identical frames (schema and values) — the CSV path adds a
+    quarantine channel, not a different type mapping."""
+    from financial_market_data_analysis_spark.sources.files import load_csv
+
+    rows = [(1, "click", 0.5), (2, "view", 1.25), (3, "purchase", 2.0)]
+    schema = _files_schema()
+    df = spark.createDataFrame(rows, schema)
+    pq = tmp_path / "twin_parquet"
+    df.write.parquet(str(pq))
+    csv_path = tmp_path / "twin.csv"
+    csv_path.write_text(
+        "event_id,event_type,value\n"
+        + "\n".join(f"{a},{b},{c}" for a, b, c in rows)
+        + "\n"
+    )
+    clean, quarantine = load_csv(spark, str(csv_path), schema)
+    assert quarantine.count() == 0
+    a = sorted(clean.collect())
+    b = sorted(spark.read.parquet(str(pq)).collect())
+    assert a == b
+    assert clean.schema == spark.read.parquet(str(pq)).schema
+
+
+def test_streaming_quarantine_ingest_exactly_once(spark, tmp_path):
+    """The streaming ingest twin: two CSV files arrive as two
+    micro-batches; malformed lines land in the quarantine sink, good
+    rows in the clean warehouse, and a poisoned partial epoch-1 write
+    (a simulated crashed first attempt) is REPLACED by the retry, not
+    duplicated — the t7 exactly-once shape on the ingest path."""
+    from financial_market_data_analysis_spark.sources.files import (
+        CORRUPT_COL,
+        _with_corrupt_field,
+    )
+    from financial_market_data_analysis_spark.streaming.pipeline import (
+        epoch_idempotent_writer,
+        quarantining_ingest_sink,
+    )
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    (src / "a.csv").write_text("1,click,0.5\n2,view,broken_value\n3,click,1.0\n")
+    f2 = src / "b.csv"
+    f2.write_text("4,view,2.0\n5,purchase,bad\n6,click,3.0\n")
+    import os
+    import time
+
+    # strict mtime order so file->epoch assignment is deterministic
+    now = time.time()
+    os.utime(src / "a.csv", (now - 10, now - 10))
+    os.utime(f2, (now, now))
+
+    clean_dir = str(tmp_path / "clean")
+    quar_dir = str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ckpt")
+    schema = _files_schema()
+
+    # poison: half of epoch 1's clean rows already under epoch_id=1 —
+    # the partial write a mid-epoch crash would leave behind
+    poisoned = spark.createDataFrame([(4, "view", 2.0)], schema)
+    epoch_idempotent_writer(clean_dir)(poisoned, 1)
+
+    stream = (
+        spark.readStream.schema(_with_corrupt_field(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = quarantining_ingest_sink(
+        stream, clean_dir, quar_dir, ckpt, trigger={"availableNow": True}
+    ).start()
+    assert q.awaitTermination(300)
+
+    clean = spark.read.parquet(clean_dir)
+    ids = sorted(r["event_id"] for r in clean.collect())
+    assert ids == [1, 3, 4, 6], ids  # poison replaced, nothing duplicated
+    quar = spark.read.parquet(quar_dir)
+    raws = {r[CORRUPT_COL] for r in quar.collect()}
+    assert raws == {"2,view,broken_value", "5,purchase,bad"}, raws
