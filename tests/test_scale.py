@@ -960,3 +960,57 @@ def test_q10_top_n_is_distributed_take_ordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert "Window" not in plan, plan[:1500]
+
+
+def test_q11_total_derives_from_part_aggregate(spark):
+    """q11's scale shape: the global total re-aggregates the 2000-row
+    per-part frame (ONE fact-side exchange on partkey in the whole
+    plan) and returns via a broadcast — never a second fact scan."""
+    import re
+
+    import __spark_entry__ as e
+
+    df = e.queries()["q11_important_parts"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and all("partkey" in k for k in keys), keys
+    # the initial plan textually repeats the per-part subtree under the
+    # total's aggregate; AQE's exchange reuse collapses it at runtime —
+    # the structural claim testable here is that NO exchange keys on
+    # anything but partkey and the scalar returns via a broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan[:2000]
+    )
+    # and the runtime plan actually reuses the per-part exchange
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final[:2500]
+
+
+def test_q15_max_gate_broadcasts_back(spark):
+    """q15's scale shape: the scalar max derives from the 100-row
+    per-supplier aggregate and broadcasts back as the equality gate;
+    the supplier dim joins broadcast too — no shuffle join anywhere."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q15_top_supplier"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0, (
+        plan[:2000]
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan[:2000]
+    )
+
+
+def test_q22_anti_join_with_pushed_date_filter(spark):
+    """q22's scale shape: the churn test is a LEFT-ANTI join whose
+    orders side arrives pre-filtered — the recency window shows up in
+    the orders scan's PushedFilters, below the anti-join."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q22_idle_balances"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan[:1500]
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan, plan[:2500]
+    assert "CartesianProduct" not in plan
