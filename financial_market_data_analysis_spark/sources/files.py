@@ -49,8 +49,15 @@ def _with_corrupt_field(schema: StructType) -> StructType:
 
 def _split(raw: DataFrame, mode: str) -> tuple[DataFrame, DataFrame]:
     if mode != "PERMISSIVE":
-        # DROPMALFORMED / FAILFAST never materialize corrupt rows
-        return raw, raw.limit(0)
+        # DROPMALFORMED / FAILFAST never materialize corrupt rows, but
+        # the (clean, quarantine) contract must be mode-invariant: the
+        # empty quarantine frame still carries _corrupt_record (all
+        # null) so a mode-generic consumer can select CORRUPT_COL
+        # without an AnalysisException (r10 advice).
+        empty_q = raw.limit(0).withColumn(
+            CORRUPT_COL, F.lit(None).cast(StringType())
+        )
+        return raw, empty_q
     # Spark refuses queries against a raw file scan that reference only
     # the corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
     # COLUMN) — corruptness only exists after a parse, so the parsed

@@ -64,8 +64,12 @@ def main() -> int:
                 deny = const
             elif const.toString() == "NEUTRAL":
                 neutral = const
+        # useRawMsg=False: match the FORMATTED message (r10 advice) —
+        # a parameterized log call's raw pattern would not contain the
+        # accumulator text, so raw-message matching can silently stop
+        # filtering.
         flt = regex_filter.createFilter(
-            "(?s).*non-existent accumulator.*", None, True, deny, neutral
+            "(?s).*non-existent accumulator.*", None, False, deny, neutral
         )
         ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
         ctx.getConfiguration().getRootLogger().addFilter(flt)
