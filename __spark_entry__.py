@@ -419,26 +419,6 @@ def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: grouped HAVING filter on the fact table, then
-    join back to orders/customer. The heavy groupBy shuffles on the
-    order key once; the surviving big-order keys are tiny and the
-    customer dim broadcasts."""
-    li = load_table(spark, "lineitem", sf_dir)
-    orders = load_table(spark, "orders", sf_dir)
-    cust = load_table(spark, "customer", sf_dir)
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
-        .filter(F.col("sum_qty") > 250)
-    )
-    return (
-        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
-    )
-
-
 def _a8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution stats per group: p50/p95/p99 by explicit rank
     selection (value at row ceil(q*n) of the sorted group) — exact and
@@ -1079,18 +1059,27 @@ def _q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     slim lineitem has no commit/receipt dates), preserving the plan
     that matters: one fact-derived pair set probed by BOTH a left-semi
     (another supplier participated) and a left-anti (no OTHER supplier
-    had a return) self-join, all three sides co-keyed on orderkey so
-    the whole query rides one shuffle partitioning. Integer counts
-    out; suppkey is the deterministic group key."""
+    had a return) self-join. The returned-pair set is distinct-ed ONCE
+    and eagerly localCheckpointed (r10 verdict: without it the r_pairs
+    subtree is re-planned for the probe side of each self-join — one
+    redundant fact-scale distinct shuffle at 100 TB). Note the two
+    shuffle families genuinely differ: the distincts hash on the
+    (orderkey, suppkey) composite while the self-joins hash on
+    orderkey alone, so the join exchange is inherent to the shape, not
+    waste. Integer counts out; suppkey is the deterministic group
+    key."""
     pairs = (
         load_table(spark, "lineitem", sf_dir)
         .select("l_orderkey", "l_suppkey", "l_returnflag")
     )
     all_pairs = pairs.select("l_orderkey", "l_suppkey").distinct()
+    # Computed once, reused by the semi probe, the anti probe, and the
+    # left side — the catalog's established reuse pattern (_l2_exact_topk)
     r_pairs = (
         pairs.filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_suppkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     other = all_pairs.select(
         F.col("l_orderkey"), F.col("l_suppkey").alias("o_supp")
@@ -1147,12 +1136,15 @@ def _q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn-candidate anti-join every CRM-ish warehouse runs. The scalar
     avg comes from one dimension-side aggregation broadcast back; the
     anti-join probes the date-filtered orders' custkey set (the filter
-    pushes to the orders scan, BELOW the anti-join). The fixture's
-    balances carry 2 decimals while the avg carries ~12, so the
-    threshold comparison sits far from any ulp boundary."""
+    pushes to the orders scan, BELOW the anti-join). The avg is
+    ROUNDED to 6 decimals on BOTH engines before the threshold
+    comparison (the q15 pattern, r10 advice): Spark's shuffled
+    partial sums and DuckDB's sequential sum over non-representable
+    2-decimal balances can differ by an ulp, and a customer balance
+    exactly at the boundary must not flip between engines."""
     cust = load_table(spark, "customer", sf_dir)
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal")
     )
     orders = load_table(spark, "orders", sf_dir).filter(
         F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
@@ -1176,7 +1168,7 @@ def _q22_oracle() -> str:
         SELECT c_mktsegment, count(*) AS numcust,
                round(sum(c_acctbal), 6) AS totacctbal
         FROM customer
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
                            WHERE c_acctbal > 0.0)
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
@@ -1357,6 +1349,546 @@ def _q20_oracle() -> str:
             HAVING sum(l_quantity) > {Q20_QTY_CUT}
         )
     """
+
+
+def _q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped LOCAL-SUPPLIER VOLUME: revenue per nation, one region
+    and one order-year, counting only lines where the CUSTOMER and the
+    SUPPLIER sit in the same nation — TPC-H Q5's six-table snowflake
+    with its equi-condition that is NOT a key join (c_nationkey =
+    s_nationkey). The plan that matters at 100 TB: region prunes
+    nation, nation prunes supplier — all BROADCAST, so the region
+    filter reaches the supplier probe without touching a fact row; the
+    date filter pushes to the orders scan; lineitem⋈orders is the only
+    fact-fact shuffle (orderkey-hashed); customer joins on custkey
+    (dim-scale shuffle at worst — AQE broadcasts it at fixture scale);
+    the local-nation test rides the broadcast supplier probe as part
+    of its join condition, never as a post-join filter over a wider
+    product. Revenue rounded to 6 on both engines."""
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nat = (
+        nation.join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q5_oracle() -> str:
+    return """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+                     AND s_nationkey = c_nationkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY n_name
+    """
+
+
+def _q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped PRODUCT-TYPE PROFIT: revenue from one product type
+    per supplier nation per order year — TPC-H Q9's profit rollup
+    re-based on the discounted price alone (the slim fixture has no
+    partsupp, so the ps_supplycost·qty term is dropped; the JOIN
+    TOPOLOGY — part prunes lineitem, supplier resolves to nation,
+    orders contributes only the year — is what this adjudicates).
+    Scale shape: the p_type filter broadcasts INTO the lineitem probe
+    (fact rows drop before any shuffle), supplier⋈nation is a
+    broadcast snowflake, and lineitem⋈orders is the only fact-fact
+    shuffle. Group keys (nation, year) are low-cardinality, so the
+    partial aggregate collapses the map side."""
+    promo = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    nation = load_table(spark, "nation", sf_dir)
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q9_oracle() -> str:
+    return """
+        SELECT n_name AS supp_nation,
+               EXTRACT(year FROM o_orderdate) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS profit,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        WHERE p_type = 'PROMO'
+        GROUP BY supp_nation, o_year
+    """
+
+
+Q12_LATE_DAYS = 180  # ship-delay cut separating ONTIME from LATE
+
+
+def _q12_lateness_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped PRIORITY-BY-LATENESS: high- vs low-priority line
+    counts per lateness class — TPC-H Q12's CASE-count pivot re-cut
+    onto ship delay (days between order date and ship date; the slim
+    fixture has no shipmode or commit/receipt dates). The shape that
+    matters: both CASE sums ride ONE grouped aggregation over the
+    single lineitem⋈orders fact shuffle — never two scans joined
+    back — and the day arithmetic is DATE-truncated on both engines
+    so timestamp times can't skew a boundary. Counts are integers:
+    exact on both engines."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate"
+    )
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.when(delay > Q12_LATE_DAYS, F.lit("LATE"))
+            .otherwise(F.lit("ONTIME"))
+            .alias("ship_class")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def _q12_oracle() -> str:
+    return f"""
+        SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) > {Q12_LATE_DAYS}
+                    THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY ship_class
+    """
+
+
+Q18_QTY_CUT = 300  # per-order total-quantity threshold (~p99.5)
+
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped LARGE-VOLUME ORDERS: the top orders by price among
+    those whose total line quantity exceeds a cut — TPC-H Q18's
+    HAVING-derived semi-join plus top-N. The plan that matters: the
+    fact table aggregates ONCE on orderkey, the HAVING keeps the
+    surviving key set tiny (~p99.5), and that AGGREGATION-DERIVED
+    frame broadcasts into orders and then into customer — the engine
+    never shuffles orders or customer on the big side's terms. Top-N
+    is orderBy+limit = TakeOrderedAndProject (per-partition heaps —
+    the r10 q10 lesson), with orderkey as the deterministic
+    tiebreaker on BOTH engines. Quantities are integral doubles, so
+    the cut is exact. Supersedes the r3 query of the same name
+    (driver-green in CORRECTNESS_r03), which lacked the top-N and
+    broadcast the fact-derived side the wrong way; rebirth stamped
+    r11, fresh adjudication this round."""
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_CUT)
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name"
+    )
+    ord_big = orders.join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return (
+        cust.join(
+            F.broadcast(ord_big), F.col("c_custkey") == F.col("o_custkey")
+        )
+        .select(
+            "c_name",
+            F.col("c_custkey").alias("cust_key"),
+            F.col("o_orderkey").alias("order_key"),
+            "o_orderdate",
+            F.round("o_totalprice", 6).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_price"), "order_key")
+        .limit(100)
+    )
+
+
+def _q18_oracle() -> str:
+    return f"""
+        SELECT c_name, c_custkey AS cust_key, o_orderkey AS order_key,
+               o_orderdate, round(o_totalprice, 6) AS total_price,
+               total_qty
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > {Q18_QTY_CUT}) big
+          ON big.l_orderkey = o_orderkey
+        ORDER BY total_price DESC, order_key
+        LIMIT 100
+    """
+
+
+def _stage_corrupt_csv(docs: DataFrame, src: str, n_files: int = 1) -> None:
+    """Render documents as headerless CSV text lines — (doc_id, lang,
+    n_chars) — deliberately corrupting the n_chars field of every row
+    where ``doc_id % 7 == 3`` (a non-numeric token a LongType field
+    cannot bind, so the PERMISSIVE parser must quarantine exactly that
+    slice). Written distributed (no driver collect); ``n_files`` > 1
+    splits rows by ``doc_id % n_files`` into separate files so a
+    FileStreamSource with maxFilesPerTrigger=1 sees a deterministic
+    batch count."""
+    lines = docs.select(
+        F.col("doc_id"),
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.when(
+                F.col("doc_id") % 7 == 3,
+                F.concat(F.lit("x"), F.col("n_chars").cast("string")),
+            ).otherwise(F.col("n_chars").cast("string")),
+        ).alias("value"),
+    )
+    for i in range(n_files):
+        (
+            lines.filter(F.col("doc_id") % n_files == i)
+            .select("value")
+            .coalesce(1)
+            .write.mode("append")
+            .text(src)
+        )
+
+
+def _docs_csv_schema():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+        ]
+    )
+
+
+# Both engines must agree on which rows the corruption rule hit; the
+# oracle recomputes the rule from the SAME fixture column, so the
+# driver row adjudicates the LOADER (parse + quarantine split), not
+# the staging.
+_S8_ORACLE = """
+    SELECT CAST(sum(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean,
+           CAST(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quarantined,
+           round(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+                 / count(*), 6) AS quarantine_frac,
+           CAST(sum(CASE WHEN doc_id % 7 <> 3 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS clean_chars_sum
+    FROM documents
+"""
+
+
+def _s8_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8 — the schema-enforced CSV bulk-drop loader under the
+    driver's oracle (the r10 verdict's one un-adjudicated capability):
+    documents rendered to a headerless CSV with a known corrupt slice
+    (``doc_id % 7 == 3`` carries an unparseable n_chars), loaded back
+    through ``load_csv``'s PERMISSIVE quarantine split, and published
+    as the one-row ingest accounting (n_clean, n_quarantined,
+    quarantine_frac) plus a checksum over the CLEAN frame. The oracle
+    recomputes all four from the fixture's documents table and the
+    same corruption rule, so a loader that drops a clean row, coerces
+    a corrupt one, or double-counts either side hash-mismatches.
+    Scale shape: staging is distributed text-write, the load is ONE
+    parse shared by both split sides (sources/files.py:63 cache), and
+    every published number is an aggregate — no collect anywhere."""
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.sources import files as FS
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    src = tempfile.mkdtemp(prefix="s8_csv_")
+    try:
+        _stage_corrupt_csv(docs, src)
+        clean, quar = FS.load_csv(
+            spark, src, _docs_csv_schema(), header=False
+        )
+        rep = FS.ingest_report(clean, quar)
+        chk = clean.agg(F.sum("n_chars").alias("clean_chars_sum"))
+        out = rep.crossJoin(chk).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+_S9_ORACLE = """
+    SELECT CAST(sum(CASE WHEN event_id % 13 <> 7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean,
+           CAST(sum(CASE WHEN event_id % 13 = 7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quarantined,
+           round(sum(CASE WHEN event_id % 13 = 7 THEN 1 ELSE 0 END)
+                 / count(*), 6) AS quarantine_frac,
+           round(sum(CASE WHEN event_id % 13 <> 7 THEN value ELSE 0 END), 6)
+               AS clean_value_sum
+    FROM events
+"""
+
+
+def _s9_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8 — the JSONL twin of s8: events rendered to JSON lines
+    with TYPE DRIFT injected on ``event_id % 13 == 7`` (the value
+    field becomes a string where the schema declares a double — per
+    the loader contract, drift is corruption, not a cast), loaded
+    back through ``load_jsonl``, published as ingest accounting plus
+    a rounded checksum over the clean values. Doubles round-trip
+    exactly through ``to_json`` (shortest-representation formatting),
+    so the clean-sum is the same fold on both engines. Same scale
+    shape as s8: distributed staging, one shared parse, aggregates
+    only."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from financial_market_data_analysis_spark.sources import files as FS
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    drifted = F.to_json(
+        F.struct(
+            "event_id",
+            "user_id",
+            F.concat(F.lit("v"), F.col("value").cast("string")).alias(
+                "value"
+            ),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="s9_jsonl_")
+    try:
+        (
+            ev.select(
+                F.when(F.col("event_id") % 13 == 7, drifted)
+                .otherwise(
+                    F.to_json(F.struct("event_id", "user_id", "value"))
+                )
+                .alias("value")
+            )
+            .write.mode("overwrite")
+            .text(src)
+        )
+        clean, quar = FS.load_jsonl(spark, src, schema)
+        rep = FS.ingest_report(clean, quar)
+        chk = clean.agg(
+            F.round(F.sum("value"), 6).alias("clean_value_sum")
+        )
+        out = rep.crossJoin(chk).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+_T21_N_FILES = 3
+
+
+def _t21_stream_csv_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21 — the STREAMING drop-folder twin of s8 (r10 verdict #3):
+    the same corrupt CSV staged as THREE files, consumed by a
+    FileStreamSource with maxFilesPerTrigger=1 under availableNow (so
+    exactly three micro-batches), each batch split through the SAME
+    single-parse quarantine predicate inside foreachBatch and
+    accounted per batch: clean rows append to the clean sink,
+    (n_clean, n_quarantined, batch_id) append to the accounting sink.
+    The published row folds the accounting sink back together —
+    n_batches proves the micro-batching actually happened; the
+    clean/quarantine totals and the clean checksum must equal the
+    batch loader's (same oracle rule as s8). Scale shape: this IS the
+    100 TB bulk-ingest form — parse once per batch, write clean and
+    quarantine from that one parse, never re-read the raw drop — and
+    BOTH sinks are idempotent under replay (per-batch_id dynamic
+    partition overwrite, the t7/K1 pattern: a retried batch replaces
+    its own partition instead of appending duplicates)."""
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.sources import files as FS
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    src = tempfile.mkdtemp(prefix="t21_drop_")
+    acct = tempfile.mkdtemp(prefix="t21_acct_")
+    clean_dir = tempfile.mkdtemp(prefix="t21_clean_")
+    old_sp = push_small_shuffle(spark)  # serial-adjudication contract
+    try:
+        _stage_corrupt_csv(docs, src, n_files=_T21_N_FILES)
+        stream = (
+            spark.readStream.schema(
+                FS._with_corrupt_field(_docs_csv_schema())
+            )
+            .option("header", "false")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", FS.CORRUPT_COL)
+            .option("maxFilesPerTrigger", 1)
+            .csv(src)
+        )
+
+        def _ingest(batch: DataFrame, bid: int) -> None:
+            clean, quar = FS._split(batch, "PERMISSIVE")
+            (
+                FS.ingest_report(clean, quar)
+                .withColumn("batch_id", F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(acct)
+            )
+            (
+                clean.withColumn("batch_id", F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(clean_dir)
+            )
+            batch.unpersist()
+
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t21_stream_csv_drop did not finish in 300 s")
+        rep = spark.read.parquet(acct).agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("n_clean").alias("n_clean"),
+            F.sum("n_quarantined").alias("n_quarantined"),
+        )
+        chk = spark.read.parquet(clean_dir).agg(
+            F.sum("n_chars").alias("clean_chars_sum")
+        )
+        out = rep.crossJoin(chk).localCheckpoint(eager=True)
+    finally:
+        pop_small_shuffle(spark, old_sp)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(acct, ignore_errors=True)
+        shutil.rmtree(clean_dir, ignore_errors=True)
+    return out
+
+
+_T21_ORACLE = f"""
+    SELECT CAST({_T21_N_FILES} AS BIGINT) AS n_batches,
+           CAST(sum(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean,
+           CAST(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quarantined,
+           CAST(sum(CASE WHEN doc_id % 7 <> 3 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS clean_chars_sum
+    FROM documents
+"""
 
 
 def _d7_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4633,24 +5165,28 @@ def _pipeline_full_row_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness harness
     adjudicates the FIRST 50 entries of this dict (stable since round
-    3), so the first 50 entries are the round-10 adjudication set: the
+    3), so the first 50 entries are the round-11 adjudication set: the
     PERMANENT pinned set (the two flagship pipeline queries plus one
     carrier per SURVEY §2 family — t9, t6b, t4b, j5, j6, t7, t13, a12,
     x27, x28, x44, x48, ml7 — the capability contract that never
-    rotates out, per the r8 verdict #2), the twenty-two round-8-born
-    queries on their second adjudication round (two of them carrying
-    r10 fixes: w23's sign-of-zero oracle and q4's vacuous date
-    window), and thirteen first-timers — x75 (born r9, the
-    compression decision table), the r10 TPC-H planner suite
-    (q2/q7/q10/q11/q13/q15/q16/q17/q19/q21/q22), and x76 (the
-    long-gram memorization scan). To make room, the thirteen
-    round-8-born queries that were twice-green by r9 (x59, x60, t14,
-    x61, w21, x62, x63, x64, ml8, a13, d5, t15, x65) move past the
-    boundary, each displacement annotated inline.
-    tools/check_rotation_debt.py fails the suite if any
-    oracle-bearing query ever sits ≥2 rounds without a driver row;
-    every displaced query stays covered by the pytest oracle-parity
-    suite every session regardless of the window."""
+    rotates out, per the r8 verdict #2), twelve round-8-born queries
+    on a third round (kept over their displaced siblings because
+    their r9 or r10 rows carried fixes — w23/q4 — or because they are
+    the family's only in-window streaming/report carrier), the
+    thirteen round-10 first-timers on their second round (x75, the
+    planner suite q2..q22, x76), and ten round-11 first-timers: the
+    three past-window r10 births q8/q14/q20 (the debt the guard
+    bounded to this round), the TPC-H completions q5/q9/q12/q18
+    (snowflake-local join, profit rollup, lateness CASE pivot,
+    HAVING-derived top-N — the suite now covers every TPC-H shape
+    expressible on the slim fixture), and the ingestion adjudications
+    s8/s9/t21 (CSV + JSONL quarantine loaders and the streaming
+    drop-folder twin, the r10 verdict's #2/#3). Ten twice-green
+    round-8-born queries move past the boundary, each displacement
+    annotated inline. tools/check_rotation_debt.py fails the suite if
+    any oracle-bearing query ever sits ≥2 rounds without a driver
+    row; every displaced query stays covered by the pytest
+    oracle-parity suite every session regardless of the window."""
     return {
         # -- PINNED carriers: flagships + one per SURVEY §2 family.
         # These never rotate out (r8 verdict #2) — they are the
@@ -4670,45 +5206,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_interval_lookup": _j6_interval_lookup,        # J1 interval/SCD2 probe
         "t7_exactly_once_sink": _t7_exactly_once_sink,    # K1/T7 exactly-once recovery
         "x48_semantic_dedup": X.q_semantic_dedup,         # embedding-dedup family
-        # -- second-round adjudication of the round-8-born set (each
-        # green in r9, their first driver row; they stay one more
-        # round per the two-rounds displacement convention). Two carry
-        # r10 FIXES that make re-adjudication load-bearing: w23 (the
-        # r9 hash miss — sign-of-zero, oracle now normalizes -0.0) and
-        # q4 (the r9 row was vacuously green on an empty 1993 date
-        # window; re-cut to 1996-Q3 inside the fixture's range). -------
+        # -- third-round round-8-born keepers: t15b/t17/t19/t20 are the
+        # in-window streaming carriers beyond the pinned set, x68/x69/
+        # x73/x74 the dedup/decontamination suite, d7/a14 the report
+        # and grouping families, and w23/q4 carry the r10 FIXES whose
+        # re-adjudication in r10 was their first TRUE green (w23's r9
+        # row was the sign-of-zero hash miss; q4's r9 row was vacuous
+        # on an empty 1993 window) — they stay one more round per the
+        # two-TRUE-greens displacement convention. ---------------------
         "t15b_stream_cdc_sink": _t15b_stream_cdc_sink,
-        "x66_projected_recall": X.q_projected_recall,
-        "t16_stream_hist_quantiles": _t16_stream_hist_quantiles,
-        "w22_cmf": _w22_cmf,
-        "ml9_grouped_ols": _ml9_grouped_ols,
-        "x67_clustering_coef": X.q_clustering_coef,
         "t17_late_drop": _t17_late_drop,
-        "t18_stream_kmv": _t18_stream_kmv,
         "x68_contamination_scores": X.q_contamination_scores,
         "x69_lsh_tuning": X.q_lsh_tuning,
-        "ml10_cv_ols": _ml10_cv_ols,
         "t19_stream_ols": _t19_stream_ols,
         "w23_williams_r": _w23_williams_r,
-        "x70_pq_adc_recall": X.q_pq_adc_recall,
         "t20_stream_anomaly": _t20_stream_anomaly,
-        "x71_centroid_matrix": X.q_centroid_matrix,
-        "x72_source_kl": X.q_source_kl,
         "d7_quality_checks": _d7_quality_checks,
         "x73_leakage_free_split": X.q_leakage_free_split,
         "x74_filter_funnel": X.q_filter_funnel,
         "a14_grouping_sets": _a14_grouping_sets,
         "q4_order_priority": _q4_order_priority,
-        # -- rotated IN this round (round 10) for FIRST adjudication:
-        # x75 (born r9 — the recall-per-byte compression decision
-        # table the r8 verdict #3 asked for), the r10 planner suite
-        # (the TPC-H join/decorrelation shapes q2/q7/q10/q11/q13/q15/
-        # q16/q17/q19/q21/q22 — argmin, nation-pair star, top-N,
-        # grouped-HAVING-vs-scalar, outer-join histogram, scalar-max,
-        # anti+distinct, correlated-avg, disjunctive predicate,
-        # EXISTS+NOT-EXISTS, anti+scalar-avg), and x76 (the long-gram
-        # memorization/novelty scan). All verified by
-        # tools/verify_contract.py before rotation. --------------------
+        # -- second-round adjudication of the round-10-born set (each
+        # green in r10, their first driver row; they stay one more
+        # round per the displacement convention). q21 carries the r11
+        # FIX (r_pairs localCheckpointed once instead of re-planned
+        # per self-join probe) and q22 the r11 rounded-threshold fix
+        # (avg_bal rounded before the gate on both engines), so both
+        # re-adjudications are load-bearing. ---------------------------
         "x75_compression_table": X.q_compression_table,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q7_nation_volume": _q7_nation_volume,
@@ -4722,17 +5246,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_returner": _q21_sole_returner,
         "q22_idle_balances": _q22_idle_balances,
         "x76_ngram_novelty": X.q_ngram_novelty,
-        # ------------------------------------------------- entry 50 ends
-        # q8/q14/q20 NEW in round 10, past the window (oracle-bearing,
-        # entry-parity-checked every session) — ROTATE IN ROUND 11
-        # (tools/check_rotation_debt.py enforces it): the last three
-        # TPC-H shapes the planner suite lacked — conditional-share
-        # market share (q8), promo CASE-share (q14), and the nested
-        # semi-join over an aggregation-derived key set (q20)
+        # -- rotated IN this round (round 11) for FIRST adjudication:
+        # the three r10 births the debt guard bounded to this round
+        # (q8 conditional-share market share, q14 promo CASE-share,
+        # q20 nested semi-join over an aggregation-derived key set),
+        # the TPC-H completions (q5 snowflake-local join, q9 profit
+        # rollup, q12 lateness CASE pivot, q18 HAVING-derived top-N),
+        # and the ingestion adjudications the r10 verdict asked for
+        # (s8 CSV quarantine, s9 JSONL type-drift quarantine, t21 the
+        # streaming drop-folder twin). All verified by
+        # tools/verify_contract.py before rotation. --------------------
         "q8_market_share": _q8_market_share,
         "q14_promo_revenue": _q14_promo_revenue,
         "q20_bulk_suppliers": _q20_bulk_suppliers,
-        # -- displaced THIS round (round 10): the thirteen round-8-born
+        "q5_local_volume": _q5_local_volume,
+        "q9_product_profit": _q9_product_profit,
+        "q12_lateness_priority": _q12_lateness_priority,
+        "q18_large_orders": _q18_large_orders,
+        "s8_csv_quarantine": _s8_csv_quarantine,
+        "s9_jsonl_quarantine": _s9_jsonl_quarantine,
+        "t21_stream_csv_drop": _t21_stream_csv_drop,
+        # ------------------------------------------------- entry 50 ends
+        # -- displaced THIS round (round 11): ten round-8-born queries,
+        # each TWICE driver-green (r9 + r10), subsumed per the inline
+        # notes; all stay pytest-oracle-checked every session ----------
+        # x66: in-window x75 publishes recall@10 for the same JL
+        # projections (jl48/32/16 prefixes) through the same
+        # measured-recall kernel
+        "x66_projected_recall": X.q_projected_recall,
+        # t16: pinned a12 adjudicates the histogram-quantile kernel
+        # batch-side; its streamed delivery rides the same foreachBatch
+        # machinery as in-window t19/t20
+        "t16_stream_hist_quantiles": _t16_stream_hist_quantiles,
+        # w22: the bounded-frame indicator family is carried in-window
+        # by w23 (its stochastic twin) and the pinned flagships' W1-W8
+        "w22_cmf": _w22_cmf,
+        # ml9/ml10: in-window t19_stream_ols streams the identical
+        # closed-form OLS normal-equation fold; the grouped/k-fold
+        # assignment stays pytest-oracle-checked
+        "ml9_grouped_ols": _ml9_grouped_ols,
+        "ml10_cv_ols": _ml10_cv_ols,
+        # x67: the graph family's component machinery runs in-window
+        # beneath x73 (x16's CC); triangle/coefficient kernels stay
+        # pytest-pinned
+        "x67_clustering_coef": X.q_clustering_coef,
+        # t18: pinned t13 + in-window t19/t20 carry streamed keyed
+        # state; the KMV union algebra is unit-pinned and its batch
+        # form (x51/x55) stays pytest-oracle-checked
+        "t18_stream_kmv": _t18_stream_kmv,
+        # x70: in-window x75's pq8-ADC leg recomputes the identical
+        # codebook train + m-ordered ADC fold
+        "x70_pq_adc_recall": X.q_pq_adc_recall,
+        # x71/x72: the report family is carried in-window by d7 and
+        # x74; the label×dim / source×token algebra stays
+        # pytest-oracle-checked
+        "x71_centroid_matrix": X.q_centroid_matrix,
+        "x72_source_kl": X.q_source_kl,
+        # -- displaced in round 10: the thirteen round-8-born
         # queries that got their second green driver row in r9's
         # all-but-w23-green window (green r8-local + r9), each subsumed
         # per the inline notes; all stay pytest-oracle-checked every
@@ -4942,7 +5512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_rolling_fingerprint": X.q_rolling_fp,
         "x14_quality_filter": X.q_quality_filter,
         "q5_region_revenue": _q5_region_revenue,
-        "q18_large_orders": _q18_large_orders,
+        # (q18_large_orders moved in-window this round: the r3 HAVING-
+        # join version was superseded by the r11 rebuild with the
+        # top-N and broadcast-direction upgrades)
         "a1_minmax_params": _a1_minmax_params,
         "a2_event_stats": _a2_event_stats,
         "f7_relative_levels": _f7_relative_levels,
@@ -5426,6 +5998,13 @@ def oracle_sql() -> dict[str, str]:
         "q8_market_share": _q8_oracle(),
         "q14_promo_revenue": _q14_oracle(),
         "q20_bulk_suppliers": _q20_oracle(),
+        "q5_local_volume": _q5_oracle(),
+        "q9_product_profit": _q9_oracle(),
+        "q12_lateness_priority": _q12_oracle(),
+        "q18_large_orders": _q18_oracle(),
+        "s8_csv_quarantine": _S8_ORACLE,
+        "s9_jsonl_quarantine": _S9_ORACLE,
+        "t21_stream_csv_drop": _T21_ORACLE,
         "x76_ngram_novelty": X.ngram_novelty_oracle(),
         "x75_compression_table": X.compression_table_oracle(),
         "x65_random_projection": X.random_projection_oracle(),
@@ -5592,15 +6171,6 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1999-06-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
-        """,
-        "q18_large_orders": """
-            SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
-            FROM (
-                SELECT l_orderkey, sum(l_quantity) AS sum_qty
-                FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
-            )
-            JOIN orders ON o_orderkey = l_orderkey
-            JOIN customer ON o_custkey = c_custkey
         """,
         "a8_percentiles": """
             SELECT event_type, q, value AS q_value

@@ -1014,3 +1014,100 @@ def test_q22_anti_join_with_pushed_date_filter(spark):
     assert "LeftAnti" in plan, plan[:1500]
     assert "PushedFilters: [IsNotNull(o_orderdate)" in plan, plan[:2500]
     assert "CartesianProduct" not in plan
+
+
+def test_q21_r_pairs_distinct_runs_once(spark):
+    """q21's r11 fix (r10 verdict #4): the returned-pair distinct is
+    eagerly localCheckpointed, so the final plan probes a checkpointed
+    scan from both self-joins instead of re-planning the fact-scale
+    distinct subtree per probe. Exactly ONE composite-key
+    (orderkey, suppkey) distinct exchange remains — all_pairs' — and
+    the checkpoint scan appears in its place."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q21_sole_returner"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan[:2000]
+    pair_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning" in ln
+        and "l_orderkey" in ln
+        and "l_suppkey" in ln
+    ]
+    assert len(pair_exchanges) == 1, pair_exchanges
+
+
+def test_q5_snowflake_broadcasts_with_one_fact_shuffle_family(spark):
+    """q5's scale shape: region→nation→supplier resolve as BROADCAST
+    joins (the region filter reaches the supplier probe without
+    touching a fact row — EqualTo(r_name) sits in the region scan's
+    PushedFilters), the order-date window pushes to the orders scan,
+    and only the fact-side equi-joins (lineitem⋈orders, ⋈customer)
+    may shuffle."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q5_local_volume"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "EqualTo(r_name,EUROPE)" in plan, plan[:2500]
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan[:2500]
+    assert "CartesianProduct" not in plan
+    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert n_shuffle_joins <= 2, plan[:2000]
+
+
+def test_q9_part_filter_broadcasts_into_fact_probe(spark):
+    """q9's scale shape: the p_type filter pushes to the part scan and
+    the pruned key set broadcasts INTO the lineitem probe (fact rows
+    drop before any shuffle); supplier⋈nation is broadcast; every
+    exchange keys on orderkey (the single fact-fact join) or the
+    low-cardinality group keys — never on partkey or suppkey."""
+    import re
+
+    import __spark_entry__ as e
+
+    df = e.queries()["q9_product_profit"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "EqualTo(p_type,PROMO)" in plan, plan[:2500]
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and all(
+        ("orderkey" in k) or ("n_name" in k) or ("supp_nation" in k)
+        for k in keys
+    ), keys
+
+
+def test_q12_case_pivot_is_one_aggregate_over_one_join(spark):
+    """q12's scale shape: both CASE sums ride ONE grouped aggregation
+    over the single lineitem⋈orders join — no Window, no second scan
+    joined back, at most one shuffle-join."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q12_lateness_priority"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert n_shuffle_joins <= 1, plan[:2000]
+
+
+def test_q18_having_key_set_broadcasts_and_topn_is_distributed(spark):
+    """q18's scale shape: the HAVING-derived big-order frame
+    broadcasts into orders and then customer (orders/customer are
+    never shuffled on the fact side's terms), and the top-100 plans
+    as TakeOrderedAndProject — never a global window."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q18_large_orders"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0, (
+        plan[:2000]
+    )

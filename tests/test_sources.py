@@ -379,3 +379,42 @@ def test_streaming_quarantine_ingest_exactly_once(spark, tmp_path):
     quar = spark.read.parquet(quar_dir)
     raws = {r[CORRUPT_COL] for r in quar.collect()}
     assert raws == {"2,view,broken_value", "5,purchase,bad"}, raws
+
+
+def test_quarantine_schema_is_mode_invariant(spark, tmp_path):
+    """r10 advice: the (clean, quarantine) contract must not depend on
+    the parse mode — DROPMALFORMED/FAILFAST quarantine frames are
+    empty but still carry _corrupt_record (all-null), so a
+    mode-generic consumer can select it without an
+    AnalysisException."""
+    from financial_market_data_analysis_spark.sources.files import (
+        CORRUPT_COL,
+        load_csv,
+    )
+
+    p = tmp_path / "drop.csv"
+    p.write_text("event_id,event_type,value\n1,click,0.5\n2,view,bad\n")
+    for mode in ("PERMISSIVE", "DROPMALFORMED"):
+        _, quarantine = load_csv(spark, str(p), _files_schema(), mode=mode)
+        assert CORRUPT_COL in quarantine.columns, (mode, quarantine.columns)
+        quarantine.select(CORRUPT_COL).collect()  # must not raise
+    assert (
+        load_csv(spark, str(p), _files_schema(), mode="DROPMALFORMED")[1]
+        .count()
+        == 0
+    )
+
+
+def test_quarantine_split_reuses_single_parse(spark, tmp_path):
+    """r10 verdict #3: the clean/quarantine split is two predicates
+    over ONE materialized parse — both frames' plans read the shared
+    InMemoryRelation (the cached parsed scan), not two separate file
+    scans."""
+    from financial_market_data_analysis_spark.sources.files import load_csv
+
+    p = tmp_path / "drop.csv"
+    p.write_text("event_id,event_type,value\n1,click,0.5\n2,view,bad\n")
+    clean, quarantine = load_csv(spark, str(p), _files_schema())
+    for frame in (clean, quarantine):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan[:1200]
