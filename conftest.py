@@ -16,8 +16,17 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     s = get_spark(master="local[4]", shuffle_partitions=4, app_name="fmda-tests")
+    # Deterministic session-global checkpoint baseline: without it,
+    # whether a test that passes an explicit checkpoint_dir sees a
+    # prior-dir-override warning depends on which test ran first
+    # (SparkContext.setCheckpointDir is global). Pin it up front so
+    # the warning contract is order-independent and tests can restore
+    # a real directory afterwards.
+    s.sparkContext.setCheckpointDir(
+        str(tmp_path_factory.mktemp("session_ckpt"))
+    )
     yield s
 
 

@@ -370,8 +370,12 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """``checkpoint_dir`` switches the CC loop to reliable
     ``checkpoint()`` (the cluster failure-recovery path): output must
     be IDENTICAL to the default localCheckpoint run, and checkpoint
-    files must actually land under the given directory."""
+    files must actually land under the given directory. The override
+    warning is expected (conftest pins a session baseline dir);
+    asserted and restored like the x16 test below."""
     import os
+
+    import pytest
 
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
@@ -381,10 +385,20 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     default = {
         r.doc_id: r.cluster_id for r in connected_components(edges).collect()
     }
-    reliable = {
-        r.doc_id: r.cluster_id
-        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
-    }
+    sc = spark.sparkContext
+    prev = sc._jsc.sc().getCheckpointDir()
+    prev_dir = prev.get() if prev.isDefined() else None
+    assert prev_dir is not None, "conftest should pin a session baseline"
+    try:
+        with pytest.warns(UserWarning, match="overrides the session's"):
+            reliable = {
+                r.doc_id: r.cluster_id
+                for r in connected_components(
+                    edges, checkpoint_dir=ckpt
+                ).collect()
+            }
+    finally:
+        sc.setCheckpointDir(prev_dir)
     assert reliable == default
     written = [
         os.path.join(root, f)
@@ -401,8 +415,17 @@ def test_x16_pipeline_reliable_checkpoint_identical(spark, tmp_path):
     driver adjudicates. Run x16's exact operator on the sf0.001 corpus
     with a reliable ``checkpoint_dir`` and assert the (doc_id,
     cluster_id) output is row-identical to the default
-    localCheckpoint run, with checkpoint files actually on disk."""
+    localCheckpoint run, with checkpoint files actually on disk.
+
+    The explicit checkpoint_dir overrides the session baseline dir
+    (conftest pins one, so the prior dir is always defined) — the
+    operator's documented session-global-override warning is EXPECTED
+    here, asserted via pytest.warns instead of leaking into the suite
+    output, and the baseline is restored afterwards (r10 verdict
+    #8)."""
     import os
+
+    import pytest
 
     from conftest import SF_SMOKE
     from financial_market_data_analysis_spark.plans.extensions import (
@@ -423,15 +446,23 @@ def test_x16_pipeline_reliable_checkpoint_identical(spark, tmp_path):
     }
     assert default, "x16 found no near-dup clusters at sf0.001"
     ckpt = str(tmp_path / "x16_ckpt")
-    reliable = {
-        r.doc_id: r.cluster_id
-        for r in simhash_dedup_clusters(
-            docs,
-            n_bands=SIMHASH_BANDS,
-            max_hamming=SIMHASH_MAX_HAMMING,
-            checkpoint_dir=ckpt,
-        ).collect()
-    }
+    sc = spark.sparkContext
+    prev = sc._jsc.sc().getCheckpointDir()
+    prev_dir = prev.get() if prev.isDefined() else None
+    assert prev_dir is not None, "conftest should pin a session baseline"
+    try:
+        with pytest.warns(UserWarning, match="overrides the session's"):
+            reliable = {
+                r.doc_id: r.cluster_id
+                for r in simhash_dedup_clusters(
+                    docs,
+                    n_bands=SIMHASH_BANDS,
+                    max_hamming=SIMHASH_MAX_HAMMING,
+                    checkpoint_dir=ckpt,
+                ).collect()
+            }
+    finally:
+        sc.setCheckpointDir(prev_dir)
     assert reliable == default
     written = [
         os.path.join(root, f)
