@@ -5267,6 +5267,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_jsonl_quarantine": _s9_jsonl_quarantine,
         "t21_stream_csv_drop": _t21_stream_csv_drop,
         # ------------------------------------------------- entry 50 ends
+        # x77 NEW in round 11, past the window (oracle-bearing,
+        # entry-parity-checked every session) — ROTATE IN ROUND 12
+        # (tools/check_rotation_debt.py enforces it): the IVF nprobe
+        # recall/cost frontier, the x75-style decision table for the
+        # other ANN knob
+        "x77_ivf_nprobe_sweep": X.q_ivf_nprobe_sweep,
         # -- displaced THIS round (round 11): ten round-8-born queries,
         # each TWICE driver-green (r9 + r10), subsumed per the inline
         # notes; all stay pytest-oracle-checked every session ----------
@@ -6005,6 +6011,7 @@ def oracle_sql() -> dict[str, str]:
         "s8_csv_quarantine": _S8_ORACLE,
         "s9_jsonl_quarantine": _S9_ORACLE,
         "t21_stream_csv_drop": _T21_ORACLE,
+        "x77_ivf_nprobe_sweep": X.ivf_nprobe_sweep_oracle(),
         "x76_ngram_novelty": X.ngram_novelty_oracle(),
         "x75_compression_table": X.compression_table_oracle(),
         "x65_random_projection": X.random_projection_oracle(),

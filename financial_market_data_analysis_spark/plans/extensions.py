@@ -5762,3 +5762,180 @@ def compression_table_oracle() -> str:
         {hits}
         {selects}
     """
+
+
+# ---------------------------------------------------------------------------
+# x77: IVF nprobe sweep — recall@k per scanned-candidate cost
+
+
+X77_NPROBES = (1, 2, 3, 5)  # 5 = all cells at fixture K: the exhaustive anchor
+
+
+def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x77 — the IVF TUNING decision table: recall@10 AND scanned-
+    candidate count per query for every nprobe budget, against x8's
+    exact top-k — the x75 question (quality per unit cost) asked of
+    the OTHER ANN knob. x30 publishes one recall number at the shipped
+    nprobe; operating a 100 TB index requires the whole frontier: how
+    much recall each additional probed cell buys, measured, so the
+    knob can be retuned as the corpus drifts without guessing. The
+    largest budget probes every fixture cell (K = corpus/101 = 5), so
+    its recall-1.0 row is the self-test anchor, like x75's raw_f32.
+
+    Scale shape (the x75 one-pass-buys-all-budgets trick, applied to
+    probes): the corpus is cell-assigned ONCE (zero-shuffle broadcast
+    argmax — ivf_assignments), the query×K centroid ranking is ONE
+    tiny pass whose row_number IS each cell's admit_rank, candidates
+    are scored ONCE at the LARGEST nprobe and localCheckpointed, and
+    every smaller budget is a row-local ``admit_rank <= nprobe``
+    filter over that one scored frame (a vector's admitting cell is
+    unique, so membership at nprobe n is exactly admit_rank <= n).
+    The exact ground truth is computed once and localCheckpointed
+    (the x30 pattern). Per-query top-k windows partition on query_id
+    — bounded by the candidate set, never corpus-global."""
+    corpus = load_table(spark, "embeddings", sf_dir)
+    qv = _query_vecs(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    exact = (
+        S.brute_force_topk(corpus, qv, k=TOP_K)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    cells = S.ivf_assignments(corpus, cents)
+    qc = cents.select("centroid_id", F.col("embedding").alias("__cvec"))
+    qs = qv.select("query_id", F.col("embedding").alias("__qvec"))
+    max_np = max(X77_NPROBES)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("__qcos"), F.col("centroid_id")
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(qc))
+        .withColumn("__qcos", S.cosine_expr("__qvec", "__cvec"))
+        .withColumn("admit_rank", F.row_number().over(wq))
+        .filter(F.col("admit_rank") <= max_np)
+        .withColumn("__qnorm", S.norm_expr("__qvec"))
+        .select("query_id", "__qvec", "__qnorm", "centroid_id", "admit_rank")
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "centroid_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "admit_rank",
+            S.safe_div(
+                S.dot_expr("embedding", "__qvec"),
+                F.col("__vnorm") * F.col("__qnorm"),
+            ).alias("cosine"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spine = qv.select("query_id")
+    out = None
+    for np_ in X77_NPROBES:
+        sub = cand.filter(F.col("admit_rank") <= np_)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.col("vec_id")
+        )
+        topk = (
+            sub.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+        hits = (
+            exact.join(topk, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        ncand = sub.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_candidates")
+        )
+        part = (
+            spine.join(hits, "query_id", "left")
+            .join(ncand, "query_id", "left")
+            .na.fill({"n_hits": 0, "n_candidates": 0})
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "query_id",
+                F.col("n_candidates").cast("int").alias("n_candidates"),
+                F.col("n_hits").cast("int").alias("n_hits"),
+                (F.col("n_hits") / F.lit(float(TOP_K))).alias("recall_at_k"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def ivf_nprobe_sweep_oracle() -> str:
+    """Mirror of q_ivf_nprobe_sweep: the assign/probes CTEs are x12's
+    verbatim (probes kept to the largest budget with their rank as
+    admit_rank), candidates scored once, each budget a filter."""
+    max_np = max(X77_NPROBES)
+    per_np = []
+    for np_ in X77_NPROBES:
+        per_np.append(
+            f"""topk_{np_} AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+                FROM cand WHERE admit_rank <= {np_}
+            ) WHERE rk <= {TOP_K}
+        ),
+        hits_{np_} AS (
+            SELECT e.query_id, count(*) AS n_hits
+            FROM exact e JOIN topk_{np_} a
+              ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+            GROUP BY e.query_id
+        ),
+        nc_{np_} AS (
+            SELECT query_id, count(*) AS n_candidates
+            FROM cand WHERE admit_rank <= {np_}
+            GROUP BY query_id
+        )"""
+        )
+    selects = "\n        UNION ALL\n        ".join(
+        f"""SELECT CAST({np_} AS INT) AS nprobe, s.query_id,
+               CAST(COALESCE(nc.n_candidates, 0) AS INT) AS n_candidates,
+               CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+               COALESCE(h.n_hits, 0) / CAST({TOP_K} AS DOUBLE) AS recall_at_k
+        FROM qs s
+        LEFT JOIN hits_{np_} h USING (query_id)
+        LEFT JOIN nc_{np_} nc USING (query_id)"""
+        for np_ in X77_NPROBES
+    )
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS centroid_id, embedding FROM embeddings
+            WHERE vec_id % {CENTROID_MOD} = 0
+        ),
+        assign AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_COS_AC} DESC, c.centroid_id) AS rk
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rk = 1
+        ),
+        probes AS (
+            SELECT query_id, embedding, centroid_id, admit_rank FROM (
+                SELECT e.vec_id AS query_id, e.embedding, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_COS_AC} DESC, c.centroid_id)
+                           AS admit_rank
+                FROM embeddings e CROSS JOIN cent c
+                WHERE e.vec_id < {N_QUERY_VECS}
+            ) WHERE admit_rank <= {max_np}
+        ),
+        cand AS MATERIALIZED (
+            SELECT q.query_id, e.vec_id, q.admit_rank, {_COS_SQL} AS cosine
+            FROM assign e JOIN probes q ON e.centroid_id = q.centroid_id
+        ),
+        exact AS MATERIALIZED (
+            SELECT query_id, vec_id FROM ({ann_brute_oracle()})
+        ),
+        qs AS (
+            SELECT vec_id AS query_id FROM embeddings
+            WHERE vec_id < {N_QUERY_VECS}
+        ),
+        {",".join(per_np)}
+        {selects}
+    """

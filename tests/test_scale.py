@@ -1111,3 +1111,53 @@ def test_q18_having_key_set_broadcasts_and_topn_is_distributed(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0, (
         plan[:2000]
     )
+
+
+def test_x77_candidates_scored_once_for_all_budgets(spark):
+    """x77's scale shape: candidates are scored ONCE at the largest
+    nprobe and localCheckpointed; every budget is a row-local
+    admit_rank filter over that frame, so the final plan windows over
+    checkpointed scans (ExistingRDD) — no brute-force re-scoring
+    (zero nested-loop joins), one bounded top-k Window per budget."""
+    import __spark_entry__ as e
+
+    df = e.queries()["x77_ivf_nprobe_sweep"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    from financial_market_data_analysis_spark.plans.extensions import (
+        X77_NPROBES,
+    )
+
+    # one top-k Window per budget, each with the Spark 4 group-limit
+    # pushdown (rank filter applied per partition BEFORE the full sort)
+    assert plan.count("Window [") == len(X77_NPROBES), plan[:2000]
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_x77_recall_monotone_with_exhaustive_anchor(spark):
+    """The sweep's self-test invariants: mean recall@10 is
+    non-decreasing in nprobe (a bigger probe budget can only add
+    candidates) and the largest budget probes every fixture cell, so
+    its recall is exactly 1.0 — the x75 raw_f32-style anchor."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+
+    df = e.queries()["x77_ivf_nprobe_sweep"](spark, SF_SMOKE)
+    rows = (
+        df.groupBy("nprobe")
+        .agg(
+            F.avg("recall_at_k").alias("r"),
+            F.min("n_candidates").alias("min_c"),
+        )
+        .orderBy("nprobe")
+        .collect()
+    )
+    recalls = [r["r"] for r in rows]
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls
+    # candidate counts grow with the budget too
+    mins = [r["min_c"] for r in rows]
+    assert mins == sorted(mins), mins
