@@ -418,3 +418,44 @@ def test_quarantine_split_reuses_single_parse(spark, tmp_path):
     for frame in (clean, quarantine):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan, plan[:1200]
+
+
+def test_csv_loader_matches_duckdb_read_csv_on_same_file(spark, tmp_path):
+    """File-level cross-engine parity (the r10 verdict's read_csv
+    oracle, at the pytest layer — the driver rows for s8/s9 use
+    fixture-derived oracles because the driver's DuckDB session only
+    sees pre-registered views, not staged temp files): DuckDB's
+    read_csv with ignore_errors over the SAME staged file must parse
+    exactly the rows load_csv lands clean, and the quarantine count
+    must equal total lines minus DuckDB's parsed count."""
+    import duckdb
+
+    from financial_market_data_analysis_spark.sources.files import load_csv
+
+    p = tmp_path / "drop.csv"
+    lines = [
+        "1,click,0.5",
+        "2,view,oops_not_a_number",
+        "3,click,1.25",
+        "4,purchase,not_numeric_either",
+        "5,view,3.5",
+        "6,click,2.75",
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    clean, quarantine = load_csv(
+        spark, str(p), _files_schema(), header=False
+    )
+    got = {
+        (r["event_id"], r["event_type"], r["value"])
+        for r in clean.collect()
+    }
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT * FROM read_csv(?, header=false, ignore_errors=true, "
+        "columns={'event_id': 'BIGINT', 'event_type': 'VARCHAR', "
+        "'value': 'DOUBLE'})",
+        [str(p)],
+    ).fetchall()
+    assert {tuple(r) for r in duck} == got
+    assert quarantine.count() == len(lines) - len(duck)
+    con.close()
