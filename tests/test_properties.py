@@ -646,3 +646,72 @@ def test_q21_sole_returner_matches_set_semantics(spark, rows):
     )
     got = {(r["l_orderkey"], r["l_suppkey"]) for r in cand.collect()}
     assert got == want
+
+
+csv_field = st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6).map(str),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).map(
+        lambda x: f"{x:.4f}"
+    ),
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_",
+        min_size=1,
+        max_size=12,
+    ),
+)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from(["a", "b"]), csv_field),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_csv_quarantine_conservation_law(spark, tmp_path_factory, rows):
+    """For ANY input — arbitrary mixes of parseable and unparseable
+    value fields — the PERMISSIVE split loses nothing and invents
+    nothing: n_clean + n_quarantined == n_input_lines, the clean frame
+    contains exactly the rows whose third field parses as a double,
+    and every quarantined raw line is one of the input lines
+    verbatim."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from financial_market_data_analysis_spark.sources.files import (
+        CORRUPT_COL,
+        load_csv,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+
+    def parses_as_double(s: str) -> bool:
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    tmp = tmp_path_factory.mktemp("csv_prop")
+    p = tmp / "drop.csv"
+    lines = [f"{i},{t},{v}" for (i, t, v) in rows]
+    p.write_text("\n".join(lines) + "\n")
+    clean, quarantine = load_csv(spark, str(p), schema, header=False)
+    n_clean, n_quar = clean.count(), quarantine.count()
+    assert n_clean + n_quar == len(lines)
+    expect_clean = sum(1 for (_, _, v) in rows if parses_as_double(v))
+    assert n_clean == expect_clean
+    raws = {r[CORRUPT_COL] for r in quarantine.collect()}
+    assert raws <= set(lines)
