@@ -1891,6 +1891,93 @@ _T21_ORACLE = f"""
 """
 
 
+def _s10_two_drops(spark: SparkSession, sf_dir: str):
+    """Deterministic 'two drops of the same feed' fixture derived from
+    documents (the docs_augmented convention — derivation lives in a
+    named fixture, not the query body): the OLD drop is the even half
+    with the original (doc_id, text, lang, n_chars) layout; the NEW
+    drop is the odd half after a producer-side contract drift — lang
+    DROPPED, source ADDED, n_chars RETYPED bigint→double, and text
+    nulled on the doc_id%5 slice (a null-rate regression the report
+    must quantify, not just flag)."""
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(None).cast("string")
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+        F.col("n_chars").cast("double").alias("n_chars"),
+    )
+    return old, new
+
+
+def _s10_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8 — the SCHEMA-LEVEL drift report over two drops of the
+    same feed (sources/files.py schema_drift_report): the contract
+    check that runs before the row-level quarantine gets a say — a
+    producer dropping, adding, or retyping a column is invisible to
+    per-row parsing under an explicit schema. One report row per
+    column: status (added/removed/type_changed/kept), both type
+    names, and round-6 null fractions per side. The oracle recomputes
+    every fraction from the fixture under the same derivation, so a
+    report that mislabels a column or miscounts a null slice
+    hash-mismatches. Scale shape: driver-side schema diff + ONE
+    partial-aggregatable stats pass per side, per-column rows via
+    inline over a single array-of-structs projection (two scans
+    total, no per-column re-planning)."""
+    from financial_market_data_analysis_spark.sources import files as FS
+
+    old, new = _s10_two_drops(spark, sf_dir)
+    return FS.schema_drift_report(old, new)
+
+
+_S10_ORACLE = """
+    WITH o AS (
+        SELECT count(*) AS n, count(doc_id) AS nn_doc,
+               count(text) AS nn_text, count(lang) AS nn_lang,
+               count(n_chars) AS nn_nc
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    nw AS (
+        SELECT count(*) AS n, count(doc_id) AS nn_doc,
+               count(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END)
+                   AS nn_text,
+               count(source) AS nn_src, count(n_chars) AS nn_nc
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT 'doc_id' AS "column", 'kept' AS status,
+           'bigint' AS old_type, 'bigint' AS new_type,
+           round(1.0 - nn_doc / greatest(n, 1), 6) AS old_null_frac,
+           (SELECT round(1.0 - nn_doc / greatest(n, 1), 6) FROM nw)
+               AS new_null_frac
+    FROM o
+    UNION ALL
+    SELECT 'lang', 'removed', 'string', NULL,
+           round(1.0 - nn_lang / greatest(n, 1), 6), NULL
+    FROM o
+    UNION ALL
+    SELECT 'n_chars', 'type_changed', 'bigint', 'double',
+           (SELECT round(1.0 - nn_nc / greatest(n, 1), 6) FROM o),
+           round(1.0 - nn_nc / greatest(n, 1), 6)
+    FROM nw
+    UNION ALL
+    SELECT 'source', 'added', NULL, 'string',
+           NULL, round(1.0 - nn_src / greatest(n, 1), 6)
+    FROM nw
+    UNION ALL
+    SELECT 'text', 'kept', 'string', 'string',
+           (SELECT round(1.0 - nn_text / greatest(n, 1), 6) FROM o),
+           round(1.0 - nn_text / greatest(n, 1), 6)
+    FROM nw
+"""
+
+
 def _d7_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D7 — the DATA-QUALITY CHECK SUITE a warehouse runs before
     trusting a load (the dbt-test / Great-Expectations class, absent
@@ -5267,12 +5354,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_jsonl_quarantine": _s9_jsonl_quarantine,
         "t21_stream_csv_drop": _t21_stream_csv_drop,
         # ------------------------------------------------- entry 50 ends
-        # x77 NEW in round 11, past the window (oracle-bearing,
+        # x77/s10 NEW in round 11, past the window (oracle-bearing,
         # entry-parity-checked every session) — ROTATE IN ROUND 12
         # (tools/check_rotation_debt.py enforces it): the IVF nprobe
-        # recall/cost frontier, the x75-style decision table for the
-        # other ANN knob
+        # recall/cost frontier (the x75-style decision table for the
+        # other ANN knob) and the schema-level drift report (the
+        # contract check above the s8/s9 row-level quarantine)
         "x77_ivf_nprobe_sweep": X.q_ivf_nprobe_sweep,
+        "s10_schema_drift": _s10_schema_drift,
         # -- displaced THIS round (round 11): ten round-8-born queries,
         # each TWICE driver-green (r9 + r10), subsumed per the inline
         # notes; all stay pytest-oracle-checked every session ----------
@@ -6012,6 +6101,7 @@ def oracle_sql() -> dict[str, str]:
         "s9_jsonl_quarantine": _S9_ORACLE,
         "t21_stream_csv_drop": _T21_ORACLE,
         "x77_ivf_nprobe_sweep": X.ivf_nprobe_sweep_oracle(),
+        "s10_schema_drift": _S10_ORACLE,
         "x76_ngram_novelty": X.ngram_novelty_oracle(),
         "x75_compression_table": X.compression_table_oracle(),
         "x65_random_projection": X.random_projection_oracle(),

@@ -151,3 +151,97 @@ def ingest_report(clean: DataFrame, quarantine: DataFrame) -> DataFrame:
             ).alias("quarantine_frac"),
         )
     )
+
+
+def schema_drift_report(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema-level drift between two drops of the "same" feed — the
+    contract check a bulk-ingest pipeline runs BEFORE the row-level
+    quarantine gets a say (a producer silently adding, dropping, or
+    retyping a column is invisible to per-row parsing under an
+    explicit schema: the loader would faithfully quarantine every row
+    of a retyped column and nobody would learn why). One report row
+    per column across both schemas:
+
+        column, status (added | removed | type_changed | kept),
+        old_type, new_type  (Spark simpleString; NULL for the absent
+        side), old_null_frac, new_null_frac (round-6; NULL likewise)
+
+    Scale shape: the schema diff is DRIVER-SIDE METADATA (no data
+    pass); the null fractions come from ONE aggregate pass per side —
+    count(*) plus count(col) per column, all partial-aggregatable, no
+    shuffle of row data. The per-column rows come from ``inline`` over
+    ONE array-of-structs projection of the single joined stats row —
+    never a union of per-column branches, which would re-plan the
+    stats subtree (and its scans) once per column. Cost is two scans
+    total, independent of column count."""
+    old_cols = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_cols = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+
+    def _stats(df: DataFrame, cols: dict[str, str]) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.count(F.col(c)).alias(f"nn_{i}")
+                for i, c in enumerate(cols)
+            ],
+        )
+
+    old_stats = _stats(old, old_cols)
+    new_stats = _stats(new, new_cols)
+    both = old_stats.select(
+        F.col("n_rows").alias("o_rows"),
+        *[
+            F.col(f"nn_{i}").alias(f"o_nn_{i}")
+            for i in range(len(old_cols))
+        ],
+    ).crossJoin(
+        new_stats.select(
+            F.col("n_rows").alias("nw_rows"),
+            *[
+                F.col(f"nn_{i}").alias(f"nw_nn_{i}")
+                for i in range(len(new_cols))
+            ],
+        )
+    )
+    old_idx = {c: i for i, c in enumerate(old_cols)}
+    new_idx = {c: i for i, c in enumerate(new_cols)}
+    null_str = F.lit(None).cast(StringType())
+    null_dbl = F.lit(None).cast("double")
+
+    def _frac(nn_col: str, rows_col: str):
+        return F.round(
+            1.0 - F.col(nn_col) / F.greatest(F.col(rows_col), F.lit(1)), 6
+        )
+
+    entries = []
+    for c in sorted(set(old_cols) | set(new_cols)):
+        in_old, in_new = c in old_cols, c in new_cols
+        if in_old and in_new:
+            status = (
+                "type_changed" if old_cols[c] != new_cols[c] else "kept"
+            )
+        else:
+            status = "added" if in_new else "removed"
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(status).alias("status"),
+                (F.lit(old_cols[c]) if in_old else null_str).alias(
+                    "old_type"
+                ),
+                (F.lit(new_cols[c]) if in_new else null_str).alias(
+                    "new_type"
+                ),
+                (
+                    _frac(f"o_nn_{old_idx[c]}", "o_rows")
+                    if in_old
+                    else null_dbl
+                ).alias("old_null_frac"),
+                (
+                    _frac(f"nw_nn_{new_idx[c]}", "nw_rows")
+                    if in_new
+                    else null_dbl
+                ).alias("new_null_frac"),
+            )
+        )
+    return both.select(F.inline(F.array(*entries)))

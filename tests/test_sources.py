@@ -459,3 +459,46 @@ def test_csv_loader_matches_duckdb_read_csv_on_same_file(spark, tmp_path):
     assert {tuple(r) for r in duck} == got
     assert quarantine.count() == len(lines) - len(duck)
     con.close()
+
+
+def test_schema_drift_report_statuses_and_fracs(spark):
+    """Toy-frame unit check of every status class: added, removed,
+    type_changed, kept — with null fractions computed per side."""
+    from financial_market_data_analysis_spark.sources.files import (
+        schema_drift_report,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20)], "id long, name string, qty long"
+    )
+    new = spark.createDataFrame(
+        [(1, 1.5, "x"), (2, 2.5, None), (3, 3.5, None)],
+        "id long, qty double, tag string",
+    )
+    rows = {r["column"]: r for r in schema_drift_report(old, new).collect()}
+    assert set(rows) == {"id", "name", "qty", "tag"}
+    assert rows["id"]["status"] == "kept"
+    assert rows["name"]["status"] == "removed"
+    assert rows["name"]["new_type"] is None
+    assert rows["name"]["old_null_frac"] == 0.5
+    assert rows["qty"]["status"] == "type_changed"
+    assert (rows["qty"]["old_type"], rows["qty"]["new_type"]) == (
+        "bigint",
+        "double",
+    )
+    assert rows["tag"]["status"] == "added"
+    assert rows["tag"]["old_null_frac"] is None
+    assert round(rows["tag"]["new_null_frac"], 6) == round(2 / 3, 6)
+
+
+def test_schema_drift_report_is_two_scans_no_union(spark):
+    """s10's scale claim: the per-column report rows come from inline
+    over one array-of-structs projection of the single joined stats
+    row — the plan reads each side ONCE and contains no per-column
+    Union re-planning the stats subtree."""
+    import __spark_entry__ as e
+
+    df = e.queries()["s10_schema_drift"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan[:1500]
+    assert plan.count("Scan parquet") == 2, plan[:2000]
