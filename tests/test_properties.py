@@ -715,3 +715,58 @@ def test_csv_quarantine_conservation_law(spark, tmp_path_factory, rows):
     assert n_clean == expect_clean
     raws = {r[CORRUPT_COL] for r in quarantine.collect()}
     assert raws <= set(lines)
+
+
+drift_colname = st.sampled_from(["a", "b", "c", "d", "e"])
+drift_type = st.sampled_from(["long", "double", "string"])
+
+
+@given(
+    st.dictionaries(drift_colname, drift_type, min_size=1, max_size=4),
+    st.dictionaries(drift_colname, drift_type, min_size=1, max_size=4),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_schema_drift_report_invariants(
+    spark, old_schema, new_schema, n_old, n_new
+):
+    """For ANY pair of schemas and row counts: the report has exactly
+    one row per column of the union, statuses partition the columns
+    correctly (added ⇔ new-only, removed ⇔ old-only, type_changed ⇔
+    both-with-different-types), the absent side's type and null
+    fraction are NULL, and every present null fraction lies in
+    [0, 1]."""
+    from financial_market_data_analysis_spark.sources.files import (
+        schema_drift_report,
+    )
+
+    def mk(schema: dict, n: int):
+        ddl = ", ".join(f"{c} {t}" for c, t in sorted(schema.items()))
+        row = tuple(
+            {"long": 1, "double": 1.5, "string": "x"}[t]
+            for _, t in sorted(schema.items())
+        )
+        return spark.createDataFrame([row] * n, ddl)
+
+    old, new = mk(old_schema, n_old), mk(new_schema, n_new)
+    rows = {r["column"]: r for r in schema_drift_report(old, new).collect()}
+    assert set(rows) == set(old_schema) | set(new_schema)
+    for c, r in rows.items():
+        in_old, in_new = c in old_schema, c in new_schema
+        if in_old and in_new:
+            want = (
+                "type_changed"
+                if old_schema[c] != new_schema[c]
+                else "kept"
+            )
+        else:
+            want = "added" if in_new else "removed"
+        assert r["status"] == want, (c, r)
+        assert (r["old_type"] is None) == (not in_old)
+        assert (r["new_type"] is None) == (not in_new)
+        assert (r["old_null_frac"] is None) == (not in_old)
+        assert (r["new_null_frac"] is None) == (not in_new)
+        for frac in (r["old_null_frac"], r["new_null_frac"]):
+            if frac is not None:
+                assert 0.0 <= frac <= 1.0, (c, frac)
