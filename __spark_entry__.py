@@ -1618,7 +1618,34 @@ def _stage_corrupt_csv(docs: DataFrame, src: str, n_files: int = 1) -> None:
     slice). Written distributed (no driver collect); ``n_files`` > 1
     splits rows by ``doc_id % n_files`` into separate files so a
     FileStreamSource with maxFilesPerTrigger=1 sees a deterministic
-    batch count."""
+    batch count.
+
+    Staging precondition (r11 advice): the rows are rendered with
+    ``concat_ws`` and NO quoting, so a lang containing the separator /
+    a quote / a newline, or a null in any field (``concat_ws``
+    silently drops nulls), would shift field arity and move the
+    injected corruption to the wrong column — silently breaking the
+    s8/t21 oracle rule. The fixture has no such values; this asserts
+    that contract instead of assuming it."""
+    n_bad = (
+        docs.agg(
+            F.sum(
+                (
+                    F.col("doc_id").isNull()
+                    | F.col("n_chars").isNull()
+                    | F.col("lang").isNull()
+                    | F.col("lang").rlike('[,"\n\r]')
+                ).cast("int")
+            ).alias("n_bad")
+        ).first()["n_bad"]
+        or 0
+    )
+    if n_bad:
+        raise ValueError(
+            f"_stage_corrupt_csv: {n_bad} fixture rows violate the "
+            "unquoted-CSV staging precondition (null field or "
+            "separator/quote/newline inside lang)"
+        )
     lines = docs.select(
         F.col("doc_id"),
         F.concat_ws(
@@ -1706,6 +1733,7 @@ def _s8_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep = FS.ingest_report(clean, quar)
         chk = clean.agg(F.sum("n_chars").alias("clean_chars_sum"))
         out = rep.crossJoin(chk).localCheckpoint(eager=True)
+        FS.release_split(clean, quar)  # drop the one-parse cache (r11 advice)
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return out
@@ -1785,6 +1813,7 @@ def _s9_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("clean_value_sum")
         )
         out = rep.crossJoin(chk).localCheckpoint(eager=True)
+        FS.release_split(clean, quar)  # drop the one-parse cache (r11 advice)
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return out
@@ -1953,27 +1982,27 @@ _S10_ORACLE = """
     )
     SELECT 'doc_id' AS "column", 'kept' AS status,
            'bigint' AS old_type, 'bigint' AS new_type,
-           round(1.0 - nn_doc / greatest(n, 1), 6) AS old_null_frac,
-           (SELECT round(1.0 - nn_doc / greatest(n, 1), 6) FROM nw)
+           round(1.0 - nn_doc / n, 6) AS old_null_frac,
+           (SELECT round(1.0 - nn_doc / n, 6) FROM nw)
                AS new_null_frac
     FROM o
     UNION ALL
     SELECT 'lang', 'removed', 'string', NULL,
-           round(1.0 - nn_lang / greatest(n, 1), 6), NULL
+           round(1.0 - nn_lang / n, 6), NULL
     FROM o
     UNION ALL
     SELECT 'n_chars', 'type_changed', 'bigint', 'double',
-           (SELECT round(1.0 - nn_nc / greatest(n, 1), 6) FROM o),
-           round(1.0 - nn_nc / greatest(n, 1), 6)
+           (SELECT round(1.0 - nn_nc / n, 6) FROM o),
+           round(1.0 - nn_nc / n, 6)
     FROM nw
     UNION ALL
     SELECT 'source', 'added', NULL, 'string',
-           NULL, round(1.0 - nn_src / greatest(n, 1), 6)
+           NULL, round(1.0 - nn_src / n, 6)
     FROM nw
     UNION ALL
     SELECT 'text', 'kept', 'string', 'string',
-           (SELECT round(1.0 - nn_text / greatest(n, 1), 6) FROM o),
-           round(1.0 - nn_text / greatest(n, 1), 6)
+           (SELECT round(1.0 - nn_text / n, 6) FROM o),
+           round(1.0 - nn_text / n, 6)
     FROM nw
 """
 

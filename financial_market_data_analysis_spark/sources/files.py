@@ -70,7 +70,28 @@ def _split(raw: DataFrame, mode: str) -> tuple[DataFrame, DataFrame]:
     raw = raw.cache()
     clean = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = raw.filter(F.col(CORRUPT_COL).isNotNull())
+    # Expose the cached parent so consumers can release it once both
+    # sides are materialized — without this every load pins a parsed
+    # relation for the whole session (r11 advice).
+    clean._split_parent = raw
+    quarantine._split_parent = raw
     return clean, quarantine
+
+
+def release_split(*frames: DataFrame) -> None:
+    """Unpersist the cached one-parse parent shared by a
+    ``(clean, quarantine)`` pair from :func:`load_csv` /
+    :func:`load_jsonl` / :func:`_split`. Call after the derived
+    results are materialized (e.g. an eager ``localCheckpoint`` or a
+    sink write) — lazy descendants re-parse from source afterwards.
+    Idempotent; a no-op for frames without a cached parent (the
+    DROPMALFORMED/FAILFAST path caches nothing)."""
+    seen: set[int] = set()
+    for f in frames:
+        parent = getattr(f, "_split_parent", None)
+        if parent is not None and id(parent) not in seen:
+            seen.add(id(parent))
+            parent.unpersist()
 
 
 def load_csv(
@@ -209,8 +230,13 @@ def schema_drift_report(old: DataFrame, new: DataFrame) -> DataFrame:
     null_dbl = F.lit(None).cast("double")
 
     def _frac(nn_col: str, rows_col: str):
-        return F.round(
-            1.0 - F.col(nn_col) / F.greatest(F.col(rows_col), F.lit(1)), 6
+        # A zero-row side has NO null fraction — reporting 1.0 ("fully
+        # null") for an empty drop would mislead the exact drift
+        # triage this report exists for (r11 advice).
+        return F.when(
+            F.col(rows_col) == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round(1.0 - F.col(nn_col) / F.col(rows_col), 6)
         )
 
     entries = []

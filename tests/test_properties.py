@@ -657,7 +657,12 @@ csv_field = st.one_of(
         alphabet="abcdefghijklmnopqrstuvwxyz_",
         min_size=1,
         max_size=12,
-    ),
+        # Python's float() accepts these spellings but Spark's CSV
+        # DoubleType parser does not (nanValue/positiveInf are
+        # exact-match 'NaN'/'Inf' and Java parseDouble rejects
+        # lowercase), so they'd flip a row from "expected clean" to
+        # "quarantined" and flake the conservation law (r11 advice).
+    ).filter(lambda v: v not in ("nan", "inf", "infinity")),
 )
 
 
@@ -687,6 +692,7 @@ def test_csv_quarantine_conservation_law(spark, tmp_path_factory, rows):
     from financial_market_data_analysis_spark.sources.files import (
         CORRUPT_COL,
         load_csv,
+        release_split,
     )
 
     schema = StructType(
@@ -714,6 +720,7 @@ def test_csv_quarantine_conservation_law(spark, tmp_path_factory, rows):
     expect_clean = sum(1 for (_, _, v) in rows if parses_as_double(v))
     assert n_clean == expect_clean
     raws = {r[CORRUPT_COL] for r in quarantine.collect()}
+    release_split(clean, quarantine)  # one cached parse per example otherwise
     assert raws <= set(lines)
 
 
@@ -724,19 +731,21 @@ drift_type = st.sampled_from(["long", "double", "string"])
 @given(
     st.dictionaries(drift_colname, drift_type, min_size=1, max_size=4),
     st.dictionaries(drift_colname, drift_type, min_size=1, max_size=4),
-    st.integers(min_value=1, max_value=5),
-    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=0, max_value=5),
+    st.integers(min_value=0, max_value=5),
 )
 @settings(**_SETTINGS)
 def test_schema_drift_report_invariants(
     spark, old_schema, new_schema, n_old, n_new
 ):
-    """For ANY pair of schemas and row counts: the report has exactly
-    one row per column of the union, statuses partition the columns
-    correctly (added ⇔ new-only, removed ⇔ old-only, type_changed ⇔
-    both-with-different-types), the absent side's type and null
-    fraction are NULL, and every present null fraction lies in
-    [0, 1]."""
+    """For ANY pair of schemas and row counts — INCLUDING a zero-row
+    side (an empty drop): the report has exactly one row per column of
+    the union, statuses partition the columns correctly (added ⇔
+    new-only, removed ⇔ old-only, type_changed ⇔
+    both-with-different-types), the null fraction is NULL exactly when
+    the side is absent OR has zero rows (an empty drop must not read
+    as "fully null" — r11 advice), the absent side's type is NULL, and
+    every present null fraction lies in [0, 1]."""
     from financial_market_data_analysis_spark.sources.files import (
         schema_drift_report,
     )
@@ -765,8 +774,8 @@ def test_schema_drift_report_invariants(
         assert r["status"] == want, (c, r)
         assert (r["old_type"] is None) == (not in_old)
         assert (r["new_type"] is None) == (not in_new)
-        assert (r["old_null_frac"] is None) == (not in_old)
-        assert (r["new_null_frac"] is None) == (not in_new)
+        assert (r["old_null_frac"] is None) == (not in_old or n_old == 0)
+        assert (r["new_null_frac"] is None) == (not in_new or n_new == 0)
         for frac in (r["old_null_frac"], r["new_null_frac"]):
             if frac is not None:
                 assert 0.0 <= frac <= 1.0, (c, frac)

@@ -22,6 +22,7 @@ fresh session deserves a plan diff.
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -31,20 +32,17 @@ sys.path.insert(0, REPO)
 
 
 def main() -> int:
-    argv = sys.argv[1:]
-    passes = 3
-    sf = "/root/testdata/sf0.1"
-    if "--passes" in argv:
-        i = argv.index("--passes")
-        passes = int(argv[i + 1])
-        argv = argv[:i] + argv[i + 2:]
-    if "--sf" in argv:
-        i = argv.index("--sf")
-        sf = argv[i + 1]
-        argv = argv[:i] + argv[i + 2:]
-    if not argv:
-        print(__doc__)
-        return 2
+    ap = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    ap.add_argument("queries", nargs="+", metavar="QUERY")
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ns = ap.parse_args()
+    argv, passes, sf = ns.queries, ns.passes, ns.sf
+    if passes < 1:
+        ap.error("--passes must be >= 1")
 
     from financial_market_data_analysis_spark import get_spark
 
