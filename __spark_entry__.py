@@ -1966,6 +1966,124 @@ def _s10_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FS.schema_drift_report(old, new)
 
 
+def _s11_schema_evolution_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8 — the schema-evolution-TOLERANT ingest on top of s10's
+    drift report (r11 verdict #4): two CSV drops of the same feed with
+    a producer-side contract drift between them — the OLD drop is
+    (doc_id, lang, n_chars BIGINT) for even doc_ids; the NEW drop is
+    (doc_id, n_chars DOUBLE, source) for odd doc_ids (lang REMOVED,
+    source ADDED, n_chars RETYPED bigint→double with genuinely
+    fractional values) plus a corrupt slice (doc_id % 11 == 5 carries
+    an unparseable n_chars). ``load_csv_evolving`` must land BOTH
+    drops as one widened union — old rows with n_chars promoted to
+    double and source NULL, new rows with lang NULL, the retyped
+    column as VALUES not a 100% quarantine, and ONLY the truly
+    corrupt slice quarantined. The returned frame is the full clean
+    union, so the oracle (DuckDB's union-by-name recomputed from the
+    fixture) hash-checks every landed value, null fill, widened cast,
+    and quarantine decision row by row.
+
+    Scale shape: one parse per drop shared by its clean/quarantine
+    sides, casts are columnar, the union is a no-shuffle
+    concatenation; the parse caches are released after the eager
+    checkpoint (sources/files.py release_split)."""
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.sources import files as FS
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    n_bad = (
+        docs.agg(
+            F.sum(
+                (
+                    F.col("doc_id").isNull()
+                    | F.col("n_chars").isNull()
+                    | F.col("lang").isNull()
+                    | F.col("lang").rlike('[,"\n\r]')
+                    | F.col("source").isNull()
+                    | F.col("source").rlike('[,"\n\r]')
+                ).cast("int")
+            ).alias("n_bad")
+        ).first()["n_bad"]
+        or 0
+    )
+    if n_bad:
+        raise ValueError(
+            f"_s11: {n_bad} fixture rows violate the unquoted-CSV "
+            "staging precondition"
+        )
+    old_lines = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            "lang",
+            F.col("n_chars").cast("string"),
+        ).alias("value")
+    )
+    new_lines = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 11 == 5,
+                F.concat(F.lit("x"), (F.col("n_chars") + 0.5).cast("string")),
+            ).otherwise((F.col("n_chars") + 0.5).cast("string")),
+            "source",
+        ).alias("value")
+    )
+    old_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+        ]
+    )
+    new_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_chars", DoubleType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    old_dir = tempfile.mkdtemp(prefix="s11_old_")
+    new_dir = tempfile.mkdtemp(prefix="s11_new_")
+    try:
+        old_lines.write.mode("overwrite").text(old_dir)
+        new_lines.write.mode("overwrite").text(new_dir)
+        clean, quar = FS.load_csv_evolving(
+            spark,
+            [(old_dir, old_schema), (new_dir, new_schema)],
+            header=False,
+        )
+        out = clean.localCheckpoint(eager=True)
+        FS.release_split(clean, quar)
+    finally:
+        shutil.rmtree(old_dir, ignore_errors=True)
+        shutil.rmtree(new_dir, ignore_errors=True)
+    return out
+
+
+_S11_ORACLE = """
+    SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars,
+           CAST(NULL AS VARCHAR) AS source, 0 AS _drop_id
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, n_chars + 0.5,
+           source, 1 AS _drop_id
+    FROM documents WHERE doc_id % 2 = 1 AND doc_id % 11 <> 5
+"""
+
+
 _S10_ORACLE = """
     WITH o AS (
         SELECT count(*) AS n, count(doc_id) AS nn_doc,
@@ -2842,6 +2960,151 @@ def _t6b_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("deep_ts").alias("deep_ts_us"),
             "view_id", "deep_val", "view_val",
         )
+    )
+
+
+# name -> (event_type slice, producer-grid offset seconds): the five
+# feeds mirror the reference's producer topology — every feed publishes
+# on one shared 5-minute grid, deep at the grid point, the others a few
+# seconds behind (producer.py:257-258's 300 s cadence).
+_T22_FEEDS = {
+    "vix": ("view", 30),
+    "volume": ("click", 60),
+    "cot": ("signup", 90),
+    "ind": ("error", 120),
+}
+# In batch 1 the four non-deep feeds TRAIL deep by six hours, so every
+# match in the trailing window is cross-micro-batch by construction:
+# its deep row arrives in batch 1 and must still be in join state when
+# its feed rows arrive in batch 2.
+_T22_LAG_US = 6 * 3600 * 1_000_000
+
+
+def _t22_hourly_feed(
+    ev: DataFrame, etype: str, offset_s: int, name: str
+) -> DataFrame:
+    """One producer-grid feed derived from events: an hourly aggregate
+    of one event_type slice, timestamped at hour start + the feed's
+    grid offset (deterministic, oracle-recomputable)."""
+    hour_us = F.unix_micros("ts") - F.unix_micros("ts") % F.lit(
+        3_600_000_000
+    )
+    return (
+        ev.filter(F.col("event_type") == etype)
+        .groupBy(hour_us.alias("hour_us"))
+        .agg(
+            F.count(F.lit(1)).alias(f"{name}_n"),
+            F.round(F.avg("value"), 6).alias(f"{name}_val"),
+        )
+        .select(
+            F.timestamp_micros(
+                F.col("hour_us") + F.lit(offset_s * 1_000_000)
+            ).alias("ts"),
+            f"{name}_n",
+            f"{name}_val",
+        )
+    )
+
+
+def _t22_stream_five_feed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/J1×4/D1 — the reference's LITERAL core topology at full
+    fan-in, streaming: deep chained through FOUR watermarked bucketed
+    band joins (deep↔vix, deep↔volume, deep↔cot, deep↔ind —
+    spark_consumer.py:437-477) then deduped, as ONE availableNow run
+    with five FileStreamSource feeds and five stateful operators in a
+    row — the multi-stateful chain Spark 2.4 could not execute (the
+    reason the reference pushed its window aggs to MariaDB) and the
+    engine claims. The batch twin has been pinned since r3
+    (pipeline_full_row_part); this is the streaming form's first hard
+    oracle row (r11 verdict #2).
+
+    Feeds: hourly per-event_type aggregates of events placed on the
+    producer grid (deep at hour start; vix/volume/cot/ind at +30/60/
+    90/120 s — all inside deep's 5-minute bucket and 180 s band, the
+    reference's aligned-producer assumption). Batch 1 carries deep up
+    to the median hour but the other feeds only up to six hours
+    earlier, so the trailing window's matches REQUIRE deep rows to
+    survive in join state across the micro-batch boundary — a run that
+    dropped or double-emitted cross-batch state diverges from the
+    oracle (four chained inner joins with the identical integer band
+    predicate). Watermark 5 min > band 3 min, the same state-retention
+    inequality as t6; inner joins emit on match, so no watermark trim
+    is needed for determinism.
+
+    Scale shape: each feed derivation is one partial-aggregatable
+    grouped pass; every join is the bucketed EQUI-join (state
+    hash-partitioned on the 5-min bucket, watermark-evicted); dedup is
+    key-scoped ``dropDuplicatesWithinWatermark`` state, not
+    all-columns; no collect anywhere."""
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.streaming import pipeline as P
+
+    ev = load_table(spark, "events", sf_dir)
+    deep = _t22_hourly_feed(ev, "purchase", 0, "deep")
+    feeds = {
+        name: _t22_hourly_feed(ev, etype, off, name)
+        for name, (etype, off) in _T22_FEEDS.items()
+    }
+    cut_us = deep.agg(
+        F.percentile_approx(F.unix_micros("ts"), 0.5)
+    ).first()[0]
+    dirs = {}
+    old_sp = push_small_shuffle(spark)  # serial-adjudication contract: functions/core.py
+    try:
+        for name, df in {"deep": deep, **feeds}.items():
+            src = tempfile.mkdtemp(prefix=f"t22_{name}_")
+            lag = 0 if name == "deep" else _T22_LAG_US
+            _stage_two_halves(
+                df,
+                (
+                    F.unix_micros("ts") <= cut_us - lag,
+                    F.unix_micros("ts") > cut_us - lag,
+                ),
+                src,
+            )
+            dirs[name] = (src, df.schema)
+        streams = {
+            name: P.watermarked(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                "ts",
+            )
+            for name, (src, schema) in dirs.items()
+        }
+        joined = P.join_feeds(
+            streams["deep"], {k: streams[k] for k in _T22_FEEDS}
+        )
+        # the reference dedups then fillna's after its joins
+        # (spark_consumer.py:477-479); both are no-ops on this fixture
+        # (one row per feed per hour; inner joins produce no nulls) but
+        # the operators run for topology parity.
+        result = P.dedup_within_watermark(joined, ["deep_ts"]).na.fill(0.0)
+        q = (
+            result.writeStream.format("memory")
+            .queryName("t22_five_feed_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "t22 five-feed stream join did not finish in 300 s"
+            )
+    finally:
+        pop_small_shuffle(spark, old_sp)
+        for src, _ in dirs.values():
+            shutil.rmtree(src, ignore_errors=True)
+    return spark.table("t22_five_feed_out").select(
+        F.unix_micros("deep_ts").alias("hour_us"),
+        "deep_n", "deep_val",
+        "vix_n", "vix_val",
+        "volume_n", "volume_val",
+        "cot_n", "cot_val",
+        "ind_n", "ind_val",
     )
 
 
@@ -5391,6 +5654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract check above the s8/s9 row-level quarantine)
         "x77_ivf_nprobe_sweep": X.q_ivf_nprobe_sweep,
         "s10_schema_drift": _s10_schema_drift,
+        "t22_stream_five_feed_join": _t22_stream_five_feed_join,
+        "s11_schema_evolution_ingest": _s11_schema_evolution_ingest,
         # -- displaced THIS round (round 11): ten round-8-born queries,
         # each TWICE driver-green (r9 + r10), subsumed per the inline
         # notes; all stay pytest-oracle-checked every session ----------
@@ -6010,6 +6275,76 @@ def oracle_sql() -> dict[str, str]:
              AND view_ts_us <= deep_ts_us + 180000000
             WHERE deep_ts_us <= (SELECT b FROM bound)
         """,
+        # t22 is the full 4x-chained streaming band join (the
+        # reference's literal consumer topology at fan-in 5): the
+        # oracle recomputes the hourly producer-grid feeds and chains
+        # FOUR inner joins with the identical integer bucket+band
+        # predicate, so a run that drops cross-batch join state,
+        # double-emits under dedup, or mis-evicts produces a different
+        # row set. Inner joins need no watermark trim (emit-on-match).
+        "t22_stream_five_feed_join": f"""
+            WITH ev AS (
+                SELECT event_type, epoch_us(ts) AS ts_us, value
+                FROM events
+            ),
+            deep AS (
+                SELECT (ts_us - ts_us % 3600000000) AS ts_us,
+                       count(*) AS deep_n,
+                       round(avg(value), 6) AS deep_val
+                FROM ev WHERE event_type = 'purchase' GROUP BY 1
+            ),
+            vix AS (
+                SELECT (ts_us - ts_us % 3600000000) + 30000000 AS ts_us,
+                       count(*) AS vix_n,
+                       round(avg(value), 6) AS vix_val
+                FROM ev WHERE event_type = 'view' GROUP BY 1
+            ),
+            volume AS (
+                SELECT (ts_us - ts_us % 3600000000) + 60000000 AS ts_us,
+                       count(*) AS volume_n,
+                       round(avg(value), 6) AS volume_val
+                FROM ev WHERE event_type = 'click' GROUP BY 1
+            ),
+            cot AS (
+                SELECT (ts_us - ts_us % 3600000000) + 90000000 AS ts_us,
+                       count(*) AS cot_n,
+                       round(avg(value), 6) AS cot_val
+                FROM ev WHERE event_type = 'signup' GROUP BY 1
+            ),
+            ind AS (
+                SELECT (ts_us - ts_us % 3600000000) + 120000000 AS ts_us,
+                       count(*) AS ind_n,
+                       round(avg(value), 6) AS ind_val
+                FROM ev WHERE event_type = 'error' GROUP BY 1
+            )
+            SELECT d.ts_us AS hour_us,
+                   deep_n, deep_val,
+                   vix_n, vix_val,
+                   volume_n, volume_val,
+                   cot_n, cot_val,
+                   ind_n, ind_val
+            FROM deep d
+            JOIN vix v
+              ON {_floor_div("d.ts_us", 300_000_000)}
+                 = {_floor_div("v.ts_us", 300_000_000)}
+             AND v.ts_us >= d.ts_us
+             AND v.ts_us <= d.ts_us + 180000000
+            JOIN volume vo
+              ON {_floor_div("d.ts_us", 300_000_000)}
+                 = {_floor_div("vo.ts_us", 300_000_000)}
+             AND vo.ts_us >= d.ts_us
+             AND vo.ts_us <= d.ts_us + 180000000
+            JOIN cot c
+              ON {_floor_div("d.ts_us", 300_000_000)}
+                 = {_floor_div("c.ts_us", 300_000_000)}
+             AND c.ts_us >= d.ts_us
+             AND c.ts_us <= d.ts_us + 180000000
+            JOIN ind i
+              ON {_floor_div("d.ts_us", 300_000_000)}
+                 = {_floor_div("i.ts_us", 300_000_000)}
+             AND i.ts_us >= d.ts_us
+             AND i.ts_us <= d.ts_us + 180000000
+        """,
         # t4b is the STREAMING session window: the batch t4 oracle with
         # the final-watermark trim (sessions whose end + gap the
         # watermark has provably passed) — same expression both sides
@@ -6131,6 +6466,7 @@ def oracle_sql() -> dict[str, str]:
         "t21_stream_csv_drop": _T21_ORACLE,
         "x77_ivf_nprobe_sweep": X.ivf_nprobe_sweep_oracle(),
         "s10_schema_drift": _S10_ORACLE,
+        "s11_schema_evolution_ingest": _S11_ORACLE,
         "x76_ngram_novelty": X.ngram_novelty_oracle(),
         "x75_compression_table": X.compression_table_oracle(),
         "x65_random_projection": X.random_projection_oracle(),

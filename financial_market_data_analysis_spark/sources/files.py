@@ -81,17 +81,142 @@ def _split(raw: DataFrame, mode: str) -> tuple[DataFrame, DataFrame]:
 def release_split(*frames: DataFrame) -> None:
     """Unpersist the cached one-parse parent shared by a
     ``(clean, quarantine)`` pair from :func:`load_csv` /
-    :func:`load_jsonl` / :func:`_split`. Call after the derived
+    :func:`load_jsonl` / :func:`_split` (or the parent LIST a
+    :func:`load_csv_evolving` union carries). Call after the derived
     results are materialized (e.g. an eager ``localCheckpoint`` or a
     sink write) — lazy descendants re-parse from source afterwards.
     Idempotent; a no-op for frames without a cached parent (the
     DROPMALFORMED/FAILFAST path caches nothing)."""
     seen: set[int] = set()
     for f in frames:
-        parent = getattr(f, "_split_parent", None)
-        if parent is not None and id(parent) not in seen:
-            seen.add(id(parent))
-            parent.unpersist()
+        single = getattr(f, "_split_parent", None)
+        parents = [single] if single is not None else []
+        parents += getattr(f, "_split_parents", [])
+        for parent in parents:
+            if id(parent) not in seen:
+                seen.add(id(parent))
+                parent.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (s11): tolerate producer-side contract drift instead
+# of quarantining every row of a retyped column (what s10's report
+# DETECTS, this ingests)
+
+# numeric widening lattice, narrowest first: two drops declaring
+# different positions unify at the wider one (bigint + double ->
+# double), exactly parquet/mergeSchema's promotion rule.
+_WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+
+
+def widen_type(a: str, b: str) -> str:
+    """Unify two Spark ``simpleString`` type names across drops of the
+    same feed: identical types pass through; two numerics widen to the
+    later of ``_WIDEN_ORDER``; anything else (string vs bigint, struct
+    vs double …) is a TRUE contract conflict — no silent cast could be
+    right for every row, so the caller must decide — and raises."""
+    if a == b:
+        return a
+    if a in _WIDEN_ORDER and b in _WIDEN_ORDER:
+        return _WIDEN_ORDER[max(_WIDEN_ORDER.index(a), _WIDEN_ORDER.index(b))]
+    raise ValueError(f"irreconcilable column types: {a!r} vs {b!r}")
+
+
+def evolved_schema(schemas: list[StructType]) -> StructType:
+    """The union-by-name contract over N per-drop schemas: columns in
+    first-seen order, each at the widened type across every drop that
+    declares it. Driver-side metadata only — no data pass."""
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    by_name = {
+        "tinyint": ByteType(),
+        "smallint": ShortType(),
+        "int": IntegerType(),
+        "bigint": LongType(),
+        "float": FloatType(),
+        "double": DoubleType(),
+    }
+    out: dict[str, object] = {}
+    for schema in schemas:
+        for f in schema.fields:
+            if f.name not in out:
+                out[f.name] = f.dataType
+                continue
+            t = widen_type(out[f.name].simpleString(), f.dataType.simpleString())
+            out[f.name] = by_name.get(t, out[f.name])
+    return StructType(
+        [StructField(name, t, True) for name, t in out.items()]
+    )
+
+
+def load_csv_evolving(
+    spark: SparkSession,
+    drops: list[tuple[str, StructType]],
+    *,
+    header: bool = True,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-evolution-TOLERANT bulk load over N drops of the same
+    feed, each with its own declared per-drop schema (the
+    mergeSchema-style contract a multi-producer drop folder needs,
+    r11 verdict #4):
+
+    * a column one drop lacks is accepted and NULL-filled there
+      (``unionByName(allowMissingColumns=True)``), both for added and
+      for removed columns;
+    * a column retyped between numeric widths (bigint→double …) is
+      WIDENED to the union type — its rows land as values, not as a
+      100% quarantine;
+    * only TRUE conflicts quarantine / fail: a row unparseable under
+      its OWN drop's schema goes to the row-level quarantine exactly
+      as in :func:`load_csv`; an irreconcilable column retype
+      (string vs bigint) raises at plan time via :func:`widen_type`.
+
+    Returns ``(clean, quarantine)``: ``clean`` is the widened union
+    with a ``_drop_id`` lineage column (the drop's index); ``quarantine``
+    is ``(_drop_id, _corrupt_record)`` across all drops. Scale shape:
+    one parse per drop (each shared by its clean/quarantine sides via
+    the ``_split`` cache), casts are columnar metadata ops, the union
+    is a no-shuffle concatenation. Release the parse caches with
+    :func:`release_split` once materialized."""
+    target = evolved_schema([s for _, s in drops])
+    widened = {f.name: f.dataType.simpleString() for f in target.fields}
+    cleans, quars, parents = [], [], []
+    for i, (path, schema) in enumerate(drops):
+        clean, quar = load_csv(spark, path, schema, header=header, sep=sep)
+        parent = getattr(clean, "_split_parent", None)
+        if parent is not None:
+            parents.append(parent)
+        casted = clean.select(
+            *[
+                F.col(f.name).cast(widened[f.name]).alias(f.name)
+                for f in schema.fields
+            ]
+        ).withColumn("_drop_id", F.lit(i))
+        cleans.append(casted)
+        quars.append(
+            quar.select(
+                F.lit(i).alias("_drop_id"), F.col(CORRUPT_COL)
+            )
+        )
+    clean_union = cleans[0]
+    for c in cleans[1:]:
+        clean_union = clean_union.unionByName(c, allowMissingColumns=True)
+    # column order: contract order (first-seen across drops) + lineage
+    clean_union = clean_union.select(*[f.name for f in target.fields], "_drop_id")
+    quar_union = quars[0]
+    for q in quars[1:]:
+        quar_union = quar_union.unionByName(q)
+    clean_union._split_parents = parents
+    quar_union._split_parents = parents
+    return clean_union, quar_union
 
 
 def load_csv(

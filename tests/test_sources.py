@@ -502,3 +502,114 @@ def test_schema_drift_report_is_two_scans_no_union(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan, plan[:1500]
     assert plan.count("Scan parquet") == 2, plan[:2000]
+
+
+def test_widen_type_lattice_and_conflicts():
+    """bigint+double widen to double (commutative), identical types
+    pass through, and a string-vs-numeric retype is a TRUE conflict
+    that raises rather than silently casting."""
+    import pytest
+
+    from financial_market_data_analysis_spark.sources.files import widen_type
+
+    assert widen_type("bigint", "double") == "double"
+    assert widen_type("double", "bigint") == "double"
+    assert widen_type("int", "bigint") == "bigint"
+    assert widen_type("float", "double") == "double"
+    assert widen_type("string", "string") == "string"
+    with pytest.raises(ValueError, match="irreconcilable"):
+        widen_type("string", "bigint")
+
+
+def test_evolving_load_widens_retyped_column_not_quarantine(spark, tmp_path):
+    """The r11 verdict's acceptance test: a column retyped
+    bigint→double between two drops lands as WIDENED VALUES (old rows
+    promoted, new fractional rows kept exactly), NOT as a 100%
+    quarantine; added/removed columns null-fill on the absent side;
+    only the genuinely unparseable row quarantines."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from financial_market_data_analysis_spark.sources.files import (
+        load_csv_evolving,
+        release_split,
+    )
+
+    old_p = tmp_path / "old"
+    new_p = tmp_path / "new"
+    old_p.mkdir(), new_p.mkdir()
+    (old_p / "a.csv").write_text("1,en,10\n2,de,20\n")
+    (new_p / "b.csv").write_text("3,30.5,web\n4,oops,crawl\n5,50.25,web\n")
+    old_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+        ]
+    )
+    new_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_chars", DoubleType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    clean, quar = load_csv_evolving(
+        spark,
+        [(str(old_p), old_schema), (str(new_p), new_schema)],
+        header=False,
+    )
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    q_rows = quar.collect()
+    release_split(clean, quar)
+    assert dict(clean.dtypes)["n_chars"] == "double"
+    assert set(rows) == {1, 2, 3, 5}  # row 4 quarantined, nothing else
+    assert rows[1]["n_chars"] == 10.0 and rows[1]["lang"] == "en"
+    assert rows[1]["source"] is None and rows[1]["_drop_id"] == 0
+    assert rows[3]["n_chars"] == 30.5 and rows[3]["lang"] is None
+    assert rows[5]["source"] == "web" and rows[5]["_drop_id"] == 1
+    assert len(q_rows) == 1
+    assert q_rows[0]["_drop_id"] == 1
+    assert q_rows[0]["_corrupt_record"] == "4,oops,crawl"
+
+
+def test_evolved_schema_first_seen_order_and_conflict(spark):
+    """The union contract keeps first-seen column order, widens the
+    shared numeric, and raises at PLAN time on an irreconcilable
+    retype — before any data is read."""
+    import pytest
+
+    from financial_market_data_analysis_spark.sources.files import (
+        evolved_schema,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    a = StructType(
+        [
+            StructField("id", LongType(), True),
+            StructField("v", LongType(), True),
+        ]
+    )
+    b = StructType(
+        [
+            StructField("v", DoubleType(), True),
+            StructField("tag", StringType(), True),
+        ]
+    )
+    out = evolved_schema([a, b])
+    assert [f.name for f in out.fields] == ["id", "v", "tag"]
+    assert out["v"].dataType.simpleString() == "double"
+    bad = StructType([StructField("id", StringType(), True)])
+    with pytest.raises(ValueError, match="irreconcilable"):
+        evolved_schema([a, bad])
