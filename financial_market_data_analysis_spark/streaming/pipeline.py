@@ -179,6 +179,9 @@ def quarantining_ingest_sink(
     quarantine_dir: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    drift_dir: str | None = None,
+    null_alert: float = 1.0,
+    quarantine_alert: float = 0.5,
 ):
     """Streaming twin of ``sources.files``' quarantining loaders: a
     file stream parsed under a PERMISSIVE schema (with the
@@ -194,20 +197,77 @@ def quarantining_ingest_sink(
     writes (the batch-side ``cache()`` answer to Spark's corrupt-
     column-only query restriction), and the split predicate is
     evaluated on the materialized rows — clean + quarantined == parsed,
-    structurally."""
+    structurally.
+
+    ``drift_dir`` (r11 verdict #5) arms the per-batch CONTRACT check
+    s10's batch-side report runs between drops: a FileStreamSource
+    parses every batch under the frozen declared schema, so a
+    producer-side contract change mid-stream can never surface as a
+    schema change — it surfaces as rows quarantining en masse or a
+    column going all-null (arity shift / dropped column). Each batch
+    therefore also writes one accounting row per contract column —
+    ``(column, null_frac, quarantine_frac, drifted)`` — through the
+    same epoch-idempotent writer; ``drifted`` fires when the clean
+    side's null fraction reaches ``null_alert`` (default: fully null,
+    while rows exist) or the batch's quarantine fraction reaches
+    ``quarantine_alert``. One extra partial-aggregatable pass over the
+    already-materialized batch; per-column rows via ``inline`` over a
+    single array-of-structs (the s10 shape — no per-column
+    re-planning)."""
     from financial_market_data_analysis_spark.sources.files import CORRUPT_COL
 
     write_clean = epoch_idempotent_writer(clean_dir)
     write_quar = epoch_idempotent_writer(quarantine_dir)
+    write_drift = epoch_idempotent_writer(drift_dir) if drift_dir else None
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        batch = batch.localCheckpoint(eager=True)  # one parse, two sinks
+        batch = batch.localCheckpoint(eager=True)  # one parse, N sinks
         clean = batch.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
         quar = batch.filter(F.col(CORRUPT_COL).isNotNull())
         write_clean(clean, epoch_id)
         write_quar(quar, epoch_id)
+        if write_drift is not None:
+            cols = [c for c in batch.columns if c != CORRUPT_COL]
+            stats = batch.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.col(CORRUPT_COL)).alias("n_quar"),
+                *[
+                    F.count(
+                        F.when(F.col(CORRUPT_COL).isNull(), F.col(c))
+                    ).alias(f"nn_{i}")
+                    for i, c in enumerate(cols)
+                ],
+            )
+            n_clean = F.col("n_rows") - F.col("n_quar")
+            quar_frac = F.round(F.col("n_quar") / F.col("n_rows"), 6)
+            entries = []
+            for i, c in enumerate(cols):
+                null_frac = F.when(
+                    n_clean == 0, F.lit(None).cast("double")
+                ).otherwise(
+                    F.round(1.0 - F.col(f"nn_{i}") / n_clean, 6)
+                )
+                entries.append(
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        null_frac.alias("null_frac"),
+                        quar_frac.alias("quarantine_frac"),
+                        (
+                            F.coalesce(
+                                null_frac >= F.lit(null_alert),
+                                F.lit(True),  # all rows quarantined
+                            )
+                            | (quar_frac >= F.lit(quarantine_alert))
+                        ).alias("drifted"),
+                    )
+                )
+            write_drift(
+                stats.select(F.inline(F.array(*entries))),
+                epoch_id,
+                skip_empty_probe=True,
+            )
 
     return _apply_trigger(
         stream.writeStream.foreachBatch(_write)

@@ -613,3 +613,77 @@ def test_evolved_schema_first_seen_order_and_conflict(spark):
     bad = StructType([StructField("id", StringType(), True)])
     with pytest.raises(ValueError, match="irreconcilable"):
         evolved_schema([a, bad])
+
+
+def test_streaming_ingest_drift_accounting_flags_contract_change(spark, tmp_path):
+    """r11 verdict #5: a producer-side contract change MID-STREAM must
+    not be silently swallowed by the row-level quarantine. Batch 1 is
+    healthy; batch 2's producer dropped the value column (arity
+    shift -> every line quarantines); batch 3's producer emits an
+    empty value field (column goes all-null while rows stay clean).
+    The drift accounting sink must show batch 1 clean, batch 2 flagged
+    via quarantine_frac, and batch 3 flagged via the all-null column —
+    one row per contract column per batch, epoch-idempotent."""
+    import os
+    import time
+
+    from financial_market_data_analysis_spark.sources.files import (
+        CORRUPT_COL,
+        _with_corrupt_field,
+    )
+    from financial_market_data_analysis_spark.streaming.pipeline import (
+        quarantining_ingest_sink,
+    )
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    (src / "a.csv").write_text("1,click,0.5\n2,view,1.5\n")
+    (src / "b.csv").write_text("3,click\n4,view\n")
+    (src / "c.csv").write_text("5,click,\n6,view,\n")
+    now = time.time()
+    for i, f in enumerate(("a.csv", "b.csv", "c.csv")):
+        os.utime(src / f, (now - 20 + 10 * i, now - 20 + 10 * i))
+
+    clean_dir = str(tmp_path / "clean")
+    quar_dir = str(tmp_path / "quar")
+    drift_dir = str(tmp_path / "drift")
+    schema = _files_schema()
+    stream = (
+        spark.readStream.schema(_with_corrupt_field(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = quarantining_ingest_sink(
+        stream,
+        clean_dir,
+        quar_dir,
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        drift_dir=drift_dir,
+    ).start()
+    assert q.awaitTermination(300)
+
+    drift = spark.read.parquet(drift_dir)
+    rows = {
+        (r["epoch_id"], r["column"]): r for r in drift.collect()
+    }
+    n_cols = len(schema.fields)
+    epochs = {e for (e, _) in rows}
+    assert len(rows) == n_cols * len(epochs)
+    by_epoch = sorted(epochs)
+    e1, e2, e3 = by_epoch
+    # batch 1: healthy — nothing drifted
+    assert not any(rows[(e1, c.name)]["drifted"] for c in schema.fields)
+    # batch 2: arity shift quarantined every row -> quarantine_frac 1.0,
+    # null_frac NULL (no clean rows), flagged on every column
+    r2 = rows[(e2, "value")]
+    assert r2["quarantine_frac"] == 1.0 and r2["null_frac"] is None
+    assert all(rows[(e2, c.name)]["drifted"] for c in schema.fields)
+    # batch 3: rows clean but the value column went fully null -> only
+    # that column is flagged
+    r3 = rows[(e3, "value")]
+    assert r3["null_frac"] == 1.0 and r3["drifted"]
+    assert not rows[(e3, "event_id")]["drifted"]
+    assert not rows[(e3, "event_type")]["drifted"]
