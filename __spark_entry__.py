@@ -5812,6 +5812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml2b_feature_matrix": X.q_ml_feature_matrix,
         "w12_rolling_corr": _w12_rolling_corr,
         "ml5_window_mlp": X.q_ml_window_mlp,  # rows-only (no oracle)
+        "ml5a_window_scaler": X.q_ml_window_scaler,
 
         # -- displaced in round 7 (multi-round driver-green) ----------
         "a9_corr_matrix": _a9_corr_matrix,
@@ -6851,6 +6852,7 @@ def oracle_sql() -> dict[str, str]:
         # ml2_train_metrics: the LR fit is not SQL-expressible →
         # rows-only check by design; ml2b covers everything upstream
         "ml2b_feature_matrix": X.ml_feature_matrix_oracle(candles_oracle_sql()),
+        "ml5a_window_scaler": X.ml_window_scaler_oracle(candles_oracle_sql()),
         "pipeline_bars_joined": _pipeline_oracle(),
         "pipeline_full_row": _full_row_oracle(),
     }

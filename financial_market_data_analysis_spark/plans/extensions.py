@@ -1155,6 +1155,132 @@ ML_FEATURE_COLS = [
     "upper_BB_dist", "lower_BB_dist", "stoch", "price_change", "ATR",
 ]
 
+# ml5's exact feature set (q_ml_window_mlp) and window — shared by the
+# rows-only MLP fit and its oracle-checked deterministic prefix (ml5a)
+ML5_FEATURE_COLS = ["close", "volume", "vol_MA6", "price_MA20", "ATR"]
+ML5_WINDOW = 5
+
+
+def q_ml_window_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml5a — the DETERMINISTIC prefix of ml5's windowed-MLP pipeline
+    split out for a hard oracle row (r11 verdict #6): the 5-bar
+    sliding tensor assembly (``sliding_window_vectors`` — time-major
+    ``[t-4 … t] × features``, full windows only, the
+    sql_pytorch_dataloader.py:8-18 shape), the exact-quantile 0.8 time
+    split, and the MinMaxScaler fit + transform over every flattened
+    tensor position. Published per train row as ``(bucket_start, up1,
+    scaled_wsum)`` where ``scaled_wsum`` is the POSITION-WEIGHTED sum
+    Σ (p+1)·scaled_p over all 25 positions — weighted so a tensor
+    assembled in the wrong time/feature order (a permutation that
+    per-position min/max alone cannot see) changes the checksum. Only
+    the MLP forward pass itself stays rows-only in ml5.
+
+    Scale shape: one keyed window pass builds the tensors, the cut and
+    the 50 scaler aggregates are each ONE partial-aggregatable pass
+    broadcast back, the output is a columnar projection; the tensor
+    frame is lazily checkpointed once for its three consumers."""
+    from financial_market_data_analysis_spark.ml import sliding_window_vectors
+    from financial_market_data_analysis_spark.operators.windows import indicator_suite
+    from financial_market_data_analysis_spark.plans.candles import candles_from_events
+
+    k = len(ML5_FEATURE_COLS)
+    n_pos = ML5_WINDOW * k
+    c = candles_from_events(load_table(spark, "events", sf_dir))
+    bars = indicator_suite(c, ["bucket_start"])
+    clean = bars.dropna(subset=ML5_FEATURE_COLS + ["up1"])
+    vec = sliding_window_vectors(
+        clean, ML5_FEATURE_COLS, ML5_WINDOW, ["bucket_start"]
+    ).localCheckpoint(eager=False)  # cut + scaler + output share it
+    cut = vec.agg(F.expr("percentile(bucket_start, 0.8)").alias("__cut"))
+    train = vec.crossJoin(F.broadcast(cut)).filter(
+        F.col("bucket_start") <= F.col("__cut")
+    )
+    pos = lambda p: F.element_at(F.col("window_features"), p + 1)  # noqa: E731
+    mm = train.agg(
+        *[F.min(pos(p)).alias(f"mn_{p}") for p in range(n_pos)],
+        *[F.max(pos(p)).alias(f"mx_{p}") for p in range(n_pos)],
+    )
+    wsum = None
+    for p in range(n_pos):
+        mn, mx = F.col(f"mn_{p}"), F.col(f"mx_{p}")
+        scaled = F.when(mx == mn, F.lit(0.5)).otherwise(
+            (pos(p) - mn) / (mx - mn)
+        )
+        term = F.lit(float(p + 1)) * scaled
+        wsum = term if wsum is None else wsum + term
+    return (
+        train.crossJoin(F.broadcast(mm))
+        .select(
+            "bucket_start",
+            "up1",
+            F.round(wsum, 6).alias("scaled_wsum"),
+        )
+    )
+
+
+def ml_window_scaler_oracle(candles_cte: str) -> str:
+    """ml5a's twin: the identical tensor (lag columns in time-major
+    position order), exact-quantile cut, scaler fit, and the same
+    left-associated position-weighted sum — term order matters for
+    bit-identical IEEE doubles, so the SQL spells the chain out."""
+    k = len(ML5_FEATURE_COLS)
+    n_pos = ML5_WINDOW * k
+    not_null = " AND ".join(
+        f"{c} IS NOT NULL" for c in ML5_FEATURE_COLS + ["up1"]
+    )
+    # position p = ti*k + fi  ->  lag(feature fi, (window-1) - ti)
+    lag_cols = ",\n                ".join(
+        f"lag({ML5_FEATURE_COLS[p % k]}, {ML5_WINDOW - 1 - p // k}) "
+        f"OVER (ORDER BY bucket_start) AS x_{p}"
+        for p in range(n_pos)
+    )
+    mins = ", ".join(
+        f"min(x_{p}) AS mn_{p}, max(x_{p}) AS mx_{p}" for p in range(n_pos)
+    )
+    terms = " + ".join(
+        f"{float(p + 1)} * (CASE WHEN mx_{p} = mn_{p} THEN 0.5 "
+        f"ELSE (x_{p} - mn_{p}) / (mx_{p} - mn_{p}) END)"
+        for p in range(n_pos)
+    )
+    return f"""
+        WITH candles AS ({candles_cte}),
+        ind AS (
+            SELECT bucket_start, close, volume,
+                avg(volume) OVER w6 AS vol_MA6,
+                avg(close) OVER w20 AS price_MA20,
+                avg(high - low) OVER w15 AS ATR
+            FROM candles
+            WINDOW
+                w6 AS (ORDER BY bucket_start
+                    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+                w20 AS (ORDER BY bucket_start
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+                w15 AS (ORDER BY bucket_start
+                    ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+        ),
+        tgt AS (
+            SELECT *,
+                CASE WHEN lead(close, 8) OVER (ORDER BY bucket_start)
+                          >= close + 1.5 * ATR
+                     THEN 1 ELSE 0 END AS up1
+            FROM ind
+        ),
+        clean AS (SELECT * FROM tgt WHERE {not_null}),
+        vecd AS (
+            SELECT bucket_start, up1,
+                {lag_cols},
+                row_number() OVER (ORDER BY bucket_start) AS rn
+            FROM clean
+        ),
+        vec AS (SELECT * FROM vecd WHERE rn >= {ML5_WINDOW}),
+        cut AS (SELECT quantile_cont(bucket_start, 0.8) AS c FROM vec),
+        train AS (SELECT vec.* FROM vec, cut WHERE bucket_start <= c),
+        mm AS (SELECT {mins} FROM train)
+        SELECT bucket_start, up1,
+            round({terms}, 6) AS scaled_wsum
+        FROM train, mm
+    """
+
 
 def q_ml_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML2b — the deterministic half of the training pipeline split out
