@@ -5544,23 +5544,23 @@ def _pipeline_full_row_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness harness
     adjudicates the FIRST 50 entries of this dict (stable since round
-    3), so the first 50 entries are the round-11 adjudication set: the
+    3), so the first 50 entries are the round-12 adjudication set: the
     PERMANENT pinned set (the two flagship pipeline queries plus one
     carrier per SURVEY §2 family — t9, t6b, t4b, j5, j6, t7, t13, a12,
     x27, x28, x44, x48, ml7 — the capability contract that never
-    rotates out, per the r8 verdict #2), twelve round-8-born queries
-    on a third round (kept over their displaced siblings because
-    their r9 or r10 rows carried fixes — w23/q4 — or because they are
-    the family's only in-window streaming/report carrier), the
-    thirteen round-10 first-timers on their second round (x75, the
-    planner suite q2..q22, x76), and ten round-11 first-timers: the
-    three past-window r10 births q8/q14/q20 (the debt the guard
-    bounded to this round), the TPC-H completions q5/q9/q12/q18
-    (snowflake-local join, profit rollup, lateness CASE pivot,
-    HAVING-derived top-N — the suite now covers every TPC-H shape
-    expressible on the slim fixture), and the ingestion adjudications
-    s8/s9/t21 (CSV + JSONL quarantine loaders and the streaming
-    drop-folder twin, the r10 verdict's #2/#3). Ten twice-green
+    rotates out, per the r8 verdict #2), seven round-8-born keepers on
+    a fourth round (the in-window carriers their displaced siblings'
+    subsumption notes point at — w23/t20/x73/x74 plus x69/a14/q4),
+    the thirteen round-10 first-timers on a third round (x75, the
+    planner suite q2..q22, x76 — x75 also under a bench watch, r11
+    verdict #3), the ten round-11 first-timers on their second round
+    (q8/q14/q20, the TPC-H completions q5/q9/q12/q18, the ingestion
+    adjudications s8/s9/t21), and five round-12 rotations: the two
+    debt-bounded r11 births x77/s10 (r11 verdict #1) plus the three
+    r12 births — t22 (the 4× chained stream-stream band join at full
+    fan-in, r11 verdict #2), s11 (schema-evolution-tolerant ingest,
+    r11 verdict #4) and ml5a (the oracle-checked deterministic prefix
+    of the windowed-MLP pipeline, r11 verdict #6). Five thrice-green
     round-8-born queries move past the boundary, each displacement
     annotated inline. tools/check_rotation_debt.py fails the suite if
     any oracle-bearing query ever sits ≥2 rounds without a driver
@@ -5585,33 +5585,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_interval_lookup": _j6_interval_lookup,        # J1 interval/SCD2 probe
         "t7_exactly_once_sink": _t7_exactly_once_sink,    # K1/T7 exactly-once recovery
         "x48_semantic_dedup": X.q_semantic_dedup,         # embedding-dedup family
-        # -- third-round round-8-born keepers: t15b/t17/t19/t20 are the
-        # in-window streaming carriers beyond the pinned set, x68/x69/
-        # x73/x74 the dedup/decontamination suite, d7/a14 the report
-        # and grouping families, and w23/q4 carry the r10 FIXES whose
-        # re-adjudication in r10 was their first TRUE green (w23's r9
-        # row was the sign-of-zero hash miss; q4's r9 row was vacuous
-        # on an empty 1993 window) — they stay one more round per the
-        # two-TRUE-greens displacement convention. ---------------------
-        "t15b_stream_cdc_sink": _t15b_stream_cdc_sink,
-        "t17_late_drop": _t17_late_drop,
-        "x68_contamination_scores": X.q_contamination_scores,
+        # -- fourth-round round-8-born keepers: the seven in-window
+        # carriers this round's displacement notes point at — x69 the
+        # banded-LSH tuning carrier (and the dedup family's measured-
+        # recall anchor beyond the pinned x44/x48), t20 the keyed
+        # running-moment streaming carrier (t19's subsumption target),
+        # x73/x74 the dedup-graph and funnel/decontamination carriers
+        # (x68's subsumption target), a14 the grouping family, and
+        # w23/q4 whose r10 rows were their first TRUE greens. ----------
         "x69_lsh_tuning": X.q_lsh_tuning,
-        "t19_stream_ols": _t19_stream_ols,
         "w23_williams_r": _w23_williams_r,
         "t20_stream_anomaly": _t20_stream_anomaly,
-        "d7_quality_checks": _d7_quality_checks,
         "x73_leakage_free_split": X.q_leakage_free_split,
         "x74_filter_funnel": X.q_filter_funnel,
         "a14_grouping_sets": _a14_grouping_sets,
         "q4_order_priority": _q4_order_priority,
-        # -- second-round adjudication of the round-10-born set (each
-        # green in r10, their first driver row; they stay one more
-        # round per the displacement convention). q21 carries the r11
-        # FIX (r_pairs localCheckpointed once instead of re-planned
-        # per self-join probe) and q22 the r11 rounded-threshold fix
-        # (avg_bal rounded before the gate on both engines), so both
-        # re-adjudications are load-bearing. ---------------------------
+        # -- third-round adjudication of the round-10-born set (green
+        # r10 + r11). Kept over older siblings because x75 is under an
+        # explicit bench watch (r11 verdict #3: if the driver's r12
+        # number stays >=7 s with a flat fresh-session probe, its plan
+        # gets diffed) and q21/q22's r11 rows carried fixes; the
+        # planner suite stays together as the TPC-H adjudication
+        # anchor. -------------------------------------------------------
         "x75_compression_table": X.q_compression_table,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q7_nation_volume": _q7_nation_volume,
@@ -5625,16 +5620,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_returner": _q21_sole_returner,
         "q22_idle_balances": _q22_idle_balances,
         "x76_ngram_novelty": X.q_ngram_novelty,
-        # -- rotated IN this round (round 11) for FIRST adjudication:
-        # the three r10 births the debt guard bounded to this round
-        # (q8 conditional-share market share, q14 promo CASE-share,
-        # q20 nested semi-join over an aggregation-derived key set),
-        # the TPC-H completions (q5 snowflake-local join, q9 profit
-        # rollup, q12 lateness CASE pivot, q18 HAVING-derived top-N),
-        # and the ingestion adjudications the r10 verdict asked for
-        # (s8 CSV quarantine, s9 JSONL type-drift quarantine, t21 the
-        # streaming drop-folder twin). All verified by
-        # tools/verify_contract.py before rotation. --------------------
+        # -- second-round adjudication of the round-11-born set (each
+        # green in r11, their first driver row; they stay one more
+        # round per the displacement convention): the debt-bounded r10
+        # births q8/q14/q20, the TPC-H completions q5/q9/q12/q18, and
+        # the ingestion adjudications s8/s9/t21. -----------------------
         "q8_market_share": _q8_market_share,
         "q14_promo_revenue": _q14_promo_revenue,
         "q20_bulk_suppliers": _q20_bulk_suppliers,
@@ -5645,19 +5635,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_csv_quarantine": _s8_csv_quarantine,
         "s9_jsonl_quarantine": _s9_jsonl_quarantine,
         "t21_stream_csv_drop": _t21_stream_csv_drop,
-        # ------------------------------------------------- entry 50 ends
-        # x77/s10 NEW in round 11, past the window (oracle-bearing,
-        # entry-parity-checked every session) — ROTATE IN ROUND 12
-        # (tools/check_rotation_debt.py enforces it): the IVF nprobe
-        # recall/cost frontier (the x75-style decision table for the
-        # other ANN knob) and the schema-level drift report (the
-        # contract check above the s8/s9 row-level quarantine)
+        # -- rotated IN this round (round 12) for FIRST adjudication:
+        # the two r11 births the debt guard bounded to this round (x77
+        # the IVF nprobe recall/cost frontier, s10 the schema-level
+        # drift report — r11 verdict #1) and the three r12 births the
+        # r11 verdict asked for: t22 the 4×-chained stream-stream band
+        # join at full fan-in (verdict #2 — the reference's literal
+        # consumer topology, five stateful operators in one availableNow
+        # run with a proven cross-batch match set), s11 the
+        # schema-evolution-TOLERANT ingest above s10's report (verdict
+        # #4 — retyped numerics widen instead of quarantining), and
+        # ml5a the oracle-checked deterministic prefix of ml5's
+        # windowed-MLP pipeline (verdict #6 — tensor assembly +
+        # MinMaxScaler; only the MLP fit stays rows-only). All verified
+        # by tools/verify_contract.py before rotation. -----------------
         "x77_ivf_nprobe_sweep": X.q_ivf_nprobe_sweep,
         "s10_schema_drift": _s10_schema_drift,
         "t22_stream_five_feed_join": _t22_stream_five_feed_join,
         "s11_schema_evolution_ingest": _s11_schema_evolution_ingest,
-        # -- displaced THIS round (round 11): ten round-8-born queries,
-        # each TWICE driver-green (r9 + r10), subsumed per the inline
+        "ml5a_window_scaler": X.q_ml_window_scaler,
+        # ------------------------------------------------- entry 50 ends
+        # -- displaced THIS round (round 12): five round-8-born
+        # queries, each THRICE driver-green (r9 + r10 + r11), subsumed
+        # per the inline notes; all stay pytest-oracle-checked every
+        # session ------------------------------------------------------
+        # t15b: pinned t7 adjudicates the epoch-idempotent exactly-once
+        # sink and in-window t21 runs DUAL idempotent sinks per batch;
+        # the CDC MERGE/snapshot-chain kernel stays pytest-pinned
+        # (test_streaming.py snapshot-merge suite)
+        "t15b_stream_cdc_sink": _t15b_stream_cdc_sink,
+        # t17: watermark late-drop policy is carried in-window by t22
+        # (four watermarked joins whose cross-batch match set exists
+        # only because eviction honors the watermark inequality) and
+        # pinned t4b's watermark-finalized sessions; the one-batch-lag
+        # eviction proof stays pytest-pinned
+        "t17_late_drop": _t17_late_drop,
+        # x68: the decontamination family is carried in-window by x74
+        # (its funnel runs the bench-shingle decontamination stage) and
+        # the pinned x28 corpus flagship; the graded-score kernel stays
+        # pytest-oracle-checked
+        "x68_contamination_scores": X.q_contamination_scores,
+        # t19: keyed running-moment streaming state is carried in-window
+        # by t20 (same closed-form fold machinery, same
+        # applyInPandasWithState surface) and the pinned t9 suite
+        "t19_stream_ols": _t19_stream_ols,
+        # d7: the report family is carried in-window by s10's contract
+        # report, s8/s9/t21's ingest accounting, and x74's funnel
+        # conservation rows; the orphan/reconciliation kernels stay
+        # pytest-oracle-checked
+        "d7_quality_checks": _d7_quality_checks,
+        # -- displaced in round 11: ten round-8-born queries, each
+        # TWICE driver-green (r9 + r10), subsumed per the inline
         # notes; all stay pytest-oracle-checked every session ----------
         # x66: in-window x75 publishes recall@10 for the same JL
         # projections (jl48/32/16 prefixes) through the same
@@ -5811,8 +5839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x39_temperature_mix": X.q_temperature_mix,
         "ml2b_feature_matrix": X.q_ml_feature_matrix,
         "w12_rolling_corr": _w12_rolling_corr,
-        "ml5_window_mlp": X.q_ml_window_mlp,  # rows-only (no oracle)
-        "ml5a_window_scaler": X.q_ml_window_scaler,
+        "ml5_window_mlp": X.q_ml_window_mlp,  # rows-only (no oracle;
+        # its deterministic prefix is in-window ml5a_window_scaler)
 
         # -- displaced in round 7 (multi-round driver-green) ----------
         "a9_corr_matrix": _a9_corr_matrix,

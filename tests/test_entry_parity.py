@@ -71,7 +71,7 @@ def test_adjudication_window_boundary_is_stable():
     import __spark_entry__ as e
 
     keys = list(e.queries())
-    assert keys[49] == "t21_stream_csv_drop", keys[45:52]
+    assert keys[49] == "ml5a_window_scaler", keys[45:52]
     # the PINNED carriers (r8 verdict #2: flagships + one per SURVEY
     # §2 family) hold the first 15 slots permanently
     pinned = [
@@ -83,21 +83,16 @@ def test_adjudication_window_boundary_is_stable():
         "t7_exactly_once_sink", "x48_semantic_dedup",
     ]
     assert keys[:15] == pinned, keys[:15]
-    # twelve r8-born keepers on a third round: the non-pinned
-    # streaming carriers, the dedup/decontamination suite, the
-    # report/grouping families, and the two whose r10 row was their
-    # first TRUE green (w23 sign-of-zero, q4 vacuous window)
+    # seven r8-born keepers on a fourth round: the in-window carriers
+    # this round's displacement notes point at
     keepers = [
-        "t15b_stream_cdc_sink", "t17_late_drop",
-        "x68_contamination_scores", "x69_lsh_tuning", "t19_stream_ols",
-        "w23_williams_r", "t20_stream_anomaly", "d7_quality_checks",
+        "x69_lsh_tuning", "w23_williams_r", "t20_stream_anomaly",
         "x73_leakage_free_split", "x74_filter_funnel",
         "a14_grouping_sets", "q4_order_priority",
     ]
-    assert keys[15:27] == keepers, keys[15:27]
-    # the r10-born set stays in for its second adjudication round
-    # (q21 carries the r11 localCheckpoint fix and q22 the r11
-    # rounded-threshold fix, so re-adjudication is load-bearing)
+    assert keys[15:22] == keepers, keys[15:22]
+    # the r10-born set on a third round (x75 under the r11 bench
+    # watch; the planner suite stays together)
     backlog = [
         "x75_compression_table", "q2_min_cost_supplier",
         "q7_nation_volume", "q10_returned_items", "q11_important_parts",
@@ -106,16 +101,24 @@ def test_adjudication_window_boundary_is_stable():
         "q19_disjunctive_revenue", "q21_sole_returner",
         "q22_idle_balances", "x76_ngram_novelty",
     ]
-    assert keys[27:40] == backlog, keys[27:40]
-    # r11 first-timers: the three debt-bounded r10 births, the TPC-H
-    # completions, and the ingestion adjudications
-    fresh = [
+    assert keys[22:35] == backlog, keys[22:35]
+    # the r11-born set on its second adjudication round
+    second = [
         "q8_market_share", "q14_promo_revenue", "q20_bulk_suppliers",
         "q5_local_volume", "q9_product_profit", "q12_lateness_priority",
         "q18_large_orders", "s8_csv_quarantine", "s9_jsonl_quarantine",
         "t21_stream_csv_drop",
     ]
-    assert keys[40:50] == fresh, keys[40:50]
+    assert keys[35:45] == second, keys[35:45]
+    # r12 rotations: the two debt-bounded r11 births plus the three
+    # r12 births (t22 streaming flagship, s11 evolution ingest, ml5a
+    # scaler prefix)
+    fresh = [
+        "x77_ivf_nprobe_sweep", "s10_schema_drift",
+        "t22_stream_five_feed_join", "s11_schema_evolution_ingest",
+        "ml5a_window_scaler",
+    ]
+    assert keys[45:50] == fresh, keys[45:50]
     # every oracle key maps to a query, and rows-only set is exactly
     # the three documented queries
     oracles = e.oracle_sql()
