@@ -5693,29 +5693,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x66_projected_recall": X.q_projected_recall,
         # t16: pinned a12 adjudicates the histogram-quantile kernel
         # batch-side; its streamed delivery rides the same foreachBatch
-        # machinery as in-window t19/t20
+        # machinery as in-window t20 (note updated r12: t19 displaced)
         "t16_stream_hist_quantiles": _t16_stream_hist_quantiles,
         # w22: the bounded-frame indicator family is carried in-window
         # by w23 (its stochastic twin) and the pinned flagships' W1-W8
         "w22_cmf": _w22_cmf,
-        # ml9/ml10: in-window t19_stream_ols streams the identical
-        # closed-form OLS normal-equation fold; the grouped/k-fold
-        # assignment stays pytest-oracle-checked
+        # ml9/ml10: the closed-form OLS normal-equation fold and the
+        # grouped/k-fold assignment stay pytest-oracle-checked; its
+        # streamed keyed-state delivery is carried in-window by t20's
+        # identical fold machinery (note updated r12: t19 displaced,
+        # itself subsumed by t20 + pinned t9)
         "ml9_grouped_ols": _ml9_grouped_ols,
         "ml10_cv_ols": _ml10_cv_ols,
         # x67: the graph family's component machinery runs in-window
         # beneath x73 (x16's CC); triangle/coefficient kernels stay
         # pytest-pinned
         "x67_clustering_coef": X.q_clustering_coef,
-        # t18: pinned t13 + in-window t19/t20 carry streamed keyed
-        # state; the KMV union algebra is unit-pinned and its batch
-        # form (x51/x55) stays pytest-oracle-checked
+        # t18: pinned t13 + in-window t20 carry streamed keyed
+        # state (note updated r12: t19 displaced); the KMV union
+        # algebra is unit-pinned and its batch form (x51/x55) stays
+        # pytest-oracle-checked
         "t18_stream_kmv": _t18_stream_kmv,
         # x70: in-window x75's pq8-ADC leg recomputes the identical
         # codebook train + m-ordered ADC fold
         "x70_pq_adc_recall": X.q_pq_adc_recall,
-        # x71/x72: the report family is carried in-window by d7 and
-        # x74; the label×dim / source×token algebra stays
+        # x71/x72: the report family is carried in-window by x74's
+        # funnel rows and s10's contract report (note updated r12: d7
+        # displaced); the label×dim / source×token algebra stays
         # pytest-oracle-checked
         "x71_centroid_matrix": X.q_centroid_matrix,
         "x72_source_kl": X.q_source_kl,
