@@ -1161,3 +1161,96 @@ def test_x77_recall_monotone_with_exhaustive_anchor(spark):
     # candidate counts grow with the budget too
     mins = [r["min_c"] for r in rows]
     assert mins == sorted(mins), mins
+
+
+def test_t22_band_joins_stay_equi_joins_at_fan_in_4(spark):
+    """t22's scale shape, asserted on the batch twin of its exact join
+    chain: all four deep↔feed band joins must plan as bucket-keyed
+    EQUI-joins (hash-partitionable state at 100 TB) — never a
+    CartesianProduct or a broadcast-nested-loop theta join, which is
+    what a naive range-predicate join degenerates to."""
+    import __spark_entry__ as e
+    from financial_market_data_analysis_spark.streaming import pipeline as P
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    deep = e._t22_hourly_feed(ev, "purchase", 0, "deep")
+    feeds = {
+        name: e._t22_hourly_feed(ev, etype, off, name)
+        for name, (etype, off) in e._T22_FEEDS.items()
+    }
+    joined = P.join_feeds(deep, feeds)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    n_joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert n_joins == 4, plan[:2000]
+
+
+def test_s11_evolving_union_is_shuffle_free_two_parses(spark, tmp_path):
+    """s11's scale shape: the widened union is a no-shuffle
+    concatenation of per-drop parses — casts are columnar, nothing
+    exchanges, and each drop is parsed exactly once (the cached parse
+    shared by its clean/quarantine sides)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from financial_market_data_analysis_spark.sources.files import (
+        load_csv_evolving,
+        release_split,
+    )
+
+    old_p = tmp_path / "old"
+    new_p = tmp_path / "new"
+    old_p.mkdir(), new_p.mkdir()
+    (old_p / "a.csv").write_text("1,en,10\n")
+    (new_p / "b.csv").write_text("2,20.5,web\n")
+    old_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+        ]
+    )
+    new_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_chars", DoubleType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    clean, quar = load_csv_evolving(
+        spark,
+        [(str(old_p), old_schema), (str(new_p), new_schema)],
+        header=False,
+    )
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    release_split(clean, quar)
+    assert "Exchange" not in plan, plan[:1200]
+    assert "Union" in plan, plan[:1200]
+
+
+def test_ml5a_checkpoint_pays_indicator_pipeline_once(spark):
+    """ml5a's scale shape: the tensor frame is checkpointed once for
+    its three consumers (cut, scaler params, scaled output), so the
+    final plan contains ZERO parquet re-scans of the events table —
+    and the two single-row stats frames come back as broadcasts, never
+    a CartesianProduct."""
+    import __spark_entry__ as e
+
+    df = e.queries()["ml5a_window_scaler"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    # 2 logical single-row broadcasts (cut, mm); the cut branch is
+    # inlined under mm's subtree as well, so the physical plan may
+    # carry up to 3 — all over the checkpointed RDD, all 1-row frames
+    assert 2 <= plan.count("BroadcastNestedLoopJoin") <= 3, plan[:2000]
