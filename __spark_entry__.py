@@ -72,9 +72,10 @@ _ORDER = ["bucket_start"]
 _CANDLES_CTE = f"WITH candles AS ({candles_oracle_sql()})"
 
 
-def _stage_batches(df: DataFrame, filters, src: str) -> None:
-    """Write a DataFrame as N sequential single-file parquet appends —
-    the N-micro-batch feed for the availableNow streaming harnesses.
+def _stage_batches(df: DataFrame, filters, src: str, fmt: str = "parquet") -> None:
+    """Write a DataFrame as N sequential single-file appends (parquet
+    by default, ``fmt="text"`` for CSV-line staging) — the
+    N-micro-batch feed for the availableNow streaming harnesses.
 
     FileStreamSource orders files by modification time; on a coarse-
     granularity filesystem two writes can land with IDENTICAL mtimes,
@@ -87,11 +88,21 @@ def _stage_batches(df: DataFrame, filters, src: str) -> None:
     import glob
     import os as _os
 
+    ext = "parquet" if fmt == "parquet" else "txt"
     prev: set[str] = set()
     last_mtime = None
     for flt in filters:
-        df.filter(flt).coalesce(1).write.mode("append").parquet(src)
-        cur = set(glob.glob(_os.path.join(src, "*.parquet")))
+        part = df.filter(flt)
+        if fmt != "parquet":
+            # text staging: the filter columns ride along only to slice
+            # the batches; the file carries the rendered line
+            part = part.select("value")
+        writer = part.coalesce(1).write.mode("append")
+        if fmt == "parquet":
+            writer.parquet(src)
+        else:
+            writer.text(src)
+        cur = set(glob.glob(_os.path.join(src, f"*.{ext}")))
         if last_mtime is not None:
             for p in cur - prev:
                 _os.utime(p, (last_mtime + 2, last_mtime + 2))
@@ -3108,6 +3119,157 @@ def _t22_stream_five_feed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T23_QUAR_ALERT = 0.3
+
+
+def _t23_stream_drift_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/S7 — the per-batch CONTRACT-DRIFT accounting of the
+    streaming quarantine ingest (streaming/pipeline.py
+    quarantining_ingest_sink drift channel, r11 verdict #5) under a
+    hard oracle: three CSV drops arrive as three micro-batches —
+    batch 0 healthy, batch 1 with a corrupt n_chars on its odd-doc_id
+    slice (the quarantine-rate spike a producer retype causes under a
+    frozen stream schema), batch 2 with lang EMPTIED for every row and
+    n_chars emptied on the doc_id%5 slice (the all-null column a
+    dropped field causes). The sink must publish one row per contract
+    column per batch — (epoch_id, column, null_frac among clean rows,
+    quarantine_frac, drifted) — and the oracle recomputes every
+    fraction and every flag from the fixture under the same slicing:
+    batch 1 flags ALL columns via quarantine_frac ≥ 0.3, batch 2 flags
+    ONLY lang (fully null; the partial n_chars null rate must NOT
+    flag), batch 0 flags nothing. Epoch↔drop mapping is deterministic
+    by staged mtime order (_stage_batches).
+
+    Scale shape: the accounting is ONE partial-aggregatable pass over
+    the already-materialized batch, per-column rows via inline over a
+    single array-of-structs (the s10 shape); sinks are
+    epoch-idempotent dynamic partition overwrites."""
+    import os
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.sources import files as FS
+    from financial_market_data_analysis_spark.streaming import pipeline as P
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    n_bad = (
+        docs.agg(
+            F.sum(
+                (
+                    F.col("doc_id").isNull()
+                    | F.col("n_chars").isNull()
+                    | F.col("lang").isNull()
+                    | F.col("lang").rlike('[,"\n\r]')
+                ).cast("int")
+            ).alias("n_bad")
+        ).first()["n_bad"]
+        or 0
+    )
+    if n_bad:
+        raise ValueError(
+            f"_t23: {n_bad} fixture rows violate the unquoted-CSV "
+            "staging precondition"
+        )
+    nch = F.col("n_chars").cast("string")
+    lines = docs.select(
+        F.col("doc_id"),
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 2, F.lit("")).otherwise(
+                F.col("lang")
+            ),
+            F.when(
+                (F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 2 == 1),
+                F.concat(F.lit("x"), nch),
+            )
+            .when(
+                (F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 5 == 0),
+                F.lit(""),
+            )
+            .otherwise(nch),
+        ).alias("value"),
+    )
+    base = tempfile.mkdtemp(prefix="t23_")
+    src = os.path.join(base, "drops")
+    old_sp = push_small_shuffle(spark)  # serial-adjudication contract: functions/core.py
+    try:
+        _stage_batches(
+            lines,
+            [F.col("doc_id") % 3 == i for i in range(3)],
+            src,
+            fmt="text",
+        )
+        stream = (
+            spark.readStream.schema(
+                FS._with_corrupt_field(_docs_csv_schema())
+            )
+            .option("header", "false")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", FS.CORRUPT_COL)
+            .option("maxFilesPerTrigger", 1)
+            .csv(src)
+        )
+        q = P.quarantining_ingest_sink(
+            stream,
+            os.path.join(base, "clean"),
+            os.path.join(base, "quar"),
+            os.path.join(base, "ckpt"),
+            trigger={"availableNow": True},
+            drift_dir=os.path.join(base, "drift"),
+            quarantine_alert=_T23_QUAR_ALERT,
+        ).start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "t23 drift-accounting stream did not finish in 300 s"
+            )
+        out = (
+            spark.read.parquet(os.path.join(base, "drift"))
+            .select(
+                F.col("epoch_id").cast("int").alias("epoch_id"),
+                "column",
+                "null_frac",
+                "quarantine_frac",
+                "drifted",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        pop_small_shuffle(spark, old_sp)
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+_T23_ORACLE = f"""
+    WITH b1 AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_bad
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    b2 AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS n_null
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT 0 AS epoch_id, c AS "column",
+           0.0 AS null_frac, 0.0 AS quarantine_frac, false AS drifted
+    FROM (VALUES ('doc_id'), ('lang'), ('n_chars')) t(c)
+    UNION ALL
+    SELECT 1, c, 0.0, round(n_bad / n, 6),
+           round(n_bad / n, 6) >= {_T23_QUAR_ALERT}
+    FROM b1, (VALUES ('doc_id'), ('lang'), ('n_chars')) t(c)
+    UNION ALL
+    SELECT 2, 'doc_id', 0.0, 0.0, false FROM b2
+    UNION ALL
+    SELECT 2, 'lang', 1.0, 0.0, true FROM b2
+    UNION ALL
+    SELECT 2, 'n_chars', round(n_null / n, 6), 0.0, false FROM b2
+"""
+
+
 def _t4b_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4's STREAMING form made driver-adjudicable: the built-in
     ``session_window`` (30-min inactivity gap) under a real
@@ -5655,6 +5817,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_schema_evolution_ingest": _s11_schema_evolution_ingest,
         "ml5a_window_scaler": X.q_ml_window_scaler,
         # ------------------------------------------------- entry 50 ends
+        # t23 NEW in round 12, past the window (oracle-bearing,
+        # entry-parity-checked every session) — ROTATE IN ROUND 13
+        # (tools/check_rotation_debt.py enforces it): the per-batch
+        # contract-drift accounting of the streaming quarantine ingest
+        # (the r11 verdict #5 feature promoted to a hard oracle row)
+        "t23_stream_drift_accounting": _t23_stream_drift_accounting,
         # -- displaced THIS round (round 12): five round-8-born
         # queries, each THRICE driver-green (r9 + r10 + r11), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
@@ -6500,6 +6668,7 @@ def oracle_sql() -> dict[str, str]:
         "x77_ivf_nprobe_sweep": X.ivf_nprobe_sweep_oracle(),
         "s10_schema_drift": _S10_ORACLE,
         "s11_schema_evolution_ingest": _S11_ORACLE,
+        "t23_stream_drift_accounting": _T23_ORACLE,
         "x76_ngram_novelty": X.ngram_novelty_oracle(),
         "x75_compression_table": X.compression_table_oracle(),
         "x65_random_projection": X.random_projection_oracle(),
