@@ -2095,6 +2095,113 @@ _S11_ORACLE = """
 """
 
 
+def _s12_jsonl_evolution_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8 — the JSONL twin of s11 (the more common real case: JSON
+    is schema-per-row, so producer drift arrives silently): the OLD
+    drop carries events as ``{event_id, event_type, n}`` with ``n``
+    (= user_id) a BIGINT; the NEW drop's producer REMOVED event_type,
+    ADDED props, and RETYPED n to genuinely fractional doubles
+    (user_id + 0.5) — which under s9's strict single-schema loader
+    would quarantine the ENTIRE new drop as type drift. A corrupt
+    slice (event_id % 13 == 7 carries a string where the number
+    belongs) must still quarantine row-level. ``load_jsonl_evolving``
+    lands both drops as one widened union; the oracle recomputes every
+    value, null fill, and quarantine decision from the fixture.
+    Staging uses ``to_json`` (proper escaping), so no unquoted-CSV
+    precondition applies.
+
+    Scale shape: identical to s11 — one parse per drop, columnar
+    casts, no-shuffle union, caches released after the eager
+    checkpoint."""
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.sources import files as FS
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "user_id", "props"
+    )
+    old_lines = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.to_json(
+            F.struct(
+                "event_id",
+                "event_type",
+                F.col("user_id").alias("n"),
+            )
+        ).alias("value")
+    )
+    new_good = ev.filter(
+        (F.col("event_id") % 2 == 1) & (F.col("event_id") % 13 != 7)
+    ).select(
+        F.to_json(
+            F.struct(
+                "event_id",
+                (F.col("user_id") + 0.5).alias("n"),
+                "props",
+            )
+        ).alias("value")
+    )
+    new_bad = ev.filter(
+        (F.col("event_id") % 2 == 1) & (F.col("event_id") % 13 == 7)
+    ).select(
+        F.to_json(
+            F.struct(
+                "event_id",
+                F.concat(F.lit("x"), F.col("user_id").cast("string")).alias(
+                    "n"
+                ),
+                "props",
+            )
+        ).alias("value")
+    )
+    old_schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("n", LongType(), True),
+        ]
+    )
+    new_schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("n", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+    old_dir = tempfile.mkdtemp(prefix="s12_old_")
+    new_dir = tempfile.mkdtemp(prefix="s12_new_")
+    try:
+        old_lines.write.mode("overwrite").text(old_dir)
+        new_good.unionAll(new_bad).write.mode("overwrite").text(new_dir)
+        clean, quar = FS.load_jsonl_evolving(
+            spark, [(old_dir, old_schema), (new_dir, new_schema)]
+        )
+        out = clean.localCheckpoint(eager=True)
+        FS.release_split(clean, quar)
+    finally:
+        shutil.rmtree(old_dir, ignore_errors=True)
+        shutil.rmtree(new_dir, ignore_errors=True)
+    return out
+
+
+_S12_ORACLE = """
+    SELECT event_id, event_type, CAST(user_id AS DOUBLE) AS n,
+           CAST(NULL AS VARCHAR) AS props, 0 AS _drop_id
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, CAST(NULL AS VARCHAR) AS event_type,
+           user_id + 0.5, props, 1 AS _drop_id
+    FROM events WHERE event_id % 2 = 1 AND event_id % 13 <> 7
+"""
+
+
 _S10_ORACLE = """
     WITH o AS (
         SELECT count(*) AS n, count(doc_id) AS nn_doc,
@@ -5823,6 +5930,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract-drift accounting of the streaming quarantine ingest
         # (the r11 verdict #5 feature promoted to a hard oracle row)
         "t23_stream_drift_accounting": _t23_stream_drift_accounting,
+        # s12 NEW in round 12, past the window — ROTATE IN ROUND 13:
+        # the JSONL twin of in-window s11 (schema-per-row drift is the
+        # JSON-native failure mode; retyped numerics widen, true
+        # conflicts still quarantine row-level)
+        "s12_jsonl_evolution_ingest": _s12_jsonl_evolution_ingest,
         # -- displaced THIS round (round 12): five round-8-born
         # queries, each THRICE driver-green (r9 + r10 + r11), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
@@ -6669,6 +6781,7 @@ def oracle_sql() -> dict[str, str]:
         "s10_schema_drift": _S10_ORACLE,
         "s11_schema_evolution_ingest": _S11_ORACLE,
         "t23_stream_drift_accounting": _T23_ORACLE,
+        "s12_jsonl_evolution_ingest": _S12_ORACLE,
         "x76_ngram_novelty": X.ngram_novelty_oracle(),
         "x75_compression_table": X.compression_table_oracle(),
         "x65_random_projection": X.random_projection_oracle(),

@@ -156,6 +156,44 @@ def evolved_schema(schemas: list[StructType]) -> StructType:
     )
 
 
+def _load_evolving(
+    loader, spark: SparkSession, drops: list[tuple[str, StructType]], **kw
+) -> tuple[DataFrame, DataFrame]:
+    """Format-generic core of the evolution-tolerant loaders: per-drop
+    parse under the drop's OWN schema, widen-cast, union by name."""
+    target = evolved_schema([s for _, s in drops])
+    widened = {f.name: f.dataType.simpleString() for f in target.fields}
+    cleans, quars, parents = [], [], []
+    for i, (path, schema) in enumerate(drops):
+        clean, quar = loader(spark, path, schema, **kw)
+        parent = getattr(clean, "_split_parent", None)
+        if parent is not None:
+            parents.append(parent)
+        casted = clean.select(
+            *[
+                F.col(f.name).cast(widened[f.name]).alias(f.name)
+                for f in schema.fields
+            ]
+        ).withColumn("_drop_id", F.lit(i))
+        cleans.append(casted)
+        quars.append(
+            quar.select(
+                F.lit(i).alias("_drop_id"), F.col(CORRUPT_COL)
+            )
+        )
+    clean_union = cleans[0]
+    for c in cleans[1:]:
+        clean_union = clean_union.unionByName(c, allowMissingColumns=True)
+    # column order: contract order (first-seen across drops) + lineage
+    clean_union = clean_union.select(*[f.name for f in target.fields], "_drop_id")
+    quar_union = quars[0]
+    for q in quars[1:]:
+        quar_union = quar_union.unionByName(q)
+    clean_union._split_parents = parents
+    quar_union._split_parents = parents
+    return clean_union, quar_union
+
+
 def load_csv_evolving(
     spark: SparkSession,
     drops: list[tuple[str, StructType]],
@@ -186,37 +224,23 @@ def load_csv_evolving(
     the ``_split`` cache), casts are columnar metadata ops, the union
     is a no-shuffle concatenation. Release the parse caches with
     :func:`release_split` once materialized."""
-    target = evolved_schema([s for _, s in drops])
-    widened = {f.name: f.dataType.simpleString() for f in target.fields}
-    cleans, quars, parents = [], [], []
-    for i, (path, schema) in enumerate(drops):
-        clean, quar = load_csv(spark, path, schema, header=header, sep=sep)
-        parent = getattr(clean, "_split_parent", None)
-        if parent is not None:
-            parents.append(parent)
-        casted = clean.select(
-            *[
-                F.col(f.name).cast(widened[f.name]).alias(f.name)
-                for f in schema.fields
-            ]
-        ).withColumn("_drop_id", F.lit(i))
-        cleans.append(casted)
-        quars.append(
-            quar.select(
-                F.lit(i).alias("_drop_id"), F.col(CORRUPT_COL)
-            )
-        )
-    clean_union = cleans[0]
-    for c in cleans[1:]:
-        clean_union = clean_union.unionByName(c, allowMissingColumns=True)
-    # column order: contract order (first-seen across drops) + lineage
-    clean_union = clean_union.select(*[f.name for f in target.fields], "_drop_id")
-    quar_union = quars[0]
-    for q in quars[1:]:
-        quar_union = quar_union.unionByName(q)
-    clean_union._split_parents = parents
-    quar_union._split_parents = parents
-    return clean_union, quar_union
+    return _load_evolving(load_csv, spark, drops, header=header, sep=sep)
+
+
+def load_jsonl_evolving(
+    spark: SparkSession,
+    drops: list[tuple[str, StructType]],
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL twin of :func:`load_csv_evolving` — the same widen-and-
+    union contract over JSON-lines drops. JSON's schema-per-row nature
+    makes this the more common real case: a producer ADDING a key is
+    invisible under the old declared schema (the parser ignores
+    unknown keys), and a producer RETYPING a numeric (int → float,
+    e.g. 42 → 42.5) turns into a 100% quarantine of the new drop under
+    :func:`load_jsonl`'s strict contract. Declaring each drop's own
+    schema and widening restores the rows as values; true conflicts
+    (string where a number is declared) still quarantine row-level."""
+    return _load_evolving(load_jsonl, spark, drops)
 
 
 def load_csv(
