@@ -517,6 +517,161 @@ def _a13_oracle() -> str:
     """
 
 
+def _a15_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — windowed funnel conversion (absent from the reference,
+    which has no user-behavior analytics at all; the events table is
+    exactly the clickstream this genre runs on): per epoch-day, the
+    fraction of VIEW events followed by a PURCHASE from the SAME user
+    within 30 minutes. The conversion test is EXISTS semantics — one
+    converted view counts once however many purchases land in its
+    window — so the plan is a LEFT SEMI join, never an inner join
+    whose duplicate matches would inflate the numerator.
+
+    Scale shape: both sides shuffle ONCE on the user_id equi-key with
+    the time band inside the join condition (per-user bucket compare,
+    never a global theta join); the per-day rollup is one
+    partial-aggregatable hash aggregate. Day keys are integer epoch
+    days (µs div), timezone-proof on both engines."""
+    ev = load_table(spark, "events", sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.unix_micros("ts").alias("v_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    converted = views.join(
+        purchases,
+        (views.user_id == purchases.user_id)
+        & (F.col("p_us") >= F.col("v_us"))
+        & (F.col("p_us") <= F.col("v_us") + F.lit(1_800_000_000)),
+        "left_semi",
+    ).select(F.expr("v_us div 86400000000").alias("day_num"))
+    all_views = views.select(
+        F.expr("v_us div 86400000000").alias("day_num")
+    )
+    n_all = all_views.groupBy("day_num").agg(
+        F.count(F.lit(1)).alias("n_views")
+    )
+    n_conv = converted.groupBy("day_num").agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+    return (
+        n_all.join(n_conv, "day_num", "left")
+        .na.fill(0, ["n_conversions"])
+        .select(
+            "day_num",
+            "n_views",
+            "n_conversions",
+            F.round(F.col("n_conversions") / F.col("n_views"), 6).alias(
+                "conversion_rate"
+            ),
+        )
+    )
+
+
+_A15_ORACLE = """
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS v_us
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    flagged AS (
+        SELECT v_us // 86400000000 AS day_num,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM p
+                   WHERE p.user_id = v.user_id
+                     AND p.p_us >= v.v_us
+                     AND p.p_us <= v.v_us + 1800000000
+               ) THEN 1 ELSE 0 END AS conv
+        FROM v
+    )
+    SELECT day_num,
+           count(*) AS n_views,
+           CAST(sum(conv) AS BIGINT) AS n_conversions,
+           round(sum(conv) / count(*), 6) AS conversion_rate
+    FROM flagged
+    GROUP BY day_num
+"""
+
+
+def _a16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — weekly retention cohorts (the second classic clickstream
+    rollup a15's funnel implies): users are cohorted by the epoch-week
+    of their FIRST event; for every (cohort_week, week_offset) cell,
+    the number of cohort users active in that week and the retention
+    fraction against the cohort's size. Week-0 retention is 1.0 by
+    construction — kept in the output as the self-check row.
+
+    Scale shape: first-event week is ONE partial-aggregatable min per
+    user; activity is a distinct over (user, week) — one shuffle on
+    user_id covers both (co-keyed), then the cell rollup is a second
+    hash aggregate on the (cohort, offset) pair; cohort sizes join
+    back broadcast-sized (one row per cohort week)."""
+    ev = load_table(spark, "events", sf_dir)
+    weeks = ev.select(
+        "user_id",
+        (F.unix_micros("ts").cast("long")).alias("ts_us"),
+    ).select(
+        "user_id", F.expr("ts_us div 604800000000").alias("week_num")
+    )
+    first = weeks.groupBy("user_id").agg(
+        F.min("week_num").alias("cohort_week")
+    )
+    active = weeks.distinct()
+    cells = (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_num") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+_A16_ORACLE = """
+    WITH w AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // 604800000000 AS week_num
+        FROM events
+    ),
+    first AS (
+        SELECT user_id, min(week_num) AS cohort_week
+        FROM w GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size
+        FROM first GROUP BY cohort_week
+    ),
+    cells AS (
+        SELECT f.cohort_week,
+               w.week_num - f.cohort_week AS week_offset,
+               count(*) AS n_active
+        FROM w JOIN first f ON w.user_id = f.user_id
+        GROUP BY 1, 2
+    )
+    SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+           round(c.n_active / s.cohort_size, 6) AS retention
+    FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+"""
+
+
 def _a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 — explicit GROUPING SETS ((lang), (source)): the
     arbitrary-set form completing the multi-level aggregation family
@@ -5935,6 +6090,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JSON-native failure mode; retyped numerics widen, true
         # conflicts still quarantine row-level)
         "s12_jsonl_evolution_ingest": _s12_jsonl_evolution_ingest,
+        # a15/a16 NEW in round 12, past the window — ROTATE IN ROUND
+        # 13: the clickstream-analytics pair the events table exists
+        # for (windowed funnel conversion as a user-keyed semi-join;
+        # weekly retention cohorts as two co-keyed aggregates)
+        "a15_funnel_conversion": _a15_funnel_conversion,
+        "a16_retention_cohorts": _a16_retention_cohorts,
         # -- displaced THIS round (round 12): five round-8-born
         # queries, each THRICE driver-green (r9 + r10 + r11), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
@@ -6782,6 +6943,8 @@ def oracle_sql() -> dict[str, str]:
         "s11_schema_evolution_ingest": _S11_ORACLE,
         "t23_stream_drift_accounting": _T23_ORACLE,
         "s12_jsonl_evolution_ingest": _S12_ORACLE,
+        "a15_funnel_conversion": _A15_ORACLE,
+        "a16_retention_cohorts": _A16_ORACLE,
         "x76_ngram_novelty": X.ngram_novelty_oracle(),
         "x75_compression_table": X.compression_table_oracle(),
         "x65_random_projection": X.random_projection_oracle(),
