@@ -5572,6 +5572,56 @@ def _w17_oracle(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
     """
 
 
+def _w24_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W24 — bar-series regularization (operators/windows.py
+    ``gap_fill_locf``): the 5-minute candle series re-emitted on its
+    FULL bucket spine, no-trade buckets synthesized with the two
+    market fill policies — close carries the last observation forward,
+    volume fills zero (no trades IS zero volume) — and flagged
+    ``is_gap``. The reference computes every trailing indicator over
+    rows-present-only (getMarketData.py bars arrive with holes), which
+    silently widens the real-time span of a "15-row" window across a
+    quiet period; this operator is the correction. Oracle: DuckDB
+    ``generate_series`` spine + ``last_value IGNORE NULLS``.
+
+    Scale shape: one aggregate builds the spine bounds, ``sequence``
+    explodes it distributed (range-bounded per partition), the join
+    back is co-keyed, LOCF is one window pass."""
+    bars = _candles(spark, sf_dir).select(
+        "bucket_start", "close", "volume"
+    )
+    out = W.gap_fill_locf(
+        bars, "bucket_start", 300, ["close"], zero_cols=["volume"]
+    )
+    return out.select(
+        "bucket_start",
+        "is_gap",
+        F.round("close", 6).alias("close_filled"),
+        F.round("volume", 6).alias("volume_filled"),
+    )
+
+
+_W24_ORACLE = f"""
+    {_CANDLES_CTE},
+    bounds AS (
+        SELECT min(bucket_start) AS lo, max(bucket_start) AS hi
+        FROM candles
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, 300)) AS bucket_start
+        FROM bounds
+    )
+    SELECT s.bucket_start,
+           CASE WHEN c.bucket_start IS NULL THEN 1 ELSE 0 END AS is_gap,
+           round(last_value(c.close IGNORE NULLS) OVER (
+               ORDER BY s.bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 6) AS close_filled,
+           round(COALESCE(c.volume, 0.0), 6) AS volume_filled
+    FROM spine s LEFT JOIN candles c ON s.bucket_start = c.bucket_start
+"""
+
+
 def _w23_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W23 — Williams %R-14 over the 5-minute candles
     (operators/windows.py ``williams_r``): the top-measured twin of
@@ -6096,6 +6146,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weekly retention cohorts as two co-keyed aggregates)
         "a15_funnel_conversion": _a15_funnel_conversion,
         "a16_retention_cohorts": _a16_retention_cohorts,
+        # w24 NEW in round 12, past the window — ROTATE IN ROUND 13:
+        # bar-series regularization (full-spine gap fill, LOCF prices
+        # + zero volume), the correction for the reference's
+        # rows-present-only indicator windows
+        "w24_gap_fill_locf": _w24_gap_fill_locf,
         # -- displaced THIS round (round 12): five round-8-born
         # queries, each THRICE driver-green (r9 + r10 + r11), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
@@ -6945,6 +7000,7 @@ def oracle_sql() -> dict[str, str]:
         "s12_jsonl_evolution_ingest": _S12_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,
+        "w24_gap_fill_locf": _W24_ORACLE,
         "x76_ngram_novelty": X.ngram_novelty_oracle(),
         "x75_compression_table": X.compression_table_oracle(),
         "x65_random_projection": X.random_projection_oracle(),

@@ -829,3 +829,56 @@ def ichimoku(
         .withColumn("senkou_b", F.lag("__senkou_b_now", kijun).over(wo))
         .drop("__senkou_b_now")
     )
+
+
+def gap_fill_locf(
+    bars: DataFrame,
+    bucket_col: str,
+    step: int,
+    locf_cols: Sequence[str],
+    zero_cols: Sequence[str] = (),
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Regularize a bar series onto its full bucket spine (the
+    operation the reference's consumer implicitly needs and never
+    does: AlphaVantage bars arrive with HOLES for no-trade intervals —
+    getMarketData.py:139-248 — and every trailing-window indicator
+    silently computes over a variable real-time span when rows are
+    missing). Emits one row per ``step``-spaced bucket between each
+    partition's min and max observed bucket, with two explicit fill
+    policies: ``locf_cols`` carry the last observation forward
+    (prices — the market convention) and ``zero_cols`` fill 0 (volume:
+    no trades IS zero volume). ``is_gap`` (0/1) marks synthesized
+    rows, so downstream consumers can weight or drop them.
+
+    Scale shape: the spine is ONE aggregate per partition exploded
+    from a ``sequence`` array — no driver-side range generation, no
+    cross join against a calendar table; the join back is co-keyed on
+    (partition, bucket); LOCF is one ``last(ignorenulls)`` pass over
+    the per-partition event-time window. The spine array is
+    range-bounded per partition — for a multi-year global series,
+    pre-split the range (e.g. per day) before exploding."""
+    lo_hi = bars.groupBy(*partition_cols).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    spine = lo_hi.select(
+        *partition_cols,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+        ).alias(bucket_col),
+    )
+    marked = bars.withColumn("__present", F.lit(1))
+    joined = spine.join(
+        marked, [*partition_cols, bucket_col], "left"
+    ).withColumn(
+        "is_gap",
+        F.when(F.col("__present").isNull(), F.lit(1)).otherwise(F.lit(0)),
+    )
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fills = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in locf_cols}
+    fills.update({c: F.coalesce(F.col(c), F.lit(0.0)) for c in zero_cols})
+    return joined.withColumns(fills).drop("__present")
