@@ -578,3 +578,52 @@ def test_clustering_coef_on_known_graph(spark):
     assert cc(1) == 1.0          # clique member: all wedges closed
     assert cc(10) == 0.0         # star hub: no closed wedge
     assert tri[5] == 2 and abs(cc(5) - 2 * 2 / (4 * 3)) < 1e-12  # bridge
+
+
+def test_gap_fill_locf_per_partition_spines_and_policies(spark):
+    """gap_fill_locf must build each partition's spine from ITS OWN
+    min/max (no cross-partition bleed), carry prices forward per
+    partition, zero-fill volume, and flag exactly the synthesized
+    rows — including a bar whose LOCF column is genuinely NULL (the
+    fill skips it back to the last real observation)."""
+    from financial_market_data_analysis_spark.operators.windows import (
+        gap_fill_locf,
+    )
+
+    rows = [
+        # symbol A: buckets 0, 900 -> gaps at 300, 600
+        ("A", 0, 10.0, 5.0),
+        ("A", 900, 13.0, 7.0),
+        # symbol B: buckets 300..600 only -> one gap-free spine of 2
+        ("B", 300, 50.0, 1.0),
+        ("B", 600, None, 2.0),  # present bar with NULL close
+    ]
+    bars = spark.createDataFrame(
+        rows, "symbol string, bucket_start long, close double, volume double"
+    )
+    out = gap_fill_locf(
+        bars,
+        "bucket_start",
+        300,
+        ["close"],
+        zero_cols=["volume"],
+        partition_cols=["symbol"],
+    )
+    got = {
+        (r["symbol"], r["bucket_start"]): r
+        for r in out.collect()
+    }
+    assert set(got) == {
+        ("A", 0), ("A", 300), ("A", 600), ("A", 900),
+        ("B", 300), ("B", 600),
+    }
+    assert got[("A", 300)]["is_gap"] == 1
+    assert got[("A", 300)]["close"] == 10.0  # LOCF
+    assert got[("A", 300)]["volume"] == 0.0  # zero policy
+    assert got[("A", 900)]["is_gap"] == 0
+    assert got[("A", 900)]["close"] == 13.0
+    assert got[("B", 300)]["is_gap"] == 0
+    # present bar, NULL close: not a gap, LOCF reaches back to 50.0
+    assert got[("B", 600)]["is_gap"] == 0
+    assert got[("B", 600)]["close"] == 50.0
+    assert got[("B", 600)]["volume"] == 2.0
