@@ -672,6 +672,104 @@ _A16_ORACLE = """
 """
 
 
+_A17_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _a17_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — relational PIVOT (``groupBy().pivot(values).count()``):
+    the day × event_type count matrix, completing the reshape family
+    (a13 CUBE and a14 GROUPING SETS aggregate along hierarchies; PIVOT
+    transposes a dimension into columns — the report layout BI tools
+    ask the engine for). The pivot VALUES are declared explicitly, so
+    the plan needs NO distinct-discovery pre-pass (the two-pass trap
+    of ``pivot(col)`` without values, which at 100 TB is an extra full
+    scan) and the output schema is static. Absent cells emit 0, not
+    NULL — a day with no errors had zero errors. One scan, one
+    partial-aggregatable pivot aggregate, one shuffle on the day
+    key."""
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.select(
+        F.unix_micros("ts").alias("ts_us"), "event_type"
+    ).select(
+        F.expr("ts_us div 86400000000").alias("day_num"), "event_type"
+    )
+    out = (
+        days.groupBy("day_num")
+        .pivot("event_type", _A17_TYPES)
+        .count()
+        .na.fill(0, _A17_TYPES)
+    )
+    return out.select(
+        "day_num", *[F.col(t).alias(f"n_{t}") for t in _A17_TYPES]
+    )
+
+
+_A17_ORACLE = """
+    SELECT epoch_us(ts) // 86400000000 AS day_num,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view
+    FROM events
+    GROUP BY 1
+"""
+
+
+def _a18_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 — time-weighted average price per epoch-day over the
+    IRREGULAR bar series (a11's VWAP weights by volume; TWAP weights
+    by how long each price was the prevailing one — the benchmark
+    execution algos settle against, and the measure that is only
+    honest on irregular bars: a bar before a quiet hour carries that
+    hour). Each bar's weight is the µs until the day's NEXT bar; the
+    day's last bar has no forward duration and is excluded by
+    convention (both engines identically). One window pass for the
+    lead, one grouped aggregate; weights are exact integer µs.
+
+    ``sum(close·w)/sum(w)`` is evaluated as the two partial-
+    aggregatable sums divided once, never a per-row running mean."""
+    bars = _candles(spark, sf_dir).select("bucket_start", "close")
+    day = F.expr("bucket_start div 86400")
+    timed = bars.select(
+        day.alias("day_num"),
+        "bucket_start",
+        "close",
+        (F.lead("bucket_start").over(
+            SW.partitionBy(day).orderBy("bucket_start")
+        ) - F.col("bucket_start")).alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    return timed.groupBy("day_num").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.round(
+            F.sum(F.col("close") * F.col("dur_s")) / F.sum("dur_s"), 6
+        ).alias("twap"),
+    )
+
+
+_A18_ORACLE = f"""
+    {_CANDLES_CTE},
+    timed AS (
+        SELECT bucket_start // 86400 AS day_num, close,
+               lead(bucket_start) OVER (
+                   PARTITION BY bucket_start // 86400
+                   ORDER BY bucket_start
+               ) - bucket_start AS dur_s
+        FROM candles
+    )
+    SELECT day_num, count(*) AS n_bars,
+           round(sum(close * dur_s) / sum(dur_s), 6) AS twap
+    FROM timed
+    WHERE dur_s IS NOT NULL
+    GROUP BY day_num
+"""
+
+
 def _a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 — explicit GROUPING SETS ((lang), (source)): the
     arbitrary-set form completing the multi-level aggregation family
@@ -6151,6 +6249,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + zero volume), the correction for the reference's
         # rows-present-only indicator windows
         "w24_gap_fill_locf": _w24_gap_fill_locf,
+        # a17/a18 NEW in round 12, past the window — ROTATE IN ROUND
+        # 13: relational PIVOT with declared values (no distinct
+        # discovery pre-pass) and duration-weighted TWAP over the
+        # irregular bar series
+        "a17_pivot_daily_types": _a17_pivot_daily_types,
+        "a18_twap_daily": _a18_twap_daily,
         # -- displaced THIS round (round 12): five round-8-born
         # queries, each THRICE driver-green (r9 + r10 + r11), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
@@ -7001,6 +7105,8 @@ def oracle_sql() -> dict[str, str]:
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,
         "w24_gap_fill_locf": _W24_ORACLE,
+        "a17_pivot_daily_types": _A17_ORACLE,
+        "a18_twap_daily": _A18_ORACLE,
         "x76_ngram_novelty": X.ngram_novelty_oracle(),
         "x75_compression_table": X.compression_table_oracle(),
         "x65_random_projection": X.random_projection_oracle(),
