@@ -3351,29 +3351,33 @@ _T22_FEEDS = {
 _T22_LAG_US = 6 * 3600 * 1_000_000
 
 
-def _t22_hourly_feed(
-    ev: DataFrame, etype: str, offset_s: int, name: str
-) -> DataFrame:
-    """One producer-grid feed derived from events: an hourly aggregate
-    of one event_type slice, timestamped at hour start + the feed's
-    grid offset (deterministic, oracle-recomputable)."""
+def _t22_feed_base(ev: DataFrame) -> DataFrame:
+    """ONE grouped pass over events builds every feed's hourly
+    aggregates — (event_type, hour_us, n, val) — so the five feeds
+    (and their ten staged halves) are row-local projections of a
+    single eagerly-checkpointed frame instead of five separate
+    scan+shuffle pipelines (measured: staging dropped ~2× at sf0.1)."""
     hour_us = F.unix_micros("ts") - F.unix_micros("ts") % F.lit(
         3_600_000_000
     )
-    return (
-        ev.filter(F.col("event_type") == etype)
-        .groupBy(hour_us.alias("hour_us"))
-        .agg(
-            F.count(F.lit(1)).alias(f"{name}_n"),
-            F.round(F.avg("value"), 6).alias(f"{name}_val"),
-        )
-        .select(
-            F.timestamp_micros(
-                F.col("hour_us") + F.lit(offset_s * 1_000_000)
-            ).alias("ts"),
-            f"{name}_n",
-            f"{name}_val",
-        )
+    return ev.groupBy("event_type", hour_us.alias("hour_us")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("val"),
+    )
+
+
+def _t22_hourly_feed(
+    base: DataFrame, etype: str, offset_s: int, name: str
+) -> DataFrame:
+    """One producer-grid feed projected from :func:`_t22_feed_base`:
+    the event_type slice timestamped at hour start + the feed's grid
+    offset (deterministic, oracle-recomputable)."""
+    return base.filter(F.col("event_type") == etype).select(
+        F.timestamp_micros(
+            F.col("hour_us") + F.lit(offset_s * 1_000_000)
+        ).alias("ts"),
+        F.col("n").alias(f"{name}_n"),
+        F.col("val").alias(f"{name}_val"),
     )
 
 
@@ -3402,28 +3406,34 @@ def _t22_stream_five_feed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality as t6; inner joins emit on match, so no watermark trim
     is needed for determinism.
 
-    Scale shape: each feed derivation is one partial-aggregatable
-    grouped pass; every join is the bucketed EQUI-join (state
-    hash-partitioned on the 5-min bucket, watermark-evicted); dedup is
-    key-scoped ``dropDuplicatesWithinWatermark`` state, not
-    all-columns; no collect anywhere."""
+    Scale shape: ALL feed derivation is one partial-aggregatable
+    grouped pass (checkpointed once, ten staged halves project from
+    it); every join is the bucketed EQUI-join (state hash-partitioned
+    on the 5-min bucket, watermark-evicted); dedup is key-scoped
+    ``dropDuplicatesWithinWatermark`` state, not all-columns; no
+    collect anywhere. The fixture-scale harness scopes the stream to
+    2 state partitions (720 hourly rows per feed; state-store commit
+    overhead per op × partition × batch dominated the run at the
+    session default — at cluster scale the stream keeps the cluster's
+    shuffle-partition setting)."""
     import shutil
     import tempfile
 
     from financial_market_data_analysis_spark.streaming import pipeline as P
 
     ev = load_table(spark, "events", sf_dir)
-    deep = _t22_hourly_feed(ev, "purchase", 0, "deep")
-    feeds = {
-        name: _t22_hourly_feed(ev, etype, off, name)
-        for name, (etype, off) in _T22_FEEDS.items()
-    }
-    cut_us = deep.agg(
-        F.percentile_approx(F.unix_micros("ts"), 0.5)
-    ).first()[0]
+    old_sp = push_small_shuffle(spark, 2)  # serial-adjudication contract: functions/core.py
     dirs = {}
-    old_sp = push_small_shuffle(spark)  # serial-adjudication contract: functions/core.py
     try:
+        base = _t22_feed_base(ev).localCheckpoint(eager=True)
+        deep = _t22_hourly_feed(base, "purchase", 0, "deep")
+        feeds = {
+            name: _t22_hourly_feed(base, etype, off, name)
+            for name, (etype, off) in _T22_FEEDS.items()
+        }
+        cut_us = deep.agg(
+            F.percentile_approx(F.unix_micros("ts"), 0.5)
+        ).first()[0]
         for name, df in {"deep": deep, **feeds}.items():
             src = tempfile.mkdtemp(prefix=f"t22_{name}_")
             lag = 0 if name == "deep" else _T22_LAG_US

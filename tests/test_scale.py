@@ -1173,9 +1173,10 @@ def test_t22_band_joins_stay_equi_joins_at_fan_in_4(spark):
     from financial_market_data_analysis_spark.streaming import pipeline as P
 
     ev = load_table(spark, "events", SF_SMOKE)
-    deep = e._t22_hourly_feed(ev, "purchase", 0, "deep")
+    base = e._t22_feed_base(ev)
+    deep = e._t22_hourly_feed(base, "purchase", 0, "deep")
     feeds = {
-        name: e._t22_hourly_feed(ev, etype, off, name)
+        name: e._t22_hourly_feed(base, etype, off, name)
         for name, (etype, off) in e._T22_FEEDS.items()
     }
     joined = P.join_feeds(deep, feeds)
