@@ -6265,6 +6265,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # irregular bar series
         "a17_pivot_daily_types": _a17_pivot_daily_types,
         "a18_twap_daily": _a18_twap_daily,
+        # x78 NEW in round 12, past the window — ROTATE IN ROUND 13:
+        # the near-dup detector SHOOTOUT (MinHash-LSH vs SimHash on
+        # one injected truth set — x69 tunes within a family, x78
+        # decides between families)
+        "x78_neardup_method_table": X.q_neardup_method_table,
         # -- displaced THIS round (round 12): five round-8-born
         # queries, each THRICE driver-green (r9 + r10 + r11), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
@@ -7117,6 +7122,7 @@ def oracle_sql() -> dict[str, str]:
         "w24_gap_fill_locf": _W24_ORACLE,
         "a17_pivot_daily_types": _A17_ORACLE,
         "a18_twap_daily": _A18_ORACLE,
+        "x78_neardup_method_table": X.neardup_method_table_oracle(),
         "x76_ngram_novelty": X.ngram_novelty_oracle(),
         "x75_compression_table": X.compression_table_oracle(),
         "x65_random_projection": X.random_projection_oracle(),

@@ -5078,6 +5078,229 @@ def lsh_tuning_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# x78 — the near-dup DETECTOR shootout: MinHash-LSH vs SimHash on one
+# common injected-truth set. x69 tunes WITHIN MinHash (which band
+# config); this table decides BETWEEN detector families — the question
+# a 100 TB dedup pipeline answers once, before any tuning.
+
+X78_MINHASH_BAND_SIZE = 2  # the catalog's default x6 config: 4 bands × 2 rows
+
+
+def q_neardup_method_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x78 — measured candidate volume / sampled precision / recall of
+    the two TEXT near-dup detector families over the SAME injected
+    truth set (x69's): MinHash-LSH at its default 4×2 band config vs
+    SimHash-32 at 4 bands / Hamming ≤ 2 (the x15 config). Truth =
+    injected (parent, parent+offset) pairs whose exact shingle Jaccard
+    clears the x69 threshold; precision is the x69-style deterministic
+    1-in-7 candidate sample exact-verified; recall needs no verify
+    (truth pairs clear the gate by construction — found iff
+    candidate). The published row pair is the family decision: SimHash
+    candidates come with a pigeonhole recall GUARANTEE at sketch
+    granularity while MinHash's banding is probabilistic — measured
+    side by side on identical data.
+
+    Scale shape: ONE shingle scan feeds the truth set, the MinHash
+    signature, and both sampled verifies; the SimHash leg runs at
+    sketch granularity (distinct 32-bit sketches, never doc-quadratic);
+    every published number is an aggregate of candidate-volume-bounded
+    frames; small-shuffle scoped like every graph-sized sweep."""
+    aug = docs_augmented(spark, sf_dir)
+    sh_arr = D.shingle_arrays(D.ensure_parallelism(aug)).localCheckpoint(
+        eager=False
+    )
+    sh = sh_arr.select(
+        "doc_id", F.explode("sh_arr").alias("shingle")
+    ).localCheckpoint(eager=False)
+    old_sp = push_small_shuffle(spark)  # serial-adjudication contract: functions/core.py
+    try:
+        present = sh_arr.select("doc_id").distinct()
+        inj = (
+            present.filter(
+                (F.col("doc_id") % DOC_DUP_MOD == 0)
+                & (F.col("doc_id") < DUP_OFFSET)
+            )
+            .select(F.col("doc_id").alias("doc_a"))
+            .join(
+                present.select(
+                    (F.col("doc_id") - DUP_OFFSET).alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                ),
+                "doc_a",
+            )
+        )
+        truth = (
+            D.jaccard_verify(inj, None, shingles=sh)
+            .filter(F.col("jaccard") >= X69_THRESHOLD)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        n_true = truth.count()
+
+        sigs = D.minhash_signatures(None, shingle_arr=sh_arr)
+        pairs_mh = D.lsh_candidate_pairs(
+            sigs, band_size=X78_MINHASH_BAND_SIZE
+        )
+        pairs_sh = D.simhash_neardup_pairs(
+            aug,
+            n_bands=SIMHASH_BANDS,
+            max_hamming=SIMHASH_MAX_HAMMING,
+        ).select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+        out = None
+        for method, pairs in (
+            ("minhash_b4_r2", pairs_mh),
+            ("simhash_b4_h2", pairs_sh),
+        ):
+            pairs = pairs.localCheckpoint(eager=True)
+            samp = pairs.filter(
+                (F.col("doc_a") + F.col("doc_b")) % X69_SAMPLE_MOD == 0
+            ).localCheckpoint(eager=True)
+            ver = D.jaccard_verify(samp, None, shingles=sh).filter(
+                F.col("jaccard") >= X69_THRESHOLD
+            )
+            row = (
+                spark.createDataFrame([(method,)], "method string")
+                .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_candidates")))
+                .crossJoin(samp.agg(F.count(F.lit(1)).alias("n_sampled")))
+                .crossJoin(ver.agg(F.count(F.lit(1)).alias("n_verified")))
+                .crossJoin(
+                    pairs.join(truth, ["doc_a", "doc_b"]).agg(
+                        F.count(F.lit(1)).alias("n_found")
+                    )
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+        return out.select(
+            "method",
+            "n_candidates",
+            "n_sampled",
+            "n_verified",
+            F.round(
+                F.when(F.col("n_sampled") == 0, F.lit(0.0)).otherwise(
+                    F.col("n_verified") / F.col("n_sampled")
+                ),
+                6,
+            ).alias("precision"),
+            F.lit(n_true).cast("long").alias("n_true_pairs"),
+            "n_found",
+            F.round(
+                F.when(F.lit(n_true) == 0, F.lit(0.0)).otherwise(
+                    F.col("n_found") / F.lit(n_true)
+                ),
+                6,
+            ).alias("recall"),
+        )
+    finally:
+        pop_small_shuffle(spark, old_sp)
+
+
+def neardup_method_table_oracle() -> str:
+    thr = X69_THRESHOLD
+    bs = X78_MINHASH_BAND_SIZE
+    width = 32 // SIMHASH_BANDS
+    jacc = """CAST(i.n_inter AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)"""
+
+    def ver_cte(pairs: str, out: str) -> str:
+        return f"""
+        {out} AS (
+            SELECT p.doc_a, p.doc_b
+            FROM {pairs} p
+            JOIN (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_inter
+                FROM sh a JOIN sh b ON b.shingle = a.shingle
+                JOIN {pairs} q ON q.doc_a = a.doc_id AND q.doc_b = b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ) i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+            JOIN sizes sa ON sa.doc_id = p.doc_a
+            JOIN sizes sb ON sb.doc_id = p.doc_b
+            WHERE {jacc} >= {thr}
+        )"""
+
+    def method_select(method: str, pairs: str, samp: str, ver: str) -> str:
+        return f"""
+        SELECT '{method}' AS method,
+               (SELECT count(*) FROM {pairs}) AS n_candidates,
+               (SELECT count(*) FROM {samp}) AS n_sampled,
+               (SELECT count(*) FROM {ver}) AS n_verified,
+               round(CASE WHEN (SELECT count(*) FROM {samp}) = 0 THEN 0.0
+                     ELSE (SELECT count(*) FROM {ver}) * 1.0
+                          / (SELECT count(*) FROM {samp}) END, 6)
+                   AS precision,
+               (SELECT count(*) FROM truth) AS n_true_pairs,
+               (SELECT count(*) FROM {pairs} v
+                JOIN truth t ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b)
+                   AS n_found,
+               round(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
+                     ELSE (SELECT count(*) FROM {pairs} v
+                           JOIN truth t ON t.doc_a = v.doc_a
+                                       AND t.doc_b = v.doc_b) * 1.0
+                          / (SELECT count(*) FROM truth) END, 6) AS recall"""
+
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE}),
+        sh AS ({_shingles_sql("aug")}),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        mh AS (
+            SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
+            FROM sh, generate_series(0, {D.N_MINHASH - 1}) g(seed)
+            GROUP BY doc_id, seed
+        ),
+        present AS (SELECT DISTINCT doc_id FROM sh),
+        inj AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM present a JOIN present b ON b.doc_id = a.doc_id + {DUP_OFFSET}
+            WHERE a.doc_id % {DOC_DUP_MOD} = 0 AND a.doc_id < {DUP_OFFSET}
+        ),{ver_cte("inj", "truth")},
+        bands_mh AS (
+            SELECT doc_id, CAST(seed // {bs} AS INT) AS band,
+                   md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+            FROM mh GROUP BY doc_id, seed // {bs}
+        ),
+        pairs_mh AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_mh a JOIN bands_mh b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        samp_mh AS (
+            SELECT * FROM pairs_mh
+            WHERE (doc_a + doc_b) % {X69_SAMPLE_MOD} = 0
+        ),{ver_cte("samp_mh", "ver_mh")},
+        sim AS ({T.simhash32_sql('text', 'aug')}),
+        sbands AS (
+            SELECT doc_id, simhash, b AS band_idx,
+                   substr(simhash, CAST(b * {width} + 1 AS INT), {width}) AS band
+            FROM sim, generate_series(0, {SIMHASH_BANDS - 1}) AS g(b)
+        ),
+        scand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                   x.simhash AS sh_a, y.simhash AS sh_b
+            FROM sbands x JOIN sbands y USING (band_idx, band)
+            WHERE x.doc_id < y.doc_id
+        ),
+        pairs_sh AS (
+            SELECT id_a AS doc_a, id_b AS doc_b FROM scand
+            WHERE CAST(list_sum(list_transform(range(1, 33),
+                        i -> CASE WHEN substr(sh_a, CAST(i AS INT), 1)
+                                    <> substr(sh_b, CAST(i AS INT), 1)
+                             THEN 1 ELSE 0 END)) AS INT)
+                  <= {SIMHASH_MAX_HAMMING}
+        ),
+        samp_sh AS (
+            SELECT * FROM pairs_sh
+            WHERE (doc_a + doc_b) % {X69_SAMPLE_MOD} = 0
+        ),{ver_cte("samp_sh", "ver_sh")}
+        {method_select("minhash_b4_r2", "pairs_mh", "samp_mh", "ver_mh")}
+        UNION ALL
+        {method_select("simhash_b4_h2", "pairs_sh", "samp_sh", "ver_sh")}
+    """
+
+
+# ---------------------------------------------------------------------------
 # x70 — product quantization (PQ) codes + ADC search with measured recall
 
 PQ_M = 8            # subquantizers: 64 dims → 8 subvectors of 8 dims
