@@ -3613,6 +3613,75 @@ def _t23_stream_drift_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _t24_stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6/W24 — the STREAMING form of bar-series regularization
+    (streaming/pipeline.py ``stateful_gap_fill``): the candle series
+    arrives as two micro-batches and every no-trade bucket is
+    synthesized with carried-forward close / zero volume from O(1)
+    per-key state. The batch cut is placed deliberately AT a real gap
+    (the median gap's left edge), so the synthetic rows inside that
+    gap can only be emitted when batch 2's first bar arrives — from
+    state written in batch 1. A run that loses or duplicates the
+    carry-forward state emits a different row set and hash-mismatches
+    the oracle, which is w24's batch SQL VERBATIM (the stream/batch
+    unification claim, adjudicated at full series granularity).
+
+    Scale shape: O(1) state per key (last bucket + last value), Arrow-
+    batched; emission is data-driven (no watermark wait), so the
+    availableNow output equals the batch spine exactly with no trim."""
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.streaming import pipeline as P
+
+    bars = (
+        _candles(spark, sf_dir)
+        .select("bucket_start", "close", "volume")
+        .withColumn("symbol", F.lit("S"))
+    )
+    w = SW.orderBy("bucket_start")
+    gaps = bars.select(
+        "bucket_start",
+        F.lead("bucket_start").over(w).alias("nxt"),
+    ).filter(F.col("nxt") > F.col("bucket_start") + 300)
+    cut = gaps.agg(
+        F.percentile_approx("bucket_start", 0.5)
+    ).first()[0]
+    src = tempfile.mkdtemp(prefix="t24_bars_")
+    old_sp = push_small_shuffle(spark)  # serial-adjudication contract: functions/core.py
+    try:
+        _stage_two_halves(
+            bars,
+            (F.col("bucket_start") <= cut, F.col("bucket_start") > cut),
+            src,
+        )
+        stream = (
+            spark.readStream.schema(bars.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        filled = P.stateful_gap_fill(stream, key_cols=("symbol",))
+        q = (
+            filled.writeStream.format("memory")
+            .queryName("t24_gap_fill_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t24 stream gap fill did not finish in 300 s")
+    finally:
+        pop_small_shuffle(spark, old_sp)
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table("t24_gap_fill_out").select(
+        "bucket_start",
+        "is_gap",
+        F.round("close", 6).alias("close_filled"),
+        F.round("volume", 6).alias("volume_filled"),
+    )
+
+
 _T23_ORACLE = f"""
     WITH b1 AS (
         SELECT count(*) AS n,
@@ -6270,6 +6339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one injected truth set — x69 tunes within a family, x78
         # decides between families)
         "x78_neardup_method_table": X.q_neardup_method_table,
+        # t24 NEW in round 12, past the window — ROTATE IN ROUND 13:
+        # streaming gap fill (O(1) carry-forward state; the cut sits AT
+        # a real gap so the boundary fill proves cross-batch state);
+        # oracle is w24's batch SQL verbatim — stream/batch unification
+        "t24_stream_gap_fill": _t24_stream_gap_fill,
         # -- displaced THIS round (round 12): five round-8-born
         # queries, each THRICE driver-green (r9 + r10 + r11), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
@@ -7123,6 +7197,8 @@ def oracle_sql() -> dict[str, str]:
         "a17_pivot_daily_types": _A17_ORACLE,
         "a18_twap_daily": _A18_ORACLE,
         "x78_neardup_method_table": X.neardup_method_table_oracle(),
+        # t24 shares w24's oracle verbatim — identical rows by contract
+        "t24_stream_gap_fill": _W24_ORACLE,
         "x76_ngram_novelty": X.ngram_novelty_oracle(),
         "x75_compression_table": X.compression_table_oracle(),
         "x65_random_projection": X.random_projection_oracle(),

@@ -1013,3 +1013,94 @@ def streaming_predictions(
         )
 
     return _hook
+
+
+def stateful_gap_fill(
+    stream: DataFrame,
+    key_cols: Sequence[str] = ("symbol",),
+    bucket_col: str = "bucket_start",
+    step: int = 300,
+    locf_col: str = "close",
+    zero_col: str = "volume",
+) -> DataFrame:
+    """Streaming twin of ``operators.windows.gap_fill_locf`` — bar-
+    series regularization as a TRUE single-pass stateful operator:
+    per-key state is just ``(last_bucket, last_locf_value)``; when a
+    bar arrives, every missing ``step``-spaced bucket since the key's
+    previous bar is synthesized FIRST (``is_gap = 1``, ``locf_col``
+    carried forward, ``zero_col`` = 0.0 — no trades IS zero volume),
+    then the real bar is emitted (``is_gap = 0``). The spine starts at
+    each key's first observed bar, exactly like the batch operator, so
+    for in-order arrival the emitted rows equal the batch
+    ``gap_fill_locf`` output row for row — INCLUDING gaps that span a
+    micro-batch boundary, which only exist if the carry-forward state
+    survives the batch (the cross-batch proof t24 adjudicates).
+
+    O(1) state per key; Arrow-batched pandas; rows inside a batch are
+    sorted by bucket before folding (same in-order contract as the
+    stateful indicator suite)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    key_fields = [stream.schema[k] for k in key_cols]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField(bucket_col, LongType()),
+            StructField(locf_col, DoubleType()),
+            StructField(zero_col, DoubleType()),
+            StructField("is_gap", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_bucket", LongType()),
+            StructField("last_val", DoubleType()),
+        ]
+    )
+    col_order = list(key_cols) + [bucket_col, locf_col, zero_col, "is_gap"]
+
+    def fn(key, pdf_iter, state):
+        last_b, last_v = (state.get if state.exists else (None, None))
+        rows = pd.concat(list(pdf_iter)).sort_values(bucket_col)
+        out_b, out_l, out_z, out_g = [], [], [], []
+        for b, lv, zv in zip(
+            rows[bucket_col], rows[locf_col], rows[zero_col]
+        ):
+            b = int(b)
+            if last_b is not None:
+                for gap_b in range(last_b + step, b, step):
+                    out_b.append(gap_b)
+                    out_l.append(last_v)
+                    out_z.append(0.0)
+                    out_g.append(1)
+            out_b.append(b)
+            out_l.append(float(lv))
+            out_z.append(float(zv))
+            out_g.append(0)
+            last_b = b
+            if lv == lv and lv is not None:  # carry last NON-NULL value
+                last_v = float(lv)
+        state.update((last_b, last_v))
+        out = pd.DataFrame(
+            {
+                bucket_col: out_b,
+                locf_col: out_l,
+                zero_col: out_z,
+                "is_gap": out_g,
+            }
+        )
+        for i, k in enumerate(key_cols):
+            out[k] = key[i]
+        yield out[col_order]
+
+    return stream.groupBy(*[F.col(k) for k in key_cols]).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1222,3 +1222,83 @@ def test_t22_five_feed_join_has_cross_batch_matches(spark):
         .filter((F.col("hour_us") > lo) & (F.col("hour_us") <= hi))
     )
     assert n_cross == batch_twin.count()
+
+
+def test_stateful_gap_fill_fills_across_batch_boundary(spark, tmp_path):
+    """The streaming gap fill must synthesize the buckets INSIDE a gap
+    that spans the micro-batch boundary — those rows exist only if the
+    (last_bucket, last_value) state survives the batch — and the full
+    emitted series must equal the batch gap_fill_locf row for row."""
+    from financial_market_data_analysis_spark.operators.windows import (
+        gap_fill_locf,
+    )
+    from financial_market_data_analysis_spark.streaming.pipeline import (
+        stateful_gap_fill,
+    )
+
+    rows = [
+        ("S", 0, 10.0, 1.0),
+        ("S", 300, 11.0, 2.0),
+        # gap: 600, 900 missing — and the batch boundary sits here
+        ("S", 1200, 12.0, 3.0),
+        ("S", 1500, 13.0, 4.0),
+    ]
+    bars = spark.createDataFrame(
+        rows, "symbol string, bucket_start long, close double, volume double"
+    )
+    src = str(tmp_path / "bars")
+    import os
+    import time
+
+    bars.filter(F.col("bucket_start") <= 300).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    bars.filter(F.col("bucket_start") > 300).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    files = sorted(
+        (os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    now = time.time()
+    for i, f in enumerate(files):
+        os.utime(f, (now - 10 + 5 * i, now - 10 + 5 * i))
+
+    stream = (
+        spark.readStream.schema(bars.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_gap_fill(stream, key_cols=("symbol",))
+        .writeStream.format("memory")
+        .queryName("gapfill_boundary_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["bucket_start"]: r
+        for r in spark.table("gapfill_boundary_out").collect()
+    }
+    assert set(got) == {0, 300, 600, 900, 1200, 1500}
+    # the boundary-spanning gap rows: carried close, zero volume
+    for b in (600, 900):
+        assert got[b]["is_gap"] == 1
+        assert got[b]["close"] == 11.0
+        assert got[b]["volume"] == 0.0
+    assert got[1200]["is_gap"] == 0 and got[1200]["close"] == 12.0
+    # row-for-row equality with the batch operator
+    batch = {
+        r["bucket_start"]: r
+        for r in gap_fill_locf(
+            bars, "bucket_start", 300, ["close"],
+            zero_cols=["volume"], partition_cols=["symbol"],
+        ).collect()
+    }
+    assert set(batch) == set(got)
+    for b, r in got.items():
+        assert (r["close"], r["volume"], r["is_gap"]) == (
+            batch[b]["close"], batch[b]["volume"], batch[b]["is_gap"]
+        ), b
