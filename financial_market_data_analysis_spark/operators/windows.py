@@ -831,6 +831,13 @@ def ichimoku(
     )
 
 
+# max buckets per exploded spine array in gap_fill_locf: each chunk row
+# carries at most this many synthetic buckets, so per-row memory is
+# bounded regardless of how sparse/long a key's observed range is. The
+# chunk-INDEX array is itself tiny (range/8192 elements).
+_SPINE_CHUNK = 8192
+
+
 def gap_fill_locf(
     bars: DataFrame,
     bucket_col: str,
@@ -851,20 +858,39 @@ def gap_fill_locf(
     no trades IS zero volume). ``is_gap`` (0/1) marks synthesized
     rows, so downstream consumers can weight or drop them.
 
-    Scale shape: the spine is ONE aggregate per partition exploded
-    from a ``sequence`` array — no driver-side range generation, no
-    cross join against a calendar table; the join back is co-keyed on
-    (partition, bucket); LOCF is one ``last(ignorenulls)`` pass over
-    the per-partition event-time window. The spine array is
-    range-bounded per partition — for a multi-year global series,
-    pre-split the range (e.g. per day) before exploding."""
+    Scale shape: the spine is one aggregate per partition exploded
+    through TWO bounded ``sequence`` levels — chunk indices first, then
+    at most ``_SPINE_CHUNK`` buckets per chunk — so a sparse multi-year
+    key can never materialize its whole range as one in-memory array
+    (a year at step=300 is ~105k buckets; unchunked, a single row
+    would hold it all). No driver-side range generation, no cross join
+    against a calendar table; the join back is co-keyed on (partition,
+    bucket); LOCF is one ``last(ignorenulls)`` pass over the
+    per-partition event-time window."""
     lo_hi = bars.groupBy(*partition_cols).agg(
         F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
     )
-    spine = lo_hi.select(
+    chunk_span = F.lit(step * _SPINE_CHUNK).cast("long")
+    chunks = lo_hi.select(
+        *partition_cols,
+        "__lo",
+        "__hi",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.col("__hi") - F.col("__lo")) / chunk_span).cast("long"),
+            )
+        ).alias("__chunk"),
+    )
+    chunk_lo = F.col("__lo") + F.col("__chunk") * chunk_span
+    spine = chunks.select(
         *partition_cols,
         F.explode(
-            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+            F.sequence(
+                chunk_lo,
+                F.least(F.col("__hi"), chunk_lo + chunk_span - F.lit(step)),
+                F.lit(step),
+            )
         ).alias(bucket_col),
     )
     marked = bars.withColumn("__present", F.lit(1))

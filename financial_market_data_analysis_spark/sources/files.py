@@ -104,20 +104,31 @@ def release_split(*frames: DataFrame) -> None:
 # DETECTS, this ingests)
 
 # numeric widening lattice, narrowest first: two drops declaring
-# different positions unify at the wider one (bigint + double ->
-# double), exactly parquet/mergeSchema's promotion rule.
+# different positions of the SAME kind unify at the wider one
+# (int + bigint -> bigint, float + double -> double). Cross-kind pairs
+# (an integral vs a fractional) unify at double instead of taking the
+# lattice max: float holds only 24 mantissa bits, so bigint + float ->
+# float would silently corrupt longs beyond 2^24 — double is lossless
+# for every integral here and matches Spark's wider-type promotion /
+# parquet mergeSchema.
 _WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+_INTEGRALS = {"tinyint", "smallint", "int", "bigint"}
+_FRACTIONALS = {"float", "double"}
 
 
 def widen_type(a: str, b: str) -> str:
     """Unify two Spark ``simpleString`` type names across drops of the
-    same feed: identical types pass through; two numerics widen to the
-    later of ``_WIDEN_ORDER``; anything else (string vs bigint, struct
-    vs double …) is a TRUE contract conflict — no silent cast could be
-    right for every row, so the caller must decide — and raises."""
+    same feed: identical types pass through; same-kind numerics widen
+    to the later of ``_WIDEN_ORDER``; an integral vs a fractional
+    widens to ``double`` (never ``float`` — see the lattice note);
+    anything else (string vs bigint, struct vs double …) is a TRUE
+    contract conflict — no silent cast could be right for every row,
+    so the caller must decide — and raises."""
     if a == b:
         return a
     if a in _WIDEN_ORDER and b in _WIDEN_ORDER:
+        if (a in _INTEGRALS) != (b in _INTEGRALS):
+            return "double"
         return _WIDEN_ORDER[max(_WIDEN_ORDER.index(a), _WIDEN_ORDER.index(b))]
     raise ValueError(f"irreconcilable column types: {a!r} vs {b!r}")
 

@@ -1015,6 +1015,12 @@ def streaming_predictions(
     return _hook
 
 
+# max rows buffered before stateful_gap_fill yields a chunk: bounds the
+# per-call memory of a long outage (a year at step=300 is ~105k
+# synthetic rows) to a fixed-size pandas frame instead of one list.
+_GAP_FILL_CHUNK = 8192
+
+
 def stateful_gap_fill(
     stream: DataFrame,
     key_cols: Sequence[str] = ("symbol",),
@@ -1036,9 +1042,20 @@ def stateful_gap_fill(
     micro-batch boundary, which only exist if the carry-forward state
     survives the batch (the cross-batch proof t24 adjudicates).
 
+    Null parity with the batch twin (r12 advice): a PRESENT row whose
+    ``locf_col`` is null/NaN is emitted with the carried value —
+    exactly ``last(col, ignorenulls=True)`` — and a null ``zero_col``
+    emits 0.0 (``coalesce(col, 0)``), so a null close mid-feed cannot
+    diverge stream-vs-batch. A null before any observation emits null,
+    as the batch window does.
+
     O(1) state per key; Arrow-batched pandas; rows inside a batch are
     sorted by bucket before folding (same in-order contract as the
-    stateful indicator suite)."""
+    stateful indicator suite). Output is YIELDED in bounded chunks
+    (``_GAP_FILL_CHUNK`` rows), so one pathological multi-year gap
+    synthesizes rows through a fixed-size buffer instead of one
+    unbounded per-batch list — the streaming answer to the batch
+    operator's chunked spine."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
@@ -1067,10 +1084,30 @@ def stateful_gap_fill(
     )
     col_order = list(key_cols) + [bucket_col, locf_col, zero_col, "is_gap"]
 
+    def _is_null(v) -> bool:
+        return v is None or v != v  # None, pd.NA-free NaN, or NaN
+
     def fn(key, pdf_iter, state):
         last_b, last_v = (state.get if state.exists else (None, None))
         rows = pd.concat(list(pdf_iter)).sort_values(bucket_col)
         out_b, out_l, out_z, out_g = [], [], [], []
+
+        def _flush():
+            out = pd.DataFrame(
+                {
+                    bucket_col: out_b,
+                    # nullable Float64 so a pre-first-observation carry
+                    # is a true NULL (batch parity), not a NaN
+                    locf_col: pd.array(out_l, dtype="Float64"),
+                    zero_col: pd.array(out_z, dtype="Float64"),
+                    "is_gap": out_g,
+                }
+            )
+            for i, k in enumerate(key_cols):
+                out[k] = key[i]
+            out_b.clear(), out_l.clear(), out_z.clear(), out_g.clear()
+            return out[col_order]
+
         for b, lv, zv in zip(
             rows[bucket_col], rows[locf_col], rows[zero_col]
         ):
@@ -1081,25 +1118,25 @@ def stateful_gap_fill(
                     out_l.append(last_v)
                     out_z.append(0.0)
                     out_g.append(1)
+                    if len(out_b) >= _GAP_FILL_CHUNK:
+                        yield _flush()
             out_b.append(b)
-            out_l.append(float(lv))
-            out_z.append(float(zv))
+            # last(ignorenulls) parity: a present-but-null value emits
+            # the carry (null only before the first observation) and
+            # never enters the carry state; zero_col nulls emit 0.0.
+            if _is_null(lv):
+                out_l.append(last_v)
+            else:
+                last_v = float(lv)
+                out_l.append(last_v)
+            out_z.append(0.0 if _is_null(zv) else float(zv))
             out_g.append(0)
             last_b = b
-            if lv == lv and lv is not None:  # carry last NON-NULL value
-                last_v = float(lv)
+            if len(out_b) >= _GAP_FILL_CHUNK:
+                yield _flush()
         state.update((last_b, last_v))
-        out = pd.DataFrame(
-            {
-                bucket_col: out_b,
-                locf_col: out_l,
-                zero_col: out_z,
-                "is_gap": out_g,
-            }
-        )
-        for i, k in enumerate(key_cols):
-            out[k] = key[i]
-        yield out[col_order]
+        if out_b:
+            yield _flush()
 
     return stream.groupBy(*[F.col(k) for k in key_cols]).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

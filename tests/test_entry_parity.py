@@ -71,7 +71,7 @@ def test_adjudication_window_boundary_is_stable():
     import __spark_entry__ as e
 
     keys = list(e.queries())
-    assert keys[49] == "ml5a_window_scaler", keys[45:52]
+    assert keys[49] == "t24_stream_gap_fill", keys[45:52]
     # the PINNED carriers (r8 verdict #2: flagships + one per SURVEY
     # §2 family) hold the first 15 slots permanently
     pinned = [
@@ -83,42 +83,48 @@ def test_adjudication_window_boundary_is_stable():
         "t7_exactly_once_sink", "x48_semantic_dedup",
     ]
     assert keys[:15] == pinned, keys[:15]
-    # seven r8-born keepers on a fourth round: the in-window carriers
-    # this round's displacement notes point at
+    # seven r8-born keepers: the in-window carriers older displacement
+    # notes point at
     keepers = [
         "x69_lsh_tuning", "w23_williams_r", "t20_stream_anomaly",
         "x73_leakage_free_split", "x74_filter_funnel",
         "a14_grouping_sets", "q4_order_priority",
     ]
     assert keys[15:22] == keepers, keys[15:22]
-    # the r10-born set on a third round (x75 under the r11 bench
-    # watch; the planner suite stays together)
-    backlog = [
+    # four r10-born keepers: the carriers round 13's nine displacement
+    # notes point at (x75 the ANN-recall anchor, q2 the decorrelation
+    # carrier, q11 the global-scalar-gate carrier, q21 the anti-join
+    # carrier)
+    r10_keepers = [
         "x75_compression_table", "q2_min_cost_supplier",
-        "q7_nation_volume", "q10_returned_items", "q11_important_parts",
-        "q13_customer_distribution", "q15_top_supplier",
-        "q16_supplier_count", "q17_small_qty_revenue",
-        "q19_disjunctive_revenue", "q21_sole_returner",
-        "q22_idle_balances", "x76_ngram_novelty",
+        "q11_important_parts", "q21_sole_returner",
     ]
-    assert keys[22:35] == backlog, keys[22:35]
-    # the r11-born set on its second adjudication round
-    second = [
+    assert keys[22:26] == r10_keepers, keys[22:26]
+    # the r11-born set on its third adjudication round (several double
+    # as round-13 subsumption carriers: q8/q5/q9 snowflakes, q12/q14
+    # CASE, q18 top-N)
+    third = [
         "q8_market_share", "q14_promo_revenue", "q20_bulk_suppliers",
         "q5_local_volume", "q9_product_profit", "q12_lateness_priority",
         "q18_large_orders", "s8_csv_quarantine", "s9_jsonl_quarantine",
         "t21_stream_csv_drop",
     ]
-    assert keys[35:45] == second, keys[35:45]
-    # r12 rotations: the two debt-bounded r11 births plus the three
-    # r12 births (t22 streaming flagship, s11 evolution ingest, ml5a
-    # scaler prefix)
-    fresh = [
+    assert keys[26:36] == third, keys[26:36]
+    # the r12 rotations on their second round
+    second = [
         "x77_ivf_nprobe_sweep", "s10_schema_drift",
         "t22_stream_five_feed_join", "s11_schema_evolution_ingest",
         "ml5a_window_scaler",
     ]
-    assert keys[45:50] == fresh, keys[45:50]
+    assert keys[36:41] == second, keys[36:41]
+    # the nine r12 births on their FIRST adjudication (r12 verdict #1)
+    fresh = [
+        "t23_stream_drift_accounting", "s12_jsonl_evolution_ingest",
+        "a15_funnel_conversion", "a16_retention_cohorts",
+        "w24_gap_fill_locf", "a17_pivot_daily_types", "a18_twap_daily",
+        "x78_neardup_method_table", "t24_stream_gap_fill",
+    ]
+    assert keys[41:50] == fresh, keys[41:50]
     # every oracle key maps to a query, and rows-only set is exactly
     # the three documented queries
     oracles = e.oracle_sql()

@@ -627,3 +627,68 @@ def test_gap_fill_locf_per_partition_spines_and_policies(spark):
     assert got[("B", 600)]["is_gap"] == 0
     assert got[("B", 600)]["close"] == 50.0
     assert got[("B", 600)]["volume"] == 2.0
+
+
+def test_gap_fill_locf_chunked_spine_long_range(spark, monkeypatch):
+    """Verdict #4: the spine must be built from BOUNDED chunks, so one
+    sparse long-lived key can never materialize its whole range as a
+    single in-memory array. Pins (a) exact spine coverage across chunk
+    boundaries at a tiny chunk size — including a range that is an
+    exact multiple of the chunk span and a single-bucket key — and
+    (b) a real sparse key whose spine exceeds the default chunk."""
+    import financial_market_data_analysis_spark.operators.windows as W
+
+    from financial_market_data_analysis_spark.operators.windows import (
+        gap_fill_locf,
+    )
+
+    # (a) chunk arithmetic at chunk=4, step=300: key A spans 13
+    # buckets (crosses 3 chunk edges), key B spans exactly 2 chunks
+    # (hi lands ON a chunk boundary), key C is a single bucket.
+    monkeypatch.setattr(W, "_SPINE_CHUNK", 4)
+    rows = [
+        ("A", 0, 1.0, 1.0), ("A", 3600, 2.0, 1.0),
+        ("B", 300, 3.0, 1.0), ("B", 2700, 4.0, 1.0),
+        ("C", 900, 5.0, 1.0),
+    ]
+    bars = spark.createDataFrame(
+        rows, "symbol string, bucket_start long, close double, volume double"
+    )
+    out = gap_fill_locf(
+        bars, "bucket_start", 300, ["close"],
+        zero_cols=["volume"], partition_cols=["symbol"],
+    ).collect()
+    got = {(r["symbol"], r["bucket_start"]) for r in out}
+    assert len(out) == len(got), "chunk overlap produced duplicate buckets"
+    assert got == (
+        {("A", b) for b in range(0, 3601, 300)}
+        | {("B", b) for b in range(300, 2701, 300)}
+        | {("C", 900)}
+    )
+    by_key = {(r["symbol"], r["bucket_start"]): r for r in out}
+    assert by_key[("A", 3300)]["close"] == 1.0  # LOCF across chunk edges
+    assert by_key[("A", 3300)]["is_gap"] == 1
+    assert by_key[("C", 900)]["is_gap"] == 0
+
+    # (b) default chunk (8192): a sparse key spanning 20001 buckets —
+    # the pre-chunk code would have built this as ONE 20001-element
+    # array in a single row.
+    monkeypatch.setattr(W, "_SPINE_CHUNK", 8192)
+    sparse = spark.createDataFrame(
+        [("S", 0, 7.0, 1.0), ("S", 20000 * 300, 9.0, 1.0)],
+        "symbol string, bucket_start long, close double, volume double",
+    )
+    filled = gap_fill_locf(
+        sparse, "bucket_start", 300, ["close"],
+        zero_cols=["volume"], partition_cols=["symbol"],
+    )
+    agg = filled.groupBy().agg(
+        F.count("*").alias("n"),
+        F.countDistinct("bucket_start").alias("nd"),
+        F.sum("is_gap").alias("gaps"),
+        F.min("close").alias("lo_c"),
+        F.max("close").alias("hi_c"),
+    ).collect()[0]
+    assert agg["n"] == 20001 and agg["nd"] == 20001
+    assert agg["gaps"] == 19999
+    assert (agg["lo_c"], agg["hi_c"]) == (7.0, 9.0)

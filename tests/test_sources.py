@@ -517,6 +517,13 @@ def test_widen_type_lattice_and_conflicts():
     assert widen_type("int", "bigint") == "bigint"
     assert widen_type("float", "double") == "double"
     assert widen_type("string", "string") == "string"
+    # cross-kind: integral + float must land on double, not float —
+    # float's 24-bit mantissa would corrupt longs beyond 2^24 (r12
+    # advice); double holds every integral here exactly.
+    assert widen_type("bigint", "float") == "double"
+    assert widen_type("float", "bigint") == "double"
+    assert widen_type("int", "float") == "double"
+    assert widen_type("tinyint", "float") == "double"
     with pytest.raises(ValueError, match="irreconcilable"):
         widen_type("string", "bigint")
 

@@ -1302,3 +1302,98 @@ def test_stateful_gap_fill_fills_across_batch_boundary(spark, tmp_path):
         assert (r["close"], r["volume"], r["is_gap"]) == (
             batch[b]["close"], batch[b]["volume"], batch[b]["is_gap"]
         ), b
+
+
+def test_stateful_gap_fill_null_values_match_batch_across_cut(spark, tmp_path):
+    """Null parity with the batch twin (r12 advice, verdict #3): a
+    present bar whose close/volume is NULL must emit the LOCF carry /
+    0.0 exactly like batch ``last(ignorenulls)`` / ``coalesce(col, 0)``
+    — with the nulls STRADDLING a micro-batch cut so the carry that
+    fills them is state, not same-batch context. Also pins the
+    leading-null case: a key whose FIRST bar has a null close emits
+    NULL (no prior observation), both sides."""
+    from financial_market_data_analysis_spark.operators.windows import (
+        gap_fill_locf,
+    )
+    from financial_market_data_analysis_spark.streaming.pipeline import (
+        stateful_gap_fill,
+    )
+
+    rows = [
+        # S: null close AND null volume on a present bar right before
+        # the cut; a gap right after it proves the null never entered
+        # the carry state.
+        ("S", 0, 10.0, 1.0),
+        ("S", 300, None, None),  # batch 1 ends here
+        # 600 missing (gap synthesized from carried 10.0)
+        ("S", 900, None, 2.0),   # batch 2: null close again, real volume
+        ("S", 1200, 14.0, None),
+        # L: leading null close — no observation to carry yet
+        ("L", 0, None, 3.0),     # batch 1
+        ("L", 300, 20.0, 4.0),   # batch 2
+    ]
+    bars = spark.createDataFrame(
+        rows, "symbol string, bucket_start long, close double, volume double"
+    )
+    src = str(tmp_path / "bars")
+    import os
+    import time
+
+    bars.filter(F.col("bucket_start") <= 300).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    bars.filter(F.col("bucket_start") > 300).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    files = sorted(
+        (os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    now = time.time()
+    for i, f in enumerate(files):
+        os.utime(f, (now - 10 + 5 * i, now - 10 + 5 * i))
+
+    stream = (
+        spark.readStream.schema(bars.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_gap_fill(stream, key_cols=("symbol",))
+        .writeStream.format("memory")
+        .queryName("gapfill_null_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["symbol"], r["bucket_start"]): r
+        for r in spark.table("gapfill_null_out").collect()
+    }
+    # the null-close present bars emit the carry, not NaN/None
+    assert got[("S", 300)]["close"] == 10.0
+    assert got[("S", 300)]["volume"] == 0.0
+    assert got[("S", 300)]["is_gap"] == 0
+    # the cross-cut gap fills from the PRE-null carry
+    assert got[("S", 600)]["close"] == 10.0 and got[("S", 600)]["is_gap"] == 1
+    assert got[("S", 900)]["close"] == 10.0
+    assert got[("S", 900)]["volume"] == 2.0
+    assert got[("S", 1200)]["close"] == 14.0
+    assert got[("S", 1200)]["volume"] == 0.0
+    # leading null: a TRUE null (not NaN), like the batch window
+    assert got[("L", 0)]["close"] is None
+    assert got[("L", 300)]["close"] == 20.0
+    # row-for-row equality with the batch operator on ALL columns
+    batch = {
+        (r["symbol"], r["bucket_start"]): r
+        for r in gap_fill_locf(
+            bars, "bucket_start", 300, ["close"],
+            zero_cols=["volume"], partition_cols=["symbol"],
+        ).collect()
+    }
+    assert set(batch) == set(got)
+    for k, r in got.items():
+        assert (r["close"], r["volume"], r["is_gap"]) == (
+            batch[k]["close"], batch[k]["volume"], batch[k]["is_gap"]
+        ), k
