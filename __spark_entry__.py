@@ -2465,6 +2465,178 @@ _S12_ORACLE = """
 """
 
 
+def _t25_stream_evolving_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T25 — the STREAMING form of s11's schema-evolution-tolerant
+    ingest (streaming/pipeline.py ``evolving_ingest_sink``, r12
+    verdict #5): producer contract drift arriving MID-STREAM, where
+    the frozen-schema quarantining sink would quarantine 100% of the
+    retyped drop. Every staged line carries its schema version as a
+    leading field (the schema-registry model); three micro-batches
+    arrive as batch 0 = version-1 rows (doc_id, lang, n_chars BIGINT),
+    batch 1 = version-2 rows (doc_id, n_chars DOUBLE with genuinely
+    fractional values, source — lang REMOVED, source ADDED, n_chars
+    RETYPED) including a truly corrupt slice (doc_id % 11 == 5 carries
+    an unparseable n_chars), and batch 2 = version-1 rows AGAIN (the
+    interleaving case a one-way migration never tests) including an
+    UNREGISTERED-version slice (doc_id % 13 == 7 tagged version 9)
+    that must quarantine whole-row. The published frame is every clean
+    landed row with its (epoch_id, schema_version), so the oracle
+    hash-checks each widened cast (v1 n_chars → double), each null
+    fill (v1 source, v2 lang), each quarantine decision, AND the
+    epoch↔drop mapping. The per-(epoch, version) accounting rows that
+    prove which batch widened what are pinned by
+    tests/test_streaming.py::test_evolving_ingest_sink_accounting.
+
+    Scale shape: one localCheckpoint per batch feeds the per-version
+    JVM-side ``from_csv`` projections, casts are columnar, the
+    cross-version union never shuffles, and all three sinks are
+    epoch-idempotent dynamic partition overwrites."""
+    import os
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.streaming import pipeline as P
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    n_bad = (
+        docs.agg(
+            F.sum(
+                (
+                    F.col("doc_id").isNull()
+                    | F.col("n_chars").isNull()
+                    | F.col("lang").isNull()
+                    | F.col("lang").rlike('[,"\n\r]')
+                    | F.col("source").isNull()
+                    | F.col("source").rlike('[,"\n\r]')
+                ).cast("int")
+            ).alias("n_bad")
+        ).first()["n_bad"]
+        or 0
+    )
+    if n_bad:
+        raise ValueError(
+            f"_t25: {n_bad} fixture rows violate the unquoted-CSV "
+            "staging precondition"
+        )
+    v1_line = F.concat_ws(
+        ",",
+        F.lit("1"),
+        F.col("doc_id").cast("string"),
+        "lang",
+        F.col("n_chars").cast("string"),
+    )
+    v2_line = F.concat_ws(
+        ",",
+        F.lit("2"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 11 == 5,
+            F.concat(F.lit("x"), (F.col("n_chars") + 0.5).cast("string")),
+        ).otherwise((F.col("n_chars") + 0.5).cast("string")),
+        "source",
+    )
+    v9_line = F.concat_ws(
+        ",", F.lit("9"), F.col("doc_id").cast("string"), "lang"
+    )
+    lines = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 1, v2_line)
+        .when(
+            (F.col("doc_id") % 4 == 2) & (F.col("doc_id") % 13 == 7), v9_line
+        )
+        .otherwise(v1_line)
+        .alias("value"),
+    )
+    schemas = {
+        1: StructType(
+            [
+                StructField("doc_id", LongType(), True),
+                StructField("lang", StringType(), True),
+                StructField("n_chars", LongType(), True),
+            ]
+        ),
+        2: StructType(
+            [
+                StructField("doc_id", LongType(), True),
+                StructField("n_chars", DoubleType(), True),
+                StructField("source", StringType(), True),
+            ]
+        ),
+    }
+    base = tempfile.mkdtemp(prefix="t25_")
+    src = os.path.join(base, "drops")
+    old_sp = push_small_shuffle(spark)  # serial-adjudication contract
+    try:
+        _stage_batches(
+            lines,
+            [
+                F.col("doc_id") % 4 == 0,
+                F.col("doc_id") % 2 == 1,
+                F.col("doc_id") % 4 == 2,
+            ],
+            src,
+            fmt="text",
+        )
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", 1)
+            .text(src)
+        )
+        q = P.evolving_ingest_sink(
+            stream,
+            schemas,
+            os.path.join(base, "clean"),
+            os.path.join(base, "quar"),
+            os.path.join(base, "ckpt"),
+            trigger={"availableNow": True},
+            accounting_dir=os.path.join(base, "acct"),
+        ).start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "t25 evolving-ingest stream did not finish in 300 s"
+            )
+        out = (
+            spark.read.parquet(os.path.join(base, "clean"))
+            .select(
+                F.col("epoch_id").cast("int").alias("epoch_id"),
+                "schema_version",
+                "doc_id",
+                "lang",
+                "n_chars",
+                "source",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        pop_small_shuffle(spark, old_sp)
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+_T25_ORACLE = """
+    SELECT 0 AS epoch_id, 1 AS schema_version, doc_id, lang,
+           CAST(n_chars AS DOUBLE) AS n_chars,
+           CAST(NULL AS VARCHAR) AS source
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT 1, 2, doc_id, CAST(NULL AS VARCHAR), n_chars + 0.5, source
+    FROM documents WHERE doc_id % 2 = 1 AND doc_id % 11 <> 5
+    UNION ALL
+    SELECT 2, 1, doc_id, lang, CAST(n_chars AS DOUBLE), NULL
+    FROM documents WHERE doc_id % 4 = 2 AND doc_id % 13 <> 7
+"""
+
+
 _S10_ORACLE = """
     WITH o AS (
         SELECT count(*) AS n, count(doc_id) AS nn_doc,
@@ -6325,6 +6497,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x78_neardup_method_table": X.q_neardup_method_table,
         "t24_stream_gap_fill": _t24_stream_gap_fill,
         # ------------------------------------------------- entry 50 ends
+        # t25 NEW in round 13, past the window (oracle-bearing,
+        # entry-parity-checked every session) — ROTATE IN ROUND 14
+        # (tools/check_rotation_debt.py enforces it): the STREAMING
+        # schema-evolution ingest (r12 verdict #5) — version-tagged
+        # lines widen to the declared union contract mid-stream
+        # instead of quarantining the retyped drop; only true
+        # row-level conflicts quarantine
+        "t25_stream_evolving_ingest": _t25_stream_evolving_ingest,
         # -- displaced THIS round (round 13): nine round-10-born
         # queries, each THRICE driver-green (r10 + r11 + r12), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
@@ -7259,6 +7439,7 @@ def oracle_sql() -> dict[str, str]:
         "s11_schema_evolution_ingest": _S11_ORACLE,
         "t23_stream_drift_accounting": _T23_ORACLE,
         "s12_jsonl_evolution_ingest": _S12_ORACLE,
+        "t25_stream_evolving_ingest": _T25_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,
         "w24_gap_fill_locf": _W24_ORACLE,

@@ -277,6 +277,176 @@ def quarantining_ingest_sink(
     )
 
 
+def evolving_ingest_sink(
+    stream: DataFrame,
+    schemas: dict[int, "StructType"],
+    clean_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    accounting_dir: str | None = None,
+    version_col: str = "schema_version",
+    line_col: str = "value",
+):
+    """Streaming twin of ``sources.files.load_csv_evolving`` (r12
+    verdict #5): schema-evolution-TOLERANT ingest. The frozen-schema
+    ``quarantining_ingest_sink`` quarantines 100% of a retyped drop
+    arriving mid-stream — exactly the failure the batch-side s11
+    loader exists to prevent, one layer down. This sink WIDENS
+    instead: every line carries its producer schema version as a
+    leading field (the Kafka-schema-registry model — the only
+    mid-stream evolution signal that needs no restart), the sink
+    parses each version's rows under ITS declared schema, casts them
+    to the widened union contract (``sources.files.evolved_schema``
+    over every registered version: added/removed columns NULL-fill,
+    retyped numerics widen — bigint ⊕ float lands on double), and
+    quarantines ONLY true row-level conflicts (unparseable payloads or
+    an unregistered version), never a whole retyped drop.
+
+    Scale shape: the batch is localCheckpointed once; each version's
+    parse is one JVM-side ``from_csv`` projection over its slice (no
+    Python in the row path), the casts are columnar metadata ops, the
+    cross-version union is a no-shuffle concatenation, and the
+    accounting is ONE partial-aggregatable grouped pass. Both data
+    sinks and the accounting sink write through the epoch-idempotent
+    dynamic-partition-overwrite writer, so a crash between them
+    replays into exactly-once on all three.
+
+    ``accounting_dir`` lands one row per (epoch, version) proving
+    which batch widened what: ``(schema_version, n_rows, n_quarantined,
+    widened_cols, null_filled_cols)`` — the widened/filled column sets
+    are driver-side metadata of the version→contract cast, stamped per
+    batch so the audit trail shows the exact epoch each producer
+    version first appeared in."""
+    from functools import reduce
+
+    from financial_market_data_analysis_spark.sources import files as FS
+    from financial_market_data_analysis_spark.sources.files import (
+        CORRUPT_COL,
+        evolved_schema,
+    )
+
+    versions = sorted(schemas)
+    target = evolved_schema([schemas[v] for v in versions])
+    write_clean = epoch_idempotent_writer(clean_dir)
+    write_quar = epoch_idempotent_writer(quarantine_dir)
+    write_acct = (
+        epoch_idempotent_writer(accounting_dir) if accounting_dir else None
+    )
+    # driver-side cast metadata per version (static across batches)
+    cast_meta = {}
+    for v in versions:
+        declared = {f.name: f.dataType for f in schemas[v].fields}
+        widened = [
+            f.name
+            for f in target.fields
+            if f.name in declared and declared[f.name] != f.dataType
+        ]
+        filled = [f.name for f in target.fields if f.name not in declared]
+        cast_meta[v] = (",".join(widened), ",".join(filled))
+
+    def _ddl(schema) -> str:
+        return ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.localCheckpoint(eager=True)  # one parse, N sinks
+        tagged = batch.select(
+            F.col(line_col).alias("__raw"),
+            F.substring_index(line_col, ",", 1).try_cast("int").alias("__ver"),
+            F.expr(
+                f"substring({line_col}, instr({line_col}, ',') + 1)"
+            ).alias("__payload"),
+        )
+        per_ver = []
+        for v in versions:
+            sch = FS._with_corrupt_field(schemas[v])
+            declared = set(schemas[v].fieldNames())
+            parsed = tagged.filter(F.col("__ver") == v).select(
+                "__raw",
+                "__ver",
+                F.from_csv(
+                    "__payload",
+                    _ddl(sch),
+                    {
+                        "mode": "PERMISSIVE",
+                        "columnNameOfCorruptRecord": CORRUPT_COL,
+                    },
+                ).alias("r"),
+            )
+            per_ver.append(
+                parsed.select(
+                    "__raw",
+                    "__ver",
+                    F.col(f"r.{CORRUPT_COL}").alias(CORRUPT_COL),
+                    *[
+                        (
+                            F.col(f"r.{f.name}").cast(f.dataType)
+                            if f.name in declared
+                            else F.lit(None).cast(f.dataType)
+                        ).alias(f.name)
+                        for f in target.fields
+                    ],
+                )
+            )
+        # unregistered / untagged lines: whole-row conflicts
+        unknown = tagged.filter(
+            F.col("__ver").isNull() | ~F.col("__ver").isin(versions)
+        ).select(
+            "__raw",
+            "__ver",
+            F.col("__raw").alias(CORRUPT_COL),
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in target.fields],
+        )
+        union = reduce(DataFrame.unionByName, per_ver + [unknown])
+        clean = union.filter(F.col(CORRUPT_COL).isNull()).select(
+            F.col("__ver").alias(version_col),
+            *[f.name for f in target.fields],
+        )
+        quar = union.filter(F.col(CORRUPT_COL).isNotNull()).select(
+            F.col("__ver").alias(version_col),
+            F.col("__raw").alias(line_col),
+        )
+        write_clean(clean, epoch_id)
+        write_quar(quar, epoch_id, skip_empty_probe=True)
+        if write_acct is not None:
+            widened_map = F.create_map(
+                *[x for v in versions for x in (F.lit(v), F.lit(cast_meta[v][0]))]
+            )
+            filled_map = F.create_map(
+                *[x for v in versions for x in (F.lit(v), F.lit(cast_meta[v][1]))]
+            )
+            acct = (
+                union.groupBy(F.col("__ver").alias(version_col))
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.count(F.col(CORRUPT_COL)).alias("n_quarantined"),
+                )
+                .select(
+                    version_col,
+                    "n_rows",
+                    "n_quarantined",
+                    F.coalesce(
+                        widened_map[F.col(version_col)], F.lit("")
+                    ).alias("widened_cols"),
+                    F.coalesce(
+                        filled_map[F.col(version_col)], F.lit("")
+                    ).alias("null_filled_cols"),
+                )
+            )
+            write_acct(acct, epoch_id, skip_empty_probe=True)
+
+    return _apply_trigger(
+        stream.writeStream.foreachBatch(_write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir),
+        trigger,
+    )
+
+
 def resolve_prev_snapshot(snap_dir: str, batch_id: int) -> str | None:
     """Resolve the path of snapshot ``v{batch_id-1}`` for a
     copy-on-write epoch MERGE, with the missing-snapshot case made

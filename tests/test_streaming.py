@@ -1397,3 +1397,105 @@ def test_stateful_gap_fill_null_values_match_batch_across_cut(spark, tmp_path):
         assert (r["close"], r["volume"], r["is_gap"]) == (
             batch[k]["close"], batch[k]["volume"], batch[k]["is_gap"]
         ), k
+
+
+def test_evolving_ingest_sink_accounting(spark, tmp_path):
+    """evolving_ingest_sink (r12 verdict #5) must (a) WIDEN a retyped
+    drop arriving mid-stream instead of quarantining it, (b) quarantine
+    only true row-level conflicts (unparseable payloads, unregistered
+    versions), and (c) land per-(epoch, version) accounting rows
+    proving which batch widened what — v1 rows widen n_chars
+    (bigint→double contract) and null-fill source; v2 rows widen
+    nothing and null-fill lang."""
+    import os
+    import time
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from financial_market_data_analysis_spark.streaming.pipeline import (
+        evolving_ingest_sink,
+    )
+
+    schemas = {
+        1: StructType(
+            [
+                StructField("doc_id", LongType(), True),
+                StructField("lang", StringType(), True),
+                StructField("n_chars", LongType(), True),
+            ]
+        ),
+        2: StructType(
+            [
+                StructField("doc_id", LongType(), True),
+                StructField("n_chars", DoubleType(), True),
+                StructField("source", StringType(), True),
+            ]
+        ),
+    }
+    batch0 = ["1,10,en,100", "1,11,de,200"]
+    batch1 = ["2,20,300.5,web", "2,21,xbad,web", "9,22,unregistered"]
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+    for i, lines in enumerate([batch0, batch1]):
+        p = os.path.join(src, f"b{i}.txt")
+        with open(p, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.utime(p, (time.time() - 10 + 5 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(src)
+    )
+    q = evolving_ingest_sink(
+        stream,
+        schemas,
+        str(tmp_path / "clean"),
+        str(tmp_path / "quar"),
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        accounting_dir=str(tmp_path / "acct"),
+    ).start()
+    assert q.awaitTermination(120)
+
+    clean = {
+        (r["epoch_id"], r["doc_id"]): r
+        for r in spark.read.parquet(str(tmp_path / "clean")).collect()
+    }
+    # v1 rows landed widened: bigint 100 as double, source null-filled
+    assert clean[(0, 10)]["n_chars"] == 100.0
+    assert clean[(0, 10)]["source"] is None
+    assert clean[(0, 10)]["schema_version"] == 1
+    # v2 retyped row landed as VALUES, lang null-filled — not quarantined
+    assert clean[(1, 20)]["n_chars"] == 300.5
+    assert clean[(1, 20)]["lang"] is None
+    assert clean[(1, 20)]["schema_version"] == 2
+    assert len(clean) == 3  # 21 (corrupt) and 22 (unregistered) kept out
+    quar = spark.read.parquet(str(tmp_path / "quar")).collect()
+    assert {r["value"] for r in quar} == {"2,21,xbad,web", "9,22,unregistered"}
+    # the unregistered row KEEPS its parsed tag (9) — the audit trail
+    # should say which unknown version arrived, not just "unknown"
+    assert {r["schema_version"] for r in quar} == {2, 9}
+
+    acct = {
+        (r["epoch_id"], r["schema_version"]): r
+        for r in spark.read.parquet(str(tmp_path / "acct")).collect()
+    }
+    # which batch widened what: epoch 0 is v1 (n_chars widened to the
+    # union contract, source null-filled); epoch 1 is v2 (nothing
+    # widened, lang null-filled) plus the unregistered row
+    assert acct[(0, 1)]["widened_cols"] == "n_chars"
+    assert acct[(0, 1)]["null_filled_cols"] == "source"
+    assert acct[(0, 1)]["n_rows"] == 2 and acct[(0, 1)]["n_quarantined"] == 0
+    assert acct[(1, 2)]["widened_cols"] == ""
+    assert acct[(1, 2)]["null_filled_cols"] == "lang"
+    assert acct[(1, 2)]["n_rows"] == 2 and acct[(1, 2)]["n_quarantined"] == 1
+    assert acct[(1, 9)]["n_rows"] == 1
+    assert acct[(1, 9)]["n_quarantined"] == 1
+    assert acct[(1, 9)]["widened_cols"] == ""  # unregistered: no contract
