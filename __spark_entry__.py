@@ -2637,6 +2637,170 @@ _T25_ORACLE = """
 """
 
 
+# t26 staleness bound: triggers arriving more than 4 buckets late are
+# dropped (the reference drops messages older than 4 minutes on its
+# 1-minute feed — predict.py:134-135; ours is the 5-minute-bar feed)
+_T26_MAX_LAG_S = 1200
+
+
+def _t26_stream_inference_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T26 — the reference's COMPOSED inference loop as ONE streaming
+    query (predict.py:124-197: trigger message → staleness drop →
+    point lookup of the current bar id → tail-window fetch → min-max
+    normalize → fixed-weight model forward → signal out). Every stage
+    is adjudicated separately elsewhere (t17-rotated staleness, j6
+    lookup, ml5a scaler, ml3 scorer, t10 stream-static join); this row
+    proves the COMPOSITION — the thing the reference never has,
+    because its two halves were separate systems glued by a 15-second
+    sleep and a MySQL round-trip (predict.py:140-158).
+
+    The Spark-first topology: the tail-window fetch is precomputed
+    ONCE on the static side as the lag-matrix feature warehouse
+    (exactly the feature-store pattern a serving system uses at scale
+    — the reference re-fetches the same 5 rows from MySQL per
+    message), the normalization params are one batch aggregate
+    broadcast onto it, and the streaming side is then a pure
+    stream-static EQUI-join per trigger: staleness filter (each
+    trigger message carries its arrival clock; late ones drop BEFORE
+    the join, as predict.py:134 drops before its SQL round-trip) →
+    point lookup+window fetch in one broadcast-hash probe → scaled
+    logistic forward with ml3's serving weights over min-max-scaled
+    lag features → signal rows through the epoch-idempotent sink.
+    Triggers arrive as TWO micro-batches; the published (epoch_id,
+    trig_s, prob_up, signal) rows hash-check the staleness decisions,
+    the full-window gate, every scaled probability, and the
+    epoch↔batch mapping against the closed-form oracle.
+
+    Scale shape: the feature warehouse is one window pass +
+    eager checkpoint (shared by both micro-batches — never recomputed
+    per trigger), the params crossJoin is a broadcast 1-row frame, the
+    per-batch join is stream-static with no state and no shuffle on
+    the stream side, and the scoring is whole-stage-codegen column
+    math. No Python in the row path."""
+    import os
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.ml import lag_matrix
+    from financial_market_data_analysis_spark.streaming import pipeline as P
+
+    c = _candles(spark, sf_dir).select("bucket_start", "close")
+    lag_cols = [f"close_lag{j}" for j in range(5)]
+    warehouse = lag_matrix(c, "close", 5, ["bucket_start"]).dropna(
+        subset=lag_cols
+    )
+    params = c.agg(F.min("close").alias("mn"), F.max("close").alias("mx"))
+    static = (
+        warehouse.crossJoin(F.broadcast(params))
+        .select("bucket_start", "mn", "mx", *lag_cols)
+        .localCheckpoint(eager=True)  # the feature store: built once,
+        # probed by every micro-batch
+    )
+    idx = F.expr("bucket_start div 300")  # exact integer bucket index
+    triggers = c.filter(idx % 7 == 0).select(
+        F.col("bucket_start").alias("trig_s"),
+        (
+            F.col("bucket_start")
+            + F.when(idx % 3 == 2, F.lit(5000)).otherwise(F.lit(300))
+        ).alias("arr_s"),
+    )
+    base = tempfile.mkdtemp(prefix="t26_")
+    src = os.path.join(base, "triggers")
+    out_dir = os.path.join(base, "signals")
+    old_sp = push_small_shuffle(spark)  # serial-adjudication contract
+    try:
+        tidx = F.expr("trig_s div 300")
+        _stage_batches(
+            triggers, [tidx % 14 == 0, tidx % 14 == 7], src
+        )
+        stream = (
+            spark.readStream.schema("trig_s long, arr_s long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        fresh = stream.filter(
+            F.col("arr_s") - F.col("trig_s") <= F.lit(_T26_MAX_LAG_S)
+        )
+        probed = fresh.join(
+            static, fresh.trig_s == static.bucket_start, "inner"
+        )
+        span = F.col("mx") - F.col("mn")
+        scaled = {
+            j: (F.col(f"close_lag{j}") - F.col("mn")) / span for j in range(5)
+        }
+        raw = F.lit(ML3_BIAS)
+        for j, wt in enumerate(ML3_WEIGHTS):
+            raw = raw + F.lit(wt) * (scaled[j] - scaled[4])
+        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
+        signals = probed.select(
+            "trig_s",
+            F.round(prob, 6).alias("prob_up"),
+            (prob > 0.5).cast("int").alias("signal"),
+        )
+        q = (
+            signals.writeStream.foreachBatch(
+                P.epoch_idempotent_writer(out_dir)
+            )
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "t26 inference-loop stream did not finish in 300 s"
+            )
+        out = (
+            spark.read.parquet(out_dir)
+            .select(
+                F.col("epoch_id").cast("int").alias("epoch_id"),
+                "trig_s",
+                "prob_up",
+                "signal",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        pop_small_shuffle(spark, old_sp)
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def _t26_oracle() -> str:
+    """Closed-form twin of the composed inference loop: the same lag
+    matrix, the same global min-max params, the same left-associated
+    scaled-difference logistic, the same staleness and full-window
+    gates, and the same trigger→batch mapping."""
+    terms = " + ".join(
+        f"({w}) * (((close_lag{j} - mn) / (mx - mn)) - "
+        f"((close_lag4 - mn) / (mx - mn)))"
+        for j, w in enumerate(ML3_WEIGHTS)
+    )
+    prob = f"(1.0 / (1.0 + exp(-({ML3_BIAS} + {terms}))))"
+    lags = ",\n                   ".join(
+        f"lag(close, {j}) OVER (ORDER BY bucket_start) AS close_lag{j}"
+        for j in range(5)
+    )
+    return f"""
+        {_CANDLES_CTE},
+        m AS (
+            SELECT bucket_start,
+                   {lags}
+            FROM candles
+        ),
+        p AS (SELECT min(close) AS mn, max(close) AS mx FROM candles)
+        SELECT CAST(CASE WHEN (bucket_start // 300) % 14 = 0
+                         THEN 0 ELSE 1 END AS INT) AS epoch_id,
+               bucket_start AS trig_s,
+               round({prob}, 6) AS prob_up,
+               CAST({prob} > 0.5 AS INT) AS signal
+        FROM m, p
+        WHERE (bucket_start // 300) % 7 = 0
+          AND (bucket_start // 300) % 3 <> 2
+          AND {_ML3_LAGS_OK}
+    """
+
+
 _S10_ORACLE = """
     WITH o AS (
         SELECT count(*) AS n, count(doc_id) AS nn_doc,
@@ -6505,6 +6669,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # instead of quarantining the retyped drop; only true
         # row-level conflicts quarantine
         "t25_stream_evolving_ingest": _t25_stream_evolving_ingest,
+        # t26 NEW in round 13, past the window — ROTATE IN ROUND 14:
+        # the reference's composed inference loop (predict.py:124-197)
+        # as ONE streaming query (r12 verdict #6): trigger stream →
+        # staleness drop → stream-static feature-store probe (point
+        # lookup + tail-window fetch) → broadcast min-max normalize →
+        # fixed-weight logistic forward → epoch-idempotent signal sink
+        "t26_stream_inference_loop": _t26_stream_inference_loop,
         # -- displaced THIS round (round 13): nine round-10-born
         # queries, each THRICE driver-green (r10 + r11 + r12), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
@@ -7440,6 +7611,7 @@ def oracle_sql() -> dict[str, str]:
         "t23_stream_drift_accounting": _T23_ORACLE,
         "s12_jsonl_evolution_ingest": _S12_ORACLE,
         "t25_stream_evolving_ingest": _T25_ORACLE,
+        "t26_stream_inference_loop": _t26_oracle(),
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,
         "w24_gap_fill_locf": _W24_ORACLE,
