@@ -2721,8 +2721,14 @@ def _t26_stream_inference_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh = stream.filter(
             F.col("arr_s") - F.col("trig_s") <= F.lit(_T26_MAX_LAG_S)
         )
+        # fixture-scale physical choice: the checkpointed feature frame
+        # is KB-sized, so broadcast it under every micro-batch plan
+        # (streaming plans run without AQE, so the hint is explicit).
+        # At a 100 TB feature store the same topology keeps the store
+        # bucketed on the probe key (the j5 kernel) and each trigger
+        # micro-batch — always the small side — probes co-located.
         probed = fresh.join(
-            static, fresh.trig_s == static.bucket_start, "inner"
+            F.broadcast(static), fresh.trig_s == static.bucket_start, "inner"
         )
         span = F.col("mx") - F.col("mn")
         scaled = {
