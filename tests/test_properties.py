@@ -875,3 +875,35 @@ def test_evolving_load_conservation_and_widening_law(
             assert float(r["value"]).is_integer() or True  # widened long
     for r in by_drop[1]:
         assert r["type"] is None  # removed column null on the new drop
+
+
+_NUMERIC_TYPES = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+_INTEGRAL_T = {"tinyint", "smallint", "int", "bigint"}
+
+
+@given(
+    a=st.sampled_from(_NUMERIC_TYPES),
+    b=st.sampled_from(_NUMERIC_TYPES),
+    c=st.sampled_from(_NUMERIC_TYPES),
+)
+@settings(max_examples=200, deadline=None)
+def test_widen_type_lattice_laws(a, b, c):
+    """widen_type is a join on the numeric lattice: commutative,
+    associative, idempotent — the algebraic guarantee that the widened
+    contract over N drops is independent of drop ORDER (evolved_schema
+    folds pairwise, so without associativity two arrival orders could
+    declare different contracts). Cross-kind pairs must land on double
+    (never float: 24-bit mantissa vs 63-bit longs, r12 advice), and
+    the result must never be NARROWER than either input."""
+    from financial_market_data_analysis_spark.sources.files import widen_type
+
+    rank = {t: i for i, t in enumerate(_NUMERIC_TYPES)}
+    ab = widen_type(a, b)
+    assert ab == widen_type(b, a)
+    assert widen_type(a, a) == a
+    assert widen_type(widen_type(a, b), c) == widen_type(a, widen_type(b, c))
+    assert rank[ab] >= max(rank[a], rank[b])
+    if (a in _INTEGRAL_T) != (b in _INTEGRAL_T):
+        assert ab == "double"
+    # absorbing element: double wins every pairing
+    assert widen_type(a, "double") == "double"
