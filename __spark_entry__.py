@@ -682,6 +682,120 @@ _A16_ORACLE = """
 """
 
 
+# a19 session gap: 30 minutes of inactivity closes a session (the
+# industry-standard cut GA/Adobe use; t4b's streaming session windows
+# use the same inactivity semantics)
+_A19_GAP_US = 1_800_000_000
+
+
+def _a19_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 — BATCH sessionization of the clickstream (the third
+    classic rollup after a15's funnel and a16's cohorts, and the batch
+    twin of t4b's streaming session windows): events of a user whose
+    inactivity gap reaches 30 minutes split into separate sessions;
+    published per start-day as session count, exact total event and
+    duration sums (integer — strong hash signal), and the two derived
+    averages. The reference has no user-behavior analytics at all; the
+    events table is exactly this genre's input.
+
+    The kernel is the gaps-and-islands pattern done the one-shuffle
+    way: LAG over the (user_id)-keyed event-time order marks session
+    STARTS, a running SUM of the marks numbers the islands — no
+    self-join, no correlated subquery. The tie-break on event_id makes
+    the order total, so both engines see identical islands. One
+    shuffle on user_id covers the lag, the numbering, and the
+    per-session aggregate (co-keyed); the per-day rollup then runs on
+    a sessions-sized frame. At 100 TB: sessionization states nothing
+    beyond the window sort, and a skewed power-user key degrades one
+    partition's sort, not a join (d8 is the diagnostic for that)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = SW.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) >= _A19_GAP_US, 1
+        )
+        .otherwise(0)
+        + F.when(F.lag("ts_us").over(w).isNull(), 1).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(SW.unboundedPreceding, SW.currentRow)
+        ),
+    )
+    sessions = marked.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+    )
+    return (
+        sessions.groupBy(
+            F.expr("start_us div 86400000000").alias("day_num")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            F.sum("dur_us").alias("total_dur_us"),
+        )
+        .select(
+            "day_num",
+            "n_sessions",
+            "total_events",
+            "total_dur_us",
+            F.round(F.col("total_events") / F.col("n_sessions"), 6).alias(
+                "avg_events"
+            ),
+            F.round(
+                F.col("total_dur_us") / F.col("n_sessions") / 1e6, 6
+            ).alias("avg_dur_s"),
+        )
+    )
+
+
+_A19_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                    WHEN ts_us - lag(ts_us) OVER w >= {_A19_GAP_US}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts_us,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sess_id
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, sess_id,
+               count(*) AS n_events,
+               min(ts_us) AS start_us,
+               max(ts_us) - min(ts_us) AS dur_us
+        FROM numbered
+        GROUP BY 1, 2
+    )
+    SELECT start_us // 86400000000 AS day_num,
+           count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+           round(sum(n_events) / count(*), 6) AS avg_events,
+           round(sum(dur_us) / count(*) / 1e6, 6) AS avg_dur_s
+    FROM sessions
+    GROUP BY 1
+"""
+
+
 _A17_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2845,6 +2959,78 @@ _S10_ORACLE = """
            (SELECT round(1.0 - nn_text / n, 6) FROM o),
            round(1.0 - nn_text / n, 6)
     FROM nw
+"""
+
+
+def _d8_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 — key-skew diagnostic over the clickstream's join/group key
+    (user_id): total rows, distinct keys, the heaviest key's row
+    count, exact interpolated p50/p99 rows-per-key, the max/mean skew
+    ratio, and the share of all rows held by the ten heaviest keys.
+    This is the MEASUREMENT that decides the engine's own skew
+    mitigations — j2's salted join and AQE skew splitting exist for
+    exactly the keys this report surfaces; an operator suite that
+    ships skew handling but no skew measurement makes the user guess.
+
+    Scale shape: ONE shuffle on the key builds the per-key counts
+    (map-side partial aggregation — the fact table never moves whole
+    rows); every statistic after that runs on the keys-sized frame:
+    one global aggregate, plus a top-10 that Spark plans as a
+    TakeOrdered (no full sort). The top-10 sum is tie-proof — equal
+    counts at the boundary contribute equal values whichever key is
+    picked. percentile ↔ quantile_cont is the ml5a-established exact
+    interpolation pair."""
+    ev = load_table(spark, "events", sf_dir).select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_per_key"),
+        F.expr("percentile(cnt, 0.5)").alias("p50"),
+        F.expr("percentile(cnt, 0.99)").alias("p99"),
+    )
+    top10 = (
+        counts.orderBy(F.col("cnt").desc())
+        .limit(10)
+        .agg(F.sum("cnt").alias("top10_rows"))
+    )
+    return stats.crossJoin(top10).select(
+        "n_rows",
+        "n_keys",
+        "max_per_key",
+        F.round("p50", 6).alias("p50_per_key"),
+        F.round("p99", 6).alias("p99_per_key"),
+        F.round(
+            F.col("max_per_key") / (F.col("n_rows") / F.col("n_keys")), 6
+        ).alias("skew_ratio"),
+        F.round(F.col("top10_rows") / F.col("n_rows"), 6).alias(
+            "top10_share"
+        ),
+    )
+
+
+_D8_ORACLE = """
+    WITH c AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+               count(*) AS n_keys,
+               CAST(max(cnt) AS BIGINT) AS max_per_key,
+               quantile_cont(cnt, 0.5) AS p50,
+               quantile_cont(cnt, 0.99) AS p99
+        FROM c
+    ),
+    t AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS top10_rows
+        FROM (SELECT cnt FROM c ORDER BY cnt DESC LIMIT 10)
+    )
+    SELECT n_rows, n_keys, max_per_key,
+           round(p50, 6) AS p50_per_key,
+           round(p99, 6) AS p99_per_key,
+           round(max_per_key / (n_rows / n_keys), 6) AS skew_ratio,
+           round(top10_rows / n_rows, 6) AS top10_share
+    FROM s, t
 """
 
 
@@ -6682,6 +6868,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lookup + tail-window fetch) → broadcast min-max normalize →
         # fixed-weight logistic forward → epoch-idempotent signal sink
         "t26_stream_inference_loop": _t26_stream_inference_loop,
+        # a19 NEW in round 13, past the window — ROTATE IN ROUND 14:
+        # batch sessionization (gaps-and-islands, one shuffle on the
+        # user key) — the third classic clickstream rollup after a15's
+        # funnel and a16's cohorts, and t4b's batch twin
+        "a19_sessionization": _a19_sessionization,
+        # d8 NEW in round 13, past the window — ROTATE IN ROUND 14:
+        # the key-skew diagnostic (per-key counts → max/mean ratio,
+        # exact p50/p99, top-10 share) — the measurement behind j2's
+        # salted join and AQE skew handling
+        "d8_skew_report": _d8_skew_report,
         # -- displaced THIS round (round 13): nine round-10-born
         # queries, each THRICE driver-green (r10 + r11 + r12), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
@@ -7618,6 +7814,8 @@ def oracle_sql() -> dict[str, str]:
         "s12_jsonl_evolution_ingest": _S12_ORACLE,
         "t25_stream_evolving_ingest": _T25_ORACLE,
         "t26_stream_inference_loop": _t26_oracle(),
+        "a19_sessionization": _A19_ORACLE,
+        "d8_skew_report": _D8_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,
         "w24_gap_fill_locf": _W24_ORACLE,
