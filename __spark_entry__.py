@@ -6878,6 +6878,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact p50/p99, top-10 share) — the measurement behind j2's
         # salted join and AQE skew handling
         "d8_skew_report": _d8_skew_report,
+        # x79 NEW in round 13, past the window — ROTATE IN ROUND 14:
+        # graded ANN ranking quality (NDCG@10 + MRR@10 per method vs
+        # the exact top-k) — order quality, the dimension recall@k
+        # (x30/x77) cannot see; completes the ANN tier's published
+        # set-quality / order-quality / scan-cost triple
+        "x79_ann_ranking_quality": X.q_ann_ranking_quality,
         # -- displaced THIS round (round 13): nine round-10-born
         # queries, each THRICE driver-green (r10 + r11 + r12), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
@@ -7816,6 +7822,7 @@ def oracle_sql() -> dict[str, str]:
         "t26_stream_inference_loop": _t26_oracle(),
         "a19_sessionization": _A19_ORACLE,
         "d8_skew_report": _D8_ORACLE,
+        "x79_ann_ranking_quality": X.ann_ranking_quality_oracle(),
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,
         "w24_gap_fill_locf": _W24_ORACLE,

@@ -10,6 +10,8 @@ Spark and SQL so both engines see the same synthetic dups.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -6290,5 +6292,120 @@ def ivf_nprobe_sweep_oracle() -> str:
             WHERE vec_id < {N_QUERY_VECS}
         ),
         {",".join(per_np)}
+        {selects}
+    """
+
+
+# x79: shared ideal-DCG constant — computed ONCE in Python and injected
+# verbatim into both engines' expressions, so normalization cannot
+# introduce a cross-engine float divergence (gains are TOP_K+1-rank).
+_X79_IDCG = sum(
+    (TOP_K + 1 - i) / math.log2(i + 1) for i in range(1, TOP_K + 1)
+)
+
+
+def q_ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x79 — GRADED ranking quality of the approximate ANN paths:
+    NDCG@10 and MRR@10 per (method, query) against x8's exact top-k.
+    recall@k (x30/x77) counts set overlap and cannot see ORDER — an
+    index can hold recall 1.0 while serving the best hit last, which
+    is a real failure when the consumer takes top-1 (the dedup keeper,
+    the RAG context slot #1). NDCG grades the approximate ORDERING
+    with exact-rank gains (TOP_K+1−rank, zero for non-members); MRR is
+    1/position of the exact #1 hit (0 if the method missed it
+    entirely). Together with x30's recall and x75/x77's cost columns,
+    the ANN tier now publishes set quality, order quality, AND scan
+    cost per configuration.
+
+    Scale shape: the exact list is ONE brute-force pass,
+    localCheckpointed, feeding both method joins and the query spine;
+    each method join is on the (query, candidate) pair key (≤ k rows
+    per query per side); DCG/MRR are one grouped aggregate each.
+    Queries a method returns nothing for still emit rows (0.0) via the
+    spine left join — silent misses must never vanish from a quality
+    report. The IDCG normalizer is a shared Python-computed literal,
+    identical in both engines by construction."""
+    corpus = load_table(spark, "embeddings", sf_dir)
+    qv = _query_vecs(spark, sf_dir)
+    exact = (
+        S.brute_force_topk(corpus, qv, k=TOP_K)
+        .select("query_id", "vec_id", F.col("rank").alias("erank"))
+        .localCheckpoint(eager=True)
+    )
+    lsh = S.lsh_topk(
+        corpus, qv, k=TOP_K, method="gaussian"
+    ).select("query_id", "vec_id", F.col("rank").alias("arank"))
+    ivf = S.ivf_topk(
+        corpus, qv, _centroids(spark, sf_dir), k=TOP_K, nprobe=IVF_NPROBE
+    ).select("query_id", "vec_id", F.col("rank").alias("arank"))
+    spine = exact.select("query_id").distinct()
+
+    def one(method: str, approx: DataFrame) -> DataFrame:
+        j = approx.join(exact, ["query_id", "vec_id"], "left")
+        gain = F.when(
+            F.col("erank").isNotNull(),
+            (F.lit(TOP_K + 1) - F.col("erank")).cast("double"),
+        ).otherwise(F.lit(0.0))
+        per = j.groupBy("query_id").agg(
+            F.sum(gain / F.log2(F.col("arank") + 1)).alias("dcg"),
+            F.max(
+                F.when(
+                    F.col("erank") == 1, F.lit(1.0) / F.col("arank")
+                ).otherwise(F.lit(0.0))
+            ).alias("mrr"),
+        )
+        return (
+            spine.join(per, "query_id", "left")
+            .na.fill({"dcg": 0.0, "mrr": 0.0})
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.round(F.col("dcg") / F.lit(_X79_IDCG), 6).alias(
+                    "ndcg_at_k"
+                ),
+                F.round("mrr", 6).alias("mrr_at_k"),
+            )
+        )
+
+    return one("lsh", lsh).unionByName(one("ivf", ivf))
+
+
+def ann_ranking_quality_oracle() -> str:
+    methods = {"lsh": ann_lsh_oracle(), "ivf": ann_ivf_oracle()}
+    ctes = ",\n        ".join(
+        f"m_{name} AS MATERIALIZED ({sql})" for name, sql in methods.items()
+    )
+    per = ",\n        ".join(
+        f"""per_{name} AS (
+            SELECT a.query_id,
+                   sum(CASE WHEN e.rank IS NOT NULL
+                            THEN ({TOP_K} + 1 - e.rank) / log2(a.rank + 1)
+                            ELSE 0.0 END) AS dcg,
+                   max(CASE WHEN e.rank = 1 THEN 1.0 / a.rank
+                            ELSE 0.0 END) AS mrr
+            FROM m_{name} a
+            LEFT JOIN exact e
+              ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+            GROUP BY a.query_id
+        )"""
+        for name in methods
+    )
+    selects = "\n        UNION ALL\n        ".join(
+        f"""SELECT '{name}' AS method, q.query_id,
+               round(COALESCE(p.dcg, 0.0) / {_X79_IDCG!r}, 6) AS ndcg_at_k,
+               round(COALESCE(p.mrr, 0.0), 6) AS mrr_at_k
+        FROM qs q LEFT JOIN per_{name} p ON p.query_id = q.query_id"""
+        for name in methods
+    )
+    return f"""
+        WITH exact AS MATERIALIZED (
+            SELECT query_id, vec_id, rank FROM ({ann_brute_oracle()})
+        ),
+        qs AS (
+            SELECT vec_id AS query_id FROM embeddings
+            WHERE vec_id < {N_QUERY_VECS}
+        ),
+        {ctes},
+        {per}
         {selects}
     """

@@ -1499,3 +1499,76 @@ def test_evolving_ingest_sink_accounting(spark, tmp_path):
     assert acct[(1, 9)]["n_rows"] == 1
     assert acct[(1, 9)]["n_quarantined"] == 1
     assert acct[(1, 9)]["widened_cols"] == ""  # unregistered: no contract
+
+
+def test_evolving_ingest_sink_replay_is_idempotent(spark, tmp_path):
+    """The evolving sink writes clean/quarantine/accounting through the
+    epoch-idempotent dynamic-partition-overwrite writer — so REPLAYING
+    the same drops against the same output dirs (fresh checkpoint, so
+    epoch ids restart at 0) must REPLACE each epoch partition, never
+    duplicate rows in any of the three sinks."""
+    import os
+    import time
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from financial_market_data_analysis_spark.streaming.pipeline import (
+        evolving_ingest_sink,
+    )
+
+    schemas = {
+        1: StructType(
+            [
+                StructField("doc_id", LongType(), True),
+                StructField("n_chars", LongType(), True),
+            ]
+        ),
+        2: StructType(
+            [
+                StructField("doc_id", LongType(), True),
+                StructField("n_chars", DoubleType(), True),
+                StructField("source", StringType(), True),
+            ]
+        ),
+    }
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+    for i, lines in enumerate([["1,1,10", "1,2,xbad"], ["2,3,30.5,web"]]):
+        p = os.path.join(src, f"b{i}.txt")
+        with open(p, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.utime(p, (time.time() - 10 + 5 * i,) * 2)
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", 1)
+            .text(src)
+        )
+        q = evolving_ingest_sink(
+            stream,
+            schemas,
+            str(tmp_path / "clean"),
+            str(tmp_path / "quar"),
+            str(tmp_path / ckpt),
+            trigger={"availableNow": True},
+            accounting_dir=str(tmp_path / "acct"),
+        ).start()
+        assert q.awaitTermination(120)
+
+    run("ckpt1")
+    first = {
+        d: spark.read.parquet(str(tmp_path / d)).collect()
+        for d in ("clean", "quar", "acct")
+    }
+    run("ckpt2")  # full replay: same files, epochs 0..1 again
+    for d in ("clean", "quar", "acct"):
+        again = spark.read.parquet(str(tmp_path / d)).collect()
+        assert sorted(map(str, again)) == sorted(map(str, first[d])), d
+    assert len(first["clean"]) == 2 and len(first["quar"]) == 1
