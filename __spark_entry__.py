@@ -39,6 +39,7 @@ from financial_market_data_analysis_spark.functions.text import (
 from financial_market_data_analysis_spark.functions import text as T
 from financial_market_data_analysis_spark.plans import extensions as X
 from financial_market_data_analysis_spark.operators import dedup as D
+from financial_market_data_analysis_spark.operators import sketches as SK
 from financial_market_data_analysis_spark.operators import windows as W
 from financial_market_data_analysis_spark.operators.joins import asof_band_join
 from financial_market_data_analysis_spark.plans.book import (
@@ -794,6 +795,66 @@ _A19_ORACLE = f"""
     FROM sessions
     GROUP BY 1
 """
+
+
+def _a20_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 — HyperLogLog distinct-user estimation per event_type
+    (operators/sketches.py ``hll_registers`` →
+    ``hll_estimate_from_registers``): the register-max mergeable
+    distinct algebra next to the KMV bottom-k one the sketch tier
+    already adjudicates (a12 family). Published per group: the exact
+    distinct count, the count of non-empty registers, the HLL
+    estimate, and the measured relative error — the estimator is
+    MEASURED against the exact pass, not asserted (the kmv_distinct
+    precedent). The reference has no approximate tier at all (its
+    aggregates are exact MariaDB views, create_database.py:60-200);
+    at 100 TB the register relation is the ONLY per-group state that
+    stays 2^p bytes no matter the cardinality, and it merges across
+    shards/streams by per-register max (t27 adjudicates that merge
+    across micro-batch replays).
+
+    Scale shape: one row-local hash projection, one partial-aggregated
+    groupBy whose output is ≤256 rows per group, a broadcastable join
+    against the exact side (which exists only to grade the estimate).
+    Float determinism: the register sum is an exact DECIMAL integer
+    fold; see the operator docstring."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "user_id")
+    regs = SK.hll_registers(ev, "user_id", ["event_type"])
+    est = SK.hll_estimate_from_registers(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        est.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            "nonzero_registers",
+            "est_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("n_exact"))
+                / F.col("n_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def _a20_oracle() -> str:
+    hll = SK.hll_sql("events", "user_id", ["event_type"])
+    return f"""
+        WITH est AS ({hll}),
+        exact AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY event_type
+        )
+        SELECT est.event_type, exact.n_exact, est.nonzero_registers,
+               est.est_distinct,
+               round(abs(est.est_distinct - exact.n_exact)
+                     / exact.n_exact, 6) AS rel_err
+        FROM est JOIN exact ON est.event_type = exact.event_type
+    """
 
 
 _A17_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -2919,6 +2980,109 @@ def _t26_oracle() -> str:
           AND (bucket_start // 300) % 3 <> 2
           AND {_ML3_LAGS_OK}
     """
+
+
+def _t27_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T27 — a20's HyperLogLog registers maintained INCREMENTALLY: the
+    events feed arrives in three micro-batches; each batch's register
+    relation (operators/sketches.py ``hll_registers`` on the BATCH
+    alone) is APPENDED epoch-idempotently (the K1 dynamic-overwrite
+    writer — a retried epoch replaces exactly its own partition), and
+    the final estimate is read off ``max(rho)`` per (group, register)
+    over ALL appended epochs. Unlike t18's KMV (copy-on-write snapshot
+    chain — merge needs the previous state), HLL's register max is a
+    commutative idempotent monoid, so the store can be APPEND-ONLY:
+    no snapshot versioning, no read-modify-write per batch, and even a
+    duplicate append could not change the collapsed state (the replay
+    law tests/test_sketches pins). The oracle is a20's batch SQL
+    VERBATIM — the hash match adjudicates that the union of per-batch
+    sketches equals the one-shot sketch of the whole feed under a real
+    incremental run. Completes the streamed-sketch quartet: counts
+    (t12), quantiles (t16), bottom-k distincts (t18), register
+    distincts (t27).
+
+    Scale shape: per-batch cost is one batch-sized hash projection +
+    a ≤256-rows-per-group partial aggregate; the store grows by KBs
+    per epoch and the final collapse shuffles only registers. The
+    exact column exists to adjudicate the estimator, as in a20."""
+    import os
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.streaming import pipeline as SP
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "user_id", "event_id"
+    )
+    n_max = ev.agg(F.max("event_id")).first()[0]
+    cut1, cut2 = n_max // 3, 2 * n_max // 3
+    work = tempfile.mkdtemp(prefix="t27_hll_")
+    src_dir = f"{work}/arrivals"
+    store = f"{work}/registers"
+    old_sp = push_small_shuffle(spark)  # serial-adjudication contract
+    try:
+        _stage_batches(
+            ev,
+            (
+                F.col("event_id") <= cut1,
+                (F.col("event_id") > cut1) & (F.col("event_id") <= cut2),
+                F.col("event_id") > cut2,
+            ),
+            src_dir,
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        write = SP.epoch_idempotent_writer(store)
+
+        def merge(batch_df: DataFrame, batch_id: int) -> None:
+            regs_b = SK.hll_registers(batch_df, "user_id", ["event_type"])
+            write(regs_b, batch_id)
+
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t27_stream_hll_merge did not finish in 300 s")
+        epochs = len(
+            [d for d in os.listdir(store) if d.startswith("epoch_id=")]
+        )
+        regs = (
+            spark.read.parquet(store)
+            .groupBy("event_type", "register")
+            .agg(F.max("rho").alias("rho"))
+        )
+        est = SK.hll_estimate_from_registers(regs, ["event_type"])
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_exact")
+        )
+        out = (
+            est.join(F.broadcast(exact), "event_type")
+            .select(
+                "event_type",
+                F.col("n_exact").cast("long").alias("n_exact"),
+                "nonzero_registers",
+                "est_distinct",
+                F.round(
+                    F.abs(F.col("est_distinct") - F.col("n_exact"))
+                    / F.col("n_exact"),
+                    6,
+                ).alias("rel_err"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if epochs < 3:  # the stream must actually have run ≥3 epochs
+            raise RuntimeError(f"expected ≥3 epoch dirs, saw {epochs}")
+    finally:
+        pop_small_shuffle(spark, old_sp)
+        shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 _S10_ORACLE = """
@@ -6884,6 +7048,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (x30/x77) cannot see; completes the ANN tier's published
         # set-quality / order-quality / scan-cost triple
         "x79_ann_ranking_quality": X.q_ann_ranking_quality,
+        # a20 NEW in round 13, past the window — ROTATE IN ROUND 14:
+        # HyperLogLog distinct-user estimation per event_type — the
+        # register-max mergeable distinct algebra next to the KMV
+        # bottom-k one (a12 family); exact count, non-empty registers,
+        # estimate, and measured rel_err published side by side
+        "a20_hll_distinct": _a20_hll_distinct,
+        # t27 NEW in round 13, past the window — ROTATE IN ROUND 14:
+        # a20's HLL registers maintained incrementally over three
+        # micro-batches through an APPEND-ONLY epoch-idempotent store
+        # (max-merge is a commutative idempotent monoid — no snapshot
+        # chain needed, unlike t18's KMV); oracle = a20's SQL verbatim,
+        # adjudicating union-of-batch-sketches == one-shot sketch
+        "t27_stream_hll_merge": _t27_stream_hll_merge,
         # -- displaced THIS round (round 13): nine round-10-born
         # queries, each THRICE driver-green (r10 + r11 + r12), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
@@ -7823,6 +8000,10 @@ def oracle_sql() -> dict[str, str]:
         "a19_sessionization": _A19_ORACLE,
         "d8_skew_report": _D8_ORACLE,
         "x79_ann_ranking_quality": X.ann_ranking_quality_oracle(),
+        "a20_hll_distinct": _a20_oracle(),
+        # t27 shares a20's oracle verbatim — the merged streamed sketch
+        # must equal the one-shot batch sketch by the register algebra
+        "t27_stream_hll_merge": _a20_oracle(),
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,
         "w24_gap_fill_locf": _W24_ORACLE,

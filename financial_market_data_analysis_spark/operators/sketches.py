@@ -489,3 +489,200 @@ def histogram_quantiles_sql(
         FROM probes
         WHERE cm >= target AND cm - c < target
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct counting
+
+HLL_P = 8  # 2^8 = 256 registers — the Flajolet et al. 2007 default tier
+HLL_M = 1 << HLL_P
+HLL_W_HEX = 15  # rank slice: 15 hex chars = 60 bits (fits signed 64 forever)
+HLL_MAX_RHO = 4 * HLL_W_HEX + 1  # an all-zero slice ranks maxbits + 1
+
+
+def _hll_alpha(m: int) -> float:
+    """The bias-correction constant of Flajolet et al. 2007 §4."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    p: int = HLL_P,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HyperLogLog register relation — ``(group cols,
+    register, rho)`` where ``register`` is the first ``p`` bits of the
+    portable md5 hash and ``rho`` the 1-based leading-zero rank of the
+    next 60 bits. This IS the sketch state: registers merge across any
+    partitioning of the input by per-register ``max`` — an idempotent,
+    commutative, associative fold, so duplicate keys, shard unions,
+    and micro-batch replays all leave it unchanged (the property the
+    t27 streaming twin adjudicates).
+
+    Next to :func:`kmv_distinct` (bottom-k order statistic, min-union
+    merge) this completes the two classic mergeable distinct-count
+    algebras; HLL's state is a fixed 2^p bytes per group regardless of
+    cardinality — the one that survives a billion-key group.
+
+    Rank extraction is INTEGER-ONLY string arithmetic (leading-zero
+    hex chars via ``trim(LEADING '0')``, then a 16-way CASE on the
+    first non-zero nibble) — no log2/float whose last-ulp could
+    diverge engines; the DuckDB twin (:func:`hll_sql`) computes the
+    identical slice.
+
+    Scale shape: one row-local projection, then ONE partial-aggregated
+    groupBy on (group, register) whose output is at most 2^p rows per
+    group — the shuffle carries the sketch, not the data."""
+    if p % 4 != 0:
+        raise ValueError("p must be a multiple of 4 (hex-slice registers)")
+    reg_hex = p // 4
+    hx = F.md5(_salted(salt, [F.col(key_col)]).cast("binary"))
+    w = HLL_W_HEX
+    d = (
+        df.select(*group_cols, hx.alias("__hx"))
+        .withColumn(
+            "__j",
+            F.conv(F.substring("__hx", 1, reg_hex), 16, 10).cast("int"),
+        )
+        .withColumn("__sub", F.substring("__hx", reg_hex + 1, w))
+        .withColumn(
+            "__z",
+            F.lit(w) - F.length(F.expr("trim(LEADING '0' FROM __sub)")),
+        )
+        .withColumn("__fnz", F.expr("substr(__sub, __z + 1, 1)"))
+    )
+    clz4 = (
+        F.when(F.col("__fnz") == "1", 3)
+        .when(F.col("__fnz").isin("2", "3"), 2)
+        .when(F.col("__fnz").isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = (
+        F.when(F.col("__z") == w, F.lit(HLL_MAX_RHO))
+        .otherwise(F.col("__z") * 4 + clz4 + 1)
+        .cast("int")
+    )
+    return (
+        d.withColumn("__rho", rho)
+        .groupBy(*group_cols, "__j")
+        .agg(F.max("__rho").alias("rho"))
+        .withColumnRenamed("__j", "register")
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str] | tuple[str, ...] = (),
+    p: int = HLL_P,
+) -> DataFrame:
+    """The estimate tail over a register relation (batch-built or
+    stream-merged — the split mirrors
+    :func:`histogram_quantiles_from_hist`): raw estimate
+    ``alpha·m²/Σ2^-M[j]`` with the small-range linear-counting
+    correction ``m·ln(m/V)`` when the raw estimate is ≤ 2.5m and V
+    empty registers remain (Flajolet et al. 2007 §4; the 32-bit
+    large-range correction is unnecessary at a 60-bit rank width).
+
+    Float determinism: Σ2^-M[j] is summed EXACTLY as the integer
+    Σ2^(61-M[j]) in DECIMAL(38,0) (order-independent — a double fold
+    of 2^-61-granular terms would round differently under different
+    partition merge orders), then ONE decimal→double cast and ONE
+    divide produce the raw estimate — the same two roundings in both
+    engines regardless of plan shape."""
+    m = 1 << p
+    c_lit = _hll_alpha(m) * m * m * (2.0 ** (HLL_MAX_RHO - 1))
+    term = F.expr(
+        f"CAST(shiftleft(CAST(1 AS BIGINT), {HLL_MAX_RHO - 1} - rho)"
+        " AS DECIMAL(38,0))"
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("nonzero_registers"),
+        F.sum(term).alias("__s_nz"),
+    )
+    zeros = F.lit(m) - F.col("nonzero_registers")
+    s_total = F.col("__s_nz") + zeros.cast("decimal(38,0)") * F.lit(
+        1 << (HLL_MAX_RHO - 1)
+    ).cast("decimal(38,0)")
+    e_raw = F.lit(c_lit) / s_total.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols,
+        F.col("nonzero_registers").cast("long").alias("nonzero_registers"),
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
+def hll_sql(
+    src_cte: str,
+    key_expr: str,
+    group_cols: list[str],
+    p: int = HLL_P,
+    salt: str = "hll",
+    extra_ctes: str = "",
+) -> str:
+    """Oracle twin of ``hll_registers`` → ``hll_estimate_from_registers``
+    over a CTE exposing the group columns and ``key_expr``: identical
+    md5 slice, identical integer rank arithmetic, identical exact
+    integer register sum (DuckDB's sum(BIGINT) is HUGEINT — exact),
+    identical two-rounding estimate."""
+    g = ", ".join(group_cols)
+    m = 1 << p
+    reg_hex = p // 4
+    w = HLL_W_HEX
+    c_lit = _hll_alpha(m) * m * m * (2.0 ** (HLL_MAX_RHO - 1))
+    z = f"({w} - length(trim(LEADING '0' FROM sub)))"
+    clz4 = f"""
+        CASE substr(sub, {z} + 1, 1)
+             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+             WHEN '7' THEN 1 ELSE 0 END"""
+    return f"""
+        WITH {extra_ctes}
+        hx AS (
+            SELECT {g}, md5('{salt}:' || {key_expr}) AS h FROM {src_cte}
+        ),
+        parts AS (
+            SELECT {g},
+                   ('0x' || substr(h, 1, {reg_hex}))::BIGINT AS register,
+                   substr(h, {reg_hex} + 1, {w}) AS sub
+            FROM hx
+        ),
+        ranked AS (
+            SELECT {g}, register,
+                   CASE WHEN {z} = {w} THEN {HLL_MAX_RHO}
+                        ELSE {z} * 4 + {clz4} + 1 END AS rho
+            FROM parts
+        ),
+        regs AS (
+            SELECT {g}, register, max(rho) AS rho
+            FROM ranked GROUP BY {g}, register
+        ),
+        agg AS (
+            SELECT {g}, count(*) AS nz,
+                   sum(1::BIGINT << ({HLL_MAX_RHO - 1} - rho)) AS s_nz
+            FROM regs GROUP BY {g}
+        )
+        SELECT {g}, CAST(nz AS BIGINT) AS nonzero_registers,
+               round(CASE WHEN {c_lit!r} / CAST(s_nz + ({m} - nz)::HUGEINT
+                               * (1::BIGINT << {HLL_MAX_RHO - 1})::HUGEINT
+                               AS DOUBLE) <= {2.5 * m!r}
+                          AND {m} - nz > 0
+                          THEN {float(m)!r}
+                               * ln({float(m)!r} / ({m} - nz))
+                          ELSE {c_lit!r} / CAST(s_nz + ({m} - nz)::HUGEINT
+                               * (1::BIGINT << {HLL_MAX_RHO - 1})::HUGEINT
+                               AS DOUBLE)
+                     END, 6) AS est_distinct
+        FROM agg
+    """

@@ -249,3 +249,87 @@ def test_auc_rank_formula_against_known_case(spark):
 
     assert auc_of([(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)]) == 1.0
     assert auc_of([(0.1, 0), (0.5, 0), (0.5, 1), (0.9, 1)]) == 0.875
+
+
+def _py_hll_registers(keys, salt="hll", p=8, w_hex=15):
+    # pure-Python reference of the md5 register/rank slice
+    import hashlib
+
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = hashlib.md5(f"{salt}:{k}".encode()).hexdigest()
+        j = int(h[: p // 4], 16)
+        sub = h[p // 4 : p // 4 + w_hex]
+        v = int(sub, 16)
+        rho = (4 * w_hex + 1) if v == 0 else (4 * w_hex - v.bit_length() + 1)
+        regs[j] = max(regs.get(j, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_reference(spark):
+    keys = [str(i) for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "k STRING")
+    got = {
+        r.register: r.rho
+        for r in SK.hll_registers(df, "k").collect()
+    }
+    assert got == _py_hll_registers(keys)
+
+
+def test_hll_register_merge_is_idempotent_and_order_free(spark):
+    # max-merge of per-shard registers == registers of the union, and
+    # a duplicate shard cannot change the merged state — the algebra
+    # t27's append-only store rests on
+    left = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(400)], "g STRING, k STRING"
+    )
+    right = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(200, 700)], "g STRING, k STRING"
+    )
+    direct = SK.hll_registers(left.unionByName(right), "k", ["g"])
+    merged = (
+        SK.hll_registers(left, "k", ["g"])
+        .unionByName(SK.hll_registers(right, "k", ["g"]))
+        .unionByName(SK.hll_registers(left, "k", ["g"]))  # replayed shard
+        .groupBy("g", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    a = sorted((r.register, r.rho) for r in direct.collect())
+    b = sorted((r.register, r.rho) for r in merged.collect())
+    assert a == b
+
+
+def test_hll_estimate_raw_branch_accuracy(spark):
+    # 5000 distinct keys over 256 registers leaves ~no empty register,
+    # so the RAW alpha*m^2/S branch fires (the driver fixture exercises
+    # the linear-counting branch); standard error is 1.04/sqrt(256) ≈
+    # 6.5%, so 20% is a generous determinism-safe bound
+    n = 5000
+    df = spark.createDataFrame([(f"u{i}",) for i in range(n)], "k STRING")
+    est = SK.hll_estimate_from_registers(
+        SK.hll_registers(df, "k")
+    ).collect()[0]
+    assert abs(est.est_distinct - n) / n < 0.20
+    # raw branch: with ~0 empty registers the linear-counting guard
+    # (zeros > 0 AND raw <= 2.5m) cannot have produced this estimate
+    assert est.nonzero_registers > 240
+
+
+def test_hll_estimate_formula_both_branches(spark):
+    import math
+
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # small-range branch: 3 registers set, 253 zeros
+    small = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "register INT, rho INT"
+    )
+    got = SK.hll_estimate_from_registers(small).collect()[0]
+    assert got.est_distinct == round(m * math.log(m / 253), 6)
+    # raw branch: every register set -> zeros == 0
+    full = spark.createDataFrame(
+        [(j, 2) for j in range(m)], "register INT, rho INT"
+    )
+    got = SK.hll_estimate_from_registers(full).collect()[0]
+    expected = alpha * m * m / (m * 2.0**-2)
+    assert got.est_distinct == round(expected, 6)
