@@ -2640,6 +2640,81 @@ _S12_ORACLE = """
 """
 
 
+def _s13_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — hive-layout partitioned warehouse write + PROVEN
+    partition-pruned range scan (sources/batch.py ``write_partitioned``
+    / ``scan_partition_pruned``): events land date-partitioned
+    (``day_num=NNNNN/`` directories — the layout every production
+    parquet warehouse uses), then the middle third of the day range is
+    read back through a filter on the partition column and the scan is
+    ASSERTED pruned via ``inputFiles()`` — every file under an in-range
+    day directory, at least one out-of-range day skipped. This is the
+    physical-layout sibling of j5's bucketed join: bucketing kills the
+    join shuffle, directory partitioning kills the scan itself — the
+    single biggest I/O lever at 100 TB, and the one layout property a
+    correctness hash can't see unless it is raised to an invariant
+    (a silent pruning regression returns identical rows while reading
+    1000× the bytes). Published: per-day event counts and rounded
+    value sums over the pruned range; the oracle recomputes the same
+    day window from the raw events with the bounds as scalar
+    subqueries — the identical integer arithmetic on both sides.
+
+    Scale shape: the write is one distributed pass (partition dirs =
+    days, bounded cardinality); the bounds probe is a 1-row global
+    min/max; the pruned read lists only matching directories."""
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.sources.batch import (
+        scan_partition_pruned,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("ts_us div 86400000000").cast("int").alias("day_num"),
+    )
+    bounds = ev.agg(
+        F.min("day_num").alias("lo"), F.max("day_num").alias("hi")
+    ).first()
+    span = bounds.hi - bounds.lo
+    lo, hi = bounds.lo + span // 3, bounds.lo + 2 * span // 3
+    wh = tempfile.mkdtemp(prefix="s13_wh_")
+    try:
+        write_partitioned(ev, wh, ["day_num"])
+        pruned = scan_partition_pruned(spark, wh, "day_num", lo, hi)
+        out = (
+            pruned.groupBy(F.col("day_num").cast("long").alias("day_num"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("value_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out
+
+
+_S13_ORACLE = """
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day_num, value
+        FROM events
+    ),
+    b AS (
+        SELECT min(day_num) AS mn, max(day_num) - min(day_num) AS span
+        FROM d
+    )
+    SELECT day_num, count(*) AS n_events,
+           round(sum(value), 6) AS value_sum
+    FROM d, b
+    WHERE day_num BETWEEN mn + span // 3 AND mn + (2 * span) // 3
+    GROUP BY day_num
+"""
+
+
 def _t25_stream_evolving_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T25 — the STREAMING form of s11's schema-evolution-tolerant
     ingest (streaming/pipeline.py ``evolving_ingest_sink``, r12
@@ -7061,6 +7136,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chain needed, unlike t18's KMV); oracle = a20's SQL verbatim,
         # adjudicating union-of-batch-sketches == one-shot sketch
         "t27_stream_hll_merge": _t27_stream_hll_merge,
+        # s13 NEW in round 13, past the window — ROTATE IN ROUND 14:
+        # hive-layout partitioned write + PROVEN partition-pruned range
+        # scan (inputFiles-audited: in-range dirs only, ≥1 skipped) —
+        # the physical-layout sibling of j5's bucketed join; a pruning
+        # regression raises instead of silently scanning everything
+        "s13_partition_pruned_scan": _s13_partition_pruned_scan,
         # -- displaced THIS round (round 13): nine round-10-born
         # queries, each THRICE driver-green (r10 + r11 + r12), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
@@ -8004,6 +8085,7 @@ def oracle_sql() -> dict[str, str]:
         # t27 shares a20's oracle verbatim — the merged streamed sketch
         # must equal the one-shot batch sketch by the register algebra
         "t27_stream_hll_merge": _a20_oracle(),
+        "s13_partition_pruned_scan": _S13_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,
         "w24_gap_fill_locf": _W24_ORACLE,

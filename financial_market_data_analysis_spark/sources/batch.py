@@ -154,3 +154,82 @@ def z_value_sql(x_expr: str, y_expr: str, bits: int = Z_BITS) -> str:
         for b in range(bits)
     ]
     return "(" + " | ".join(f"({t})" for t in terms) + ")"
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str] | tuple[str, ...]
+) -> None:
+    """Hive-layout partitioned write (``part_col=value/`` directories).
+
+    The other half of the physical-layout pair next to
+    :func:`write_bucketed`: bucketing co-locates equi-JOIN keys,
+    directory partitioning prunes range/point SCANS — a reader that
+    filters on the partition column touches only the matching
+    directories, never opening (or even listing the footers of) the
+    rest. At 100 TB a date-partitioned warehouse is the difference
+    between a tail query reading one day and reading three years; the
+    reference's MariaDB tables have no physical partitioning at all
+    (create_database.py:60-200 — every range scan is an index walk).
+
+    Keep partition cardinality bounded (days/sources, not user ids):
+    each value is a directory, and a million tiny directories is its
+    own scale failure."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def scan_partition_pruned(
+    spark: SparkSession, path: str, part_col: str, lo: int, hi: int
+) -> DataFrame:
+    """Range scan over a hive-partitioned dataset that PROVES the
+    partition pruning happened instead of assuming it.
+
+    ``inputFiles()`` is the WRONG probe (it lists the relation's whole
+    FileIndex before planning — it reports every file even when the
+    physical scan prunes perfectly). The proof here is the physical
+    scan's own execution metrics: a footer-only PROBE plan — the same
+    filter, projecting ONLY the partition column, so its ReadSchema is
+    empty and the probe costs metadata, not data — is executed once,
+    and its ``FileSourceScanExec`` ``numPartitions`` metric must equal
+    the number of on-disk ``part_col=value`` directories inside
+    [lo, hi] AND be strictly fewer than the directories on disk (≥1
+    partition demonstrably skipped). A layout regression (partition
+    column written as a data column, inference disabled, a filter
+    Catalyst can't push into partition pruning) raises loudly rather
+    than silently scanning everything — the failure mode that costs
+    nothing at fixture scale and a full warehouse scan at 100 TB.
+
+    The returned DataFrame is the data scan itself (same filter, all
+    columns), which Catalyst prunes by the same PartitionFilters the
+    audited probe proved effective."""
+    base = spark.read.parquet(path)
+    cond = (F.col(part_col) >= lo) & (F.col(part_col) <= hi)
+    on_disk = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith(f"{part_col}=")
+    }
+    in_range = {v for v in on_disk if lo <= v <= hi}
+    if len(in_range) == len(on_disk):
+        raise RuntimeError(
+            f"partition pruning is unprovable: every on-disk "
+            f"{part_col} partition ({sorted(on_disk)}) is inside "
+            f"[{lo}, {hi}] — widen the layout or narrow the range"
+        )
+    probe = base.select(part_col).filter(cond)
+    plan = probe._jdf.queryExecution().executedPlan()
+    plan.execute().count()  # run exactly this physical plan once
+    leaf = plan.collectLeaves().apply(0)
+    metrics: dict[str, int] = {}
+    it = leaf.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        metrics[kv._1()] = kv._2().value()
+    n_sel = metrics.get("numPartitions")
+    if n_sel != len(in_range):
+        raise RuntimeError(
+            f"partition pruning failed: scan selected {n_sel} "
+            f"partition directories, expected exactly the "
+            f"{len(in_range)} of {len(on_disk)} on disk inside "
+            f"[{lo}, {hi}] (metrics: {metrics})"
+        )
+    return base.filter(cond)

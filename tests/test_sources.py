@@ -694,3 +694,56 @@ def test_streaming_ingest_drift_accounting_flags_contract_change(spark, tmp_path
     assert r3["null_frac"] == 1.0 and r3["drifted"]
     assert not rows[(e3, "event_id")]["drifted"]
     assert not rows[(e3, "event_type")]["drifted"]
+
+
+def test_partition_pruned_scan_audits_and_filters(spark, tmp_path):
+    from financial_market_data_analysis_spark.sources.batch import (
+        scan_partition_pruned,
+        write_partitioned,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).cast("int").alias("day")
+    )
+    path = str(tmp_path / "wh")
+    write_partitioned(df, path, ["day"])
+    out = scan_partition_pruned(spark, path, "day", 3, 5)
+    rows = out.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("day").alias("mn"),
+        F.max("day").alias("mx"),
+    ).collect()[0]
+    assert (rows.n, rows.mn, rows.mx) == (30, 3, 5)
+
+
+def test_partition_pruned_scan_rejects_unprovable_range(spark, tmp_path):
+    from financial_market_data_analysis_spark.sources.batch import (
+        scan_partition_pruned,
+        write_partitioned,
+    )
+
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("day")
+    )
+    path = str(tmp_path / "wh")
+    write_partitioned(df, path, ["day"])
+    # the range covers every on-disk partition — pruning cannot be
+    # demonstrated, so the audit refuses rather than vacuously passing
+    with pytest.raises(RuntimeError, match="unprovable"):
+        scan_partition_pruned(spark, path, "day", 0, 9)
+
+
+def test_partition_pruned_scan_rejects_unpartitioned_layout(spark, tmp_path):
+    from financial_market_data_analysis_spark.sources.batch import (
+        scan_partition_pruned,
+    )
+
+    # day is a DATA column here — no day= directories exist, so the
+    # scan would read everything; the audit must refuse
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("day")
+    )
+    path = str(tmp_path / "flat")
+    df.write.mode("overwrite").parquet(path)
+    with pytest.raises(RuntimeError, match="unprovable"):
+        scan_partition_pruned(spark, path, "day", 1, 2)
