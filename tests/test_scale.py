@@ -1255,3 +1255,43 @@ def test_ml5a_checkpoint_pays_indicator_pipeline_once(spark):
     # inlined under mm's subtree as well, so the physical plan may
     # carry up to 3 — all over the checkpointed RDD, all 1-row frames
     assert 2 <= plan.count("BroadcastNestedLoopJoin") <= 3, plan[:2000]
+
+
+def test_hll_register_agg_is_partial_aggregated(spark):
+    """The HLL register fold must combine map-side (partial_max before
+    the one register-keyed shuffle) so the exchange carries at most
+    2^p rows per group — the sketch, not the data — and the estimate
+    tail must likewise partial-aggregate its exact integer sum."""
+    from financial_market_data_analysis_spark.operators import sketches as SK
+
+    ev = load_table(spark, "events", SF_SMOKE).select("event_type", "user_id")
+    regs = SK.hll_registers(ev, "user_id", ["event_type"])
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan, plan[:1200]
+    assert "Sort" not in plan, plan[:1200]  # hash agg, no sort path
+    est = SK.hll_estimate_from_registers(regs, ["event_type"])
+    eplan = est._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in eplan, eplan[:1200]
+
+
+def test_partition_pruned_probe_reads_no_data_columns(spark, tmp_path):
+    """s13's pruning audit must stay footer-only: the probe plan
+    projects nothing but the partition column, so its parquet
+    ReadSchema is EMPTY — the audit costs directory metadata even on a
+    100 TB warehouse."""
+    from financial_market_data_analysis_spark.sources.batch import (
+        write_partitioned,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).cast("int").alias("day")
+    )
+    path = str(tmp_path / "wh")
+    write_partitioned(df, path, ["day"])
+    probe = (
+        spark.read.parquet(path)
+        .select("day")
+        .filter((F.col("day") >= 3) & (F.col("day") <= 5))
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<>" in plan, plan[:1200]
