@@ -200,7 +200,12 @@ def scan_partition_pruned(
 
     The returned DataFrame is the data scan itself (same filter, all
     columns), which Catalyst prunes by the same PartitionFilters the
-    audited probe proved effective."""
+    audited probe proved effective.
+
+    The on-disk directory census uses ``os.listdir`` (the fixtures are
+    local); on HDFS/S3 swap it for a ``FileSystem.listStatus`` /
+    ListObjectsV2 prefix listing — one RPC per audit, still
+    metadata-priced."""
     base = spark.read.parquet(path)
     cond = (F.col(part_col) >= lo) & (F.col(part_col) <= hi)
     on_disk = {
