@@ -821,22 +821,27 @@ def _a20_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select("event_type", "user_id")
     regs = SK.hll_registers(ev, "user_id", ["event_type"])
     est = SK.hll_estimate_from_registers(regs, ["event_type"])
+    return _hll_grade(est, ev)
+
+
+def _hll_grade(est: DataFrame, ev: DataFrame) -> DataFrame:
+    """The published HLL grading shape, shared by a20 and t27 so the
+    two stay column-for-column identical to ``_a20_oracle``'s SQL (both
+    queries hash against it): exact distinct per group, broadcast-
+    joined back, measured relative error rounded to 6."""
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
-    return (
-        est.join(F.broadcast(exact), "event_type")
-        .select(
-            "event_type",
-            F.col("n_exact").cast("long").alias("n_exact"),
-            "nonzero_registers",
-            "est_distinct",
-            F.round(
-                F.abs(F.col("est_distinct") - F.col("n_exact"))
-                / F.col("n_exact"),
-                6,
-            ).alias("rel_err"),
-        )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        "nonzero_registers",
+        "est_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("n_exact"))
+            / F.col("n_exact"),
+            6,
+        ).alias("rel_err"),
     )
 
 
@@ -2647,8 +2652,9 @@ def _s13_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``day_num=NNNNN/`` directories — the layout every production
     parquet warehouse uses), then the middle third of the day range is
     read back through a filter on the partition column and the scan is
-    ASSERTED pruned via ``inputFiles()`` — every file under an in-range
-    day directory, at least one out-of-range day skipped. This is the
+    ASSERTED pruned via the executed scan's ``numPartitions`` metric —
+    a footer-only probe plan must select exactly the in-range day
+    directories, with at least one out-of-range day skipped. This is the
     physical-layout sibling of j5's bucketed join: bucketing kills the
     join shuffle, directory partitioning kills the scan itself — the
     single biggest I/O lever at 100 TB, and the one layout property a
@@ -3134,24 +3140,7 @@ def _t27_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("rho").alias("rho"))
         )
         est = SK.hll_estimate_from_registers(regs, ["event_type"])
-        exact = ev.groupBy("event_type").agg(
-            F.countDistinct("user_id").alias("n_exact")
-        )
-        out = (
-            est.join(F.broadcast(exact), "event_type")
-            .select(
-                "event_type",
-                F.col("n_exact").cast("long").alias("n_exact"),
-                "nonzero_registers",
-                "est_distinct",
-                F.round(
-                    F.abs(F.col("est_distinct") - F.col("n_exact"))
-                    / F.col("n_exact"),
-                    6,
-                ).alias("rel_err"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        out = _hll_grade(est, ev).localCheckpoint(eager=True)
         if epochs < 3:  # the stream must actually have run ≥3 epochs
             raise RuntimeError(f"expected ≥3 epoch dirs, saw {epochs}")
     finally:
@@ -7138,9 +7127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t27_stream_hll_merge": _t27_stream_hll_merge,
         # s13 NEW in round 13, past the window — ROTATE IN ROUND 14:
         # hive-layout partitioned write + PROVEN partition-pruned range
-        # scan (inputFiles-audited: in-range dirs only, ≥1 skipped) —
-        # the physical-layout sibling of j5's bucketed join; a pruning
-        # regression raises instead of silently scanning everything
+        # scan (scan-metric-audited: numPartitions == in-range dirs,
+        # ≥1 skipped) — the physical-layout sibling of j5's bucketed
+        # join; a pruning regression raises instead of silently
+        # scanning everything
         "s13_partition_pruned_scan": _s13_partition_pruned_scan,
         # -- displaced THIS round (round 13): nine round-10-born
         # queries, each THRICE driver-green (r10 + r11 + r12), subsumed

@@ -596,11 +596,14 @@ def hll_estimate_from_registers(
     of 2^-61-granular terms would round differently under different
     partition merge orders), then ONE decimal→double cast and ONE
     divide produce the raw estimate — the same two roundings in both
-    engines regardless of plan shape."""
+    engines regardless of plan shape. The scale is 2^HLL_MAX_RHO so
+    the shift count 61 - rho stays ≥ 0 even at the all-zero-slice cap
+    rho = 61 (a negative shiftleft count silently wraps on the JVM —
+    the one edge the integer fold must not hit)."""
     m = 1 << p
-    c_lit = _hll_alpha(m) * m * m * (2.0 ** (HLL_MAX_RHO - 1))
+    c_lit = _hll_alpha(m) * m * m * (2.0**HLL_MAX_RHO)
     term = F.expr(
-        f"CAST(shiftleft(CAST(1 AS BIGINT), {HLL_MAX_RHO - 1} - rho)"
+        f"CAST(shiftleft(CAST(1 AS BIGINT), {HLL_MAX_RHO} - rho)"
         " AS DECIMAL(38,0))"
     )
     agg = regs.groupBy(*group_cols).agg(
@@ -609,7 +612,7 @@ def hll_estimate_from_registers(
     )
     zeros = F.lit(m) - F.col("nonzero_registers")
     s_total = F.col("__s_nz") + zeros.cast("decimal(38,0)") * F.lit(
-        1 << (HLL_MAX_RHO - 1)
+        1 << HLL_MAX_RHO
     ).cast("decimal(38,0)")
     e_raw = F.lit(c_lit) / s_total.cast("double")
     est = F.when(
@@ -670,19 +673,21 @@ def hll_sql(
         ),
         agg AS (
             SELECT {g}, count(*) AS nz,
-                   sum(1::BIGINT << ({HLL_MAX_RHO - 1} - rho)) AS s_nz
+                   sum(1::BIGINT << ({HLL_MAX_RHO} - rho)) AS s_nz
             FROM regs GROUP BY {g}
+        ),
+        raw AS (
+            SELECT {g}, nz,
+                   {c_lit!r} / CAST(s_nz + ({m} - nz)::HUGEINT
+                       * (1::BIGINT << {HLL_MAX_RHO})::HUGEINT
+                       AS DOUBLE) AS e_raw
+            FROM agg
         )
         SELECT {g}, CAST(nz AS BIGINT) AS nonzero_registers,
-               round(CASE WHEN {c_lit!r} / CAST(s_nz + ({m} - nz)::HUGEINT
-                               * (1::BIGINT << {HLL_MAX_RHO - 1})::HUGEINT
-                               AS DOUBLE) <= {2.5 * m!r}
-                          AND {m} - nz > 0
+               round(CASE WHEN e_raw <= {2.5 * m!r} AND {m} - nz > 0
                           THEN {float(m)!r}
                                * ln({float(m)!r} / ({m} - nz))
-                          ELSE {c_lit!r} / CAST(s_nz + ({m} - nz)::HUGEINT
-                               * (1::BIGINT << {HLL_MAX_RHO - 1})::HUGEINT
-                               AS DOUBLE)
+                          ELSE e_raw
                      END, 6) AS est_distinct
-        FROM agg
+        FROM raw
     """

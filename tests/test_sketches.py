@@ -320,16 +320,22 @@ def test_hll_estimate_formula_both_branches(spark):
 
     m = 256
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    # small-range branch: 3 registers set, 253 zeros
+    # small-range branch: 3 registers set, 253 zeros — including the
+    # rho = 61 all-zero-slice cap, which the integer fold must scale
+    # without a negative shift (a JVM shiftleft(1, -1) silently wraps
+    # to -2^63 and corrupts the sum)
     small = spark.createDataFrame(
-        [(0, 1), (1, 2), (2, 3)], "register INT, rho INT"
+        [(0, 1), (1, 61), (2, 3)], "register INT, rho INT"
     )
     got = SK.hll_estimate_from_registers(small).collect()[0]
     assert got.est_distinct == round(m * math.log(m / 253), 6)
-    # raw branch: every register set -> zeros == 0
+    # raw branch: every register set -> zeros == 0; one register at
+    # the rho cap must contribute exactly 2^-61, not garbage
     full = spark.createDataFrame(
-        [(j, 2) for j in range(m)], "register INT, rho INT"
+        [(j, 2) for j in range(m - 1)] + [(m - 1, 61)],
+        "register INT, rho INT",
     )
     got = SK.hll_estimate_from_registers(full).collect()[0]
-    expected = alpha * m * m / (m * 2.0**-2)
+    expected = alpha * m * m / ((m - 1) * 2.0**-2 + 2.0**-61)
     assert got.est_distinct == round(expected, 6)
+    assert got.est_distinct > 0
