@@ -617,9 +617,11 @@ def read_warehouse_tail(
 
     With ``partition_col``/``partition_floor`` the scan is
     PARTITION-PRUNED: the predicate lands on the parquet partition
-    directories, so only tail partitions are listed and read
-    (``df.inputFiles()`` stays O(lookback), asserted in the tests) —
-    the difference between O(tail) and O(warehouse) per micro-batch.
+    directories, so only tail partitions are read — asserted in the
+    tests via ``input_file_name()`` over the executed rows (NOT
+    ``inputFiles()``, which lists the pre-planning FileIndex and
+    ignores pushed filters; see ``scan_partition_pruned``) — the
+    difference between O(tail) and O(warehouse) per micro-batch.
     Without it, the read degrades to a full scan + global sort (the r2
     scale hazard this replaces).
     """
