@@ -3450,6 +3450,85 @@ def _w12_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _w25_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W25 — trailing 20-bucket OLS beta/alpha of the purchase RETURN
+    series against the view return series (operators/windows.py
+    ``rolling_beta``): w12's correlation grades co-movement; beta is
+    the hedge RATIO — the position you actually take against it — and
+    alpha the residual drift, completing the pairs-analytics pair the
+    reference's single-series views can't express. Per-bucket average
+    series → simple returns via LAG (levels are strictly positive in
+    the fixture, so the return division never sees zero) → inner join
+    on the bucket → one shared ROWS-frame window pass for all four
+    aggregates. Warm-up and flat-market frames are trimmed on both
+    engines; beta/alpha round to 6 (the w12 ULP precedent for
+    moment-ratio floats)."""
+    ev = load_table(spark, "events", sf_dir)
+    bucket = time_bucket_us("ts_us", 300)
+
+    def returns(event_type: str, alias: str) -> DataFrame:
+        s = (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.avg("value").alias("__p"))
+        )
+        lagp = F.lag("__p").over(SW.orderBy("bucket"))
+        return (
+            s.withColumn(alias, (F.col("__p") - lagp) / lagp)
+            .filter(F.col(alias).isNotNull())
+            .select("bucket", alias)
+        )
+
+    j = returns("purchase", "ry").join(returns("view", "rx"), "bucket")
+    out = W.rolling_beta(j, "ry", "rx", ["bucket"], period=20)
+    return out.filter(F.col("beta").isNotNull()).select(
+        "bucket",
+        F.round("beta", 6).alias("beta20"),
+        F.round("alpha", 6).alias("alpha20"),
+    )
+
+
+_W25_ORACLE = """
+    WITH a AS (
+        SELECT (epoch_us(ts) // 300000000) * 300 AS bucket,
+               avg(value) AS p
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    v AS (
+        SELECT (epoch_us(ts) // 300000000) * 300 AS bucket,
+               avg(value) AS p
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    ra AS (
+        SELECT bucket,
+               (p - lag(p) OVER (ORDER BY bucket))
+                   / lag(p) OVER (ORDER BY bucket) AS ry
+        FROM a QUALIFY ry IS NOT NULL
+    ),
+    rv AS (
+        SELECT bucket,
+               (p - lag(p) OVER (ORDER BY bucket))
+                   / lag(p) OVER (ORDER BY bucket) AS rx
+        FROM v QUALIFY rx IS NOT NULL
+    ),
+    j AS (SELECT ra.bucket, ry, rx FROM ra JOIN rv USING (bucket)),
+    c AS (
+        SELECT bucket,
+               covar_pop(ry, rx) OVER w AS cv,
+               var_pop(rx) OVER w AS vx,
+               avg(ry) OVER w AS my,
+               avg(rx) OVER w AS mx,
+               count(*) OVER w AS cnt
+        FROM j
+        WINDOW w AS (ORDER BY bucket
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket, round(cv / vx, 6) AS beta20,
+           round(my - (cv / vx) * mx, 6) AS alpha20
+    FROM c WHERE cnt >= 20 AND vx > 0
+"""
+
+
 def _w11_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE trailing window (absent from the reference, which has
     only ROWS frames — SURVEY §2.6 'Absent'): per event type, the
@@ -7132,6 +7211,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join; a pruning regression raises instead of silently
         # scanning everything
         "s13_partition_pruned_scan": _s13_partition_pruned_scan,
+        # w25 NEW in round 13, past the window — ROTATE IN ROUND 14:
+        # trailing OLS beta/alpha of the purchase return series on the
+        # view return series — w12's correlation grades co-movement,
+        # beta is the hedge RATIO you take against it; one shared
+        # ROWS-frame window pass for all four moment aggregates
+        "w25_rolling_beta": _w25_rolling_beta,
         # -- displaced THIS round (round 13): nine round-10-born
         # queries, each THRICE driver-green (r10 + r11 + r12), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
@@ -8076,6 +8161,7 @@ def oracle_sql() -> dict[str, str]:
         # must equal the one-shot batch sketch by the register algebra
         "t27_stream_hll_merge": _a20_oracle(),
         "s13_partition_pruned_scan": _S13_ORACLE,
+        "w25_rolling_beta": _W25_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,
         "w24_gap_fill_locf": _W24_ORACLE,

@@ -281,6 +281,43 @@ def rolling_corr(
     return df.withColumn(out_col, F.when(pair_cnt >= period, c))
 
 
+def rolling_beta(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    order_cols: Sequence[str | Column],
+    period: int = 20,
+    partition_cols: Sequence[str | Column] = (),
+) -> DataFrame:
+    """W25 — trailing-window OLS regression of ``y`` on ``x``: ``beta``
+    = covar_pop(y,x)/var_pop(x) and ``alpha`` = mean(y) − beta·mean(x),
+    the hedge-ratio / market-exposure companion of
+    :func:`rolling_corr` (correlation grades co-movement; beta is the
+    POSITION you take against it — the pairs-trading quantity the
+    reference's single-series indicator views can't express). One
+    window pass: all four aggregates (covar, var, two means) share the
+    same ROWS frame, so Catalyst evaluates them in a single
+    WindowExec; per-key with ``partition_cols`` (the scale path),
+    reference-parity global order without.
+
+    Emits NULL until the frame holds ``period`` complete (x, y) pairs
+    (the rolling_corr gate — aggregates silently skip null pairs, so a
+    row-number gate would regress over fewer points on gappy series)
+    and NULL on a flat-x frame (var_pop = 0: beta is undefined; the
+    guard keeps ANSI division from ever seeing the zero)."""
+    w = trailing_window(order_cols, period - 1, partition_cols)
+    y, x = F.col(y_col), F.col(x_col)
+    pair_cnt = F.count(
+        F.when(y.isNotNull() & x.isNotNull(), F.lit(1))
+    ).over(w)
+    cov = F.covar_pop(y, x).over(w)
+    var = F.var_pop(x).over(w)
+    ok = (pair_cnt >= period) & (var > 0)
+    beta = F.when(ok, cov / var)
+    alpha = F.when(ok, F.avg(y).over(w) - (cov / var) * F.avg(x).over(w))
+    return df.withColumns({"beta": beta, "alpha": alpha})
+
+
 def rolling_median(
     df: DataFrame,
     value_col: str,

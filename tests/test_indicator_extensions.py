@@ -692,3 +692,38 @@ def test_gap_fill_locf_chunked_spine_long_range(spark, monkeypatch):
     assert agg["n"] == 20001 and agg["nd"] == 20001
     assert agg["gaps"] == 19999
     assert (agg["lo_c"], agg["hi_c"]) == (7.0, 9.0)
+
+
+def test_rolling_beta_recovers_exact_linear_relation(spark):
+    """y = 2x + 3 exactly → beta = 2, alpha = 3 on every complete
+    frame; a null gap re-arms the pair gate; a flat-x frame (var = 0)
+    yields NULL rather than a division."""
+    from financial_market_data_analysis_spark.operators.windows import (
+        rolling_beta,
+    )
+
+    xs = [1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 8.0, 7.0]
+    rows = [(i, x, 2.0 * x + 3.0) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "t INT, x DOUBLE, y DOUBLE")
+    out = {r.t: (r.beta, r.alpha) for r in
+           rolling_beta(df, "y", "x", ["t"], period=4).collect()}
+    for t in (0, 1, 2):
+        assert out[t] == (None, None), t  # warm-up
+    for t in (3, 4, 5, 6, 7):
+        b, a = out[t]
+        assert abs(b - 2.0) < 1e-9 and abs(a - 3.0) < 1e-9, (t, b, a)
+
+    gap = [(i, None if i == 2 else float(i + 1), float(i)) for i in range(8)]
+    dg = spark.createDataFrame(gap, "t INT, x DOUBLE, y DOUBLE")
+    got = {r.t: r.beta for r in
+           rolling_beta(dg, "y", "x", ["t"], period=4).collect()}
+    for t in (2, 3, 4, 5):  # frames touching the t=2 gap
+        assert got[t] is None, t
+    assert got[6] is not None
+
+    flat = spark.createDataFrame(
+        [(i, 5.0, float(i)) for i in range(6)], "t INT, x DOUBLE, y DOUBLE"
+    )
+    fb = {r.t: r.beta for r in
+          rolling_beta(flat, "y", "x", ["t"], period=4).collect()}
+    assert all(v is None for v in fb.values())
