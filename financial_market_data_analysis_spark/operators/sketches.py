@@ -547,7 +547,12 @@ def hll_registers(
     hx = F.md5(_salted(salt, [F.col(key_col)]).cast("binary"))
     w = HLL_W_HEX
     d = (
-        df.select(*group_cols, hx.alias("__hx"))
+        # a NULL key is no observation — without the filter it would
+        # hash to NULL and mint a phantom NULL register that inflates
+        # nonzero_registers (and so deflates the zeros term) in the
+        # estimate; the SQL twin filters identically
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, hx.alias("__hx"))
         .withColumn(
             "__j",
             F.conv(F.substring("__hx", 1, reg_hex), 16, 10).cast("int"),
@@ -654,6 +659,7 @@ def hll_sql(
         WITH {extra_ctes}
         hx AS (
             SELECT {g}, md5('{salt}:' || {key_expr}) AS h FROM {src_cte}
+            WHERE {key_expr} IS NOT NULL
         ),
         parts AS (
             SELECT {g},

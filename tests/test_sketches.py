@@ -339,3 +339,21 @@ def test_hll_estimate_formula_both_branches(spark):
     expected = alpha * m * m / ((m - 1) * 2.0**-2 + 2.0**-61)
     assert got.est_distinct == round(expected, 6)
     assert got.est_distinct > 0
+
+
+def test_hll_null_keys_are_no_observation(spark):
+    # a NULL key must not mint a phantom register — with one it would
+    # inflate nonzero_registers and deflate the linear-counting zeros
+    with_nulls = spark.createDataFrame(
+        [(f"v{i}",) for i in range(100)] + [(None,)] * 5, "k STRING"
+    )
+    clean = with_nulls.filter(F.col("k").isNotNull())
+    a = sorted(
+        (r.register, r.rho)
+        for r in SK.hll_registers(with_nulls, "k").collect()
+    )
+    b = sorted(
+        (r.register, r.rho) for r in SK.hll_registers(clean, "k").collect()
+    )
+    assert a == b
+    assert all(reg is not None for reg, _ in a)
