@@ -1295,3 +1295,35 @@ def test_partition_pruned_probe_reads_no_data_columns(spark, tmp_path):
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<>" in plan, plan[:1200]
+
+
+def test_r13_clickstream_plans_hold_their_shape(spark):
+    """Pin the scale claims of the r13 analytics births: a15's funnel
+    is a LEFT SEMI (duplicate purchases cannot inflate the numerator)
+    with broadcast dims and no cartesian; a16 broadcasts the per-cohort
+    sizes; a17's pivot DECLARES its values (exactly one scan — the
+    distinct-discovery pre-pass is the two-pass trap its docstring
+    names); a19's sessionization reads once and shuffles at most twice
+    (user window, then the day rollup)."""
+    import re
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+
+    def shape(name):
+        plan = (
+            qs[name](spark, SF_SMOKE)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        return plan, len(re.findall(r"Scan parquet", plan))
+
+    p, _ = shape("a15_funnel_conversion")
+    assert "LeftSemi" in p and "Cartesian" not in p, p[:1200]
+    p, _ = shape("a16_retention_cohorts")
+    assert "BroadcastHashJoin" in p and "Cartesian" not in p, p[:1200]
+    p, n = shape("a17_pivot_daily_types")
+    assert n == 1, p[:1200]  # declared pivot values: ONE pass, no pre-scan
+    p, n = shape("a19_sessionization")
+    assert n == 1, p[:1200]
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 2, p[:1200]
