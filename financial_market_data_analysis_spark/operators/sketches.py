@@ -648,7 +648,7 @@ def hll_sql(
     m = 1 << p
     reg_hex = p // 4
     w = HLL_W_HEX
-    c_lit = _hll_alpha(m) * m * m * (2.0 ** (HLL_MAX_RHO - 1))
+    c_lit = _hll_alpha(m) * m * m * (2.0**HLL_MAX_RHO)
     z = f"({w} - length(trim(LEADING '0' FROM sub)))"
     clz4 = f"""
         CASE substr(sub, {z} + 1, 1)

@@ -357,3 +357,28 @@ def test_hll_null_keys_are_no_observation(spark):
     )
     assert a == b
     assert all(reg is not None for reg, _ in a)
+
+
+def test_hll_estimate_parity_spark_vs_duckdb_both_branches(spark):
+    """Adversarial cross-engine check of the FULL estimate path —
+    register build, exact integer fold, and BOTH estimate branches
+    (linear-counting uses ln(), the one float op whose last ulp could
+    in principle differ between libm and the JVM): the rounded
+    estimates must match bit-for-bit at cardinalities that land on
+    each side of the 2.5m threshold."""
+    import duckdb
+
+    for n in (3, 150, 5000):
+        keys = [(f"g", f"u{i}") for i in range(n)]
+        df = spark.createDataFrame(keys, "g STRING, k STRING")
+        got = SK.hll_estimate_from_registers(
+            SK.hll_registers(df, "k", ["g"]), ["g"]
+        ).collect()[0]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (g VARCHAR, k VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", keys)
+        want = con.execute(SK.hll_sql("t", "k", ["g"])).fetchall()[0]
+        assert (got.nonzero_registers, got.est_distinct) == (
+            want[1],
+            want[2],
+        ), (n, got, want)
