@@ -382,3 +382,28 @@ def test_hll_estimate_parity_spark_vs_duckdb_both_branches(spark):
             want[1],
             want[2],
         ), (n, got, want)
+
+
+def test_kmv_estimate_parity_spark_vs_duckdb_both_branches(spark):
+    """The same cross-engine sweep for KMV: the below-k EXACT fallback
+    and the (k-1)/u_k estimator branch must both round identically in
+    Spark and the DuckDB oracle twin (the fixture-driven driver row
+    only ever exercises one side of the k threshold)."""
+    import duckdb
+
+    for n in (10, 2000):
+        keys = [("g", f"v{i}") for i in range(n)]
+        df = spark.createDataFrame(keys, "g STRING, k STRING")
+        got = SK.kmv_distinct(df, "k", ["g"]).collect()[0]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (g VARCHAR, k VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", keys)
+        want = con.execute(
+            SK.kmv_distinct_sql("src", "k", ["g"],
+                                extra_ctes="src AS (SELECT * FROM t),")
+        ).fetchall()[0]
+        assert (got.n_distinct, got.est_distinct, got.rel_err) == (
+            want[1],
+            want[2],
+            want[3],
+        ), (n, got, want)
