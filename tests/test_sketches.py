@@ -407,3 +407,33 @@ def test_kmv_estimate_parity_spark_vs_duckdb_both_branches(spark):
             want[2],
             want[3],
         ), (n, got, want)
+
+
+def test_histogram_quantiles_parity_spark_vs_duckdb(spark):
+    """Cross-engine sweep of the histogram-quantile estimate path,
+    including the mx == mn degenerate branch (a flat group estimates
+    every quantile at the constant) the fixtures never hit."""
+    import duckdb
+
+    cases = {
+        "flat": [("flat", 7.5)] * 40,
+        "spread": [("spread", float(i * i % 97)) for i in range(500)],
+    }
+    rows = [r for rs in cases.values() for r in rs]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    got = sorted(
+        (r.g, r.q, r.est_q)
+        for r in SK.histogram_quantiles(df, "v", ["g"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        (r[0], float(r[1]), r[2])  # DuckDB's VALUES q arrives as Decimal
+        for r in con.execute(
+            SK.histogram_quantiles_sql(
+                "src", "v", ["g"], extra_ctes="src AS (SELECT * FROM t),"
+            )
+        ).fetchall()
+    )
+    assert got == want
