@@ -437,3 +437,39 @@ def test_histogram_quantiles_parity_spark_vs_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_countmin_and_bloom_cells_parity_spark_vs_duckdb(spark):
+    """Completes the cross-engine sweep class for the integer-only
+    sketches: every count-min cell and every Bloom set bit must be
+    identical between the Spark fold and the DuckDB twin on keys the
+    driver fixtures never hash (unicode, empty-adjacent, numeric-like
+    strings) — the hash-slice portability these sketches rest on."""
+    import duckdb
+
+    rows = [(k, n) for n, k in enumerate(
+        ["a", "0", "émoji✓", "k" * 200, "-1", "NaN", "null", "x:y"], 1
+    )]
+    df = spark.createDataFrame(rows, "tok STRING, cnt INT")
+    cm = sorted(
+        (r.r, r.b, r.cell)
+        for r in SK.countmin_sketch(df, "tok", "cnt").collect()
+    )
+    bl = sorted(r.bit for r in SK.bloom_bits(df, "tok").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (tok VARCHAR, cnt INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    cm_want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            "WITH c AS (SELECT tok, cnt FROM t) " + SK.countmin_cells_sql("c")
+        ).fetchall()
+    )
+    bl_want = sorted(
+        r[0]
+        for r in con.execute(
+            "WITH c AS (SELECT tok FROM t) " + SK.bloom_bits_sql("c", "tok")
+        ).fetchall()
+    )
+    assert cm == cm_want
+    assert bl == bl_want
