@@ -3131,9 +3131,15 @@ def _t27_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("t27_stream_hll_merge did not finish in 300 s")
+        # Guard BEFORE reading the store (r13 advice): a staging or
+        # trigger regression that coalesces batches into fewer epochs
+        # should fail here, not after the merged estimate has been
+        # computed, graded, and eagerly checkpointed.
         epochs = len(
             [d for d in os.listdir(store) if d.startswith("epoch_id=")]
         )
+        if epochs < 3:  # the stream must actually have run ≥3 epochs
+            raise RuntimeError(f"expected ≥3 epoch dirs, saw {epochs}")
         regs = (
             spark.read.parquet(store)
             .groupBy("event_type", "register")
@@ -3141,8 +3147,6 @@ def _t27_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         est = SK.hll_estimate_from_registers(regs, ["event_type"])
         out = _hll_grade(est, ev).localCheckpoint(eager=True)
-        if epochs < 3:  # the stream must actually have run ≥3 epochs
-            raise RuntimeError(f"expected ≥3 epoch dirs, saw {epochs}")
     finally:
         pop_small_shuffle(spark, old_sp)
         shutil.rmtree(work, ignore_errors=True)
@@ -7040,7 +7044,7 @@ def _pipeline_full_row_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness harness
     adjudicates the FIRST 50 entries of this dict (stable since round
-    3), so the first 50 entries are the round-13 adjudication set: the
+    3), so the first 50 entries are the round-14 adjudication set: the
     PERMANENT pinned set (the two flagship pipeline queries plus one
     carrier per SURVEY §2 family — t9, t6b, t4b, j5, j6, t7, t13, a12,
     x27, x28, x44, x48, ml7 — the capability contract that never
@@ -7048,17 +7052,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (the in-window carriers older displacement notes point at —
     w23/t20/x73/x74 plus x69/a14/q4), four round-10-born keepers (the
     carriers round 13's displacement notes point at — x75/q2/q11/q21),
-    the ten round-11 first-timers on their third round (q8/q14/q20,
-    the TPC-H completions q5/q9/q12/q18, the ingestion adjudications
-    s8/s9/t21 — several double as round-13 subsumption carriers), the
-    five round-12 rotations on their second round (x77/s10/t22/s11/
-    ml5a), and the NINE round-12 births on their first adjudication
-    (t23, s12, a15, a16, w24, a17, a18, x78, t24 — the r12 verdict #1
-    rotation wave the debt guard bounded to this round). Nine
-    thrice-green round-10-born queries move past the boundary, each
-    displacement annotated inline. tools/check_rotation_debt.py fails
-    the suite if any oracle-bearing query ever sits ≥2 rounds without
-    a driver row; every displaced query stays covered by the pytest
+    one round-11-born keeper (q5, the snowflake anchor the round-14
+    displacement notes for q7/q8/q9/q15 all point at), the five
+    round-12 rotations on their third round (x77/s10/t22/s11/ml5a),
+    the nine round-12 births on their second round (t23, s12, a15,
+    a16, w24, a17, a18, x78, t24 — several double as round-14
+    subsumption carriers), and the NINE round-13 births on their
+    first adjudication (t25, t26, a19, d8, x79, a20, t27, s13, w25 —
+    the r13 verdict #1 rotation wave the debt guard bounded to this
+    round, pre-planned in ROTATION_PLAN_r14.md). Nine thrice-green
+    round-11-born queries move past the boundary, each displacement
+    annotated inline. tools/check_rotation_debt.py fails the suite if
+    any oracle-bearing query ever sits ≥2 rounds without a driver
+    row; every displaced query stays covered by the pytest
     oracle-parity suite every session regardless of the window."""
     return {
         # -- PINNED carriers: flagships + one per SURVEY §2 family.
@@ -7107,22 +7113,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q11_important_parts": _q11_important_parts,
         "q21_sole_returner": _q21_sole_returner,
-        # -- third-round adjudication of the round-11-born set: the
-        # debt-bounded r10 births q8/q14/q20, the TPC-H completions
-        # q5/q9/q12/q18, and the ingestion adjudications s8/s9/t21;
-        # q8/q5/q9/q12/q14/q18/q20 are also the snowflake / CASE /
-        # top-N carriers the round-13 displacement notes cite. ----------
-        "q8_market_share": _q8_market_share,
-        "q14_promo_revenue": _q14_promo_revenue,
-        "q20_bulk_suppliers": _q20_bulk_suppliers,
+        # -- fourth-round round-11-born keeper: q5 stays as the
+        # SNOWFLAKE ANCHOR — the region-gated customer-nation ×
+        # supplier-nation revenue-sum assembly (broadcast dims) that
+        # the round-14 displacement notes for q7/q8/q9/q15 all name as
+        # their in-window carrier. ---------------------------------------
         "q5_local_volume": _q5_local_volume,
-        "q9_product_profit": _q9_product_profit,
-        "q12_lateness_priority": _q12_lateness_priority,
-        "q18_large_orders": _q18_large_orders,
-        "s8_csv_quarantine": _s8_csv_quarantine,
-        "s9_jsonl_quarantine": _s9_jsonl_quarantine,
-        "t21_stream_csv_drop": _t21_stream_csv_drop,
-        # -- second-round adjudication of the round-12 rotations: the
+        # -- third-round adjudication of the round-12 rotations: the
         # two debt-bounded r11 births x77/s10 and the three r12 births
         # t22 (the 4×-chained stream-stream band join at full fan-in —
         # the reference's literal consumer topology), s11 (schema-
@@ -7133,23 +7130,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t22_stream_five_feed_join": _t22_stream_five_feed_join,
         "s11_schema_evolution_ingest": _s11_schema_evolution_ingest,
         "ml5a_window_scaler": X.q_ml_window_scaler,
-        # -- rotated IN this round (round 13) for FIRST adjudication:
-        # the nine r12 births the debt guard bounded to this round (r12
-        # verdict #1; every one passed the judge's independent
-        # verify_contract run at sf0.01 in the r12 session and this
-        # session's pre-rotation run): t23 the per-batch contract-drift
-        # accounting of the streaming quarantine ingest; s12 the JSONL
-        # twin of s11's evolution-tolerant ingest (schema-per-row drift
-        # is the JSON-native failure mode); a15/a16 the clickstream
-        # pair (windowed funnel conversion as a user-keyed LEFT SEMI;
-        # weekly retention cohorts as two co-keyed aggregates +
-        # broadcast cohort sizes); w24 bar-series regularization
-        # (full-spine gap fill — LOCF prices, zero volume, is_gap);
-        # a17/a18 the reshape/report pair (declared-values PIVOT;
-        # duration-weighted TWAP); x78 the near-dup detector shootout
-        # (MinHash-LSH vs SimHash on one injected truth set); t24 the
-        # streaming gap-fill twin (O(1) carry-forward state, cut AT a
-        # real gap, oracle = w24's batch SQL verbatim). -----------------
+        # -- second-round adjudication of the round-13 rotations (the
+        # nine r12 births, first driver-green in r13): t23 contract-
+        # drift accounting, s12 the JSONL evolution twin, a15/a16 the
+        # clickstream pair, w24 batch gap fill, a17/a18 the reshape
+        # pair, x78 the near-dup shootout, t24 the streaming gap-fill
+        # twin — several double as round-14 subsumption carriers (a17
+        # for the CASE/pivot family, t23/t25 for ingest accounting,
+        # s12 for JSONL quarantine). ------------------------------------
         "t23_stream_drift_accounting": _t23_stream_drift_accounting,
         "s12_jsonl_evolution_ingest": _s12_jsonl_evolution_ingest,
         "a15_funnel_conversion": _a15_funnel_conversion,
@@ -7159,78 +7147,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a18_twap_daily": _a18_twap_daily,
         "x78_neardup_method_table": X.q_neardup_method_table,
         "t24_stream_gap_fill": _t24_stream_gap_fill,
-        # ------------------------------------------------- entry 50 ends
-        # t25 NEW in round 13, past the window (oracle-bearing,
-        # entry-parity-checked every session) — ROTATE IN ROUND 14
-        # (tools/check_rotation_debt.py enforces it): the STREAMING
-        # schema-evolution ingest (r12 verdict #5) — version-tagged
-        # lines widen to the declared union contract mid-stream
-        # instead of quarantining the retyped drop; only true
-        # row-level conflicts quarantine
+        # -- rotated IN this round (round 14) for FIRST adjudication:
+        # the nine r13 births the debt guard bounded to this round
+        # (r13 verdict #1, pre-planned in ROTATION_PLAN_r14.md; every
+        # one passed the judge's independent verify_contract run at
+        # sf0.01 in the r13 session): ------------------------------------
+        # t25: the STREAMING schema-evolution ingest — version-tagged
+        # lines widen to the declared union contract mid-stream;
+        # only true row-level conflicts quarantine
         "t25_stream_evolving_ingest": _t25_stream_evolving_ingest,
-        # t26 NEW in round 13, past the window — ROTATE IN ROUND 14:
-        # the reference's composed inference loop (predict.py:124-197)
-        # as ONE streaming query (r12 verdict #6): trigger stream →
-        # staleness drop → stream-static feature-store probe (point
-        # lookup + tail-window fetch) → broadcast min-max normalize →
-        # fixed-weight logistic forward → epoch-idempotent signal sink
+        # t26: the reference's composed inference loop
+        # (predict.py:124-197) as ONE streaming query: trigger stream →
+        # staleness drop → stream-static feature-store probe →
+        # broadcast min-max normalize → fixed-weight logistic forward →
+        # epoch-idempotent signal sink
         "t26_stream_inference_loop": _t26_stream_inference_loop,
-        # a19 NEW in round 13, past the window — ROTATE IN ROUND 14:
-        # batch sessionization (gaps-and-islands, one shuffle on the
-        # user key) — the third classic clickstream rollup after a15's
-        # funnel and a16's cohorts, and t4b's batch twin
+        # a19: batch sessionization (gaps-and-islands, one shuffle on
+        # the user key) — the third classic clickstream rollup after
+        # a15's funnel and a16's cohorts, and t4b's batch twin
         "a19_sessionization": _a19_sessionization,
-        # d8 NEW in round 13, past the window — ROTATE IN ROUND 14:
-        # the key-skew diagnostic (per-key counts → max/mean ratio,
-        # exact p50/p99, top-10 share) — the measurement behind j2's
-        # salted join and AQE skew handling
+        # d8: the key-skew diagnostic (per-key counts → max/mean
+        # ratio, exact p50/p99, top-10 share) — the measurement behind
+        # j2's salted join and AQE skew handling
         "d8_skew_report": _d8_skew_report,
-        # x79 NEW in round 13, past the window — ROTATE IN ROUND 14:
-        # graded ANN ranking quality (NDCG@10 + MRR@10 per method vs
-        # the exact top-k) — order quality, the dimension recall@k
-        # (x30/x77) cannot see; completes the ANN tier's published
-        # set-quality / order-quality / scan-cost triple
+        # x79: graded ANN ranking quality (NDCG@10 + MRR@10 per method
+        # vs the exact top-k) — order quality, the dimension recall@k
+        # (x30/x77) cannot see
         "x79_ann_ranking_quality": X.q_ann_ranking_quality,
-        # a20 NEW in round 13, past the window — ROTATE IN ROUND 14:
-        # HyperLogLog distinct-user estimation per event_type — the
-        # register-max mergeable distinct algebra next to the KMV
-        # bottom-k one (a12 family); exact count, non-empty registers,
-        # estimate, and measured rel_err published side by side
+        # a20: HyperLogLog distinct-user estimation per event_type —
+        # the register-max mergeable distinct algebra next to the KMV
+        # bottom-k one (a12 family)
         "a20_hll_distinct": _a20_hll_distinct,
-        # t27 NEW in round 13, past the window — ROTATE IN ROUND 14:
-        # a20's HLL registers maintained incrementally over three
-        # micro-batches through an APPEND-ONLY epoch-idempotent store
-        # (max-merge is a commutative idempotent monoid — no snapshot
-        # chain needed, unlike t18's KMV); oracle = a20's SQL verbatim,
-        # adjudicating union-of-batch-sketches == one-shot sketch
+        # t27: a20's HLL registers maintained incrementally over three
+        # micro-batches through an APPEND-ONLY epoch-idempotent store;
+        # oracle = a20's SQL verbatim
         "t27_stream_hll_merge": _t27_stream_hll_merge,
-        # s13 NEW in round 13, past the window — ROTATE IN ROUND 14:
-        # hive-layout partitioned write + PROVEN partition-pruned range
-        # scan (scan-metric-audited: numPartitions == in-range dirs,
-        # ≥1 skipped) — the physical-layout sibling of j5's bucketed
-        # join; a pruning regression raises instead of silently
-        # scanning everything
+        # s13: hive-layout partitioned write + PROVEN partition-pruned
+        # range scan (scan-metric-audited: numPartitions == in-range
+        # dirs, ≥1 skipped)
         "s13_partition_pruned_scan": _s13_partition_pruned_scan,
-        # w25 NEW in round 13, past the window — ROTATE IN ROUND 14:
-        # trailing OLS beta/alpha of the purchase return series on the
-        # view return series — w12's correlation grades co-movement,
-        # beta is the hedge RATIO you take against it; one shared
-        # ROWS-frame window pass for all four moment aggregates
+        # w25: trailing OLS beta/alpha of the purchase return series
+        # on the view return series; one shared ROWS-frame window pass
+        # for all four moment aggregates
         "w25_rolling_beta": _w25_rolling_beta,
-        # -- displaced THIS round (round 13): nine round-10-born
+        # ------------------------------------------------- entry 50 ends
+        # -- displaced THIS round (round 14): nine round-11-born
+        # queries, each THRICE driver-green (r11 + r12 + r13), subsumed
+        # per the inline notes (displacement set vetted in
+        # ROTATION_PLAN_r14.md); all stay pytest-oracle-checked every
+        # session ------------------------------------------------------
+        # q8: the customer-nation × supplier-nation lineitem/orders
+        # snowflake (broadcast dims) is carried in-window by q5, which
+        # assembles the SAME region-gated snowflake and runs its
+        # revenue sum every round; the conditional market-share sum is
+        # the declared-values CASE family carried by in-window a17
+        "q8_market_share": _q8_market_share,
+        # q9: the snowflake view assembly is carried in-window by q5
+        # (same dims-around-lineitem broadcast plan); the per-group
+        # profit CASE/share algebra is carried by in-window a17's
+        # declared-values pivot
+        "q9_product_profit": _q9_product_profit,
+        # q12: the priority CASE classification is carried in-window by
+        # a17 (declared-values CASE pivot over event types) and the
+        # order-priority semi-join family by pinned q4
+        "q12_lateness_priority": _q12_lateness_priority,
+        # q14: the conditional-share CASE (promo revenue fraction) is
+        # carried in-window by a17's declared-values pivot — the same
+        # sum(CASE WHEN type …)/sum(total) kernel
+        "q14_promo_revenue": _q14_promo_revenue,
+        # q18: the group-HAVING key-set feeding a semi join (large-
+        # order keys) is carried in-window by q21's EXISTS/NOT-EXISTS
+        # key-set correlation, and the customer×orders×lineitem
+        # assembly by pinned j5's bucketed join
+        "q18_large_orders": _q18_large_orders,
+        # q20: the supplier semi-join family is carried in-window by
+        # q21 (the harder double-correlated EXISTS + NOT EXISTS form)
+        # and the scalar availability gate by q11's global-scalar-
+        # broadcast-back kernel
+        "q20_bulk_suppliers": _q20_bulk_suppliers,
+        # s8: the schema-enforced CSV parse + quarantine split is
+        # carried in-window by s11 (the schema-evolution-tolerant
+        # superset of the same PERMISSIVE+corrupt-column contract) and
+        # its streaming twin t25; the ingest accounting rows ride t23
+        "s8_csv_quarantine": _s8_csv_quarantine,
+        # s9: the JSONL quarantine split is carried in-window by s12
+        # (the JSONL evolution twin — schema-per-row drift is the
+        # JSON-native failure mode, strictly harder than s9's fixed
+        # contract)
+        "s9_jsonl_quarantine": _s9_jsonl_quarantine,
+        # t21: the staged-drop streaming CSV ingest is carried
+        # in-window by t25 (the staged-drop stream whose quarantine
+        # accounting is a superset of t21's) and t23's per-batch drift
+        # accounting; the dual idempotent per-batch sinks ride pinned
+        # t7's crash-retry adjudication
+        "t21_stream_csv_drop": _t21_stream_csv_drop,
+        # -- displaced in round 13: nine round-10-born
         # queries, each THRICE driver-green (r10 + r11 + r12), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
         # session ------------------------------------------------------
         # q7: the two-nation volume snowflake is carried in-window by
-        # q8, which assembles the SAME customer-nation × supplier-
-        # nation lineitem/orders snowflake (broadcast dims) and is
-        # strictly larger (adds the conditional share sum); q5 runs the
-        # region-gated revenue-sum snowflake every round
+        # q5 (note updated r14: q8 displaced), which assembles the
+        # SAME customer-nation × supplier-nation lineitem/orders
+        # snowflake with broadcast dims and runs the region-gated
+        # revenue sum every round
         "q7_nation_volume": _q7_nation_volume,
-        # q10: the grouped-revenue top-N shape is carried in-window by
-        # q18 (group-HAVING + deterministic ordered top-N over the same
-        # customer×orders×lineitem assembly); the returnflag CASE
-        # family rides in-window q12/q14
+        # q10 (note updated r14: q18 + the q12/q14 CASE pair
+        # displaced): the group-HAVING key-set + top-N shape is
+        # carried in-window by q21's EXISTS key-set correlation over
+        # the pinned j5/q4 customer×orders assembly; the returnflag
+        # CASE family rides in-window a17's declared-values pivot
         "q10_returned_items": _q10_returned_items,
         # q13: the outer-join-where-the-unmatched-side-matters kernel
         # is carried in-window by w24 (its gap spine LEFT-joins the
@@ -7242,7 +7267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q15: the scalar-max-vs-view gate is carried in-window by q11
         # — the same global-scalar-aggregate-broadcast-back-as-filter
         # kernel (HAVING sum > fraction of a one-row global); the
-        # revenue view assembly rides q5/q9
+        # revenue view assembly rides q5 (note updated r14: q9
+        # displaced)
         "q15_top_supplier": _q15_top_supplier,
         # q16: the NOT-IN anti-join is carried in-window by q21 (the
         # EXISTS + NOT EXISTS double correlation, the harder form) and
@@ -7256,10 +7282,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the argmin twin of q17's avg-threshold, same broadcast
         # join-back plan shape
         "q17_small_qty_revenue": _q17_small_qty_revenue,
-        # q19: disjunctive-predicate evaluation inside a join is
-        # carried in-window by q14 (LIKE + conditional-sum predicates)
-        # and q20 (nested IN + range predicates composed into the same
-        # broadcast part-side gate)
+        # q19 (note updated r14: q14/q20 displaced): disjunctive-
+        # predicate evaluation inside a broadcast part-side gate is
+        # carried in-window by q2 (the part-probe broadcast gate with
+        # composed type/size predicates) and q21's correlated
+        # predicate stack; the conditional-sum half rides a17's
+        # declared-values CASE pivot
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         # q22: the anti-join is carried in-window by q21 (NOT EXISTS,
         # the harder double-correlated form); the scalar-avg-threshold
@@ -7275,9 +7303,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries, each THRICE driver-green (r9 + r10 + r11), subsumed
         # per the inline notes; all stay pytest-oracle-checked every
         # session ------------------------------------------------------
-        # t15b: pinned t7 adjudicates the epoch-idempotent exactly-once
-        # sink and in-window t21 runs DUAL idempotent sinks per batch;
-        # the CDC MERGE/snapshot-chain kernel stays pytest-pinned
+        # t15b (note updated r14: t21 displaced): pinned t7
+        # adjudicates the epoch-idempotent exactly-once sink and
+        # in-window t25 runs THREE idempotent sinks per batch; the CDC
+        # MERGE/snapshot-chain kernel stays pytest-pinned
         # (test_streaming.py snapshot-merge suite)
         "t15b_stream_cdc_sink": _t15b_stream_cdc_sink,
         # t17: watermark late-drop policy is carried in-window by t22
@@ -7295,10 +7324,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by t20 (same closed-form fold machinery, same
         # applyInPandasWithState surface) and the pinned t9 suite
         "t19_stream_ols": _t19_stream_ols,
-        # d7: the report family is carried in-window by s10's contract
-        # report, s8/s9/t21's ingest accounting, and x74's funnel
-        # conservation rows; the orphan/reconciliation kernels stay
-        # pytest-oracle-checked
+        # d7 (note updated r14: s8/s9/t21 displaced): the report
+        # family is carried in-window by s10's contract report,
+        # s11/s12/t23/t25's ingest + drift accounting, and x74's
+        # funnel conservation rows; the orphan/reconciliation kernels
+        # stay pytest-oracle-checked
         "d7_quality_checks": _d7_quality_checks,
         # -- displaced in round 11: ten round-8-born queries, each
         # TWICE driver-green (r9 + r10), subsumed per the inline
@@ -7380,11 +7410,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a13: in-window a14 adjudicates the same Expand family at
         # explicit GROUPING SETS granularity
         "a13_cube": _a13_cube,
-        # d5/t15 (note updated r13: t15b displaced r12): the
-        # replay-safe exactly-once sink family is carried in-window by
-        # pinned t7 (crash-retry replay) and t21's dual idempotent
-        # per-batch sinks (t15b's own subsumption chain); the CDC
-        # MERGE/snapshot-chain kernel stays pytest-pinned
+        # d5/t15 (note updated r14: t21 displaced; t15b displaced
+        # r12): the replay-safe exactly-once sink family is carried
+        # in-window by pinned t7 (crash-retry replay) and t25's three
+        # idempotent per-batch sinks (t15b's own subsumption chain);
+        # the CDC MERGE/snapshot-chain kernel stays pytest-pinned
         # (test_streaming.py snapshot-merge suite)
         "d5_cdc_apply": _d5_cdc_apply,
         "t15_stream_cdc_apply": _t15_stream_cdc_apply,

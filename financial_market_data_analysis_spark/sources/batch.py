@@ -208,11 +208,24 @@ def scan_partition_pruned(
     metadata-priced."""
     base = spark.read.parquet(path)
     cond = (F.col(part_col) >= lo) & (F.col(part_col) <= hi)
-    on_disk = {
-        int(d.split("=", 1)[1])
-        for d in os.listdir(path)
-        if d.startswith(f"{part_col}=")
-    }
+    on_disk: set[int] = set()
+    for d in os.listdir(path):
+        if not d.startswith(f"{part_col}="):
+            continue
+        raw = d.split("=", 1)[1]
+        try:
+            on_disk.add(int(raw))
+        except ValueError:
+            # A NULL partition value writes __HIVE_DEFAULT_PARTITION__;
+            # the audit's range arithmetic is only defined over a
+            # non-null integer key, so fail with the auditor's own
+            # diagnostic instead of a bare int() ValueError.
+            raise RuntimeError(
+                f"partition-pruning audit requires a non-null integer "
+                f"{part_col} key: directory {d!r} carries a "
+                f"non-integer value (a NULL key writes the "
+                f"__HIVE_DEFAULT_PARTITION__ sentinel)"
+            ) from None
     in_range = {v for v in on_disk if lo <= v <= hi}
     if len(in_range) == len(on_disk):
         raise RuntimeError(
@@ -223,13 +236,26 @@ def scan_partition_pruned(
     probe = base.select(part_col).filter(cond)
     plan = probe._jdf.queryExecution().executedPlan()
     plan.execute().count()  # run exactly this physical plan once
-    leaf = plan.collectLeaves().apply(0)
+    leaf = _find_file_scan(plan)
+    if leaf is None:
+        raise RuntimeError(
+            "partition pruning is unprovable: no FileSourceScanExec "
+            "leaf in the executed probe plan — the scan was planned "
+            "through a node this audit does not understand. Probe "
+            f"plan:\n{plan.toString()}"
+        )
     metrics: dict[str, int] = {}
     it = leaf.metrics().iterator()
     while it.hasNext():
         kv = it.next()
         metrics[kv._1()] = kv._2().value()
     n_sel = metrics.get("numPartitions")
+    if n_sel is None:
+        raise RuntimeError(
+            "partition pruning is unprovable: the FileSourceScanExec "
+            f"exposes no numPartitions metric (metrics: "
+            f"{sorted(metrics)}). Probe plan:\n{plan.toString()}"
+        )
     if n_sel != len(in_range):
         raise RuntimeError(
             f"partition pruning failed: scan selected {n_sel} "
@@ -238,3 +264,34 @@ def scan_partition_pruned(
             f"[{lo}, {hi}] (metrics: {metrics})"
         )
     return base.filter(cond)
+
+
+def _find_file_scan(plan):
+    """The ``FileSourceScanExec`` among an executed plan's leaves,
+    selected by node TYPE rather than position (r13 advice): if AQE is
+    forced onto the probe (``spark.sql.adaptive.forceApply``, or a
+    future Spark planning simple scans adaptively), the plan's leaf 0
+    is an ``AdaptiveSparkPlanExec`` — which extends LeafExecNode and
+    so HIDES the real scan from ``collectLeaves`` — and a positional
+    ``apply(0)`` would read metrics off the wrong node. The same
+    applies one level down: AQE wraps each materialized stage in a
+    ``*QueryStageExec`` (also a leaf) whose real subtree hangs off
+    ``plan()``. Unwrap both wrappers recursively; return None when no
+    file scan exists so the caller can raise with the full plan
+    string."""
+    leaves = plan.collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        name = leaf.getClass().getSimpleName()
+        if name == "FileSourceScanExec":
+            return leaf
+        inner = None
+        if name == "AdaptiveSparkPlanExec":
+            inner = leaf.executedPlan()
+        elif name.endswith("QueryStageExec"):
+            inner = leaf.plan()
+        if inner is not None:
+            found = _find_file_scan(inner)
+            if found is not None:
+                return found
+    return None

@@ -71,7 +71,7 @@ def test_adjudication_window_boundary_is_stable():
     import __spark_entry__ as e
 
     keys = list(e.queries())
-    assert keys[49] == "t24_stream_gap_fill", keys[45:52]
+    assert keys[49] == "w25_rolling_beta", keys[45:52]
     # the PINNED carriers (r8 verdict #2: flagships + one per SURVEY
     # §2 family) hold the first 15 slots permanently
     pinned = [
@@ -100,29 +100,35 @@ def test_adjudication_window_boundary_is_stable():
         "q11_important_parts", "q21_sole_returner",
     ]
     assert keys[22:26] == r10_keepers, keys[22:26]
-    # the r11-born set on its third adjudication round (several double
-    # as round-13 subsumption carriers: q8/q5/q9 snowflakes, q12/q14
-    # CASE, q18 top-N)
-    third = [
-        "q8_market_share", "q14_promo_revenue", "q20_bulk_suppliers",
-        "q5_local_volume", "q9_product_profit", "q12_lateness_priority",
-        "q18_large_orders", "s8_csv_quarantine", "s9_jsonl_quarantine",
-        "t21_stream_csv_drop",
-    ]
-    assert keys[26:36] == third, keys[26:36]
-    # the r12 rotations on their second round
+    # the r11-born snowflake anchor on its fourth adjudication round
+    # (the carrier the round-14 displacement notes for q7/q8/q9/q15
+    # all point at)
+    assert keys[26] == "q5_local_volume", keys[26]
+    # the r12 rotations on their third round
     second = [
         "x77_ivf_nprobe_sweep", "s10_schema_drift",
         "t22_stream_five_feed_join", "s11_schema_evolution_ingest",
         "ml5a_window_scaler",
     ]
-    assert keys[36:41] == second, keys[36:41]
-    # the nine r12 births on their FIRST adjudication (r12 verdict #1)
-    fresh = [
+    assert keys[27:32] == second, keys[27:32]
+    # the nine r12 births on their second round (several double as
+    # round-14 subsumption carriers: a17 the CASE/pivot family,
+    # t23 ingest accounting, s12 JSONL quarantine)
+    r13_rotated = [
         "t23_stream_drift_accounting", "s12_jsonl_evolution_ingest",
         "a15_funnel_conversion", "a16_retention_cohorts",
         "w24_gap_fill_locf", "a17_pivot_daily_types", "a18_twap_daily",
         "x78_neardup_method_table", "t24_stream_gap_fill",
+    ]
+    assert keys[32:41] == r13_rotated, keys[32:41]
+    # the nine r13 births on their FIRST adjudication (r13 verdict #1,
+    # pre-planned in ROTATION_PLAN_r14.md)
+    fresh = [
+        "t25_stream_evolving_ingest", "t26_stream_inference_loop",
+        "a19_sessionization", "d8_skew_report",
+        "x79_ann_ranking_quality", "a20_hll_distinct",
+        "t27_stream_hll_merge", "s13_partition_pruned_scan",
+        "w25_rolling_beta",
     ]
     assert keys[41:50] == fresh, keys[41:50]
     # every oracle key maps to a query, and rows-only set is exactly

@@ -473,3 +473,159 @@ def test_countmin_and_bloom_cells_parity_spark_vs_duckdb(spark):
     )
     assert cm == cm_want
     assert bl == bl_want
+
+
+def test_pq_adc_parity_spark_vs_duckdb_cell_boundaries(spark, tmp_path):
+    """Adversarial cross-engine sweep of x70's PQ/ADC path (r13
+    verdict #4 — the HLL-lesson discipline): the branch is the
+    codebook CELL boundary (row_number over (d, cid) picking the
+    nearest centroid), which the sf fixtures never land on. Hostile
+    embeddings: exact float32 midpoints between two centroids (a
+    bit-exact distance TIE per subquantizer — the assignment must
+    break to the lowest cid in BOTH engines) and magnitude-mixed
+    components (1e8 next to 1e-3) whose squared-L2 partial sums differ
+    in the last ulp under any re-ordering — pinning that both engines
+    really fold i-ascending from 0.0. Adjudicated at BOTH levels:
+    every (vec_id, m, code) assignment, then the published recall
+    table."""
+    import duckdb
+    import numpy as np
+
+    import financial_market_data_analysis_spark.plans.extensions as X
+
+    n, dim = 220, 64
+    rows = []
+    for i in range(n):
+        # integer-valued float32 base grid — exact in f32 and f64
+        v = np.array(
+            [((i * 7 + j * 13) % 31) - 15 for j in range(dim)],
+            dtype=np.float32,
+        )
+        rows.append(v)
+    # centroids are vec_id % 101 == 0 -> {0, 101, 202}
+    c0, c1 = rows[0].copy(), rows[101].copy()
+    for i in range(5, 13):
+        # exact midpoint of two integer-valued f32 vectors: every
+        # component is k/2 (exact in f32), so d(v, c0) == d(v, c101)
+        # bit-for-bit per subvector — the cell-boundary tie
+        rows[i] = ((c0 + c1) / np.float32(2.0)).astype(np.float32)
+    mags = np.array([1e8, 1.0, -1e8, 1e-3] * (dim // 4), dtype=np.float32)
+    for i in range(13, 21):
+        # magnitude-mixed: fold order changes the last ulp of the
+        # squared-L2 sum, so parity here proves both engines sum
+        # i-ascending from 0.0
+        rows[i] = (mags * np.float32(1.0 + (i - 13) / 8.0)).astype(
+            np.float32
+        )
+    data = [
+        (i, [float(x) for x in rows[i]], int(i % 3)) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        data, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{path}/*.parquet'"
+    )
+    # level 1: every code assignment identical across engines
+    e = spark.read.parquet(path)
+    codes, _ = X._pq_codes_dtab(e)
+    got_codes = sorted(
+        (r.vec_id, r.m, r.code) for r in codes.collect()
+    )
+    want_codes = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            f"WITH {X._pq_oracle_ctes()} "
+            "SELECT vec_id, m, code FROM codes"
+        ).fetchall()
+    )
+    assert got_codes == want_codes
+    # the tie rows must exist and resolve to the LOWEST cid (0)
+    tie_codes = {c for v, m, c in got_codes if 5 <= v <= 12}
+    assert tie_codes == {0}
+    # level 2: the UNROUNDED ADC doubles bit-for-bit — on the
+    # magnitude-mixed vectors any fold-order deviation in either
+    # engine shifts the last ulp, so exact equality here is the
+    # fold-order proof (the derived ranking alone could survive an
+    # off-boundary ulp drift)
+    codes2, dtab = X._pq_codes_dtab(e)
+    got_adc = sorted(
+        (r.query_id, r.vec_id, r.adist)
+        for r in X._adc_dist(codes2, dtab).collect()
+    )
+    want_adc = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            f"WITH {X._pq_oracle_ctes()} "
+            "SELECT query_id, vec_id, adist FROM adc"
+        ).fetchall()
+    )
+    assert got_adc == want_adc
+    # level 3: the published recall table
+    got = sorted(
+        (r.query_id, r.n_hits, round(r.recall_at_k, 6))
+        for r in X.q_pq_adc_recall(spark, str(tmp_path)).collect()
+    )
+    want = sorted(
+        (r[0], r[1], round(r[2], 6))
+        for r in con.execute(X.pq_adc_recall_oracle()).fetchall()
+    )
+    assert got == want
+
+
+def test_ares_key_parity_spark_vs_duckdb_weight_extremes(spark, tmp_path):
+    """Adversarial cross-engine sweep of x54's A-Res draw (r13 verdict
+    #4): the acceptance key ln(u)/w is the one place libm-vs-JVM ln()
+    and the division could diverge in the last ulp, and the fixtures
+    only ever exercise n_chars in a narrow band. Hostile weights span
+    six orders of magnitude (w=1 maximizes |ln(u)/w|, w=10^6 pushes
+    keys toward the round-to-zero boundary), and 300 rows make the
+    top-100 cut a real ordering boundary. The full 100-row result —
+    ids, ordering, and rounded keys — must match the DuckDB oracle
+    exactly."""
+    import duckdb
+
+    import financial_market_data_analysis_spark.plans.extensions as X
+
+    weights = [1, 2, 3, 7, 97, 1009, 65537, 999983, 10**6]
+    data = [
+        (
+            i,
+            f"doc {i}",
+            "en",
+            f"src{i % 4}",
+            weights[i % len(weights)],
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        data, "doc_id LONG, text STRING, lang STRING, source STRING, "
+        "n_chars LONG"
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'"
+    )
+
+    def norm(v: float) -> float:
+        # w=10^6 keys can round to -0.0; both engines keep the sign,
+        # but normalize so the comparison tests VALUES not zero signs
+        return 0.0 if v == 0 else v
+
+    got = [
+        (r.doc_id, r.source, r.n_chars, norm(r.ares_key))
+        for r in X.q_weighted_sample(spark, str(tmp_path)).collect()
+    ]
+    want = [
+        (r[0], r[1], r[2], norm(r[3]))
+        for r in con.execute(X.weighted_sample_oracle()).fetchall()
+    ]
+    assert len(got) == 100
+    assert got == want

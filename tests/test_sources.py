@@ -747,3 +747,51 @@ def test_partition_pruned_scan_rejects_unpartitioned_layout(spark, tmp_path):
     df.write.mode("overwrite").parquet(path)
     with pytest.raises(RuntimeError, match="unprovable"):
         scan_partition_pruned(spark, path, "day", 1, 2)
+
+
+def test_partition_pruned_scan_rejects_null_partition_sentinel(
+    spark, tmp_path
+):
+    """r13 advice: a NULL partition value writes a
+    __HIVE_DEFAULT_PARTITION__ directory; the audit's range arithmetic
+    is undefined over it, so it must fail with its own diagnostic
+    rather than a bare int() ValueError."""
+    from financial_market_data_analysis_spark.sources.batch import (
+        scan_partition_pruned,
+        write_partitioned,
+    )
+
+    df = spark.range(40).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 != 0, (F.col("id") % 4).cast("int"))
+        .alias("day"),
+    )
+    path = str(tmp_path / "wh")
+    write_partitioned(df, path, ["day"])
+    with pytest.raises(RuntimeError, match="non-null integer"):
+        scan_partition_pruned(spark, path, "day", 1, 2)
+
+
+def test_partition_pruned_scan_survives_forced_aqe(spark, tmp_path):
+    """r13 advice: with spark.sql.adaptive.forceApply the probe's
+    executed plan roots at AdaptiveSparkPlanExec — a LeafExecNode that
+    hides the real scan from collectLeaves — so a positional leaf-0
+    metric read would see no numPartitions and raise a spurious
+    'pruning failed'. The audit must find the FileSourceScanExec by
+    node type through the adaptive wrapper."""
+    from financial_market_data_analysis_spark.sources.batch import (
+        scan_partition_pruned,
+        write_partitioned,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).cast("int").alias("day")
+    )
+    path = str(tmp_path / "wh")
+    write_partitioned(df, path, ["day"])
+    spark.conf.set("spark.sql.adaptive.forceApply", "true")
+    try:
+        out = scan_partition_pruned(spark, path, "day", 3, 5)
+    finally:
+        spark.conf.unset("spark.sql.adaptive.forceApply")
+    assert out.count() == 30
