@@ -5197,27 +5197,33 @@ def _t16_oracle() -> str:
 
 def _t18_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T18 — x51's KMV (bottom-k) distinct sketch maintained
-    INCREMENTALLY: per-source bigram arrivals flow through a
-    foreachBatch loop that keeps, per source, the k smallest distinct
-    hash values — the mergeable KMV-Θ state — as a copy-on-write
-    snapshot (v{batch_id}, the t15b replay-safe epoch pattern: a
-    retried batch rebuilds its own version from the untouched
-    previous one). Merge per batch = union(previous k-mins, batch's
-    distinct hashes) → per-source bottom-k — the standard KMV merge,
-    K-bounded state however many rows arrive. The estimate is then
-    read off the FINAL state ((k−1)/u_k, exact-fallback below k) and
-    published next to the batch-computed exact distinct, exactly like
-    x51 — whose SQL is the oracle verbatim: the hash match adjudicates
-    the sketch-merge property (streamed union of bottom-k sets ==
-    one-shot bottom-k of the whole feed) under a real incremental run.
-    Completes the streamed-sketch trio: counts (t12 count-min),
-    quantiles (t16 histogram), distincts (t18 KMV).
+    INCREMENTALLY through the APPEND-ONLY epoch-idempotent store t27
+    proved for HLL (r13 verdict #5): bottom-k union is the same
+    commutative idempotent monoid as register-max — bottomk(A ∪ B) ==
+    bottomk(bottomk(A) ∪ bottomk(B)) and a replayed shard cannot
+    change the state — so each micro-batch just APPENDS its own
+    per-source bottom-k (≤ k·groups rows, dynamic-overwritten into
+    epoch_id={batch_id}) and the read collapses all epochs with one
+    global per-source bottom-k. No read-modify-write per batch, no
+    snapshot-chain resolution: the copy-on-write v{N} chain this query
+    used through round 13 (resolve_prev_snapshot) is retired HERE and
+    kept only where the merge is genuinely non-idempotent — the CDC
+    MERGE sinks (t15b/d5), whose last-writer-wins upsert depends on
+    the previous state. The estimate is read off the collapsed state
+    ((k−1)/u_k, exact-fallback below k) and published next to the
+    batch-computed exact distinct, exactly like x51 — whose SQL is the
+    oracle verbatim: the hash match adjudicates the sketch-merge
+    property (union of per-epoch bottom-k sets == one-shot bottom-k of
+    the whole feed) under a real incremental run. Completes the
+    streamed-sketch trio: counts (t12 count-min), quantiles (t16
+    histogram), distincts (t18 KMV).
 
     Scale shape: per-batch cost is one arrival-sized distinct + a
-    window over (state ≤ k·groups rows + batch distinct); state on
-    disk is KBs per epoch. The exact column exists only to adjudicate
-    the estimator — at 100 TB it is dropped and the sketch IS the
-    answer."""
+    window over the batch's own distinct hashes only (the stored state
+    is never re-read inside the loop); state on disk is ≤ k·groups
+    rows per epoch, and the final collapse shuffles only sketch rows.
+    The exact column exists only to adjudicate the estimator — at
+    100 TB it is dropped and the sketch IS the answer."""
     import os
     import shutil
     import tempfile
@@ -5260,21 +5266,17 @@ def _t18_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("u"),
             ).distinct()
 
+        write = SP.epoch_idempotent_writer(snap)
+
         def merge(batch_df: DataFrame, batch_id: int) -> None:
             arr = batch_u(batch_df)
-            # shared guarded epoch resolution (r8 ADVICE): a missing
-            # v{batch_id-1} at batch_id>0 raises instead of silently
-            # restarting the bottom-k state from this batch alone
-            prev = SP.resolve_prev_snapshot(snap, batch_id)
-            if prev is not None:
-                arr = spark.read.parquet(prev).unionByName(arr).distinct()
             w = SW.partitionBy("source").orderBy("u")
             bottom = (
                 arr.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= k)
                 .select("source", "u")
             )
-            bottom.write.mode("overwrite").parquet(f"{snap}/v{batch_id}")
+            write(bottom, batch_id)
 
         q = (
             stream.writeStream.foreachBatch(merge)
@@ -5285,8 +5287,22 @@ def _t18_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("t18_stream_kmv did not finish in 300 s")
-        last = max(int(d[1:]) for d in os.listdir(snap))
-        state = spark.read.parquet(f"{snap}/v{last}")
+        epochs = len(
+            [d for d in os.listdir(snap) if d.startswith("epoch_id=")]
+        )
+        if epochs < 2:  # both staged halves must have run as epochs
+            raise RuntimeError(f"expected ≥2 epoch dirs, saw {epochs}")
+        # collapse = distinct-union of all appended sketches, then one
+        # global per-source bottom-k (the same hash can appear in
+        # several epochs' sketches; bottom-k is over the SET)
+        w_all = SW.partitionBy("source").orderBy("u")
+        state = (
+            spark.read.parquet(snap)
+            .select("source", "u")
+            .distinct()
+            .withColumn("__rn", F.row_number().over(w_all))
+            .filter(F.col("__rn") <= k)
+        )
         est = state.groupBy("source").agg(
             F.count(F.lit(1)).alias("__cnt"),
             F.max("u").alias("__uk"),
@@ -7355,10 +7371,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # beneath x73 (x16's CC); triangle/coefficient kernels stay
         # pytest-pinned
         "x67_clustering_coef": X.q_clustering_coef,
-        # t18: pinned t13 + in-window t20 carry streamed keyed
-        # state (note updated r12: t19 displaced); the KMV union
-        # algebra is unit-pinned and its batch form (x51/x55) stays
-        # pytest-oracle-checked
+        # t18 (reworked r14 onto t27's append-only epoch-idempotent
+        # store — the COW snapshot chain is retired for idempotent-
+        # monoid sketches): pinned t13 + in-window t20 carry streamed
+        # keyed state; in-window t27 adjudicates the append-only store
+        # pattern itself; the KMV union algebra is unit-pinned and its
+        # batch form (x51/x55) stays pytest-oracle-checked
         "t18_stream_kmv": _t18_stream_kmv,
         # x70: in-window x75's pq8-ADC leg recomputes the identical
         # codebook train + m-ordered ADC fold

@@ -496,7 +496,15 @@ def snapshot_merge_sink(spark, snap_dir: str):
     key. Factored out of the t15b harness so the replay contract is
     directly unit-testable (tests/test_streaming.py). A missing
     v{N-1} at batch_id>0 RAISES via ``resolve_prev_snapshot`` rather
-    than silently restarting state from this batch's touched keys."""
+    than silently restarting state from this batch's touched keys.
+
+    Scope (r14): use this chain ONLY where the per-batch merge is
+    genuinely non-idempotent (CDC last-writer-wins upserts — t15b/d5,
+    where batch N's state depends on v{N-1}). State that folds under a
+    commutative idempotent monoid (HLL register-max, KMV bottom-k)
+    belongs on the APPEND-ONLY ``epoch_idempotent_writer`` store
+    instead — no read-modify-write per batch, no chain resolution;
+    t27/t18 are the worked examples."""
     from pyspark.sql import functions as F
 
     def merge(batch_df, batch_id: int) -> None:

@@ -629,3 +629,41 @@ def test_ares_key_parity_spark_vs_duckdb_weight_extremes(spark, tmp_path):
     ]
     assert len(got) == 100
     assert got == want
+
+
+def test_kmv_bottomk_merge_is_idempotent_and_order_free(spark):
+    """The algebra t18's append-only store rests on (r13 verdict #5,
+    the t27 pattern applied to KMV): per-shard bottom-k sketches
+    collapse to the bottom-k of the union via distinct-union +
+    re-bottom-k, and a REPLAYED shard cannot change the merged state —
+    bottom-k over sets is a commutative idempotent monoid, so the
+    store needs no copy-on-write snapshot chain."""
+    from pyspark.sql import Window as W2
+
+    k = 8
+    left = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(60)], "g STRING, k STRING"
+    )
+    right = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(40, 120)], "g STRING, k STRING"
+    )
+
+    def collapse(sketches):
+        return (
+            sketches.select("g", "__u")
+            .distinct()
+            .withColumn("__rn", F.row_number().over(
+                W2.partitionBy("g").orderBy("__u")))
+            .filter(F.col("__rn") <= k)
+        )
+
+    direct = SK.kmv_bottomk(left.unionByName(right), "k", ["g"], k=k)
+    merged = collapse(
+        SK.kmv_bottomk(left, "k", ["g"], k=k)
+        .unionByName(SK.kmv_bottomk(right, "k", ["g"], k=k))
+        .unionByName(SK.kmv_bottomk(left, "k", ["g"], k=k))  # replay
+    )
+    a = sorted(r["__u"] for r in direct.select("__u").collect())
+    b = sorted(r["__u"] for r in merged.select("__u").collect())
+    assert len(a) == k
+    assert a == b
