@@ -2721,6 +2721,82 @@ _S13_ORACLE = """
 """
 
 
+def _s14_minmax_skipped_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 — range-clustered warehouse write + PROVEN min/max data
+    skipping on a NON-partition sort column (sources/batch.py
+    ``write_sorted`` / ``scan_minmax_skipped``, r13 verdict #3): events
+    land range-clustered by ``event_id`` (``repartitionByRange`` +
+    ``sortWithinPartitions`` — each parquet file covers a disjoint id
+    range, so every row group carries tight footer min/max), then the
+    middle third of the id range is read back through a pushed range
+    predicate and the skipping is ASSERTED via the executed scan's
+    ``numOutputRows`` sandwich: matching rows <= scan output <= rows of
+    footer-overlapping row groups < rows on disk. This completes the
+    physical-layout tier one level below s13: directory partitioning
+    prunes a bounded-cardinality key (days), range-clustering makes
+    footer stats prune a high-cardinality ordered key (ids,
+    timestamps) where a directory per value is its own scale failure —
+    at 100 TB row-group skipping is the second I/O lever after
+    partitioning, and it silently regresses (identical rows, every
+    byte read) unless raised to an invariant. The reference's MariaDB
+    has only index walks (create_database.py:69-73); a columnar
+    warehouse gets the same effect from layout + footers, zero index
+    maintenance. Published: per-event-type counts and rounded value
+    sums over the skip-proven range; the oracle recomputes the same id
+    window from the raw events with the bounds as scalar subqueries —
+    identical integer arithmetic both sides.
+
+    Scale shape: the write is one range-shuffle pass (the range
+    exchange samples keys, no global sort); the footer census is one
+    metadata read per file; the probe costs one column scan of the
+    surviving row groups only."""
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.sources.batch import (
+        scan_minmax_skipped,
+        write_sorted,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).first()
+    span = bounds.hi - bounds.lo
+    lo, hi = bounds.lo + span // 3, bounds.lo + 2 * span // 3
+    wh = tempfile.mkdtemp(prefix="s14_wh_")
+    try:
+        write_sorted(ev, wh, "event_id", 8)
+        skipped = scan_minmax_skipped(spark, wh, "event_id", lo, hi)
+        out = (
+            skipped.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("value_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out
+
+
+_S14_ORACLE = """
+    WITH b AS (
+        SELECT min(event_id) AS mn,
+               max(event_id) - min(event_id) AS span
+        FROM events
+    )
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 6) AS value_sum
+    FROM events, b
+    WHERE event_id BETWEEN mn + span // 3 AND mn + (2 * span) // 3
+    GROUP BY event_type
+"""
+
+
 def _t25_stream_evolving_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T25 — the STREAMING form of s11's schema-evolution-tolerant
     ingest (streaming/pipeline.py ``evolving_ingest_sink``, r12
@@ -7207,6 +7283,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for all four moment aggregates
         "w25_rolling_beta": _w25_rolling_beta,
         # ------------------------------------------------- entry 50 ends
+        # s14 NEW in round 14, past the window (oracle-bearing,
+        # entry-parity-checked every session) — ROTATE IN ROUND 15
+        # (tools/check_rotation_debt.py enforces it): range-clustered
+        # write + PROVEN min/max row-group skipping on a NON-partition
+        # sort column (numOutputRows sandwich on the executed scan) —
+        # the physical-layout tier one level below s13's directory
+        # pruning
+        "s14_minmax_skipped_scan": _s14_minmax_skipped_scan,
         # -- displaced THIS round (round 14): nine round-11-born
         # queries, each THRICE driver-green (r11 + r12 + r13), subsumed
         # per the inline notes (displacement set vetted in
@@ -8209,6 +8293,7 @@ def oracle_sql() -> dict[str, str]:
         # must equal the one-shot batch sketch by the register algebra
         "t27_stream_hll_merge": _a20_oracle(),
         "s13_partition_pruned_scan": _S13_ORACLE,
+        "s14_minmax_skipped_scan": _S14_ORACLE,
         "w25_rolling_beta": _W25_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,

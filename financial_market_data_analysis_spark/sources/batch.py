@@ -295,3 +295,140 @@ def _find_file_scan(plan):
             if found is not None:
                 return found
     return None
+
+
+def write_sorted(
+    df: DataFrame, path: str, sort_col: str, n_files: int
+) -> None:
+    """Range-clustered write: ``repartitionByRange`` on the sort
+    column, then ``sortWithinPartitions``, so each of the ``n_files``
+    output files covers a disjoint range of ``sort_col`` and every
+    parquet row group carries tight min/max footer statistics on it.
+
+    The third member of the physical-layout tier: bucketing
+    (:func:`write_bucketed`) co-locates equi-JOIN keys, directory
+    partitioning (:func:`write_partitioned`) prunes scans on a
+    bounded-cardinality key, and range-clustering makes min/max
+    DATA SKIPPING effective on a high-cardinality ordered column
+    (timestamps, monotonic ids) where a directory per value would be
+    its own scale failure. An unsorted write spreads every value range
+    across every file and the same footer stats prune nothing."""
+    (
+        df.repartitionByRange(n_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def scan_minmax_skipped(
+    spark: SparkSession, path: str, col_name: str, lo: int, hi: int
+) -> DataFrame:
+    """Range scan over a range-clustered dataset that PROVES min/max
+    data skipping happened instead of assuming it — the
+    :func:`scan_partition_pruned` audit applied one level down, at
+    row-group granularity (r13 verdict #3).
+
+    Directory pruning never touches out-of-range dirs; INSIDE a file,
+    the second I/O lever is the parquet reader dropping whole row
+    groups whose footer [min, max] cannot intersect the pushed
+    predicate. That only works when (a) the filter actually reaches
+    the scan (``PushedFilters`` in the plan) and (b) the layout was
+    written range-clustered so the stats are tight — both silently
+    regress: the query returns identical rows while reading every
+    byte. The proof is a sandwich on the executed probe scan's
+    ``numOutputRows`` metric (a scan emits rows from surviving row
+    groups BEFORE Spark's Filter re-evaluates the predicate):
+
+        n_match  <=  numOutputRows  <=  overlap_rows  <  total_rows
+
+    where ``overlap_rows`` sums the footer row counts of row groups
+    whose [min, max] intersects [lo, hi] (census via pyarrow — one
+    footer read per file, metadata-priced, the s13 ``os.listdir``
+    swap note applies on HDFS/S3) and ``n_match`` is the exact
+    predicate-matching row count from the same executed probe. The
+    upper bound proves every non-overlapping row group was skipped
+    (page-level column-index skipping may do even better); the lower
+    bound proves nothing needed was dropped; ``overlap < total``
+    proves the layout makes skipping demonstrable at all. Missing
+    footer statistics raise — stats-less files silently disable
+    skipping everywhere.
+
+    The returned DataFrame is the data scan itself (same filter, all
+    columns), pruned by the same pushed predicate the audit proved
+    effective."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    if not files:
+        raise RuntimeError(f"no parquet files under {path}")
+    total_rows = 0
+    overlap_rows = 0
+    n_groups = 0
+    n_overlap_groups = 0
+    for f in files:
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        col_idx = None
+        for i in range(md.num_columns):
+            if md.row_group(0).column(i).path_in_schema == col_name:
+                col_idx = i
+                break
+        if col_idx is None:
+            raise RuntimeError(
+                f"column {col_name!r} not found in {f} footer"
+            )
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            st = g.column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                raise RuntimeError(
+                    f"row group {rg} of {f} has no min/max statistics "
+                    f"for {col_name!r} — data skipping is silently "
+                    f"disabled for this layout"
+                )
+            n_groups += 1
+            total_rows += g.num_rows
+            if st.min <= hi and st.max >= lo:
+                overlap_rows += g.num_rows
+                n_overlap_groups += 1
+    if overlap_rows == total_rows:
+        raise RuntimeError(
+            f"data skipping is unprovable: every row group of "
+            f"{col_name} overlaps [{lo}, {hi}] ({n_groups} groups, "
+            f"{total_rows} rows) — widen the layout or narrow the range"
+        )
+    base = spark.read.parquet(path)
+    cond = (F.col(col_name) >= lo) & (F.col(col_name) <= hi)
+    probe = base.select(col_name).filter(cond)
+    plan = probe._jdf.queryExecution().executedPlan()
+    n_match = plan.execute().count()  # run exactly this physical plan
+    leaf = _find_file_scan(plan)
+    if leaf is None:
+        raise RuntimeError(
+            "data skipping is unprovable: no FileSourceScanExec leaf "
+            f"in the executed probe plan:\n{plan.toString()}"
+        )
+    metrics: dict[str, int] = {}
+    it = leaf.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        metrics[kv._1()] = kv._2().value()
+    n_scan = metrics.get("numOutputRows")
+    if n_scan is None:
+        raise RuntimeError(
+            "data skipping is unprovable: the FileSourceScanExec "
+            f"exposes no numOutputRows metric (metrics: "
+            f"{sorted(metrics)}). Probe plan:\n{plan.toString()}"
+        )
+    if not (n_match <= n_scan <= overlap_rows):
+        raise RuntimeError(
+            f"data skipping failed: scan emitted {n_scan} rows, "
+            f"expected between the {n_match} matching rows and the "
+            f"{overlap_rows} rows of the {n_overlap_groups}/{n_groups} "
+            f"row groups overlapping [{lo}, {hi}] "
+            f"({total_rows} rows on disk; metrics: {metrics})"
+        )
+    return base.filter(cond)

@@ -795,3 +795,57 @@ def test_partition_pruned_scan_survives_forced_aqe(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.adaptive.forceApply")
     assert out.count() == 30
+
+
+def test_minmax_skipped_scan_audits_and_filters(spark, tmp_path):
+    """s14's audit: a range-clustered write must demonstrably skip
+    non-overlapping row groups on a range predicate over a
+    NON-partition sort column, proven by the executed scan's
+    numOutputRows sandwich."""
+    from financial_market_data_analysis_spark.sources.batch import (
+        scan_minmax_skipped,
+        write_sorted,
+    )
+
+    df = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    path = str(tmp_path / "wh")
+    write_sorted(df, path, "k", 8)
+    out = scan_minmax_skipped(spark, path, "k", 2500, 3499)
+    rows = out.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("mn"),
+        F.max("k").alias("mx"),
+    ).collect()[0]
+    assert (rows.n, rows.mn, rows.mx) == (1000, 2500, 3499)
+
+
+def test_minmax_skipped_scan_rejects_unprovable_range(spark, tmp_path):
+    from financial_market_data_analysis_spark.sources.batch import (
+        scan_minmax_skipped,
+        write_sorted,
+    )
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    path = str(tmp_path / "wh")
+    write_sorted(df, path, "k", 4)
+    # every row group overlaps the full range — nothing skippable
+    with pytest.raises(RuntimeError, match="unprovable"):
+        scan_minmax_skipped(spark, path, "k", 0, 2000)
+
+
+def test_minmax_skipped_scan_detects_unsorted_layout(spark, tmp_path):
+    """An UNSORTED round-robin write spreads every value range across
+    every file, so the footer stats overlap everything and the audit
+    must refuse — the regression the proof exists to catch (identical
+    rows, every byte read)."""
+    from financial_market_data_analysis_spark.sources.batch import (
+        scan_minmax_skipped,
+    )
+
+    df = spark.range(10000).select(F.col("id").alias("k"))
+    path = str(tmp_path / "wh")
+    df.repartition(8).write.mode("overwrite").parquet(path)
+    with pytest.raises(RuntimeError, match="unprovable"):
+        scan_minmax_skipped(spark, path, "k", 2500, 3499)
