@@ -4607,6 +4607,149 @@ def _t24_stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t28_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6/T9/A19 — the STATEFUL streaming form of a19's sessionization
+    (streaming/pipeline.py ``stateful_sessionize``, the r13 verdict #7
+    candidate): the clickstream arrives as two micro-batches cut at
+    the median event time and sessions are carved by a single-pass
+    applyInPandasWithState operator whose per-key state is three longs
+    (session start, last event time, event count). A session is
+    emitted exactly when the key's next event arrives ≥ 30 minutes
+    later — data-driven close, so unlike t4b (the built-in
+    ``session_window``, watermark-trimmed emission, full aggregation
+    buffers in the state store) the emitted set is DETERMINISTIC on
+    the data alone: the batch gaps-and-islands sessions minus each
+    user's final (still-open) session, which the oracle expresses
+    exactly (``sess_id < max(sess_id) OVER user``) with no watermark
+    approximation. Sessions that STRADDLE the cut (the query RAISES
+    unless at least one does) can only be emitted whole from carried
+    state — the cross-batch session-merge law, proven the way t24
+    proved gap-fill carry state. Published: every closed session
+    (user, start, events, duration) at full granularity.
+
+    Scale shape: O(1) state per key (three longs — the built-in holds
+    every open session's aggregation buffer), Arrow-batched, one state
+    round-trip per key per batch; emission composes with any batch
+    rollup downstream (a19's per-day frame is one groupBy away)."""
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.streaming import pipeline as P
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    # Place the cut deliberately INSIDE a session that later closes
+    # (the t24 discipline — a median-ts cut lands inside a session
+    # with probability ~0 when most sessions are short): candidates
+    # are events whose next same-user event is < gap away (the pair
+    # spans the cut) and whose user has a session break after it (so
+    # the spanning session eventually closes and is emitted).
+    w_ts = SW.partitionBy("user_id").orderBy("ts_us")
+    g = (
+        ev.withColumn("nxt", F.lead("ts_us").over(w_ts))
+        .withColumn(
+            "is_break",
+            (F.col("nxt") - F.col("ts_us") >= _A19_GAP_US).cast("int"),
+        )
+        .withColumn(
+            "close_after",
+            F.max("is_break").over(
+                w_ts.rowsBetween(1, SW.unboundedFollowing)
+            ),
+        )
+    )
+    cand = g.filter(
+        (F.col("nxt") - F.col("ts_us") < _A19_GAP_US)
+        & (F.col("close_after") == 1)
+    )
+    cut = cand.agg(F.percentile_approx("ts_us", 0.5)).first()[0]
+    if cut is None:
+        raise RuntimeError(
+            "no multi-event session closes after a candidate cut — "
+            "the cross-batch merge law is not provable on this fixture"
+        )
+    src = tempfile.mkdtemp(prefix="t28_sessions_")
+    old_sp = push_small_shuffle(spark)  # serial-adjudication contract: functions/core.py
+    try:
+        _stage_two_halves(
+            ev, (F.col("ts_us") <= cut, F.col("ts_us") > cut), src
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sessions = P.stateful_sessionize(stream, gap_us=_A19_GAP_US)
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("t28_sessionize_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t28 stream sessionize did not finish in 300 s")
+        out = spark.table("t28_sessionize_out").select(
+            "user_id", "start_us", "n_events", "dur_us"
+        ).localCheckpoint(eager=True)
+        # the adjudication is only about cross-batch state if some
+        # emitted session actually spans the cut — raise loudly if the
+        # fixture ever degenerates (the s13 'unprovable' discipline)
+        n_span = out.filter(
+            (F.col("start_us") <= cut)
+            & (F.col("start_us") + F.col("dur_us") > cut)
+        ).count()
+        if n_span == 0:
+            raise RuntimeError(
+                f"no emitted session spans the batch cut at {cut} — "
+                "the cross-batch merge law is not being exercised"
+            )
+    finally:
+        pop_small_shuffle(spark, old_sp)
+        shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+_T28_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                    WHEN ts_us - lag(ts_us) OVER w >= {_A19_GAP_US}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts_us,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sess_id
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, sess_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts_us) AS start_us,
+               max(ts_us) - min(ts_us) AS dur_us
+        FROM numbered
+        GROUP BY 1, 2
+    )
+    SELECT user_id, start_us, n_events, dur_us
+    FROM (
+        SELECT *, max(sess_id) OVER (PARTITION BY user_id) AS mx
+        FROM sessions
+    )
+    WHERE sess_id < mx
+"""
+
+
 _T23_ORACLE = f"""
     WITH b1 AS (
         SELECT count(*) AS n,
@@ -7291,6 +7434,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the physical-layout tier one level below s13's directory
         # pruning
         "s14_minmax_skipped_scan": _s14_minmax_skipped_scan,
+        # t28 NEW in round 14, past the window — ROTATE IN ROUND 15:
+        # a19's sessionization as a single-pass stateful streaming
+        # operator (O(1) three-long state per key, data-driven close)
+        # with the cross-batch session-merge law proven: the query
+        # raises unless an emitted session spans the micro-batch cut,
+        # and the oracle is the exact closed-session set (no watermark
+        # trim) — what t24 proved for gap-fill carry, for sessions
+        "t28_stream_sessionize": _t28_stream_sessionize,
         # -- displaced THIS round (round 14): nine round-11-born
         # queries, each THRICE driver-green (r11 + r12 + r13), subsumed
         # per the inline notes (displacement set vetted in
@@ -8294,6 +8445,7 @@ def oracle_sql() -> dict[str, str]:
         "t27_stream_hll_merge": _a20_oracle(),
         "s13_partition_pruned_scan": _S13_ORACLE,
         "s14_minmax_skipped_scan": _S14_ORACLE,
+        "t28_stream_sessionize": _T28_ORACLE,
         "w25_rolling_beta": _W25_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,

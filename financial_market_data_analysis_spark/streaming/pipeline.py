@@ -1321,3 +1321,86 @@ def stateful_gap_fill(
     return stream.groupBy(*[F.col(k) for k in key_cols]).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    gap_us: int,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Streaming twin of a19's gaps-and-islands sessionization as a
+    TRUE single-pass stateful operator (r13 verdict #7 candidate; the
+    t24 pattern applied to sessions): per-key state is just
+    ``(sess_start, last_ts, n_events)``; a session is emitted exactly
+    when the key's NEXT event arrives with an inactivity gap of at
+    least ``gap_us`` — data-driven close, no watermark wait, no
+    timeout. The key's final session stays open in state and is never
+    emitted, so for in-order arrival the emitted rows equal the batch
+    gaps-and-islands sessions MINUS each key's last session — a set an
+    oracle expresses exactly (``sess_id < max(sess_id) OVER key``),
+    with no watermark-trim approximation. A session that STRADDLES a
+    micro-batch cut can only be emitted correctly from carried state
+    (start and count live in batch N, the closing event in batch N+1)
+    — the cross-batch merge law t28 adjudicates, the same way t24
+    proved gap-fill carry state and t4b proved the built-in
+    ``session_window``.
+
+    This is what the built-in cannot do: ``session_window`` holds
+    every open session's FULL aggregation buffer in the state store
+    and emits only after the watermark passes; here state is O(1)
+    per key (three longs), emission is deterministic on the data
+    alone, and the operator composes with any downstream batch-mode
+    rollup. Equal-timestamp events share a session whichever order
+    they fold in (gap 0 < gap_us), so the in-batch sort needs no tie
+    column. Arrow-batched pandas; one state round-trip per key per
+    batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    key_fields = [stream.schema[k] for k in key_cols]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("start_us", LongType()),
+            StructField("n_events", LongType()),
+            StructField("dur_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("sess_start", LongType()),
+            StructField("last_ts", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    col_order = list(key_cols) + ["start_us", "n_events", "dur_us"]
+
+    def fn(key, pdf_iter, state):
+        start, last, n = state.get if state.exists else (None, None, None)
+        rows = pd.concat(list(pdf_iter)).sort_values(ts_col)
+        out_s, out_n, out_d = [], [], []
+        for t in rows[ts_col]:
+            t = int(t)
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last >= gap_us:
+                out_s.append(start)
+                out_n.append(n)
+                out_d.append(last - start)
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        if out_s:
+            out = pd.DataFrame(
+                {"start_us": out_s, "n_events": out_n, "dur_us": out_d}
+            )
+            for i, k in enumerate(key_cols):
+                out[k] = key[i]
+            yield out[col_order]
+
+    return stream.groupBy(*[F.col(k) for k in key_cols]).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

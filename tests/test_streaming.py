@@ -1572,3 +1572,71 @@ def test_evolving_ingest_sink_replay_is_idempotent(spark, tmp_path):
         again = spark.read.parquet(str(tmp_path / d)).collect()
         assert sorted(map(str, again)) == sorted(map(str, first[d])), d
     assert len(first["clean"]) == 2 and len(first["quar"]) == 1
+
+
+def test_stateful_sessionize_merges_sessions_across_cut(spark, tmp_path):
+    """t28's merge law: a session STRADDLING the micro-batch cut must
+    be emitted once, with the event count and duration spanning both
+    batches — possible only if (start, last, n) survived as state.
+    Also pins the data-driven close (a session is emitted exactly when
+    the next event arrives ≥ gap later) and the never-emitted final
+    session per key."""
+    import os
+    import time
+
+    from financial_market_data_analysis_spark.streaming.pipeline import (
+        stateful_sessionize,
+    )
+
+    m = 60_000_000  # one minute in µs
+    rows = [
+        # user 1: session A = [0, 10m], session B = [50m..70m]
+        # (B straddles the cut at 55m), session C = [120m] (never
+        # emitted — still open)
+        (1, 0 * m), (1, 10 * m),
+        (1, 50 * m), (1, 55 * m),          # batch 1 ends at 55m
+        (1, 70 * m),                        # batch 2 extends B
+        (1, 120 * m),                       # opens C, closing B
+        # user 2: one session per batch, second stays open
+        (2, 0 * m),
+        (2, 100 * m),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts_us long")
+    src = str(tmp_path / "ev")
+    ev.filter(F.col("ts_us") <= 55 * m).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.col("ts_us") > 55 * m).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    files = sorted(
+        (os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    now = time.time()
+    for i, f in enumerate(files):
+        os.utime(f, (now - 10 + 5 * i, now - 10 + 5 * i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_sessionize(stream, gap_us=30 * m)
+        .writeStream.format("memory")
+        .queryName("sessionize_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.start_us, r.n_events, r.dur_us)
+        for r in spark.table("sessionize_out").collect()
+    )
+    assert got == [
+        (1, 0, 2, 10 * m),        # session A, closed inside batch 1
+        (1, 50 * m, 3, 20 * m),   # session B MERGED across the cut
+        (2, 0, 1, 0),             # user 2's first session
+    ]
