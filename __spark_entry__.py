@@ -3544,28 +3544,111 @@ def _w25_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; beta/alpha round to 6 (the w12 ULP precedent for
     moment-ratio floats)."""
     ev = load_table(spark, "events", sf_dir)
-    bucket = time_bucket_us("ts_us", 300)
-
-    def returns(event_type: str, alias: str) -> DataFrame:
-        s = (
-            ev.filter(F.col("event_type") == event_type)
-            .groupBy(bucket.alias("bucket"))
-            .agg(F.avg("value").alias("__p"))
-        )
-        lagp = F.lag("__p").over(SW.orderBy("bucket"))
-        return (
-            s.withColumn(alias, (F.col("__p") - lagp) / lagp)
-            .filter(F.col(alias).isNotNull())
-            .select("bucket", alias)
-        )
-
-    j = returns("purchase", "ry").join(returns("view", "rx"), "bucket")
+    j = _bucket_returns(ev, "purchase", "ry").join(
+        _bucket_returns(ev, "view", "rx"), "bucket"
+    )
     out = W.rolling_beta(j, "ry", "rx", ["bucket"], period=20)
     return out.filter(F.col("beta").isNotNull()).select(
         "bucket",
         F.round("beta", 6).alias("beta20"),
         F.round("alpha", 6).alias("alpha20"),
     )
+
+
+def _bucket_returns(ev: DataFrame, event_type: str, alias: str) -> DataFrame:
+    """Per-5-min-bucket average level of one event type → simple
+    returns via LAG (the w25/w26 shared series builder; levels are
+    strictly positive in the fixture, so the return division never
+    sees zero)."""
+    s = (
+        ev.filter(F.col("event_type") == event_type)
+        .groupBy(time_bucket_us("ts_us", 300).alias("bucket"))
+        .agg(F.avg("value").alias("__p"))
+    )
+    lagp = F.lag("__p").over(SW.orderBy("bucket"))
+    return (
+        s.withColumn(alias, (F.col("__p") - lagp) / lagp)
+        .filter(F.col(alias).isNotNull())
+        .select("bucket", alias)
+    )
+
+
+_W26_SPAN_S = 86400  # trailing 1 day of EVENT TIME, however many rows
+_W26_MIN_PAIRS = 5
+
+
+def _w26_range_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W26 — w25's rolling OLS beta/alpha on a time-RANGE frame
+    (operators/windows.py ``rolling_beta_range``, the r13 verdict #7
+    candidate): the trailing ONE DAY of event-time pairs, however many
+    rows that is. The fixture's joint return series is irregular
+    (median joint-bucket spacing ≈ 2 h), so w25's 20-ROW frame spans
+    wildly different horizons bucket to bucket — quiet stretches
+    regress over days while busy ones cover an hour; the RANGE frame
+    holds the HORIZON fixed and lets the pair count float (gated at
+    ≥ 5 pairs, flat-x frames trimmed), which is the
+    economically meaningful "beta over the last day". Same four
+    moment aggregates, one shared WindowExec, w11's integer-key RANGE
+    precedent — engines agree exactly on integer bounds.
+
+    Scale shape: identical to w25 — the series build is two
+    map-side-combined aggregations, the regression one window pass
+    over a buckets-sized frame; RANGE vs ROWS changes only the frame
+    arithmetic, not the shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    j = _bucket_returns(ev, "purchase", "ry").join(
+        _bucket_returns(ev, "view", "rx"), "bucket"
+    )
+    out = W.rolling_beta_range(
+        j, "ry", "rx", "bucket", span=_W26_SPAN_S, min_pairs=_W26_MIN_PAIRS
+    )
+    return out.filter(F.col("beta").isNotNull()).select(
+        "bucket",
+        F.round("beta", 6).alias("beta_1d"),
+        F.round("alpha", 6).alias("alpha_1d"),
+    )
+
+
+_W26_ORACLE = f"""
+    WITH a AS (
+        SELECT (epoch_us(ts) // 300000000) * 300 AS bucket,
+               avg(value) AS p
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    v AS (
+        SELECT (epoch_us(ts) // 300000000) * 300 AS bucket,
+               avg(value) AS p
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    ra AS (
+        SELECT bucket,
+               (p - lag(p) OVER (ORDER BY bucket))
+                   / lag(p) OVER (ORDER BY bucket) AS ry
+        FROM a QUALIFY ry IS NOT NULL
+    ),
+    rv AS (
+        SELECT bucket,
+               (p - lag(p) OVER (ORDER BY bucket))
+                   / lag(p) OVER (ORDER BY bucket) AS rx
+        FROM v QUALIFY rx IS NOT NULL
+    ),
+    j AS (SELECT ra.bucket, ry, rx FROM ra JOIN rv USING (bucket)),
+    c AS (
+        SELECT bucket,
+               covar_pop(ry, rx) OVER w AS cv,
+               var_pop(rx) OVER w AS vx,
+               avg(ry) OVER w AS my,
+               avg(rx) OVER w AS mx,
+               count(*) OVER w AS cnt
+        FROM j
+        WINDOW w AS (ORDER BY bucket
+                     RANGE BETWEEN {_W26_SPAN_S} PRECEDING
+                           AND CURRENT ROW)
+    )
+    SELECT bucket, round(cv / vx, 6) AS beta_1d,
+           round(my - (cv / vx) * mx, 6) AS alpha_1d
+    FROM c WHERE cnt >= {_W26_MIN_PAIRS} AND vx > 0
+"""
 
 
 _W25_ORACLE = """
@@ -7442,6 +7525,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the oracle is the exact closed-session set (no watermark
         # trim) — what t24 proved for gap-fill carry, for sessions
         "t28_stream_sessionize": _t28_stream_sessionize,
+        # w26 NEW in round 14, past the window — ROTATE IN ROUND 15:
+        # w25's rolling OLS beta/alpha on a time-RANGE frame (trailing
+        # 1 day of EVENT TIME, pair count floats, gated ≥5 pairs) —
+        # the fixed-horizon semantics an irregular series needs, where
+        # the ROWS twin's horizon silently varies with density
+        "w26_range_beta": _w26_range_beta,
         # -- displaced THIS round (round 14): nine round-11-born
         # queries, each THRICE driver-green (r11 + r12 + r13), subsumed
         # per the inline notes (displacement set vetted in
@@ -8446,6 +8535,7 @@ def oracle_sql() -> dict[str, str]:
         "s13_partition_pruned_scan": _S13_ORACLE,
         "s14_minmax_skipped_scan": _S14_ORACLE,
         "t28_stream_sessionize": _T28_ORACLE,
+        "w26_range_beta": _W26_ORACLE,
         "w25_rolling_beta": _W25_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,

@@ -318,6 +318,52 @@ def rolling_beta(
     return df.withColumns({"beta": beta, "alpha": alpha})
 
 
+def rolling_beta_range(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    order_col: str,
+    span: int,
+    min_pairs: int = 5,
+    partition_cols: Sequence[str | Column] = (),
+) -> DataFrame:
+    """W26 — :func:`rolling_beta` on a time-RANGE frame: beta/alpha
+    over all (x, y) pairs whose ``order_col`` (a numeric event-time
+    key — epoch seconds or a bucket) lies within the trailing ``span``
+    of the current row's, however many rows that is. This is the
+    correct semantics for IRREGULAR series, where w25's ROWS frame
+    silently changes meaning with density: 20 rows of a quiet series
+    reach days back while 20 rows of a busy one cover minutes, so the
+    "same" indicator measures different horizons (the w11 RANGE-frame
+    precedent, applied to the two-series regression). A quiet period
+    here means FEWER pairs in frame, not a longer look-back.
+
+    One shared RANGE frame evaluates all four moment aggregates in a
+    single WindowExec, exactly like the ROWS twin. Because the frame's
+    pair count is data-dependent by design, the warm-up gate is a
+    MINIMUM pair count (``min_pairs``) rather than w25's exact-period
+    gate; the flat-x guard (var_pop = 0 → NULL) is identical. The
+    frame key must be numeric — engines agree exactly on integer
+    range bounds, where interval/timestamp frames invite boundary
+    drift."""
+    base = (
+        Window.partitionBy(*partition_cols)
+        if partition_cols
+        else Window.partitionBy()
+    )
+    w = base.orderBy(order_col).rangeBetween(-span, 0)
+    y, x = F.col(y_col), F.col(x_col)
+    pair_cnt = F.count(
+        F.when(y.isNotNull() & x.isNotNull(), F.lit(1))
+    ).over(w)
+    cov = F.covar_pop(y, x).over(w)
+    var = F.var_pop(x).over(w)
+    ok = (pair_cnt >= min_pairs) & (var > 0)
+    beta = F.when(ok, cov / var)
+    alpha = F.when(ok, F.avg(y).over(w) - (cov / var) * F.avg(x).over(w))
+    return df.withColumns({"beta": beta, "alpha": alpha})
+
+
 def rolling_median(
     df: DataFrame,
     value_col: str,

@@ -727,3 +727,38 @@ def test_rolling_beta_recovers_exact_linear_relation(spark):
     fb = {r.t: r.beta for r in
           rolling_beta(flat, "y", "x", ["t"], period=4).collect()}
     assert all(v is None for v in fb.values())
+
+
+def test_rolling_beta_range_frame_is_time_based(spark):
+    """w26's RANGE frame: the look-back is a fixed event-time span,
+    not a row count — an isolated old point falls OUT of frame even
+    though a ROWS frame would still include it; sparse stretches fail
+    the min-pairs gate; an exact linear relation is recovered on
+    qualifying frames; a flat-x frame yields NULL."""
+    from financial_market_data_analysis_spark.operators.windows import (
+        rolling_beta_range,
+    )
+
+    # dense cluster at t=100..104, one old outlier at t=0 whose pair
+    # would corrupt the fit if the frame were row-counted
+    rows = [(0, 100.0, 999.0)] + [
+        (100 + i, float(i + 1), 2.0 * (i + 1) + 3.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "t LONG, x DOUBLE, y DOUBLE")
+    out = {r.t: (r.beta, r.alpha) for r in
+           rolling_beta_range(df, "y", "x", "t", span=10, min_pairs=5)
+           .collect()}
+    # the outlier and the warm-up rows fail the ≥5-pair gate
+    for t in (0, 100, 101, 102, 103):
+        assert out[t] == (None, None), t
+    # t=104's frame is [94, 104]: exactly the 5 clean pairs
+    b, a = out[104]
+    assert abs(b - 2.0) < 1e-9 and abs(a - 3.0) < 1e-9
+    # flat x in frame → NULL even with enough pairs
+    flat = spark.createDataFrame(
+        [(i, 5.0, float(i)) for i in range(6)], "t LONG, x DOUBLE, y DOUBLE"
+    )
+    fb = {r.t: r.beta for r in
+          rolling_beta_range(flat, "y", "x", "t", span=10, min_pairs=3)
+          .collect()}
+    assert all(v is None for v in fb.values())
