@@ -2721,6 +2721,78 @@ _S13_ORACLE = """
 """
 
 
+def _j7_broadcast_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — the supplier-side revenue snowflake with its plan shape
+    RAISED TO AN INVARIANT (operators/joins.py
+    ``assert_star_broadcast``, the s13/s14 executed-plan proof
+    discipline applied to the JOIN tier): region gates nation, nation
+    gates supplier, the assembled dim broadcasts onto lineitem, and
+    the executed plan is ASSERTED to contain ≥3
+    ``BroadcastHashJoinExec``, zero sort-merge/shuffled-hash joins,
+    and at most ONE shuffle exchange — the final aggregation's. Every
+    in-window snowflake (q5, j5's assemblies) RELIES on this shape;
+    j7 makes its loss loud: a dropped hint, a dim outgrowing the
+    broadcast threshold, or an AQE stats flip returns identical rows
+    while shuffling the fact once per dim — invisible to a value hash,
+    ~4× the cluster I/O at 100 TB. Published: per-nation revenue and
+    line counts for the gated region (q5's rounding convention).
+
+    Scale shape: the proof IS the shape — the fact table moves
+    through exactly one exchange (groupBy on n_name), every dim
+    arrives as a broadcast; the plan walk costs one extra execution
+    of a fixture-sized aggregate."""
+    from financial_market_data_analysis_spark.operators.joins import (
+        assert_star_broadcast,
+    )
+
+    nat = (
+        load_table(spark, "nation", sf_dir)
+        .join(
+            F.broadcast(
+                load_table(spark, "region", sf_dir).filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    out = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                6,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    assert_star_broadcast(out, n_dims=3, max_shuffles=1)
+    return out
+
+
+_J7_ORACLE = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+"""
+
+
 def _s14_minmax_skipped_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S14 — range-clustered warehouse write + PROVEN min/max data
     skipping on a NON-partition sort column (sources/batch.py
@@ -7531,6 +7603,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the fixed-horizon semantics an irregular series needs, where
         # the ROWS twin's horizon silently varies with density
         "w26_range_beta": _w26_range_beta,
+        # j7 NEW in round 14, past the window — ROTATE IN ROUND 15:
+        # the supplier-side snowflake with its PLAN SHAPE raised to an
+        # invariant: the executed plan must hold ≥3 broadcast hash
+        # joins, zero shuffle joins, ≤1 shuffle exchange — the silent
+        # regression (hint dropped, threshold crossed, AQE flip) that
+        # returns identical rows while shuffling the fact per dim
+        "j7_broadcast_proof": _j7_broadcast_proof,
         # -- displaced THIS round (round 14): nine round-11-born
         # queries, each THRICE driver-green (r11 + r12 + r13), subsumed
         # per the inline notes (displacement set vetted in
@@ -8536,6 +8615,7 @@ def oracle_sql() -> dict[str, str]:
         "s14_minmax_skipped_scan": _S14_ORACLE,
         "t28_stream_sessionize": _T28_ORACLE,
         "w26_range_beta": _W26_ORACLE,
+        "j7_broadcast_proof": _J7_ORACLE,
         "w25_rolling_beta": _W25_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,

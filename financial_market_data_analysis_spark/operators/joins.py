@@ -239,3 +239,60 @@ def interval_lookup_join(
     return picked.withColumns(
         {c: F.col("__hit")[c] for c in out_cols}
     ).drop("__pos", "__side", "__tie", "__iv", "__hit")
+
+
+def executed_plan_node_names(df: DataFrame) -> list[str]:
+    """Execute ``df``'s physical plan once and return every node's
+    class name, recursively unwrapping the two AQE wrappers that hide
+    their subtrees behind LeafExecNode facades (``AdaptiveSparkPlanExec``
+    via ``executedPlan``, ``*QueryStageExec`` via ``plan`` — the
+    sources/batch.py ``_find_file_scan`` lesson generalized to whole
+    plans). The list is the raw material for plan-SHAPE invariants:
+    which join strategies ran, how many shuffles, after AQE had its
+    final say — things a correctness hash can never see."""
+    names: list[str] = []
+
+    def walk(p) -> None:
+        name = p.getClass().getSimpleName()
+        names.append(name)
+        if name == "AdaptiveSparkPlanExec":
+            walk(p.executedPlan())
+        elif name.endswith("QueryStageExec"):
+            walk(p.plan())
+        ch = p.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    plan = df._jdf.queryExecution().executedPlan()
+    plan.execute().count()  # run exactly this plan so AQE finalizes
+    walk(plan)
+    return names
+
+
+def assert_star_broadcast(
+    df: DataFrame, n_dims: int, max_shuffles: int = 1
+) -> None:
+    """Prove a star/snowflake assembly actually planned as broadcast
+    joins (the s13/s14 proof discipline applied to the JOIN tier): the
+    executed plan must contain at least ``n_dims``
+    ``BroadcastHashJoinExec`` nodes, NO sort-merge or shuffled-hash
+    join, and at most ``max_shuffles`` shuffle exchanges (the final
+    aggregation's — the fact table must never shuffle FOR a dim join).
+    A silent regression here — a dropped hint, a dim crossing the
+    broadcast threshold, a stats change flipping AQE's choice —
+    returns identical rows while shuffling the fact table once per
+    dim, the plan failure that costs nothing at fixture scale and the
+    cluster at 100 TB."""
+    names = executed_plan_node_names(df)
+    n_bhj = names.count("BroadcastHashJoinExec")
+    n_smj = names.count("SortMergeJoinExec") + names.count(
+        "ShuffledHashJoinExec"
+    )
+    n_sh = names.count("ShuffleExchangeExec")
+    if n_bhj < n_dims or n_smj > 0 or n_sh > max_shuffles:
+        raise RuntimeError(
+            f"star-join plan regressed: {n_bhj} broadcast joins "
+            f"(need >= {n_dims}), {n_smj} shuffle joins (need 0), "
+            f"{n_sh} shuffle exchanges (max {max_shuffles}). Nodes: "
+            f"{sorted(set(names))}"
+        )

@@ -1327,3 +1327,42 @@ def test_r13_clickstream_plans_hold_their_shape(spark):
     p, n = shape("a19_sessionization")
     assert n == 1, p[:1200]
     assert len(re.findall(r"Exchange hashpartitioning", p)) <= 2, p[:1200]
+
+
+def test_assert_star_broadcast_accepts_and_rejects(spark):
+    """j7's plan-shape invariant, both directions: a hinted broadcast
+    star passes; the SAME query forced onto sort-merge joins (hints
+    removed, broadcast threshold zeroed) raises — the audit must
+    catch the regression it exists for, not just bless the happy
+    path."""
+    import pytest
+
+    from financial_market_data_analysis_spark.operators.joins import (
+        assert_star_broadcast,
+    )
+
+    fact = spark.range(2000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    good = (
+        fact.join(F.broadcast(dim), "k")
+        .groupBy("g")
+        .agg(F.sum("v").alias("s"))
+    )
+    assert_star_broadcast(good, n_dims=1, max_shuffles=1)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bad = (
+            fact.join(dim, "k")
+            .groupBy("g")
+            .agg(F.sum("v").alias("s"))
+        )
+        with pytest.raises(RuntimeError, match="plan regressed"):
+            assert_star_broadcast(bad, n_dims=1, max_shuffles=1)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
