@@ -7610,6 +7610,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # regression (hint dropped, threshold crossed, AQE flip) that
         # returns identical rows while shuffling the fact per dim
         "j7_broadcast_proof": _j7_broadcast_proof,
+        # x80 NEW in round 14, past the window — ROTATE IN ROUND 15:
+        # the MinHash SKETCH-SIZE trade-off measured (x78/x79 pattern
+        # applied to the sketch itself): per k ∈ {4,8,16,32}, how many
+        # candidate pairs' estimated Jaccard lands within 0.05/0.10 of
+        # the true shingle Jaccard (exact integer-arithmetic counts)
+        # plus the worst error — the bytes-vs-accuracy table consulted
+        # before sizing a corpus-scale dedup run
+        "x80_minhash_size_sweep": X.q_minhash_size_sweep,
         # -- displaced THIS round (round 14): nine round-11-born
         # queries, each THRICE driver-green (r11 + r12 + r13), subsumed
         # per the inline notes (displacement set vetted in
@@ -8616,6 +8624,7 @@ def oracle_sql() -> dict[str, str]:
         "t28_stream_sessionize": _T28_ORACLE,
         "w26_range_beta": _W26_ORACLE,
         "j7_broadcast_proof": _J7_ORACLE,
+        "x80_minhash_size_sweep": X.minhash_size_sweep_oracle(),
         "w25_rolling_beta": _W25_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,

@@ -6409,3 +6409,204 @@ def ann_ranking_quality_oracle() -> str:
         {per}
         {selects}
     """
+
+
+# ---------------------------------------------------------------------------
+# x80 — MinHash sketch-size vs Jaccard-estimate-error trade-off
+
+X80_KS = (4, 8, 16, 32)
+_X80_MAX_K = 32
+
+
+def q_minhash_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x80 — the MinHash SKETCH-SIZE trade-off, measured (the
+    x78/x79 published-trade-off pattern applied to the sketch itself):
+    per signature length k ∈ {4, 8, 16, 32}, how close is the
+    estimated Jaccard (the fraction of matching minhash seeds — an
+    unbiased estimator with σ = sqrt(J(1−J)/k)) to the TRUE shingle
+    Jaccard, over the banded candidate pairs the standard config
+    surfaces. This is the number consulted before sizing a corpus-
+    scale dedup run: k is bytes-per-document AND shuffle bytes in
+    every band join, and the table shows what each doubling buys.
+    The signatures NEST (seed s belongs to every k > s), so one
+    32-seed pass prices all four sketch sizes — the x75 prefix trick.
+
+    Published per k: candidate-pair count, the number of pairs whose
+    estimate lands within 0.05 / 0.10 of truth, and the worst error.
+    The within-ε columns are computed in EXACT integer arithmetic
+    (|m/k − i/u| < ε  ⟺  |m·u − i·k| / ε < k·u with 1/ε integer), so
+    the counts hash identically cross-engine with no float-boundary
+    risk; only the max error is a rounded double (max is
+    order-independent, the w12 ULP convention).
+
+    Scale shape: shingles/signatures are row-local; the candidate join
+    is the banded LSH equi-join (never all-pairs); the truth join
+    touches only candidate-pair shingle rows; the per-k sweep is one
+    conditional aggregate over a pairs-sized frame."""
+    aug = docs_augmented(spark, sf_dir)
+    # sliced signatures: 8 md5 digests serve all 32 seeds as 32-bit
+    # substrings — the k-fold md5 cost is the sweep's dominant term
+    # and slicing cuts it 4x (operators/dedup.py)
+    sigs = D.sliced_minhash_signatures(
+        aug, n_hashes=_X80_MAX_K
+    ).localCheckpoint(eager=False)  # feeds banding AND the match counts
+    pairs = D.lsh_candidate_pairs(
+        sigs.filter(F.col("seed") < D.N_MINHASH)
+    ).localCheckpoint(eager=False)  # feeds truth AND estimate joins
+    # the TRUTH join tokenizes only candidate docs — the corpus-wide
+    # shingle table costs ~5x the rest of the query and only the
+    # ~pairs-sized doc set ever reaches a Jaccard verification
+    sh = D.shingle_table(
+        aug.join(F.broadcast(D.candidate_ids(pairs)), "doc_id")
+    ).localCheckpoint(eager=False)  # feeds sizes AND the intersection
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("mh").alias("mh_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("mh").alias("mh_b")
+    )
+    matches = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        (F.col("seed") < k)
+                        & (F.col("mh_a") == F.col("mh_b")),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"m{k}")
+                for k in X80_KS
+            ]
+        )
+    )
+    t = (
+        matches.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .withColumn("u", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .localCheckpoint(eager=False)  # feeds the four per-k selects
+    )
+    per_k = [
+        t.agg(
+            F.lit(k).cast("int").alias("n_hashes"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (
+                    20 * F.abs(F.col(f"m{k}") * F.col("u") - F.col("n_inter") * k)
+                    < k * F.col("u")
+                ).cast("long")
+            ).alias("n_err_lt_5pct"),
+            F.sum(
+                (
+                    10 * F.abs(F.col(f"m{k}") * F.col("u") - F.col("n_inter") * k)
+                    < k * F.col("u")
+                ).cast("long")
+            ).alias("n_err_lt_10pct"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col(f"m{k}") / F.lit(float(k))
+                        - F.col("n_inter") / F.col("u").cast("double")
+                    )
+                ),
+                6,
+            ).alias("max_abs_err"),
+        )
+        for k in X80_KS
+    ]
+    out = per_k[0]
+    for p in per_k[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_size_sweep_oracle() -> str:
+    k_max = _X80_MAX_K
+    selects = "\n        UNION ALL\n        ".join(
+        f"""SELECT {k} AS n_hashes,
+               count(*) AS n_pairs,
+               CAST(sum(CASE WHEN 20 * abs(m{k} * u - n_inter * {k})
+                             < {k} * u THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_err_lt_5pct,
+               CAST(sum(CASE WHEN 10 * abs(m{k} * u - n_inter * {k})
+                             < {k} * u THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_err_lt_10pct,
+               round(max(abs(m{k} / {float(k)!r}
+                   - n_inter / CAST(u AS DOUBLE))), 6) AS max_abs_err
+        FROM t"""
+        for k in X80_KS
+    )
+    m_cols = ", ".join(
+        f"CAST(sum(CASE WHEN sa.seed < {k} AND sa.mh = sb.mh "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS m{k}"
+        for k in X80_KS
+    )
+    return f"""
+        WITH aug AS ({DOCS_AUG_CTE}),
+        sh AS MATERIALIZED ({_shingles_sql("aug")}),
+        mh AS MATERIALIZED (
+            {D.sliced_minhash_sql("sh", n_hashes=k_max)}
+        ),
+        bands AS (
+            SELECT doc_id, CAST(seed // {D.BAND_SIZE} AS INT) AS band,
+                   md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+            FROM mh WHERE seed < {D.N_MINHASH}
+            GROUP BY doc_id, seed // {D.BAND_SIZE}
+        ),
+        pairs AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT p.doc_a, p.doc_b, {m_cols}
+            FROM pairs p
+            JOIN mh sa ON sa.doc_id = p.doc_a
+            JOIN mh sb ON sb.doc_id = p.doc_b AND sb.seed = sa.seed
+            GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT m.*, COALESCE(i.n_inter, 0) AS n_inter,
+                   sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0) AS u
+            FROM m
+            LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+            JOIN sizes sa ON sa.doc_id = m.doc_a
+            JOIN sizes sb ON sb.doc_id = m.doc_b
+        )
+        {selects}
+    """

@@ -831,3 +831,46 @@ def test_filter_funnel_is_conserving_and_every_stage_bites(spark):
         assert r.n_dropped > 0, f"vacuous stage: {r.stage}"
     for a, b in zip(rows, rows[1:]):
         assert a.n_out == b.n_in
+
+
+def test_sliced_minhash_matches_sql_twin(spark):
+    """x80's sliced sketch: every (doc, seed) minhash from the
+    digest-slicing Spark build must equal the DuckDB twin — including
+    that seed s really reads digest s//4 at offset (s%4)*8 (the
+    F.transform two-parameter-lambda trap this test would catch:
+    transform calls (element, INDEX), silently replacing a bound
+    constant)."""
+    import duckdb
+
+    import financial_market_data_analysis_spark.operators.dedup as D
+    import financial_market_data_analysis_spark.plans.extensions as X
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta zeta eta theta"),
+        (3, "iota kappa lambda mu nu xi omicron pi"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = sorted(
+        (r.doc_id, r.seed, r.mh)
+        for r in D.sliced_minhash_signatures(df, n_hashes=8).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"WITH sh AS ({X._shingles_sql('d')}) "
+            + D.sliced_minhash_sql("sh", n_hashes=8)
+        ).fetchall()
+    )
+    assert got == want
+    # the slices of one digest must actually differ (a wrong offset
+    # that reuses slice 0 for all four seeds would still "match" a
+    # similarly wrong oracle only if both engines made the same
+    # mistake — this pins the intra-digest variation directly)
+    per_doc = {}
+    for d, s, mh in got:
+        per_doc.setdefault(d, []).append(mh)
+    assert all(len(set(v[:4])) > 1 for v in per_doc.values())
