@@ -3389,6 +3389,94 @@ def _d8_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D9_BUCKETS = 32
+_D9_SALTS = 8
+
+
+def _d9_salt_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 — the post-shuffle LAYOUT balance report, before and after
+    the salting cure: d8 measures key skew, j2's salted join applies
+    the fix — this publishes what the fix actually does to the
+    per-reducer row distribution, the quantity that decides whether
+    the extra salt column (and the dim-side explode it forces) pays
+    for itself. Each row of the fact is assigned its shuffle bucket
+    under the engine-portable md5 hash (Spark's murmur3 partitioner
+    is not SQL-replicable; any uniform hash obeys the same balance
+    law): unsalted = H(key) % B, salted = H(key : row_salt) % B with
+    row_salt = event_id % S — j2's exact salting scheme. Published
+    per variant: touched buckets, the heaviest bucket's rows, and the
+    max/mean balance ratio (1.0 = perfectly level). On the fixture the
+    cure reads ~3.8 → ~1.4: with near-uniform keys the imbalance is
+    key→bucket collision variance, exactly what salting divides away.
+
+    Scale shape: one map-side-combined aggregate per variant over
+    (bucket) — B rows each; nothing fact-sized shuffles beyond the
+    count itself."""
+    import financial_market_data_analysis_spark.operators.sketches as SK
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_id")
+    h_un = (
+        SK.md5_long(
+            F.concat(F.lit("part:"), F.col("user_id").cast("string"))
+        )
+        % _D9_BUCKETS
+    )
+    h_sa = (
+        SK.md5_long(
+            F.concat(
+                F.lit("part:"),
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                (F.col("event_id") % _D9_SALTS).cast("string"),
+            )
+        )
+        % _D9_BUCKETS
+    )
+
+    def balance(bucket: Column, name: str) -> DataFrame:
+        per = ev.select(bucket.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return per.agg(
+            F.lit(name).alias("variant"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("cnt").alias("max_rows"),
+            F.round(
+                F.max("cnt") / (F.sum("cnt") / F.lit(float(_D9_BUCKETS))),
+                6,
+            ).alias("balance_ratio"),
+        )
+
+    return balance(h_un, "unsalted").unionByName(
+        balance(h_sa, f"salted_{_D9_SALTS}")
+    )
+
+
+_D9_ORACLE = f"""
+    WITH u AS (
+        SELECT (('0x' || substr(md5('part:' || user_id), 1, 8))::BIGINT)
+               % {_D9_BUCKETS} AS bucket
+        FROM events
+    ),
+    s AS (
+        SELECT (('0x' || substr(md5('part:' || user_id || ':'
+                   || (event_id % {_D9_SALTS})), 1, 8))::BIGINT)
+               % {_D9_BUCKETS} AS bucket
+        FROM events
+    )
+    SELECT 'unsalted' AS variant, count(*) AS n_buckets,
+           CAST(max(cnt) AS BIGINT) AS max_rows,
+           round(max(cnt) / (sum(cnt) / {float(_D9_BUCKETS)!r}), 6)
+               AS balance_ratio
+    FROM (SELECT bucket, count(*) AS cnt FROM u GROUP BY 1)
+    UNION ALL
+    SELECT 'salted_{_D9_SALTS}', count(*),
+           CAST(max(cnt) AS BIGINT),
+           round(max(cnt) / (sum(cnt) / {float(_D9_BUCKETS)!r}), 6)
+    FROM (SELECT bucket, count(*) AS cnt FROM s GROUP BY 1)
+"""
+
+
 _D8_ORACLE = """
     WITH c AS (
         SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
@@ -7618,6 +7706,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plus the worst error — the bytes-vs-accuracy table consulted
         # before sizing a corpus-scale dedup run
         "x80_minhash_size_sweep": X.q_minhash_size_sweep,
+        # d9 NEW in round 14, past the window — ROTATE IN ROUND 15:
+        # the post-shuffle layout balance report before/after j2's
+        # salting cure (md5-bucket model of the hash partitioner) —
+        # d8 measures the skew, j2 applies the fix, d9 publishes what
+        # the fix does to the per-reducer distribution (fixture:
+        # balance ratio ~3.8 → ~1.4)
+        "d9_salt_balance": _d9_salt_balance,
         # -- displaced THIS round (round 14): nine round-11-born
         # queries, each THRICE driver-green (r11 + r12 + r13), subsumed
         # per the inline notes (displacement set vetted in
@@ -8625,6 +8720,7 @@ def oracle_sql() -> dict[str, str]:
         "w26_range_beta": _W26_ORACLE,
         "j7_broadcast_proof": _J7_ORACLE,
         "x80_minhash_size_sweep": X.minhash_size_sweep_oracle(),
+        "d9_salt_balance": _D9_ORACLE,
         "w25_rolling_beta": _W25_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,
