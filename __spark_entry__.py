@@ -6822,10 +6822,14 @@ def _j5_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/J2's co-located form made driver-adjudicable: two per-user
     aggregates persisted hash-BUCKETED on the join key
     (``write_bucketed``, the shuffle-eliminating layout for a
-    repeatedly-joined 100 TB fact table — shuffle-free plan asserted in
-    tests/test_scale.py:19), then joined bucket-to-bucket. The oracle
-    is the plain SQL join — bucketing is a physical layout, so the rows
-    must be IDENTICAL to the unbucketed join."""
+    repeatedly-joined 100 TB fact table), then joined bucket-to-bucket.
+    The oracle is the plain SQL join — bucketing is a physical layout,
+    so the rows must be IDENTICAL to the unbucketed join. Since r14
+    the shuffle-free shape is asserted IN the query under the
+    driver's vanilla session (``assert_shuffle_free`` — the j7 proof
+    discipline; a lost bucket spec would silently reintroduce the
+    fact shuffle while returning identical rows), in addition to the
+    tuned-session pin in tests/test_scale.py:19."""
     import os as _os
 
     from financial_market_data_analysis_spark.sources.batch import write_bucketed
@@ -6850,9 +6854,15 @@ def _j5_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.makedirs(base, exist_ok=True)
     write_bucketed(purch, "j5_purch", "user_id", 8, path=f"{base}/purch")
     write_bucketed(views, "j5_views", "user_id", 8, path=f"{base}/views")
-    return spark.table("j5_purch").join(spark.table("j5_views"), "user_id").select(
+    out = spark.table("j5_purch").join(spark.table("j5_views"), "user_id").select(
         "user_id", "n_purch", "purch_sum", "n_views", "view_avg"
     )
+    from financial_market_data_analysis_spark.operators.joins import (
+        assert_shuffle_free,
+    )
+
+    assert_shuffle_free(out)
+    return out
 
 
 def _w13_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -296,3 +296,21 @@ def assert_star_broadcast(
             f"{n_sh} shuffle exchanges (max {max_shuffles}). Nodes: "
             f"{sorted(set(names))}"
         )
+
+
+def assert_shuffle_free(df: DataFrame, max_shuffles: int = 0) -> None:
+    """Prove a plan moves no data between executors beyond
+    ``max_shuffles`` exchanges — the invariant bucketed layouts exist
+    to buy (j5: two tables bucketed on the join key must join
+    bucket-to-bucket with ZERO ShuffleExchangeExec; a lost bucket spec
+    silently reintroduces the full fact shuffle while returning
+    identical rows). Executes the plan once via
+    :func:`executed_plan_node_names` so AQE's final shape is what gets
+    audited."""
+    names = executed_plan_node_names(df)
+    n_sh = names.count("ShuffleExchangeExec")
+    if n_sh > max_shuffles:
+        raise RuntimeError(
+            f"shuffle-free plan regressed: {n_sh} shuffle exchanges "
+            f"(max {max_shuffles}). Nodes: {sorted(set(names))}"
+        )

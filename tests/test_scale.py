@@ -1366,3 +1366,19 @@ def test_assert_star_broadcast_accepts_and_rejects(spark):
             assert_star_broadcast(bad, n_dims=1, max_shuffles=1)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_assert_shuffle_free_rejects_shuffling_plan(spark):
+    """j5's in-query invariant: the audit must actually fire when a
+    plan shuffles (a groupBy over unbucketed data), not just bless the
+    bucketed happy path (which test_bucketed_join_is_shuffle_free and
+    the driver-adjudicated j5 itself cover)."""
+    import pytest
+
+    from financial_market_data_analysis_spark.operators.joins import (
+        assert_shuffle_free,
+    )
+
+    df = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    with pytest.raises(RuntimeError, match="shuffle-free plan regressed"):
+        assert_shuffle_free(df)
