@@ -2869,6 +2869,106 @@ _S14_ORACLE = """
 """
 
 
+_S15_EPOCHS = 6
+
+
+def _s15_epoch_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 — COMPACTION of the epoch-partitioned warehouse: the
+    operational step the epoch-idempotent sink's docstring promises
+    ("a periodic compaction job can fold the epoch dirs away") and the
+    cure for the small-files problem every streaming parquet warehouse
+    accumulates — N micro-batches write N directories of
+    shuffle-partition-sized fragments, and at 100 TB a year of 5-minute
+    epochs is ~10^5 directories whose per-file open/footer costs
+    dominate the scan. The query builds the store the way the K1 sink
+    does (six epochs through ``epoch_idempotent_writer``), compacts it
+    (drop the epoch column, ``write_sorted`` re-clustered on
+    event_id), and raises unless BOTH halves of the compaction claim
+    hold: (a) the file census shrinks (strictly fewer parquet files
+    than the epoch store), and (b) the compacted layout is
+    skip-PROVABLE again — ``scan_minmax_skipped``'s numOutputRows
+    sandwich over the middle id range, the s14 proof re-run on the
+    compaction OUTPUT, because epoch-append destroys clustering and a
+    compaction that merely concatenates fragments restores none of the
+    I/O story. Published: per-type counts and rounded value sums read
+    FROM the compacted store — the oracle recomputes them from the raw
+    events, adjudicating zero data loss through
+    stage → epochs → compact → recluster.
+
+    Scale shape: the build is six bounded writes; compaction is one
+    range-shuffle pass (the same cost profile as the nightly OPTIMIZE
+    a lakehouse schedules); both proofs are metadata-priced."""
+    import os
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.sources.batch import (
+        scan_minmax_skipped,
+        write_sorted,
+    )
+    from financial_market_data_analysis_spark.streaming import pipeline as SP
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).first()
+    span = bounds.hi - bounds.lo
+    lo, hi = bounds.lo + span // 3, bounds.lo + 2 * span // 3
+    work = tempfile.mkdtemp(prefix="s15_compact_")
+    store, compacted = f"{work}/store", f"{work}/compacted"
+
+    def census(path: str) -> int:
+        return sum(
+            1
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    try:
+        write = SP.epoch_idempotent_writer(store)
+        for i in range(_S15_EPOCHS):
+            write(ev.filter(F.col("event_id") % _S15_EPOCHS == i), i)
+        n_before = census(store)
+        write_sorted(
+            spark.read.parquet(store).drop("epoch_id"),
+            compacted,
+            "event_id",
+            4,
+        )
+        n_after = census(compacted)
+        if not n_after < n_before:
+            raise RuntimeError(
+                f"compaction did not shrink the store: {n_before} "
+                f"files before, {n_after} after"
+            )
+        # the s14 proof re-run on the compaction OUTPUT: the rewritten
+        # layout must be demonstrably skippable on the sort key
+        scan_minmax_skipped(spark, compacted, "event_id", lo, hi)
+        out = (
+            spark.read.parquet(compacted)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("value_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+_S15_ORACLE = """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 6) AS value_sum
+    FROM events
+    GROUP BY event_type
+"""
+
+
 def _t25_stream_evolving_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T25 — the STREAMING form of s11's schema-evolution-tolerant
     ingest (streaming/pipeline.py ``evolving_ingest_sink``, r12
@@ -7723,6 +7823,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the fix does to the per-reducer distribution (fixture:
         # balance ratio ~3.8 → ~1.4)
         "d9_salt_balance": _d9_salt_balance,
+        # s15 NEW in round 14, past the window — ROTATE IN ROUND 15:
+        # compaction of the epoch-partitioned warehouse (the K1 sink's
+        # promised lifecycle step and the small-files cure): raises
+        # unless the file census shrinks AND the compacted layout is
+        # skip-provable again (s14's sandwich re-run on the output);
+        # oracle adjudicates zero data loss through
+        # stage → epochs → compact → recluster
+        "s15_epoch_compaction": _s15_epoch_compaction,
         # -- displaced THIS round (round 14): nine round-11-born
         # queries, each THRICE driver-green (r11 + r12 + r13), subsumed
         # per the inline notes (displacement set vetted in
@@ -8731,6 +8839,7 @@ def oracle_sql() -> dict[str, str]:
         "j7_broadcast_proof": _J7_ORACLE,
         "x80_minhash_size_sweep": X.minhash_size_sweep_oracle(),
         "d9_salt_balance": _D9_ORACLE,
+        "s15_epoch_compaction": _S15_ORACLE,
         "w25_rolling_beta": _W25_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,
