@@ -2869,6 +2869,131 @@ _S14_ORACLE = """
 """
 
 
+def _j8_dpp_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — DYNAMIC partition pruning, proven: the third member of the
+    pruning trilogy. s13 proves STATIC pruning (a literal range on the
+    partition column), s14 proves min/max row-group skipping — j8
+    proves the case real warehouses hit most: the fact's partition
+    filter is not known until runtime because it comes FROM A JOIN (a
+    filtered dimension selects the days), and Catalyst must inject the
+    build side's key set into the fact scan as a dynamic partition
+    filter (reusing the broadcast). Without DPP the plan silently
+    scans every partition and filters after the join — identical
+    rows, full-warehouse I/O; that is precisely the regression class
+    the s13/s14 probes exist for, one optimizer feature deeper. The
+    query writes events day-partitioned, writes a day dimension to
+    parquet (DPP requires a SELECTIVE predicate on a sourced build
+    side — a bare in-memory relation does not qualify), joins fact to
+    the filtered dim, and raises unless BOTH hold on the executed
+    plan: the scan's PartitionFilters carry a ``dynamicpruning``
+    expression, and its ``numPartitions`` metric equals the filtered
+    dim's day count with at least one on-disk day skipped. Published:
+    per-day counts and rounded value sums over the dim-selected days;
+    the oracle recomputes them from raw events with the same
+    day predicate.
+
+    Scale shape: at 100 TB this is the difference between a dimension
+    filter touching 3 days and touching 3 years — and unlike s13's
+    static range it composes with ANY dim predicate the analyst
+    writes."""
+    import os
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.sources.batch import (
+        _find_file_scan,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "value",
+        F.expr("ts_us div 86400000000").cast("int").alias("day_num"),
+    )
+    work = tempfile.mkdtemp(prefix="j8_dpp_")
+    fact_dir, dim_dir = f"{work}/fact", f"{work}/days"
+    try:
+        write_partitioned(ev, fact_dir, ["day_num"])
+        (
+            ev.select("day_num")
+            .distinct()
+            .withColumn(
+                "tag",
+                F.when(F.col("day_num") % 3 == 0, F.lit("audit")).otherwise(
+                    F.lit("normal")
+                ),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dim_dir)
+        )
+        on_disk = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(fact_dir)
+            if d.startswith("day_num=")
+        ]
+        n_expected = sum(1 for v in on_disk if v % 3 == 0)
+        if not 0 < n_expected < len(on_disk):
+            raise RuntimeError(
+                f"dynamic pruning is unprovable: {n_expected} of "
+                f"{len(on_disk)} days selected — nothing to skip"
+            )
+        fact = spark.read.parquet(fact_dir)
+        dim = spark.read.parquet(dim_dir).filter(F.col("tag") == "audit")
+        out = (
+            fact.join(F.broadcast(dim), "day_num")
+            .groupBy(F.col("day_num").cast("long").alias("day_num"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("value_sum"),
+            )
+        )
+        plan = out._jdf.queryExecution().executedPlan()
+        plan.execute().count()  # run exactly this physical plan once
+        if "dynamicpruning" not in plan.toString().lower():
+            raise RuntimeError(
+                "dynamic partition pruning was not planned: no "
+                "dynamicpruning expression in the executed plan — the "
+                "fact scan would read every partition. Plan:\n"
+                f"{plan.toString()}"
+            )
+        leaf = _find_file_scan(plan)
+        if leaf is None:
+            raise RuntimeError(
+                "dynamic pruning is unprovable: no FileSourceScanExec "
+                f"in the executed plan:\n{plan.toString()}"
+            )
+        metrics: dict[str, int] = {}
+        it = leaf.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metrics[kv._1()] = kv._2().value()
+        n_sel = metrics.get("numPartitions")
+        if n_sel != n_expected:
+            raise RuntimeError(
+                f"dynamic pruning failed: scan read {n_sel} partition "
+                f"directories, expected the {n_expected} dim-selected "
+                f"of {len(on_disk)} on disk (metrics: {metrics})"
+            )
+        result = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+_J8_ORACLE = """
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day_num, value
+        FROM events
+    )
+    SELECT day_num, count(*) AS n_events,
+           round(sum(value), 6) AS value_sum
+    FROM d
+    WHERE day_num % 3 = 0
+    GROUP BY day_num
+"""
+
+
 _S15_EPOCHS = 6
 
 
@@ -7831,6 +7956,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle adjudicates zero data loss through
         # stage → epochs → compact → recluster
         "s15_epoch_compaction": _s15_epoch_compaction,
+        # j8 NEW in round 14, past the window — ROTATE IN ROUND 15:
+        # DYNAMIC partition pruning proven — the pruning trilogy's
+        # third member (s13 static range, s14 min/max skipping, j8 the
+        # join-derived runtime filter): raises unless the executed
+        # scan carries a dynamicpruning expression AND its
+        # numPartitions equals the filtered dim's day count with ≥1
+        # day skipped
+        "j8_dpp_proof": _j8_dpp_proof,
         # -- displaced THIS round (round 14): nine round-11-born
         # queries, each THRICE driver-green (r11 + r12 + r13), subsumed
         # per the inline notes (displacement set vetted in
@@ -8840,6 +8973,7 @@ def oracle_sql() -> dict[str, str]:
         "x80_minhash_size_sweep": X.minhash_size_sweep_oracle(),
         "d9_salt_balance": _D9_ORACLE,
         "s15_epoch_compaction": _S15_ORACLE,
+        "j8_dpp_proof": _J8_ORACLE,
         "w25_rolling_beta": _W25_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,
