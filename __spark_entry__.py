@@ -2927,6 +2927,10 @@ def _j8_dpp_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(dim_dir)
         )
+        # directory census via os.listdir (the fixture is local); on
+        # HDFS/S3 swap for FileSystem.listStatus / ListObjectsV2 — one
+        # metadata RPC per audit (the s13/s14 swap note; this query is
+        # a general pattern, not a local-FS one)
         on_disk = [
             int(d.split("=", 1)[1])
             for d in os.listdir(fact_dir)
@@ -2957,11 +2961,16 @@ def _j8_dpp_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "fact scan would read every partition. Plan:\n"
                 f"{plan.toString()}"
             )
-        leaf = _find_file_scan(plan)
+        # select the FACT scan by rootPaths, not traversal order — the
+        # plan also scans the dim parquet, and if AQE ever surfaces the
+        # dim scan first a positional pick would read a scan with no
+        # partition metrics (r14 ADVICE)
+        leaf = _find_file_scan(plan, path_substr=fact_dir)
         if leaf is None:
             raise RuntimeError(
                 "dynamic pruning is unprovable: no FileSourceScanExec "
-                f"in the executed plan:\n{plan.toString()}"
+                f"over {fact_dir} in the executed plan:\n"
+                f"{plan.toString()}"
             )
         metrics: dict[str, int] = {}
         it = leaf.metrics().iterator()
@@ -3045,6 +3054,11 @@ def _s15_epoch_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     store, compacted = f"{work}/store", f"{work}/compacted"
 
     def census(path: str) -> int:
+        # file census via os.walk (the fixture is local); on HDFS/S3
+        # swap for a recursive FileSystem.listStatus / ListObjectsV2
+        # prefix listing — metadata-priced (the s13/s14 swap note;
+        # compaction is a general warehouse pattern, not a local-FS
+        # one)
         return sum(
             1
             for root, _dirs, files in os.walk(path)
@@ -7757,28 +7771,33 @@ def _pipeline_full_row_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness harness
     adjudicates the FIRST 50 entries of this dict (stable since round
-    3), so the first 50 entries are the round-14 adjudication set: the
+    3), so the first 50 entries are the round-15 adjudication set: the
     PERMANENT pinned set (the two flagship pipeline queries plus one
     carrier per SURVEY §2 family — t9, t6b, t4b, j5, j6, t7, t13, a12,
-    x27, x28, x44, x48, ml7 — the capability contract that never
-    rotates out, per the r8 verdict #2), seven round-8-born keepers
-    (the in-window carriers older displacement notes point at —
-    w23/t20/x73/x74 plus x69/a14/q4), four round-10-born keepers (the
-    carriers round 13's displacement notes point at — x75/q2/q11/q21),
-    one round-11-born keeper (q5, the snowflake anchor the round-14
-    displacement notes for q7/q8/q9/q15 all point at), the five
-    round-12 rotations on their third round (x77/s10/t22/s11/ml5a),
-    the nine round-12 births on their second round (t23, s12, a15,
-    a16, w24, a17, a18, x78, t24 — several double as round-14
-    subsumption carriers), and the NINE round-13 births on their
-    first adjudication (t25, t26, a19, d8, x79, a20, t27, s13, w25 —
-    the r13 verdict #1 rotation wave the debt guard bounded to this
-    round, pre-planned in ROTATION_PLAN_r14.md). Nine thrice-green
-    round-11-born queries move past the boundary, each displacement
-    annotated inline. tools/check_rotation_debt.py fails the suite if
-    any oracle-bearing query ever sits ≥2 rounds without a driver
-    row; every displaced query stays covered by the pytest
-    oracle-parity suite every session regardless of the window."""
+    x27, x28, x44, x48, ml7, and t22, GRADUATED to pinned in r15 per
+    the r14 verdict #4: the reference's literal consumer topology at
+    full fan-in, four chained watermarked band joins + dedup, five
+    stateful operators in one query — no other entry subsumes the
+    cross-batch multi-join state law, so no displacement math may
+    ever propose it — the capability contract that never rotates out,
+    per the r8 verdict #2), three round-8-born keepers (the in-window
+    carriers older displacement notes point at — x73/x74/a14), four
+    round-10-born keepers (the carriers round 13's displacement notes
+    point at — x75/q2/q11/q21), one round-11-born keeper (q5, the
+    snowflake anchor the round-14 displacement notes for q7/q8/q9/q15
+    all point at), the nine round-12 births on their third round
+    (t23, s12, a15, a16, w24, a17, a18, x78, t24 — several double as
+    subsumption carriers), the nine round-13 births on their second
+    round (t25, t26, a19, d8, x79, a20, t27, s13, w25), and the EIGHT
+    round-14 births on their first adjudication (s14, t28, w26, j7,
+    x80, d9, s15, j8 — the r14 verdict #1 rotation wave the debt
+    guard bounded to this round, pre-planned in ROTATION_PLAN_r15.md).
+    Eight thrice-or-more-green queries move past the boundary (x77,
+    s10, s11, ml5a, w23, t20, x69, q4), each displacement annotated
+    inline. tools/check_rotation_debt.py fails the suite if any
+    oracle-bearing query ever sits ≥2 rounds without a driver row;
+    every displaced query stays covered by the pytest oracle-parity
+    suite every session regardless of the window."""
     return {
         # -- PINNED carriers: flagships + one per SURVEY §2 family.
         # These never rotate out (r8 verdict #2) — they are the
@@ -7798,21 +7817,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_interval_lookup": _j6_interval_lookup,        # J1 interval/SCD2 probe
         "t7_exactly_once_sink": _t7_exactly_once_sink,    # K1/T7 exactly-once recovery
         "x48_semantic_dedup": X.q_semantic_dedup,         # embedding-dedup family
-        # -- fourth-round round-8-born keepers: the seven in-window
-        # carriers this round's displacement notes point at — x69 the
-        # banded-LSH tuning carrier (and the dedup family's measured-
-        # recall anchor beyond the pinned x44/x48), t20 the keyed
-        # running-moment streaming carrier (t19's subsumption target),
-        # x73/x74 the dedup-graph and funnel/decontamination carriers
-        # (x68's subsumption target), a14 the grouping family, and
-        # w23/q4 whose r10 rows were their first TRUE greens. ----------
-        "x69_lsh_tuning": X.q_lsh_tuning,
-        "w23_williams_r": _w23_williams_r,
-        "t20_stream_anomaly": _t20_stream_anomaly,
+        # t22 GRADUATED to pinned in round 15 (r14 verdict #4, argued
+        # in ROTATION_PLAN_r15.md): the streaming capstone — the
+        # reference's literal consumer topology at full fan-in (four
+        # chained watermarked band joins + key-scoped dedup, five
+        # stateful operators in ONE availableNow query). No other
+        # query subsumes the cross-batch multi-join state law, so no
+        # future displacement math may propose it.
+        "t22_stream_five_feed_join": _t22_stream_five_feed_join,
+        # -- round-8-born keepers: the three in-window carriers the
+        # displacement notes point at — x73/x74 the dedup-graph and
+        # funnel/decontamination carriers (x68's subsumption target),
+        # a14 the grouping family. (w23/t20/x69/q4 displaced r15,
+        # notes below.) -------------------------------------------------
         "x73_leakage_free_split": X.q_leakage_free_split,
         "x74_filter_funnel": X.q_filter_funnel,
         "a14_grouping_sets": _a14_grouping_sets,
-        "q4_order_priority": _q4_order_priority,
         # -- fourth-round round-10-born keepers: the four in-window
         # carriers round 13's nine displacement notes point at — x75
         # (the ANN-representation recall anchor the x63/x65/x66/x70
@@ -7832,25 +7852,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-14 displacement notes for q7/q8/q9/q15 all name as
         # their in-window carrier. ---------------------------------------
         "q5_local_volume": _q5_local_volume,
-        # -- third-round adjudication of the round-12 rotations: the
-        # two debt-bounded r11 births x77/s10 and the three r12 births
-        # t22 (the 4×-chained stream-stream band join at full fan-in —
-        # the reference's literal consumer topology), s11 (schema-
-        # evolution-TOLERANT ingest) and ml5a (the oracle-checked
-        # deterministic prefix of the windowed-MLP pipeline). ----------
-        "x77_ivf_nprobe_sweep": X.q_ivf_nprobe_sweep,
-        "s10_schema_drift": _s10_schema_drift,
-        "t22_stream_five_feed_join": _t22_stream_five_feed_join,
-        "s11_schema_evolution_ingest": _s11_schema_evolution_ingest,
-        "ml5a_window_scaler": X.q_ml_window_scaler,
-        # -- second-round adjudication of the round-13 rotations (the
-        # nine r12 births, first driver-green in r13): t23 contract-
-        # drift accounting, s12 the JSONL evolution twin, a15/a16 the
-        # clickstream pair, w24 batch gap fill, a17/a18 the reshape
-        # pair, x78 the near-dup shootout, t24 the streaming gap-fill
-        # twin — several double as round-14 subsumption carriers (a17
-        # for the CASE/pivot family, t23/t25 for ingest accounting,
-        # s12 for JSONL quarantine). ------------------------------------
+        # -- third-round adjudication of the round-13 rotations (the
+        # nine r12 births): t23 contract-drift accounting, s12 the
+        # JSONL evolution twin, a15/a16 the clickstream pair, w24
+        # batch gap fill, a17/a18 the reshape pair, x78 the near-dup
+        # shootout, t24 the streaming gap-fill twin — several double
+        # as subsumption carriers (a17 for the CASE/pivot family,
+        # t23/t25 for ingest accounting, s12 for JSONL quarantine,
+        # t23 for s10's drift-report family displaced r15). -------------
         "t23_stream_drift_accounting": _t23_stream_drift_accounting,
         "s12_jsonl_evolution_ingest": _s12_jsonl_evolution_ingest,
         "a15_funnel_conversion": _a15_funnel_conversion,
@@ -7860,11 +7869,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a18_twap_daily": _a18_twap_daily,
         "x78_neardup_method_table": X.q_neardup_method_table,
         "t24_stream_gap_fill": _t24_stream_gap_fill,
-        # -- rotated IN this round (round 14) for FIRST adjudication:
-        # the nine r13 births the debt guard bounded to this round
-        # (r13 verdict #1, pre-planned in ROTATION_PLAN_r14.md; every
-        # one passed the judge's independent verify_contract run at
-        # sf0.01 in the r13 session): ------------------------------------
+        # -- second-round adjudication of the round-14 rotations (the
+        # nine r13 births, first driver-green in r14; several double
+        # as r15 subsumption carriers — t26 for ml5a's scale+forward,
+        # w25 for the W-indicator family, t27 for the append-only
+        # sketch store): --------------------------------------------------
         # t25: the STREAMING schema-evolution ingest — version-tagged
         # lines widen to the declared union contract mid-stream;
         # only true row-level conflicts quarantine
@@ -7903,68 +7912,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on the view return series; one shared ROWS-frame window pass
         # for all four moment aggregates
         "w25_rolling_beta": _w25_rolling_beta,
-        # ------------------------------------------------- entry 50 ends
-        # s14 NEW in round 14, past the window (oracle-bearing,
-        # entry-parity-checked every session) — ROTATE IN ROUND 15
-        # (tools/check_rotation_debt.py enforces it): range-clustered
-        # write + PROVEN min/max row-group skipping on a NON-partition
-        # sort column (numOutputRows sandwich on the executed scan) —
-        # the physical-layout tier one level below s13's directory
-        # pruning
+        # -- rotated IN this round (round 15) for FIRST adjudication:
+        # the eight r14 births the debt guard bounded to this round
+        # (r14 verdict #1, pre-planned in ROTATION_PLAN_r15.md; every
+        # one passed the judge's independent verify_contract run at
+        # sf0.01 in the r14 session): ------------------------------------
+        # s14: range-clustered write + PROVEN min/max row-group
+        # skipping on a NON-partition sort column (numOutputRows
+        # sandwich on the executed scan) — the physical-layout tier
+        # one level below s13's directory pruning
         "s14_minmax_skipped_scan": _s14_minmax_skipped_scan,
-        # t28 NEW in round 14, past the window — ROTATE IN ROUND 15:
-        # a19's sessionization as a single-pass stateful streaming
-        # operator (O(1) three-long state per key, data-driven close)
-        # with the cross-batch session-merge law proven: the query
-        # raises unless an emitted session spans the micro-batch cut,
-        # and the oracle is the exact closed-session set (no watermark
-        # trim) — what t24 proved for gap-fill carry, for sessions
+        # t28: a19's sessionization as a single-pass stateful
+        # streaming operator (O(1) three-long state per key,
+        # data-driven close) with the cross-batch session-merge law
+        # proven: the query raises unless an emitted session spans the
+        # micro-batch cut, and the oracle is the exact closed-session
+        # set (no watermark trim) — what t24 proved for gap-fill
+        # carry, for sessions
         "t28_stream_sessionize": _t28_stream_sessionize,
-        # w26 NEW in round 14, past the window — ROTATE IN ROUND 15:
-        # w25's rolling OLS beta/alpha on a time-RANGE frame (trailing
-        # 1 day of EVENT TIME, pair count floats, gated ≥5 pairs) —
-        # the fixed-horizon semantics an irregular series needs, where
-        # the ROWS twin's horizon silently varies with density
+        # w26: w25's rolling OLS beta/alpha on a time-RANGE frame
+        # (trailing 1 day of EVENT TIME, pair count floats, gated ≥5
+        # pairs) — the fixed-horizon semantics an irregular series
+        # needs, where the ROWS twin's horizon silently varies with
+        # density
         "w26_range_beta": _w26_range_beta,
-        # j7 NEW in round 14, past the window — ROTATE IN ROUND 15:
-        # the supplier-side snowflake with its PLAN SHAPE raised to an
-        # invariant: the executed plan must hold ≥3 broadcast hash
-        # joins, zero shuffle joins, ≤1 shuffle exchange — the silent
-        # regression (hint dropped, threshold crossed, AQE flip) that
-        # returns identical rows while shuffling the fact per dim
+        # j7: the supplier-side snowflake with its PLAN SHAPE raised
+        # to an invariant: the executed plan must hold ≥3 broadcast
+        # hash joins, zero shuffle joins, ≤1 shuffle exchange — the
+        # silent regression (hint dropped, threshold crossed, AQE
+        # flip) that returns identical rows while shuffling the fact
+        # per dim
         "j7_broadcast_proof": _j7_broadcast_proof,
-        # x80 NEW in round 14, past the window — ROTATE IN ROUND 15:
-        # the MinHash SKETCH-SIZE trade-off measured (x78/x79 pattern
-        # applied to the sketch itself): per k ∈ {4,8,16,32}, how many
-        # candidate pairs' estimated Jaccard lands within 0.05/0.10 of
-        # the true shingle Jaccard (exact integer-arithmetic counts)
-        # plus the worst error — the bytes-vs-accuracy table consulted
-        # before sizing a corpus-scale dedup run
+        # x80: the MinHash SKETCH-SIZE trade-off measured (x78/x79
+        # pattern applied to the sketch itself): per k ∈ {4,8,16,32},
+        # how many candidate pairs' estimated Jaccard lands within
+        # 0.05/0.10 of the true shingle Jaccard (exact
+        # integer-arithmetic counts) plus the worst error — the
+        # bytes-vs-accuracy table consulted before sizing a
+        # corpus-scale dedup run
         "x80_minhash_size_sweep": X.q_minhash_size_sweep,
-        # d9 NEW in round 14, past the window — ROTATE IN ROUND 15:
-        # the post-shuffle layout balance report before/after j2's
-        # salting cure (md5-bucket model of the hash partitioner) —
-        # d8 measures the skew, j2 applies the fix, d9 publishes what
-        # the fix does to the per-reducer distribution (fixture:
+        # d9: the post-shuffle layout balance report before/after
+        # j2's salting cure (md5-bucket model of the hash partitioner)
+        # — d8 measures the skew, j2 applies the fix, d9 publishes
+        # what the fix does to the per-reducer distribution (fixture:
         # balance ratio ~3.8 → ~1.4)
         "d9_salt_balance": _d9_salt_balance,
-        # s15 NEW in round 14, past the window — ROTATE IN ROUND 15:
-        # compaction of the epoch-partitioned warehouse (the K1 sink's
-        # promised lifecycle step and the small-files cure): raises
-        # unless the file census shrinks AND the compacted layout is
-        # skip-provable again (s14's sandwich re-run on the output);
-        # oracle adjudicates zero data loss through
+        # s15: compaction of the epoch-partitioned warehouse (the K1
+        # sink's promised lifecycle step and the small-files cure):
+        # raises unless the file census shrinks AND the compacted
+        # layout is skip-provable again (s14's sandwich re-run on the
+        # output); oracle adjudicates zero data loss through
         # stage → epochs → compact → recluster
         "s15_epoch_compaction": _s15_epoch_compaction,
-        # j8 NEW in round 14, past the window — ROTATE IN ROUND 15:
-        # DYNAMIC partition pruning proven — the pruning trilogy's
+        # j8: DYNAMIC partition pruning proven — the pruning trilogy's
         # third member (s13 static range, s14 min/max skipping, j8 the
         # join-derived runtime filter): raises unless the executed
         # scan carries a dynamicpruning expression AND its
         # numPartitions equals the filtered dim's day count with ≥1
         # day skipped
         "j8_dpp_proof": _j8_dpp_proof,
-        # -- displaced THIS round (round 14): nine round-11-born
+        # ------------------------------------------------- entry 50 ends
+        # -- displaced THIS round (round 15): eight thrice-or-more-
+        # green queries, subsumed per the inline notes (displacement
+        # set vetted in ROTATION_PLAN_r15.md); all stay
+        # pytest-oracle-checked every session ---------------------------
+        # x77: the IVF nprobe recall/cost sweep is carried in-window
+        # by x75 (the ANN-representation recall anchor, same
+        # measured-recall kernel over the same IVF index family) and
+        # x79 (order quality over the same method set); the
+        # nprobe-sweep table stays pytest-oracle-checked
+        "x77_ivf_nprobe_sweep": X.q_ivf_nprobe_sweep,
+        # s10: the contract-drift DETECT report is carried in-window
+        # by t23 (per-epoch drift accounting — the same null/drift
+        # fractions streamed) and the s12/t25 evolution ingests whose
+        # quarantine accounting supersets s10's violation rows
+        "s10_schema_drift": _s10_schema_drift,
+        # s11: the schema-evolution-tolerant CSV ingest is carried
+        # in-window by s12 (the JSONL evolution twin — schema-per-row
+        # drift, strictly harder) and t25 (the STREAMING evolution
+        # ingest with the same widen-to-declared-union contract)
+        "s11_schema_evolution_ingest": _s11_schema_evolution_ingest,
+        # ml5a: the min-max scale + deterministic forward prefix is
+        # carried in-window by t26 (the composed inference loop
+        # re-runs the identical broadcast min-max normalize + logistic
+        # forward every round) and pinned ml7's scorer; the windowed
+        # tensor assembly stays pytest-oracle-checked
+        "ml5a_window_scaler": X.q_ml_window_scaler,
+        # w23: the bounded-frame indicator family is carried in-window
+        # by w25/w26 (the rolling-beta pair over the same per-key
+        # ordered frames) and the pinned flagships' W1-W8 (stochastic
+        # %K is W5 — Williams %R is its affine twin); the kernel stays
+        # pytest-oracle-checked
+        "w23_williams_r": _w23_williams_r,
+        # t20: keyed running-moment streaming state is carried
+        # in-window by pinned t9 (the same applyInPandasWithState
+        # machinery) and t28 (the stateful-operator carrier with the
+        # cross-batch merge proof); the anomaly-gate fold stays
+        # pytest-pinned
+        "t20_stream_anomaly": _t20_stream_anomaly,
+        # x69: the banded-LSH tuning table is carried in-window by x80
+        # (the same shingle→band machinery at the standard config PLUS
+        # the sketch-size sweep) and the pinned x44/x48/x28 dedup
+        # recall anchors; the band-tuning table stays
+        # pytest-oracle-checked
+        "x69_lsh_tuning": X.q_lsh_tuning,
+        # q4: the order-priority EXISTS semi-join is carried in-window
+        # by q21 (the EXISTS + NOT EXISTS double correlation, the
+        # harder form) and a15's LEFT SEMI funnel; the date-range
+        # count rollup stays pytest-oracle-checked
+        "q4_order_priority": _q4_order_priority,
+        # -- displaced in round 14: nine round-11-born
         # queries, each THRICE driver-green (r11 + r12 + r13), subsumed
         # per the inline notes (displacement set vetted in
         # ROTATION_PLAN_r14.md); all stay pytest-oracle-checked every
@@ -7980,9 +8037,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # profit CASE/share algebra is carried by in-window a17's
         # declared-values pivot
         "q9_product_profit": _q9_product_profit,
-        # q12: the priority CASE classification is carried in-window by
-        # a17 (declared-values CASE pivot over event types) and the
-        # order-priority semi-join family by pinned q4
+        # q12 (note updated r15: q4 displaced): the priority CASE
+        # classification is carried in-window by a17 (declared-values
+        # CASE pivot over event types) and the order-priority
+        # semi-join family by q21's EXISTS correlation (q4's own
+        # subsumption carrier)
         "q12_lateness_priority": _q12_lateness_priority,
         # q14: the conditional-share CASE (promo revenue fraction) is
         # carried in-window by a17's declared-values pivot — the same
@@ -7998,10 +8057,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the scalar availability gate by q11's global-scalar-
         # broadcast-back kernel
         "q20_bulk_suppliers": _q20_bulk_suppliers,
-        # s8: the schema-enforced CSV parse + quarantine split is
-        # carried in-window by s11 (the schema-evolution-tolerant
-        # superset of the same PERMISSIVE+corrupt-column contract) and
-        # its streaming twin t25; the ingest accounting rows ride t23
+        # s8 (note updated r15: s11 displaced): the schema-enforced
+        # CSV parse + quarantine split is carried in-window by t25
+        # (the STREAMING evolution ingest running the same
+        # PERMISSIVE+corrupt-column widen contract) and s12 (the
+        # JSONL evolution twin); the ingest accounting rows ride t23
         "s8_csv_quarantine": _s8_csv_quarantine,
         # s9: the JSONL quarantine split is carried in-window by s12
         # (the JSONL evolution twin — schema-per-row drift is the
@@ -8024,11 +8084,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snowflake with broadcast dims and runs the region-gated
         # revenue sum every round
         "q7_nation_volume": _q7_nation_volume,
-        # q10 (note updated r14: q18 + the q12/q14 CASE pair
-        # displaced): the group-HAVING key-set + top-N shape is
-        # carried in-window by q21's EXISTS key-set correlation over
-        # the pinned j5/q4 customer×orders assembly; the returnflag
-        # CASE family rides in-window a17's declared-values pivot
+        # q10 (note updated r15: q4 displaced): the group-HAVING
+        # key-set + top-N shape is carried in-window by q21's EXISTS
+        # key-set correlation over the pinned j5 customer×orders
+        # assembly; the returnflag CASE family rides in-window a17's
+        # declared-values pivot
         "q10_returned_items": _q10_returned_items,
         # q13: the outer-join-where-the-unmatched-side-matters kernel
         # is carried in-window by w24 (its gap spine LEFT-joins the
@@ -8066,11 +8126,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the harder double-correlated form); the scalar-avg-threshold
         # gate is q11's in-window global-scalar-broadcast-back kernel
         "q22_idle_balances": _q22_idle_balances,
-        # x76: the shingle/gram build + gram-keyed partial aggregation
-        # runs in-window inside x69 (the same 8-gram scan feeding LSH
-        # banding) and x74's decontamination stage (bench-shingle gram
-        # anti-join); the novelty-fraction algebra stays
-        # pytest-oracle-checked every session
+        # x76 (note updated r15: x69 displaced): the shingle/gram
+        # build + gram-keyed partial aggregation runs in-window inside
+        # x80 (the same 8-gram scan feeding LSH banding, x69's own
+        # subsumption carrier) and x74's decontamination stage
+        # (bench-shingle gram anti-join); the novelty-fraction algebra
+        # stays pytest-oracle-checked every session
         "x76_ngram_novelty": X.q_ngram_novelty,
         # -- displaced in round 12: five round-8-born
         # queries, each THRICE driver-green (r9 + r10 + r11), subsumed
@@ -8093,14 +8154,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the pinned x28 corpus flagship; the graded-score kernel stays
         # pytest-oracle-checked
         "x68_contamination_scores": X.q_contamination_scores,
-        # t19: keyed running-moment streaming state is carried in-window
-        # by t20 (same closed-form fold machinery, same
-        # applyInPandasWithState surface) and the pinned t9 suite
+        # t19 (note updated r15: t20 displaced): keyed running-moment
+        # streaming state is carried in-window by pinned t9 (the same
+        # applyInPandasWithState surface) and t28 (the stateful-
+        # operator carrier with the cross-batch merge proof)
         "t19_stream_ols": _t19_stream_ols,
-        # d7 (note updated r14: s8/s9/t21 displaced): the report
-        # family is carried in-window by s10's contract report,
-        # s11/s12/t23/t25's ingest + drift accounting, and x74's
-        # funnel conservation rows; the orphan/reconciliation kernels
+        # d7 (note updated r15: s10/s11 displaced): the report
+        # family is carried in-window by t23's per-epoch drift
+        # accounting (s10's own subsumption carrier), s12/t25's
+        # evolution-ingest quarantine accounting, and x74's funnel
+        # conservation rows; the orphan/reconciliation kernels
         # stay pytest-oracle-checked
         "d7_quality_checks": _d7_quality_checks,
         # -- displaced in round 11: ten round-8-born queries, each
@@ -8110,18 +8173,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # projections (jl48/32/16 prefixes) through the same
         # measured-recall kernel
         "x66_projected_recall": X.q_projected_recall,
-        # t16: pinned a12 adjudicates the histogram-quantile kernel
-        # batch-side; its streamed delivery rides the same foreachBatch
-        # machinery as in-window t20 (note updated r12: t19 displaced)
+        # t16 (note updated r15: t20 displaced): pinned a12
+        # adjudicates the histogram-quantile kernel batch-side; its
+        # streamed delivery rides the same foreachBatch machinery as
+        # in-window t27's incremental sketch store
         "t16_stream_hist_quantiles": _t16_stream_hist_quantiles,
-        # w22: the bounded-frame indicator family is carried in-window
-        # by w23 (its stochastic twin) and the pinned flagships' W1-W8
+        # w22 (note updated r15: w23 displaced): the bounded-frame
+        # indicator family is carried in-window by w25/w26 (the
+        # rolling-beta pair over the same per-key ordered frames) and
+        # the pinned flagships' W1-W8
         "w22_cmf": _w22_cmf,
-        # ml9/ml10: the closed-form OLS normal-equation fold and the
-        # grouped/k-fold assignment stay pytest-oracle-checked; its
-        # streamed keyed-state delivery is carried in-window by t20's
-        # identical fold machinery (note updated r12: t19 displaced,
-        # itself subsumed by t20 + pinned t9)
+        # ml9/ml10 (note updated r15: t20 displaced): the closed-form
+        # OLS normal-equation fold and the grouped/k-fold assignment
+        # stay pytest-oracle-checked; the streamed keyed-state
+        # delivery is carried in-window by pinned t9's identical
+        # applyInPandasWithState machinery and t28's stateful-operator
+        # proof
         "ml9_grouped_ols": _ml9_grouped_ols,
         "ml10_cv_ols": _ml10_cv_ols,
         # x67: the graph family's component machinery runs in-window
@@ -8130,18 +8197,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x67_clustering_coef": X.q_clustering_coef,
         # t18 (reworked r14 onto t27's append-only epoch-idempotent
         # store — the COW snapshot chain is retired for idempotent-
-        # monoid sketches): pinned t13 + in-window t20 carry streamed
-        # keyed state; in-window t27 adjudicates the append-only store
-        # pattern itself; the KMV union algebra is unit-pinned and its
-        # batch form (x51/x55) stays pytest-oracle-checked
+        # monoid sketches; note updated r15: t20 displaced): pinned
+        # t13 + t9 carry streamed keyed state; in-window t27
+        # adjudicates the append-only store pattern itself; the KMV
+        # union algebra is unit-pinned and its batch form (x51/x55)
+        # stays pytest-oracle-checked
         "t18_stream_kmv": _t18_stream_kmv,
         # x70: in-window x75's pq8-ADC leg recomputes the identical
         # codebook train + m-ordered ADC fold
         "x70_pq_adc_recall": X.q_pq_adc_recall,
-        # x71/x72: the report family is carried in-window by x74's
-        # funnel rows and s10's contract report (note updated r12: d7
-        # displaced); the label×dim / source×token algebra stays
-        # pytest-oracle-checked
+        # x71/x72 (note updated r15: s10 displaced): the report family
+        # is carried in-window by x74's funnel rows and t23's drift
+        # accounting (s10's own subsumption carrier); the label×dim /
+        # source×token algebra stays pytest-oracle-checked
         "x71_centroid_matrix": X.q_centroid_matrix,
         "x72_source_kl": X.q_source_kl,
         # -- displaced in round 10: the thirteen round-8-born
@@ -8162,9 +8230,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the degree-oriented triangle-count kernel stays
         # pytest-oracle-checked every session
         "x61_triangle_counts": X.q_triangle_counts,
-        # w21 (note updated r13: w22 displaced r11): the bounded-frame
-        # indicator family is carried in-window by w23 and the pinned
-        # flagships' W1-W8; the Wilder recurrence is pytest-pinned
+        # w21 (note updated r15: w23 displaced): the bounded-frame
+        # indicator family is carried in-window by w25/w26 and the
+        # pinned flagships' W1-W8; the Wilder recurrence is
+        # pytest-pinned
         "w21_adx": _w21_adx,
         # x62 (note updated r13: ml9/ml10 displaced r11): the
         # classifier family is carried by pinned ml7 (the same
@@ -8177,10 +8246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x63_embed_quantize": X.q_embed_quantize,
         # x64: DSIR importance weights are dependent-free
         "x64_dsir_weights": X.q_dsir_weights,
-        # ml8 (note updated r13: t19 displaced r12): the closed-form
-        # OLS normal-equation fold is carried in-window by t20's
-        # running-moment keyed state (t19's own subsumption target);
-        # ml8's forecast oracle stays pytest-checked every session
+        # ml8 (note updated r15: t20 displaced): the closed-form
+        # OLS normal-equation fold's streamed delivery is carried
+        # in-window by pinned t9's keyed-state machinery and w25/w26's
+        # batch OLS beta/alpha moments (t19/t20's own subsumption
+        # targets); ml8's forecast oracle stays pytest-checked every
+        # session
         "ml8_linreg_forecast": _ml8_linreg,
         # a13: in-window a14 adjudicates the same Expand family at
         # explicit GROUPING SETS granularity
@@ -8204,11 +8275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greedy token-budget packer it feeds is adjudicated inside
         # in-window x28 every round
         "x25_chunk_docs": X.q_chunk_documents,
-        # w19 (note updated r13: w21/w22 displaced r10/r11): the
-        # bounded-frame indicator family is carried in-window by w23
-        # and the pinned flagships' W1-W8 (ATR is W7, Keltner's
-        # midline/band algebra composes it); the Wilder recurrence
-        # stays pytest-pinned
+        # w19 (note updated r15: w23 displaced): the bounded-frame
+        # indicator family is carried in-window by w25/w26 and the
+        # pinned flagships' W1-W8 (ATR is W7, Keltner's midline/band
+        # algebra composes it); the Wilder recurrence stays
+        # pytest-pinned
         "w19_keltner": _w19_keltner,
         # ml6: in-window ml7 recomputes the IDENTICAL fixed-coefficient
         # logistic scorer over the same lag matrix before the AUC sweep
@@ -8220,9 +8291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity in-window every round); the KMV bottom-k sketch and
         # its union algebra stay unit- and pytest-oracle-pinned
         "x55_kmv_setops": X.q_kmv_setops,
-        # t12 (note updated r13: t16/t18 displaced r11): streamed
-        # keyed-sketch delivery rides the same foreachBatch/keyed-state
-        # machinery as in-window t20; pinned a12 adjudicates the
+        # t12 (note updated r15: t20 displaced): streamed keyed-sketch
+        # delivery rides the same foreachBatch machinery as in-window
+        # t27's incremental sketch store; pinned a12 adjudicates the
         # sketch-vs-exact kernel batch-side; the count-min merge
         # algebra stays unit-pinned by the sketch-merge tests
         "t12_stream_countmin": _t12_stream_countmin,
@@ -8238,10 +8309,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # forms stay pytest-oracle-checked every session
         "x50_countmin_topk": X.q_countmin_topk,
         "x51_kmv_distinct": X.q_kmv_distinct,
-        # x52 (note updated r13: d7/x68/x72 displaced r11-r12): the
-        # datacard composes x1-family stats; the report-query family
-        # is carried in-window by s10's contract report and x74's
-        # funnel accounting rows (the same carriers d7's and x72's own
+        # x52 (note updated r15: s10 displaced): the datacard composes
+        # x1-family stats; the report-query family is carried
+        # in-window by t23's drift accounting and x74's funnel
+        # accounting rows (the same carriers d7's and x72's own
         # subsumption notes point at)
         "x52_corpus_datacard": X.q_corpus_datacard,
         # x53 (note updated r13: x68 displaced r12): the bench-shingle
@@ -8249,10 +8320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # runs the decontamination stage) and the pinned x28 corpus
         # flagship; the Bloom FP-rate measurement stays pytest-pinned
         "x53_bloom_decontaminate": X.q_bloom_decontaminate,
-        # w15/w16/w17/w20 (note updated r13: w21/w22 displaced
-        # r10/r11): the bounded-frame indicator family is carried
-        # in-window by w23 (stochastic's twin) and the pinned
-        # flagships' W1-W8 frames; the Wilder/EWMA/OBV/Donchian-midline
+        # w15/w16/w17/w20 (note updated r15: w23 displaced): the
+        # bounded-frame indicator family is carried in-window by
+        # w25/w26 (the rolling-beta pair) and the pinned flagships'
+        # W1-W8 frames; the Wilder/EWMA/OBV/Donchian-midline
         # kernels stay pytest-oracle-checked every session
         "w15_rsi": _w15_rsi,
         "w16_obv": _w16_obv,
@@ -8271,14 +8342,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leakage-free split); the PR power-iteration loop and the
         # triangle/coefficient kernels stay pytest-oracle-checked
         "x47_pagerank": X.q_pagerank,
-        # x58 (note updated r13: x72 displaced r11): the per-source
+        # x58 (note updated r15: s10 displaced): the per-source
         # token algebra is carried in-window by x74's funnel
-        # accounting and s10's contract report (x72's own subsumption
+        # accounting and t23's drift accounting (x72's own subsumption
         # carriers); the overlap/KL report stays pytest-oracle-checked
         "x58_source_overlap": X.q_source_overlap,
-        # t11 (note updated r13: t19 displaced r12): in-window t9 runs
-        # the same applyInPandasWithState machinery; t20 adjudicates
-        # streamed running-moment state
+        # t11 (note updated r15: t20 displaced): pinned t9 runs
+        # the same applyInPandasWithState machinery; t28 adjudicates
+        # the stateful-operator merge law in-window
         "t11_stateful_momentum": _t11_stateful_momentum,
         # x49: in-window x73 RUNS the identical simhash→CC cluster
         # resolution (x16's) underneath its split rule
@@ -8298,7 +8369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml2b_feature_matrix": X.q_ml_feature_matrix,
         "w12_rolling_corr": _w12_rolling_corr,
         "ml5_window_mlp": X.q_ml_window_mlp,  # rows-only (no oracle;
-        # its deterministic prefix is in-window ml5a_window_scaler)
+        # note updated r15: ml5a displaced — its deterministic
+        # scale+forward prefix is carried in-window by t26's composed
+        # inference loop; ml5a itself stays pytest-oracle-checked)
 
         # -- displaced in round 7 (multi-round driver-green) ----------
         "a9_corr_matrix": _a9_corr_matrix,
@@ -8388,9 +8461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_rolling_fingerprint": X.q_rolling_fp,
         "x14_quality_filter": X.q_quality_filter,
         "q5_region_revenue": _q5_region_revenue,
-        # (q18_large_orders moved in-window this round: the r3 HAVING-
-        # join version was superseded by the r11 rebuild with the
-        # top-N and broadcast-direction upgrades)
+        # (q18_large_orders listed in the round-14 displaced block
+        # above: the r3 HAVING-join version was superseded by the r11
+        # rebuild with the top-N and broadcast-direction upgrades)
         "a1_minmax_params": _a1_minmax_params,
         "a2_event_stats": _a2_event_stats,
         "f7_relative_levels": _f7_relative_levels,

@@ -247,13 +247,34 @@ def executed_plan_node_names(df: DataFrame) -> list[str]:
     their subtrees behind LeafExecNode facades (``AdaptiveSparkPlanExec``
     via ``executedPlan``, ``*QueryStageExec`` via ``plan`` — the
     sources/batch.py ``_find_file_scan`` lesson generalized to whole
-    plans). The list is the raw material for plan-SHAPE invariants:
-    which join strategies ran, how many shuffles, after AQE had its
-    final say — things a correctness hash can never see."""
+    plans). ``ReusedExchangeExec`` is a LeafExecNode that stands in
+    for an exchange planned elsewhere in the same query; it is
+    recorded as ``Reused:<reused node's class>`` (without walking its
+    subtree, which already appears under the original) so shuffle
+    counters can see reuse instead of undercounting (r14 ADVICE).
+
+    COST NOTE (r14 ADVICE): ``plan.execute().count()`` runs the job
+    HERE so AQE's final shape is what gets walked — an audited query
+    that is also collected afterwards (the driver harness does both)
+    therefore executes twice. That is the deliberate price of the
+    proof queries (j5/j7/j8/s14/s15): one extra fixture-scale
+    execution per adjudication, bounded and documented. Reusing the
+    pre-finalized plan without executing would read the PRE-AQE shape
+    and defeat the audit.
+
+    The list is the raw material for plan-SHAPE invariants: which
+    join strategies ran, how many shuffles, after AQE had its final
+    say — things a correctness hash can never see."""
     names: list[str] = []
 
     def walk(p) -> None:
         name = p.getClass().getSimpleName()
+        if name == "ReusedExchangeExec":
+            # leaf facade for an exchange materialized once elsewhere:
+            # record what KIND of exchange is being reused, don't
+            # re-walk its subtree (the original occurrence covers it)
+            names.append(f"Reused:{p.child().getClass().getSimpleName()}")
+            return
         names.append(name)
         if name == "AdaptiveSparkPlanExec":
             walk(p.executedPlan())
@@ -267,6 +288,15 @@ def executed_plan_node_names(df: DataFrame) -> list[str]:
     plan.execute().count()  # run exactly this plan so AQE finalizes
     walk(plan)
     return names
+
+
+def _count_shuffles(names: list[str]) -> int:
+    """ShuffleExchangeExec occurrences plus reused shuffle exchanges —
+    a plan that reuses a shuffle still paid for (and reads) it, so
+    audits must count both forms (r14 ADVICE)."""
+    return names.count("ShuffleExchangeExec") + names.count(
+        "Reused:ShuffleExchangeExec"
+    )
 
 
 def assert_star_broadcast(
@@ -288,7 +318,7 @@ def assert_star_broadcast(
     n_smj = names.count("SortMergeJoinExec") + names.count(
         "ShuffledHashJoinExec"
     )
-    n_sh = names.count("ShuffleExchangeExec")
+    n_sh = _count_shuffles(names)
     if n_bhj < n_dims or n_smj > 0 or n_sh > max_shuffles:
         raise RuntimeError(
             f"star-join plan regressed: {n_bhj} broadcast joins "
@@ -306,9 +336,10 @@ def assert_shuffle_free(df: DataFrame, max_shuffles: int = 0) -> None:
     silently reintroduces the full fact shuffle while returning
     identical rows). Executes the plan once via
     :func:`executed_plan_node_names` so AQE's final shape is what gets
-    audited."""
+    audited. Reused shuffle exchanges count toward the budget (see
+    :func:`_count_shuffles`)."""
     names = executed_plan_node_names(df)
-    n_sh = names.count("ShuffleExchangeExec")
+    n_sh = _count_shuffles(names)
     if n_sh > max_shuffles:
         raise RuntimeError(
             f"shuffle-free plan regressed: {n_sh} shuffle exchanges "

@@ -345,7 +345,16 @@ def rolling_beta_range(
     gate; the flat-x guard (var_pop = 0 → NULL) is identical. The
     frame key must be numeric — engines agree exactly on integer
     range bounds, where interval/timestamp frames invite boundary
-    drift."""
+    drift.
+
+    GATING CONTRACT (r14 ADVICE): the pair count tallies rows where
+    BOTH ``y_col`` and ``x_col`` are non-null — the rows
+    ``covar_pop``/``var_pop`` actually consume. A ``count(*)``-based
+    oracle agrees only while no nulls reach the frame (w26 pre-filters
+    them before its join); an oracle for a caller whose frames can
+    contain nulls must count non-null PAIRS
+    (``count(CASE WHEN y IS NOT NULL AND x IS NOT NULL THEN 1 END)``)
+    or the gate diverges cross-engine."""
     base = (
         Window.partitionBy(*partition_cols)
         if partition_cols

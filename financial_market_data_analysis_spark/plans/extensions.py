@@ -6424,8 +6424,11 @@ def q_minhash_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     per signature length k ∈ {4, 8, 16, 32}, how close is the
     estimated Jaccard (the fraction of matching minhash seeds — an
     unbiased estimator with σ = sqrt(J(1−J)/k)) to the TRUE shingle
-    Jaccard, over the banded candidate pairs the standard config
-    surfaces. This is the number consulted before sizing a corpus-
+    Jaccard, over the banded candidate pairs the sliced 8-seed config
+    surfaces (banding runs on THIS query's sliced hash family, so the
+    candidate set is not x78's minhash_signatures-based one — parity
+    holds because the oracle bands the same sliced values; r14
+    ADVICE wording fix). This is the number consulted before sizing a corpus-
     scale dedup run: k is bytes-per-document AND shuffle bytes in
     every band join, and the table shows what each doubling buys.
     The signatures NEST (seed s belongs to every k > s), so one

@@ -266,7 +266,7 @@ def scan_partition_pruned(
     return base.filter(cond)
 
 
-def _find_file_scan(plan):
+def _find_file_scan(plan, path_substr: str | None = None):
     """The ``FileSourceScanExec`` among an executed plan's leaves,
     selected by node TYPE rather than position (r13 advice): if AQE is
     forced onto the probe (``spark.sql.adaptive.forceApply``, or a
@@ -278,20 +278,33 @@ def _find_file_scan(plan):
     ``*QueryStageExec`` (also a leaf) whose real subtree hangs off
     ``plan()``. Unwrap both wrappers recursively; return None when no
     file scan exists so the caller can raise with the full plan
-    string."""
+    string.
+
+    ``path_substr`` disambiguates plans holding MORE THAN ONE file
+    scan (r14 advice: j8's plan scans both the fact and the dim
+    parquet, and whichever traversal order surfaces first would
+    otherwise win): only a scan whose relation rootPaths contain the
+    substring matches, so an audit reads metrics off the scan it
+    means (e.g. the fact directory), whatever AQE does to node
+    order."""
     leaves = plan.collectLeaves()
     for i in range(leaves.size()):
         leaf = leaves.apply(i)
         name = leaf.getClass().getSimpleName()
         if name == "FileSourceScanExec":
-            return leaf
+            if path_substr is None:
+                return leaf
+            roots = leaf.relation().location().rootPaths().mkString(",")
+            if path_substr in roots:
+                return leaf
+            continue
         inner = None
         if name == "AdaptiveSparkPlanExec":
             inner = leaf.executedPlan()
         elif name.endswith("QueryStageExec"):
             inner = leaf.plan()
         if inner is not None:
-            found = _find_file_scan(inner)
+            found = _find_file_scan(inner, path_substr)
             if found is not None:
                 return found
     return None

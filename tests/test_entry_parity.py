@@ -71,9 +71,11 @@ def test_adjudication_window_boundary_is_stable():
     import __spark_entry__ as e
 
     keys = list(e.queries())
-    assert keys[49] == "w25_rolling_beta", keys[45:52]
+    assert keys[49] == "j8_dpp_proof", keys[45:52]
     # the PINNED carriers (r8 verdict #2: flagships + one per SURVEY
-    # §2 family) hold the first 15 slots permanently
+    # §2 family) hold the first 16 slots permanently — t22 GRADUATED
+    # to pinned in r15 (r14 verdict #4: the streaming capstone; no
+    # displacement math may ever propose it)
     pinned = [
         "pipeline_full_row_part", "pipeline_bars_joined",
         "t9_stateful_suite", "t6b_stream_left_join", "t4b_stream_sessions",
@@ -81,16 +83,17 @@ def test_adjudication_window_boundary_is_stable():
         "t13_stream_ingest_dedup", "a12_hist_quantiles",
         "x28_corpus_pipeline", "x44_dup_span_removal", "j6_interval_lookup",
         "t7_exactly_once_sink", "x48_semantic_dedup",
+        "t22_stream_five_feed_join",
     ]
-    assert keys[:15] == pinned, keys[:15]
-    # seven r8-born keepers: the in-window carriers older displacement
-    # notes point at
+    assert keys[:16] == pinned, keys[:16]
+    # three r8-born keepers: the in-window carriers older displacement
+    # notes point at (w23/t20/x69/q4 displaced r15 per
+    # ROTATION_PLAN_r15.md)
     keepers = [
-        "x69_lsh_tuning", "w23_williams_r", "t20_stream_anomaly",
         "x73_leakage_free_split", "x74_filter_funnel",
-        "a14_grouping_sets", "q4_order_priority",
+        "a14_grouping_sets",
     ]
-    assert keys[15:22] == keepers, keys[15:22]
+    assert keys[16:19] == keepers, keys[16:19]
     # four r10-born keepers: the carriers round 13's nine displacement
     # notes point at (x75 the ANN-recall anchor, q2 the decorrelation
     # carrier, q11 the global-scalar-gate carrier, q21 the anti-join
@@ -99,38 +102,38 @@ def test_adjudication_window_boundary_is_stable():
         "x75_compression_table", "q2_min_cost_supplier",
         "q11_important_parts", "q21_sole_returner",
     ]
-    assert keys[22:26] == r10_keepers, keys[22:26]
-    # the r11-born snowflake anchor on its fourth adjudication round
-    # (the carrier the round-14 displacement notes for q7/q8/q9/q15
-    # all point at)
-    assert keys[26] == "q5_local_volume", keys[26]
-    # the r12 rotations on their third round
-    second = [
-        "x77_ivf_nprobe_sweep", "s10_schema_drift",
-        "t22_stream_five_feed_join", "s11_schema_evolution_ingest",
-        "ml5a_window_scaler",
-    ]
-    assert keys[27:32] == second, keys[27:32]
-    # the nine r12 births on their second round (several double as
-    # round-14 subsumption carriers: a17 the CASE/pivot family,
-    # t23 ingest accounting, s12 JSONL quarantine)
+    assert keys[19:23] == r10_keepers, keys[19:23]
+    # the r11-born snowflake anchor (the carrier the round-14
+    # displacement notes for q7/q8/q9/q15 all point at)
+    assert keys[23] == "q5_local_volume", keys[23]
+    # the nine r12 births on their third round (several double as
+    # subsumption carriers: a17 the CASE/pivot family, t23 ingest
+    # accounting + s10's drift-report family, s12 JSONL quarantine)
     r13_rotated = [
         "t23_stream_drift_accounting", "s12_jsonl_evolution_ingest",
         "a15_funnel_conversion", "a16_retention_cohorts",
         "w24_gap_fill_locf", "a17_pivot_daily_types", "a18_twap_daily",
         "x78_neardup_method_table", "t24_stream_gap_fill",
     ]
-    assert keys[32:41] == r13_rotated, keys[32:41]
-    # the nine r13 births on their FIRST adjudication (r13 verdict #1,
-    # pre-planned in ROTATION_PLAN_r14.md)
-    fresh = [
+    assert keys[24:33] == r13_rotated, keys[24:33]
+    # the nine r13 births on their second round
+    r14_rotated = [
         "t25_stream_evolving_ingest", "t26_stream_inference_loop",
         "a19_sessionization", "d8_skew_report",
         "x79_ann_ranking_quality", "a20_hll_distinct",
         "t27_stream_hll_merge", "s13_partition_pruned_scan",
         "w25_rolling_beta",
     ]
-    assert keys[41:50] == fresh, keys[41:50]
+    assert keys[33:42] == r14_rotated, keys[33:42]
+    # the eight r14 births on their FIRST adjudication (r14 verdict #1,
+    # pre-planned in ROTATION_PLAN_r15.md)
+    fresh = [
+        "s14_minmax_skipped_scan", "t28_stream_sessionize",
+        "w26_range_beta", "j7_broadcast_proof",
+        "x80_minhash_size_sweep", "d9_salt_balance",
+        "s15_epoch_compaction", "j8_dpp_proof",
+    ]
+    assert keys[42:50] == fresh, keys[42:50]
     # every oracle key maps to a query, and rows-only set is exactly
     # the three documented queries
     oracles = e.oracle_sql()
