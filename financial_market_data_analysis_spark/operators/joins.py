@@ -345,3 +345,64 @@ def assert_shuffle_free(df: DataFrame, max_shuffles: int = 0) -> None:
             f"shuffle-free plan regressed: {n_sh} shuffle exchanges "
             f"(max {max_shuffles}). Nodes: {sorted(set(names))}"
         )
+
+
+def assert_skew_join_split(df: DataFrame, min_splits: int = 2) -> None:
+    """Prove Spark's OWN skew-join handling actually fired (r14
+    verdict #5 — the one planner lever in the skew tier asserted by
+    nothing: d8 measures key skew, j2 salts by hand, d9 measures the
+    manual cure; this asserts the ZERO-CODE cure,
+    ``spark.sql.adaptive.skewJoin``, the first thing a 100 TB operator
+    reaches for). Two conditions, both read from the EXECUTED plan
+    after AQE finalizes:
+
+    1. at least one ``SortMergeJoinExec`` ran with
+       ``isSkewJoin = true`` — AQE's OptimizeSkewedJoin rewrote the
+       join; and
+    2. the join's ``AQEShuffleReadExec`` sides report a summed
+       ``numSkewedSplits`` of at least ``min_splits`` — the hot
+       partition was actually cut into pieces, not merely flagged.
+
+    Without this a conf typo, a threshold drift, or a rule regression
+    silently reverts to one straggler task reading the whole hot key —
+    identical rows, and at 100 TB the single-task wall that skew
+    handling exists to break. Executes the plan once (the
+    :func:`executed_plan_node_names` cost note applies)."""
+    skew_joins = 0
+    skewed_partitions = 0
+    skewed_splits = 0
+
+    def walk(p) -> None:
+        nonlocal skew_joins, skewed_partitions, skewed_splits
+        name = p.getClass().getSimpleName()
+        if name == "ReusedExchangeExec":
+            return
+        if name == "SortMergeJoinExec" and p.isSkewJoin():
+            skew_joins += 1
+        if name == "AQEShuffleReadExec":
+            it = p.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numSkewedPartitions":
+                    skewed_partitions += kv._2().value()
+                elif kv._1() == "numSkewedSplits":
+                    skewed_splits += kv._2().value()
+        if name == "AdaptiveSparkPlanExec":
+            walk(p.executedPlan())
+        elif name.endswith("QueryStageExec"):
+            walk(p.plan())
+        ch = p.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    plan = df._jdf.queryExecution().executedPlan()
+    plan.execute().count()  # run exactly this plan so AQE finalizes
+    walk(plan)
+    if skew_joins < 1 or skewed_splits < min_splits:
+        raise RuntimeError(
+            f"AQE skew handling did not fire: {skew_joins} skew-marked "
+            f"sort-merge joins (need >= 1), {skewed_partitions} skewed "
+            f"partitions, {skewed_splits} skew splits (need >= "
+            f"{min_splits}). The hot key would ride one straggler "
+            f"task. Plan:\n{plan.toString()}"
+        )
