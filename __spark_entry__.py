@@ -5381,6 +5381,190 @@ _T28_ORACLE = f"""
 """
 
 
+def _t29_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 completed — STATE-STORE RECOVERY proven (r14 verdict #8
+    candidate: t7 proves the SINK survives a crash-retry; nothing yet
+    proved the STATE does). t28's stateful sessionizer runs as THREE
+    separate streaming queries over ONE checkpoint:
+
+    1. **run 1** processes the pre-cut half and stops (availableNow).
+       The session spanning the cut is OPEN — it exists only as three
+       longs in the checkpoint's state store, and the query RAISES if
+       any stored (closed) session extends past the cut.
+    2. **run 2** starts fresh from the same checkpoint after the
+       post-cut file lands; its sink is SABOTAGED: on its first
+       batch it writes a PARTIAL epoch then dies — the mid-batch
+       crash, after state work, before the commit.
+    3. **run 3** restarts from the checkpoint again; the source
+       replays the uncommitted batch, the state store reloads the
+       pre-crash version, and the epoch-idempotent sink REPLACES the
+       poisoned partial epoch.
+
+    The final warehouse read-back is adjudicated against the exact
+    batch oracle (t28's: every closed session, no watermark trim).
+    That equality is only reachable if (a) run 2/3 restored the open
+    session's (start, count) from the state store — a lost state
+    store would emit the spanning session with a post-cut start and
+    an undercount — and (b) the replayed batch recomputed the
+    identical emission from the reloaded state version. The query
+    also RAISES unless ≥1 emitted session actually spans the cut
+    (the t28/s13 'unprovable' discipline) and unless the injected
+    crash fired.
+
+    Scale shape: this is the recovery contract a 1000-executor
+    streaming job leans on daily — executor loss, code redeploy,
+    cluster resize all resume from the checkpoint; the proof costs
+    two extra fixture-scale availableNow runs. Reference parity: the
+    reference restarts its consumer from MariaDB's last row and
+    silently loses open aggregation state (spark_consumer.py's
+    in-memory chaining); here the state round-trips the checkpoint
+    and the oracle certifies it."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.streaming import pipeline as P
+    from financial_market_data_analysis_spark.streaming.pipeline import (
+        epoch_idempotent_writer,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    # cut INSIDE a session that later closes (t28's candidate rule):
+    # the spanning session must exist, and must eventually be emitted
+    w_ts = SW.partitionBy("user_id").orderBy("ts_us")
+    g = (
+        ev.withColumn("nxt", F.lead("ts_us").over(w_ts))
+        .withColumn(
+            "is_break",
+            (F.col("nxt") - F.col("ts_us") >= _A19_GAP_US).cast("int"),
+        )
+        .withColumn(
+            "close_after",
+            F.max("is_break").over(
+                w_ts.rowsBetween(1, SW.unboundedFollowing)
+            ),
+        )
+    )
+    cand = g.filter(
+        (F.col("nxt") - F.col("ts_us") < _A19_GAP_US)
+        & (F.col("close_after") == 1)
+    )
+    cut = cand.agg(F.percentile_approx("ts_us", 0.5)).first()[0]
+    if cut is None:
+        raise RuntimeError(
+            "no multi-event session closes after a candidate cut — "
+            "state recovery is not provable on this fixture"
+        )
+    src = tempfile.mkdtemp(prefix="t29_src_")
+    wh = tempfile.mkdtemp(prefix="t29_wh_")
+    ckpt = tempfile.mkdtemp(prefix="t29_ckpt_")
+    old_sp = push_small_shuffle(spark)  # serial-adjudication contract: functions/core.py
+    try:
+        _stage_batches(ev, (F.col("ts_us") <= cut,), src)
+        write = epoch_idempotent_writer(wh)
+
+        def start_run(write_fn):
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            sessions = P.stateful_sessionize(stream, gap_us=_A19_GAP_US)
+            return (
+                sessions.writeStream.foreachBatch(write_fn)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q1 = start_run(write)
+        if not q1.awaitTermination(300):
+            q1.stop()
+            raise RuntimeError("t29 run 1 did not finish in 300 s")
+        # between runs: every session closed so far ended inside the
+        # first half; the spanning session lives ONLY in the
+        # checkpoint's state store
+        stored = glob.glob(os.path.join(wh, "**", "*.parquet"), recursive=True)
+        if stored:
+            n_past = (
+                spark.read.parquet(wh)
+                .filter(F.col("start_us") + F.col("dur_us") > cut)
+                .count()
+            )
+            if n_past:
+                raise RuntimeError(
+                    f"run 1 emitted {n_past} sessions extending past "
+                    f"the cut at {cut} — the staged halves are wrong"
+                )
+        # land the post-cut file with an mtime strictly AFTER run 1's
+        # files (FileStreamSource orders by mtime — the _stage_batches
+        # tie rule, applied across staging calls)
+        before = set(glob.glob(os.path.join(src, "*.parquet")))
+        last_mtime = max(os.path.getmtime(p) for p in before)
+        ev.filter(F.col("ts_us") > cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for p in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+            os.utime(p, (last_mtime + 2, last_mtime + 2))
+
+        crashed = {"fired": False}
+
+        def sabotaged(batch: DataFrame, epoch_id: int) -> None:
+            if not crashed["fired"]:
+                crashed["fired"] = True
+                # the mid-batch crash: a partial sink flush lands,
+                # then the query dies before committing the batch
+                write(batch.limit(1), epoch_id)
+                raise RuntimeError("t29 injected crash")
+            write(batch, epoch_id)
+
+        q2 = start_run(sabotaged)
+        try:
+            q2.awaitTermination(300)
+            raise RuntimeError(
+                "t29 run 2 was supposed to crash but finished clean"
+            )
+        except Exception as exc:  # StreamingQueryException expected
+            if "injected crash" not in str(exc):
+                raise
+        if not crashed["fired"]:
+            raise RuntimeError("t29 crash injection never ran")
+        q3 = start_run(write)
+        if not q3.awaitTermination(300):
+            q3.stop()
+            raise RuntimeError("t29 run 3 did not finish in 300 s")
+        out = (
+            spark.read.parquet(wh)
+            .select("user_id", "start_us", "n_events", "dur_us")
+            .localCheckpoint(eager=True)
+        )
+        n_span = out.filter(
+            (F.col("start_us") <= cut)
+            & (F.col("start_us") + F.col("dur_us") > cut)
+        ).count()
+        if n_span == 0:
+            raise RuntimeError(
+                f"no emitted session spans the cut at {cut} — state "
+                "recovery was not exercised"
+            )
+    finally:
+        pop_small_shuffle(spark, old_sp)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        # explicitly-set checkpoint locations are never auto-deleted
+        # (r5 review finding)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+# identical closed-session law as t28: recovery must change NOTHING
+_T29_ORACLE = _T28_ORACLE
+
+
 _T23_ORACLE = f"""
     WITH b1 AS (
         SELECT count(*) AS n,
@@ -8130,6 +8314,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # balance) still had no proof for; rows adjudicated against a
         # plain-join oracle so the rewrite is result-neutral
         "j9_aqe_skew_proof": _j9_aqe_skew_proof,
+        # t29 NEW in round 15, past the window — ROTATE IN ROUND 16:
+        # state-store RECOVERY proven — t28's stateful sessionizer as
+        # THREE queries over ONE checkpoint (stop/restart, then a
+        # mid-batch crash + replay); the spanning session is emitted
+        # whole only if its (start, count) round-tripped the
+        # checkpoint's state store, and the oracle is t28's exact
+        # closed-session law — what t7 proved for the sink, for STATE
+        "t29_checkpoint_recovery": _t29_checkpoint_recovery,
         # -- displaced THIS round (round 15): eight thrice-or-more-
         # green queries, subsumed per the inline notes (displacement
         # set vetted in ROTATION_PLAN_r15.md); all stay
@@ -9206,6 +9398,7 @@ def oracle_sql() -> dict[str, str]:
         "s15_epoch_compaction": _S15_ORACLE,
         "j8_dpp_proof": _J8_ORACLE,
         "j9_aqe_skew_proof": _J9_ORACLE,
+        "t29_checkpoint_recovery": _T29_ORACLE,
         "w25_rolling_beta": _W25_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,
