@@ -762,3 +762,94 @@ def test_rolling_beta_range_frame_is_time_based(spark):
           rolling_beta_range(flat, "y", "x", "t", span=10, min_pairs=3)
           .collect()}
     assert all(v is None for v in fb.values())
+
+
+def test_rolling_beta_range_span_boundary_cross_engine(spark, duck):
+    """r14 verdict #6 — the HLL-lesson sweep applied to w26's RANGE
+    frame: the branch is the frame's LOWER BOUND, and the sf fixtures
+    never land a pair exactly ``span`` apart. Hostile series, run
+    side-by-side through the engine kernel
+    (``rolling_beta_range``) and the shipped oracle's window text
+    (``RANGE BETWEEN span PRECEDING AND CURRENT ROW``):
+
+    - a frame whose oldest row sits EXACTLY span before the current
+      row — inclusive on both engines, so the row changes the fitted
+      beta (a one-sided exclusion shifts the value, not just a gate);
+    - a frame where that boundary row is the 5th pair — the
+      ``min_pairs`` gate EMITS iff the bound is inclusive, so an
+      inclusivity disagreement changes the ROW SET, not a decimal.
+
+    Integer-valued doubles everywhere, so the moments are exact and
+    any mismatch is frame semantics, not float noise."""
+    import pandas as pd
+
+    from financial_market_data_analysis_spark.operators.windows import (
+        rolling_beta_range,
+    )
+
+    span, min_pairs = 86400, 5
+    # group 1: six rows; at t=86400 the frame reaches t=0 exactly —
+    # the boundary row is IN (6 pairs) and moves the fit
+    g1 = [
+        (0, 1.0, 2.0),
+        (100, 2.0, 1.0),
+        (200, 3.0, 4.0),
+        (300, 4.0, 3.0),
+        (400, 5.0, 6.0),
+        (86400, 6.0, 5.0),
+    ]
+    # group 2 (shifted far past group 1's reach): five rows; at
+    # t=1086400 the frame holds exactly min_pairs rows IFF the bound
+    # is inclusive — emission itself is the assertion
+    base = 1_000_000
+    g2 = [
+        (base + 0, 1.0, 3.0),
+        (base + 100, 2.0, 5.0),
+        (base + 200, 3.0, 4.0),
+        (base + 300, 4.0, 7.0),
+        (base + 86400, 5.0, 6.0),
+    ]
+    rows = g1 + g2
+    df = spark.createDataFrame(rows, "bucket LONG, rx DOUBLE, ry DOUBLE")
+    got = (
+        rolling_beta_range(
+            df, "ry", "rx", "bucket", span=span, min_pairs=min_pairs
+        )
+        .filter(F.col("beta").isNotNull())
+        .select(
+            "bucket",
+            F.round("beta", 6).alias("beta_1d"),
+            F.round("alpha", 6).alias("alpha_1d"),
+        )
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    vals = ", ".join(f"({t}, {x!r}, {y!r})" for t, x, y in rows)
+    want = duck.execute(
+        f"""
+        WITH j(bucket, rx, ry) AS (VALUES {vals}),
+        c AS (
+            SELECT bucket,
+                   covar_pop(ry, rx) OVER w AS cv,
+                   var_pop(rx) OVER w AS vx,
+                   avg(ry) OVER w AS my,
+                   avg(rx) OVER w AS mx,
+                   count(*) OVER w AS cnt
+            FROM j
+            WINDOW w AS (ORDER BY bucket
+                         RANGE BETWEEN {span} PRECEDING AND CURRENT ROW)
+        )
+        SELECT bucket, round(cv / vx, 6) AS beta_1d,
+               round(my - (cv / vx) * mx, 6) AS alpha_1d
+        FROM c WHERE cnt >= {min_pairs} AND vx > 0
+        ORDER BY bucket
+        """
+    ).fetchdf()
+    # the emission-deciding row must actually be emitted (inclusive
+    # bound on BOTH engines), and the boundary-valued frames agree
+    assert base + 86400 in set(got["bucket"]), "min_pairs boundary row lost"
+    assert 86400 in set(got["bucket"])
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True
+    )
