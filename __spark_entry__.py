@@ -5565,6 +5565,161 @@ def _t29_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T29_ORACLE = _T28_ORACLE
 
 
+def _t30_stream_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9/A16 — a16's weekly retention cohorts maintained INCREMENTALLY
+    over the append-only epoch-idempotent store (r14 verdict #8: the
+    t27/t18 monoid pattern applied to a NON-SKETCH aggregate). Each
+    micro-batch appends its distinct (user, week) activity pairs under
+    its epoch partition; the read-time collapse is set-union →
+    min-fold (first week per user) → cell rollup — every stage an
+    idempotent, mergeable monoid, so the store tolerates replays AND
+    arrival order.
+
+    The order-independence law is the point, and the stream is staged
+    to violate time order ON PURPOSE: the micro-batches arrive
+    [middle third, latest third, EARLIEST third]. A user's cohort
+    (their first week) is therefore wrong in every prefix of the
+    stream and only right after the last batch lands — the query
+    RAISES unless at least one user's cohort-defining event actually
+    arrives in the final batch after that user was already active in
+    an earlier one (the retroactive-cohort fix the min-monoid exists
+    for). A mutable-state design (the reference's MariaDB UPDATE
+    chain, spark_consumer.py's read-modify-write) computes the WRONG
+    cohort for those users in batch 1 and has to issue corrections;
+    the append-only store never holds a wrong row — the collapse is
+    deferred to read time where the full set is visible. Adjudicated
+    against a16's batch oracle VERBATIM: streaming + disorder must
+    change nothing.
+
+    Scale shape: per-epoch appends are distinct-deduped batch-locally
+    (one map-side-combined aggregate), the store is bounded by
+    distinct (user, week) pairs, and the read-time collapse is a16's
+    exact two-shuffle rollup; no read-modify-write, no snapshot
+    chain, no per-batch store scan."""
+    import shutil
+    import tempfile
+
+    from financial_market_data_analysis_spark.streaming.pipeline import (
+        epoch_idempotent_writer,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    t1, t2 = (
+        ev.agg(
+            F.percentile_approx("ts_us", 1.0 / 3).alias("t1"),
+            F.percentile_approx("ts_us", 2.0 / 3).alias("t2"),
+        )
+        .first()
+    )
+    # the retro-cohort fix must be exercised: some user's FIRST event
+    # sits in the earliest third (arriving LAST) while the user is
+    # already active in a later third (arriving earlier)
+    n_retro = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+        .filter((F.col("lo") <= t1) & (F.col("hi") > t1))
+        .count()
+    )
+    if n_retro == 0:
+        raise RuntimeError(
+            "no user spans the first time-tertile — out-of-order "
+            "cohort correction is not provable on this fixture"
+        )
+    src = tempfile.mkdtemp(prefix="t30_src_")
+    store = tempfile.mkdtemp(prefix="t30_store_")
+    ckpt = tempfile.mkdtemp(prefix="t30_ckpt_")
+    old_sp = push_small_shuffle(spark)  # serial-adjudication contract: functions/core.py
+    try:
+        # deliberately out of time order: middle, latest, EARLIEST
+        _stage_batches(
+            ev,
+            (
+                (F.col("ts_us") > t1) & (F.col("ts_us") <= t2),
+                F.col("ts_us") > t2,
+                F.col("ts_us") <= t1,
+            ),
+            src,
+        )
+        write = epoch_idempotent_writer(store)
+
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            # batch-local distinct: the monoid element is a SET of
+            # (user, week) pairs — dedup before the append so the
+            # store is bounded by distinct pairs, not event count
+            write(
+                batch.select(
+                    "user_id",
+                    F.expr("ts_us div 604800000000").alias("week_num"),
+                ).distinct(),
+                epoch_id,
+            )
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t30 cohort stream did not finish in 300 s")
+        # read-time collapse: union across epochs (distinct), then
+        # a16's exact rollup — min-fold cohorts, distinct activity,
+        # cell counts, broadcast cohort sizes
+        pairs = (
+            spark.read.parquet(store)
+            .select("user_id", "week_num")
+            .distinct()
+        )
+        first = pairs.groupBy("user_id").agg(
+            F.min("week_num").alias("cohort_week")
+        )
+        cells = (
+            pairs.join(first, "user_id")
+            .groupBy(
+                "cohort_week",
+                (F.col("week_num") - F.col("cohort_week")).alias(
+                    "week_offset"
+                ),
+            )
+            .agg(F.count(F.lit(1)).alias("n_active"))
+        )
+        sizes = first.groupBy("cohort_week").agg(
+            F.count(F.lit(1)).alias("cohort_size")
+        )
+        out = (
+            cells.join(F.broadcast(sizes), "cohort_week")
+            .select(
+                "cohort_week",
+                "week_offset",
+                "n_active",
+                "cohort_size",
+                F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                    "retention"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        pop_small_shuffle(spark, old_sp)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+# a16's batch law verbatim: streaming + disorder must change nothing
+_T30_ORACLE = _A16_ORACLE
+
+
 _T23_ORACLE = f"""
     WITH b1 AS (
         SELECT count(*) AS n,
@@ -8322,6 +8477,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checkpoint's state store, and the oracle is t28's exact
         # closed-session law — what t7 proved for the sink, for STATE
         "t29_checkpoint_recovery": _t29_checkpoint_recovery,
+        # t30 NEW in round 15, past the window — ROTATE IN ROUND 16:
+        # a16's retention cohorts maintained incrementally over the
+        # append-only epoch store (the t27/t18 monoid pattern on a
+        # NON-sketch aggregate: set-union → min-fold → rollup, all
+        # idempotent), with micro-batches staged OUT of time order —
+        # raises unless a user's cohort-defining event arrives last;
+        # oracle = a16's batch SQL verbatim
+        "t30_stream_cohorts": _t30_stream_cohorts,
         # -- displaced THIS round (round 15): eight thrice-or-more-
         # green queries, subsumed per the inline notes (displacement
         # set vetted in ROTATION_PLAN_r15.md); all stay
@@ -9399,6 +9562,7 @@ def oracle_sql() -> dict[str, str]:
         "j8_dpp_proof": _J8_ORACLE,
         "j9_aqe_skew_proof": _J9_ORACLE,
         "t29_checkpoint_recovery": _T29_ORACLE,
+        "t30_stream_cohorts": _T30_ORACLE,
         "w25_rolling_beta": _W25_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,
