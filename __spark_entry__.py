@@ -3152,6 +3152,124 @@ _J9_ORACLE = """
 """
 
 
+_J10_HEAVY_MIN = 70  # HAVING count(*) >= 70: ~1/3 of users at every sf
+
+
+def _j10_runtime_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — AQE's RUNTIME join re-selection proven (operators/
+    joins.py ``assert_runtime_broadcast_demotion``; with j7 static
+    broadcast, j8 dynamic pruning and j9 skew splitting this
+    completes the adaptive-planner proof tier): the dim is the
+    HAVING output "users with ≥ 70 events" — a build side whose size
+    NO static statistic can know (the fixture reproduces the 100 TB
+    situation by turning the static broadcast threshold off: there,
+    the dim's pre-filter size exceeds any threshold and SMJ is the
+    correct static call). The query RAISES unless the initial
+    physical plan chose a sort-merge join with zero broadcast joins
+    AND the executed plan shows AQE demoted it to a broadcast hash
+    join with zero sort-merge joins after the dim materialized at
+    its true (small) size. The rows ride a plain HAVING-semi-join
+    oracle, so the rewrite is also proven result-neutral.
+
+    Why it matters at 100 TB: the static planner must assume the
+    worst about aggregate outputs; without the runtime flip every
+    fact-to-derived-dim join pays a full fact shuffle. The flip is
+    also SILENT in both directions — a threshold typo or
+    ``adaptive.autoBroadcastJoinThreshold=-1`` quietly reverts to
+    the shuffle while returning identical rows; this makes the
+    regression loud, per run. Aggregates are count/integer-sum only
+    (no float-order exposure); the audited result is frozen with
+    ``localCheckpoint`` before the scoped confs restore (the j9
+    convention).
+
+    The fact side carries an upstream stage (``repartition(8)``, the
+    j9 fixture convention for "a real fact arrives from many
+    upstream tasks") and that is LOAD-BEARING, not cosmetic: AQE
+    re-plans at stage boundaries and — since Spark adopts a re-plan
+    only at strictly LOWER shuffle cost — the broadcast demotion
+    fires exactly when the dim's true size is learned BEFORE the
+    fact's join exchange is created, so the re-plan can ELIMINATE
+    that exchange. When both join inputs are leaf exchanges they
+    materialize together, nothing is left to save, and AQE correctly
+    keeps the SMJ (measured both ways on this fixture). That is the
+    genuine 100 TB shape of the win — the flip saves the fact
+    shuffle in multi-stage pipelines; it cannot refund one already
+    paid."""
+    from financial_market_data_analysis_spark.operators.joins import (
+        assert_runtime_broadcast_demotion,
+    )
+
+    ev_raw = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        (F.col("event_id") % 1000).alias("id_mod"),
+    )
+    # the fact's upstream stage (see docstring); the dim branches off
+    # the RAW scan so its aggregation exchange is a first-round leaf
+    # stage — its runtime size is known before the fact's join
+    # exchange exists, which is what makes the demotion strictly
+    # cheaper and therefore adopted
+    ev = ev_raw.repartition(8)
+    heavy = (
+        ev_raw.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .filter(F.col("n_ev") >= _J10_HEAVY_MIN)
+        .select("user_id")
+    )
+    counts = ev_raw.groupBy("user_id").count()
+    n_users = counts.count()
+    n_heavy = counts.filter(F.col("count") >= _J10_HEAVY_MIN).count()
+    if not 0 < n_heavy < n_users:
+        raise RuntimeError(
+            f"runtime demotion is unprovable: {n_heavy} of {n_users} "
+            "users are heavy — the HAVING filter must keep a strict, "
+            "non-empty subset"
+        )
+    scoped = {
+        # the 100 TB situation, reproduced: statically the dim is too
+        # big to broadcast (here: threshold off), so SMJ is the right
+        # static plan; the runtime size is what flips it
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+    }
+    old: dict[str, str | None] = {}
+    for k, v in scoped.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        out = (
+            ev.join(heavy, "user_id")
+            .groupBy((F.col("user_id") % 7).alias("g"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("id_mod").alias("id_mod_sum"),
+            )
+        )
+        assert_runtime_broadcast_demotion(out)
+        result = out.localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return result
+
+
+_J10_ORACLE = f"""
+    WITH heavy AS (
+        SELECT user_id FROM events
+        GROUP BY user_id HAVING count(*) >= {_J10_HEAVY_MIN}
+    )
+    SELECT user_id % 7 AS g, count(*) AS n_events,
+           CAST(sum(event_id % 1000) AS BIGINT) AS id_mod_sum
+    FROM events JOIN heavy USING (user_id)
+    GROUP BY user_id % 7
+"""
+
+
 _S15_EPOCHS = 6
 
 
@@ -8485,6 +8603,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # raises unless a user's cohort-defining event arrives last;
         # oracle = a16's batch SQL verbatim
         "t30_stream_cohorts": _t30_stream_cohorts,
+        # j10 NEW in round 15, past the window — ROTATE IN ROUND 16:
+        # AQE's RUNTIME join re-selection proven — the initial plan
+        # must hold a sort-merge join (the correct static call for a
+        # statically-unsized HAVING dim) and the executed plan must
+        # show the broadcast demotion with zero SMJ; completes the
+        # adaptive tier next to j7 (static broadcast), j8 (DPP), j9
+        # (skew split)
+        "j10_runtime_broadcast": _j10_runtime_broadcast,
         # -- displaced THIS round (round 15): eight thrice-or-more-
         # green queries, subsumed per the inline notes (displacement
         # set vetted in ROTATION_PLAN_r15.md); all stay
@@ -9563,6 +9689,7 @@ def oracle_sql() -> dict[str, str]:
         "j9_aqe_skew_proof": _J9_ORACLE,
         "t29_checkpoint_recovery": _T29_ORACLE,
         "t30_stream_cohorts": _T30_ORACLE,
+        "j10_runtime_broadcast": _J10_ORACLE,
         "w25_rolling_beta": _W25_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,

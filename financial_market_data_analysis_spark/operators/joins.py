@@ -347,6 +347,61 @@ def assert_shuffle_free(df: DataFrame, max_shuffles: int = 0) -> None:
         )
 
 
+def assert_runtime_broadcast_demotion(df: DataFrame) -> None:
+    """Prove AQE's RUNTIME join re-selection fired (the j7/j8/j9
+    proof discipline applied to the remaining silent planner lever):
+    the static planner must have chosen a sort-merge join — the
+    correct call when the build side's size is statically opaque
+    (an aggregate/HAVING output) or above threshold — and the
+    EXECUTED plan must show AQE demoted it to a broadcast hash join
+    after the build side materialized small. Asserted from node
+    objects on both plans:
+
+    - the INITIAL physical plan (``AdaptiveSparkPlanExec.initialPlan``,
+      walked WITHOUT executing) holds ≥1 ``SortMergeJoinExec`` and
+      zero ``BroadcastHashJoinExec``;
+    - the FINAL executed plan (via :func:`executed_plan_node_names`,
+      one execution) holds ≥1 ``BroadcastHashJoinExec`` and zero
+      ``SortMergeJoinExec``.
+
+    String checks are NOT equivalent here: ``executedPlan().toString``
+    on an adaptive plan prints the initial AND final plans, so both
+    join names always appear in the text. At 100 TB this runtime flip
+    is the difference between shuffling the full fact table and
+    shipping a runtime-small dim to every executor — and it regresses
+    silently (a threshold typo, ``spark.sql.adaptive.
+    autoBroadcastJoinThreshold=-1``, a stats change) while returning
+    identical rows."""
+    qe_plan = df._jdf.queryExecution().executedPlan()
+    initial: list[str] = []
+
+    def walk_static(p) -> None:
+        name = p.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk_static(p.initialPlan())
+            return
+        initial.append(name)
+        ch = p.children()
+        for i in range(ch.size()):
+            walk_static(ch.apply(i))
+
+    walk_static(qe_plan)
+    n_smj_0 = initial.count("SortMergeJoinExec")
+    n_bhj_0 = initial.count("BroadcastHashJoinExec")
+    final = executed_plan_node_names(df)
+    n_smj_1 = final.count("SortMergeJoinExec")
+    n_bhj_1 = final.count("BroadcastHashJoinExec")
+    if n_smj_0 < 1 or n_bhj_0 > 0 or n_bhj_1 < 1 or n_smj_1 > 0:
+        raise RuntimeError(
+            "AQE runtime broadcast demotion did not fire: initial "
+            f"plan had {n_smj_0} sort-merge / {n_bhj_0} broadcast "
+            f"joins (need >=1 / 0), executed plan has {n_bhj_1} "
+            f"broadcast / {n_smj_1} sort-merge joins (need >=1 / 0). "
+            f"Initial: {sorted(set(initial))}; final: "
+            f"{sorted(set(final))}"
+        )
+
+
 def assert_skew_join_split(df: DataFrame, min_splits: int = 2) -> None:
     """Prove Spark's OWN skew-join handling actually fired (r14
     verdict #5 — the one planner lever in the skew tier asserted by
