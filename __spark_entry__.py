@@ -3270,6 +3270,192 @@ _J10_ORACLE = f"""
 """
 
 
+_S16_FILES = 8
+_S16_Y_HI = 14400  # seconds-of-day predicate: before 04:00 (~1/6 of rows)
+
+
+def _s16_zorder_vs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 — x29's Z-ORDER claim, MEASURED (the d9/x80 measured-
+    trade-off discipline applied to the clustering-key decision, with
+    s14's footer-census proof machinery): the same events land in two
+    layouts — linearly range-clustered by ``x`` (event id) and
+    z-order-clustered by the Morton interleave of (x, second-of-day
+    ``y``) — and the same two range predicates (an x-range, a
+    y-range) run against both. The query RAISES unless:
+
+    1. the z layout's y-predicate scan passes the FULL s14 sandwich
+       (``scan_minmax_skipped``: n_match ≤ numOutputRows ≤
+       footer-overlap < total) — z-ordering demonstrably buys
+       row-group skipping on the SECONDARY dimension;
+    2. the linear layout's x-predicate scan passes the same sandwich
+       — linear clustering keeps its primary-dimension skipping;
+    3. the linear layout's y-predicate footer census overlaps
+       STRICTLY more row groups than the z layout's — the measured
+       statement "a single-column sort cannot skip on the other
+       column" (on this fixture: every linear group overlaps the
+       y-range; the z layout skips the late-day groups outright).
+
+    The published rows are the four (layout × predicate) scan results
+    (row count + integer checksum), oracle-adjudicated against plain
+    SQL over events — the two layouts must lose NOTHING (the s15
+    zero-data-loss discipline); the layout economics live in the
+    in-query proofs. This is the table consulted when choosing
+    clustering keys for a 100 TB warehouse: linear sort wins only
+    single-dimension access; z-order trades a little primary-key
+    tightness for skipping on every interleaved dimension — and this
+    query prices that trade from real footers, per run.
+
+    Scale shape: two range-clustered writes (one repartitionByRange
+    shuffle each), four pushed-predicate scans, footer censuses at
+    metadata cost (pyarrow, one footer per file — the s13/s14
+    HDFS/S3 listing-swap note applies)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from financial_market_data_analysis_spark.sources.batch import (
+        scan_minmax_skipped,
+        write_sorted,
+        z_value,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("x"),
+        (F.expr("ts_us div 1000000") % 86400).alias("y"),
+        (F.col("event_id") % 1000).alias("id_mod"),
+    )
+    b = ev.agg(
+        F.min("x").alias("xmin"), F.max("x").alias("xmax")
+    ).first()
+    span = b.xmax - b.xmin
+    x_lo = b.xmin + span // 3
+    x_hi = b.xmin + (2 * span) // 3
+    # 16-bit z inputs: x scaled into [0, 65535], y halved (86400 → 43200)
+    x_scale = span // 65535 + 1
+    work = tempfile.mkdtemp(prefix="s16_layouts_")
+    lin_dir, z_dir = f"{work}/linear", f"{work}/zorder"
+
+    def census(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+        """(overlapping, total) row-group counts for [lo, hi] on col —
+        pyarrow footers only (swap for FileSystem.listStatus /
+        ListObjectsV2 on HDFS/S3, the s13/s14 note)."""
+        n_overlap = n_total = 0
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet") or f.startswith("_"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                n_total += 1
+                if st.min <= hi and st.max >= lo:
+                    n_overlap += 1
+        return n_overlap, n_total
+
+    try:
+        write_sorted(ev, lin_dir, "x", _S16_FILES)
+        write_sorted(
+            ev.withColumn(
+                "zk",
+                z_value(
+                    (F.col("x") / x_scale).cast("long"),
+                    (F.col("y") / 2).cast("long"),
+                ),
+            ),
+            z_dir,
+            "zk",
+            _S16_FILES,
+        )
+        # proofs 1 + 2: full numOutputRows sandwiches (raise inside)
+        z_y_scan = scan_minmax_skipped(spark, z_dir, "y", 0, _S16_Y_HI - 1)
+        lin_x_scan = scan_minmax_skipped(spark, lin_dir, "x", x_lo, x_hi)
+        # proof 3: the comparative census — linear must overlap
+        # strictly more groups on the secondary dimension
+        z_y_ov, z_tot = census(z_dir, "y", 0, _S16_Y_HI - 1)
+        lin_y_ov, lin_tot = census(lin_dir, "y", 0, _S16_Y_HI - 1)
+        if not z_y_ov < lin_y_ov:
+            raise RuntimeError(
+                f"z-order bought nothing on the secondary dimension: "
+                f"z overlaps {z_y_ov}/{z_tot} groups, linear "
+                f"{lin_y_ov}/{lin_tot} — the measured trade is gone"
+            )
+
+        def summarize(df: DataFrame, layout: str, dim: str) -> DataFrame:
+            return df.agg(
+                F.lit(layout).alias("layout"),
+                F.lit(dim).alias("pred_dim"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("id_mod").alias("id_mod_sum"),
+            )
+
+        lin = spark.read.parquet(lin_dir)
+        zl = spark.read.parquet(z_dir)
+        out = (
+            summarize(
+                lin_x_scan.filter(
+                    (F.col("x") >= x_lo) & (F.col("x") <= x_hi)
+                ),
+                "linear",
+                "x",
+            )
+            .unionByName(
+                summarize(
+                    zl.filter((F.col("x") >= x_lo) & (F.col("x") <= x_hi)),
+                    "zorder",
+                    "x",
+                )
+            )
+            .unionByName(
+                summarize(lin.filter(F.col("y") < _S16_Y_HI), "linear", "y")
+            )
+            .unionByName(
+                summarize(
+                    z_y_scan.filter(F.col("y") < _S16_Y_HI), "zorder", "y"
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+_S16_ORACLE = f"""
+    WITH e AS (
+        SELECT event_id AS x,
+               (epoch_us(ts) // 1000000) % 86400 AS y,
+               event_id % 1000 AS id_mod
+        FROM events
+    ),
+    b AS (SELECT min(x) AS xmin, max(x) AS xmax FROM e),
+    sx AS (
+        SELECT count(*) AS n_rows,
+               CAST(sum(id_mod) AS BIGINT) AS id_mod_sum
+        FROM e, b
+        WHERE x >= xmin + (xmax - xmin) // 3
+          AND x <= xmin + (2 * (xmax - xmin)) // 3
+    ),
+    sy AS (
+        SELECT count(*) AS n_rows,
+               CAST(sum(id_mod) AS BIGINT) AS id_mod_sum
+        FROM e WHERE y < {_S16_Y_HI}
+    )
+    SELECT 'linear' AS layout, 'x' AS pred_dim, n_rows, id_mod_sum FROM sx
+    UNION ALL
+    SELECT 'zorder', 'x', n_rows, id_mod_sum FROM sx
+    UNION ALL
+    SELECT 'linear', 'y', n_rows, id_mod_sum FROM sy
+    UNION ALL
+    SELECT 'zorder', 'y', n_rows, id_mod_sum FROM sy
+"""
+
+
 _S15_EPOCHS = 6
 
 
@@ -8611,6 +8797,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # adaptive tier next to j7 (static broadcast), j8 (DPP), j9
         # (skew split)
         "j10_runtime_broadcast": _j10_runtime_broadcast,
+        # s16 NEW in round 15, past the window — ROTATE IN ROUND 16:
+        # x29's z-order claim MEASURED — the same events written
+        # linear-clustered and z-order-clustered, the same x-/y-range
+        # predicates run on both; raises unless the z layout passes
+        # s14's full skipping sandwich on the SECONDARY dimension,
+        # the linear layout passes it on the primary, and the
+        # comparative footer census shows linear overlapping strictly
+        # more groups on y — the clustering-key decision table,
+        # priced from real footers; oracle adjudicates zero data loss
+        "s16_zorder_vs_linear": _s16_zorder_vs_linear,
         # -- displaced THIS round (round 15): eight thrice-or-more-
         # green queries, subsumed per the inline notes (displacement
         # set vetted in ROTATION_PLAN_r15.md); all stay
@@ -9690,6 +9886,7 @@ def oracle_sql() -> dict[str, str]:
         "t29_checkpoint_recovery": _T29_ORACLE,
         "t30_stream_cohorts": _T30_ORACLE,
         "j10_runtime_broadcast": _J10_ORACLE,
+        "s16_zorder_vs_linear": _S16_ORACLE,
         "w25_rolling_beta": _W25_ORACLE,
         "a15_funnel_conversion": _A15_ORACLE,
         "a16_retention_cohorts": _A16_ORACLE,
