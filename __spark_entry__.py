@@ -6302,6 +6302,21 @@ def _t17_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes each window's LAST update. Scale shape: watermark state is
     bounded per window key; dropped-late rows cost a row-local filter,
     never state."""
+    out, _q, _ns, _nsw, _nw = _late_drop_stream(spark, sf_dir)
+    return out
+
+
+def _late_drop_stream(spark: SparkSession, sf_dir: str):
+    """Shared core of t17 (VALUE adjudication of the late-drop
+    policy) and t31 (METRICS adjudication of the same run): stages
+    the three-batch late-arrival stream, runs the watermarked
+    windowed aggregation, and returns ``(out, query, n_stragglers,
+    n_straggler_windows, n_kept_windows)`` — the final window frame,
+    the terminated query handle (its ``recentProgress`` carries the
+    state-operator metrics), the exact staged straggler row and
+    distinct-window counts, and the number of distinct 5-minute
+    windows in the kept data. See t17's docstring for the
+    three-batch watermark-lag design."""
     import os
     import shutil
     import tempfile
@@ -6321,6 +6336,19 @@ def _t17_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cut2 = bounds.mx - (bounds.mx - bounds.mn) // 8
     is_recent = F.unix_micros("ts") >= cut2
+    n_strag = ev.filter(is_straggler).count()
+    n_strag_windows = (
+        ev.filter(is_straggler)
+        .select(F.expr("unix_micros(ts) div 300000000").alias("w"))
+        .distinct()
+        .count()
+    )
+    n_windows = (
+        ev.filter(~is_straggler)
+        .select(F.expr("unix_micros(ts) div 300000000").alias("w"))
+        .distinct()
+        .count()
+    )
     work = tempfile.mkdtemp(prefix="t17_late_")
     src_dir = f"{work}/arrivals"
     upd = f"{work}/updates"
@@ -6381,6 +6409,81 @@ def _t17_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         pop_small_shuffle(spark, old_sp)
         shutil.rmtree(work, ignore_errors=True)
+    return out, q, n_strag, n_strag_windows, n_windows
+
+
+def _t31_state_metrics_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T31 — BOUNDED STREAMING STATE proven from the engine's own
+    runtime metrics (the j7/j8/j9/j10 executed-plan proof discipline
+    applied to the STATE STORE): t17 adjudicates the late-drop policy
+    by VALUE; this runs the identical three-batch watermarked window
+    aggregation and RAISES unless the ``StreamingQueryProgress``
+    state-operator metrics show the machinery actually working:
+
+    1. ``numRowsDroppedByWatermark`` summed across batches lands in
+       [distinct straggler WINDOWS, straggler ROWS] — the metric
+       counts operator-input rows AFTER map-side partial aggregation
+       (measured: 122 staged straggler rows report as 119 drops, one
+       per distinct window, because the one-file batch partials them
+       in a single task; more input splits report up to one per row),
+       and BOTH bounds failing means late data leaked into state or
+       was double-dropped;
+    2. ``numRowsRemoved`` > 0 somewhere — watermark EVICTION
+       observably ran (state rows were deleted, not just flagged);
+    3. the final batch's ``numRowsTotal`` is STRICTLY below the
+       number of distinct windows in the kept data — state held a
+       watermark-bounded suffix, never the whole history.
+
+    Why this exists: the value oracle cannot see state size. A
+    watermark that silently stops evicting (a misconfigured delay, a
+    column swap, an upstream clock regression) produces IDENTICAL
+    results at fixture scale while state grows without bound — the
+    failure that OOMs a 1000-executor streaming job weeks into its
+    run. This makes state growth a per-run invariant read from the
+    engine's own accounting, exactly as j8 reads partition counts
+    from the executed scan. The emitted windows ride t17's oracle
+    verbatim — the metrics must hold AND the answer must stay
+    exact."""
+    import json
+
+    out, q, n_strag, n_strag_windows, n_windows = _late_drop_stream(
+        spark, sf_dir
+    )
+    if n_strag_windows < 1:
+        raise RuntimeError(
+            "no stragglers staged — the drop accounting is unprovable"
+        )
+    progresses = [json.loads(p.json) for p in q.recentProgress]
+    ops = [op for p in progresses for op in p.get("stateOperators", [])]
+    if not ops:
+        raise RuntimeError(
+            "no state-operator progress reported — the metrics "
+            f"invariant is unprovable ({len(progresses)} progresses)"
+        )
+    dropped = sum(op.get("numRowsDroppedByWatermark", 0) for op in ops)
+    removed = sum(op.get("numRowsRemoved", 0) for op in ops)
+    final_state = next(
+        (
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in reversed(progresses)
+            if p.get("stateOperators")
+        ),
+        None,
+    )
+    if (
+        not n_strag_windows <= dropped <= n_strag
+        or removed < 1
+        or not final_state < n_windows
+    ):
+        raise RuntimeError(
+            "streaming state metrics regressed: "
+            f"droppedByWatermark={dropped} (expected within "
+            f"[{n_strag_windows} straggler windows, {n_strag} "
+            f"straggler rows]), numRowsRemoved={removed} (need >= 1), "
+            f"final numRowsTotal={final_state} (need < {n_windows} "
+            "kept windows). State is leaking or the watermark is "
+            "not evicting."
+        )
     return out
 
 
@@ -8807,6 +8910,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # more groups on y — the clustering-key decision table,
         # priced from real footers; oracle adjudicates zero data loss
         "s16_zorder_vs_linear": _s16_zorder_vs_linear,
+        # t31 NEW in round 15, past the window — ROTATE IN ROUND 16:
+        # bounded streaming state proven from StreamingQueryProgress —
+        # numRowsDroppedByWatermark equals the staged straggler count
+        # EXACTLY, eviction observably removed rows, and final state
+        # is strictly below the kept-window count; the value oracle
+        # (t17's, verbatim) cannot see state size — this is the
+        # executed-plan proof discipline applied to the state store
+        "t31_state_metrics_proof": _t31_state_metrics_proof,
         # -- displaced THIS round (round 15): eight thrice-or-more-
         # green queries, subsumed per the inline notes (displacement
         # set vetted in ROTATION_PLAN_r15.md); all stay
@@ -9823,6 +9934,9 @@ def oracle_sql() -> dict[str, str]:
         "ml9_grouped_ols": _ml9_oracle(),
         "x67_clustering_coef": X.clustering_coef_oracle(),
         "t17_late_drop": _t17_oracle(),
+        # t31 runs t17's identical aggregation (the metrics are the
+        # new content); the value law is the same oracle verbatim
+        "t31_state_metrics_proof": _t17_oracle(),
         "t18_stream_kmv": X.kmv_distinct_oracle(),
         "x68_contamination_scores": X.contamination_scores_oracle(),
         "x69_lsh_tuning": X.lsh_tuning_oracle(),
