@@ -8918,6 +8918,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (t17's, verbatim) cannot see state size — this is the
         # executed-plan proof discipline applied to the state store
         "t31_state_metrics_proof": _t31_state_metrics_proof,
+        # x81 NEW in round 15, past the window — ROTATE IN ROUND 16:
+        # x24's sequence packer priced across token budgets (the x80
+        # sweep discipline): per B ∈ {512..4096}, the cut-document
+        # count (docs split across packs) vs the padding waste
+        # (per-shard final-pack tails) — the context-length decision
+        # table for a packing run; one window pass serves all four
+        # budgets, exact integer arithmetic throughout
+        "x81_pack_budget_sweep": X.q_pack_budget_sweep,
         # -- displaced THIS round (round 15): eight thrice-or-more-
         # green queries, subsumed per the inline notes (displacement
         # set vetted in ROTATION_PLAN_r15.md); all stay
@@ -9937,6 +9945,7 @@ def oracle_sql() -> dict[str, str]:
         # t31 runs t17's identical aggregation (the metrics are the
         # new content); the value law is the same oracle verbatim
         "t31_state_metrics_proof": _t17_oracle(),
+        "x81_pack_budget_sweep": X.pack_budget_sweep_oracle(),
         "t18_stream_kmv": X.kmv_distinct_oracle(),
         "x68_contamination_scores": X.contamination_scores_oracle(),
         "x69_lsh_tuning": X.lsh_tuning_oracle(),

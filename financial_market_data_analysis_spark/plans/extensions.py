@@ -1042,6 +1042,140 @@ def ann_recall_oracle() -> str:
     """
 
 
+_X81_BUDGETS = (512, 1024, 2048, 4096)
+X81_SHARDS = 16  # packing streams for the sweep (scale = parallelism)
+
+
+def q_pack_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x81 — the sequence-packing BUDGET trade-off, measured (the
+    x80 sweep discipline applied to x24's packer): per token budget
+    B ∈ {512, 1024, 2048, 4096}, the two costs a pre-training data
+    engineer trades when picking the packed context length:
+
+    - **cut documents**: docs whose token span crosses a pack
+      boundary (``st div B != (st + n_tokens - 1) div B``) — each
+      one is split across training sequences (or needs cross-doc
+      attention masking); SMALL budgets cut more;
+    - **padding waste**: the per-shard final pack's unfilled tail
+      (``(B - total % B) % B``), the tokens a trainer pads; LARGE
+      budgets strand more per stream.
+
+    Published per budget: doc counts, cut count + fraction, pack
+    count, pad tokens + fraction. Every count is exact integer
+    arithmetic on one shared cumulative-offset frame (the x80
+    one-pass-many-budgets trick: ONE window pass over the sharded
+    corpus serves all four budgets); the two fractions are single
+    IEEE divisions of identical integers, rounded to 6 on both
+    engines. Zero-token docs never count as cut (n_tokens > 0 gate,
+    mirrored in the oracle).
+
+    Scale shape: identical to x24 — shard by id, one window per
+    shard (never a global order), one corpus scan; the per-budget
+    sweep re-aggregates the cached offsets, it never re-tokenizes.
+
+    Reference parity: the reference has no packing stage (its
+    features are fixed-width rows); this extends the LLM-pipeline
+    tier the x24/x28 corpus path established."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % X81_SHARDS).cast("int").alias("shard"),
+            T.token_count("text").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "st",
+            F.sum("n_tokens")
+            .over(Window.partitionBy("shard").orderBy("doc_id"))
+            - F.col("n_tokens"),
+        )
+        .localCheckpoint(eager=False)  # one pass feeds all four budgets
+    )
+    shard_tot = t.groupBy("shard").agg(
+        F.max(F.col("st") + F.col("n_tokens")).alias("total")
+    )
+    per = []
+    for b in _X81_BUDGETS:
+        cuts = t.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (
+                    (F.col("n_tokens") > 0)
+                    & (
+                        F.expr(f"st div {b}")
+                        != F.expr(f"(st + n_tokens - 1) div {b}")
+                    )
+                ).cast("long")
+            ).alias("n_cut_docs"),
+        )
+        packs = shard_tot.agg(
+            F.sum(F.expr(f"(total + {b} - 1) div {b}")).alias("n_packs"),
+            F.sum(F.expr(f"({b} - total % {b}) % {b}")).alias("pad_tokens"),
+        )
+        per.append(
+            cuts.crossJoin(packs).select(
+                F.lit(b).cast("int").alias("budget"),
+                "n_docs",
+                "n_cut_docs",
+                F.round(F.col("n_cut_docs") / F.col("n_docs"), 6).alias(
+                    "cut_frac"
+                ),
+                "n_packs",
+                "pad_tokens",
+                F.round(
+                    F.col("pad_tokens") / (F.col("n_packs") * b), 6
+                ).alias("pad_frac"),
+            )
+        )
+    out = per[0]
+    for p in per[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pack_budget_sweep_oracle() -> str:
+    selects = "\n        UNION ALL\n        ".join(
+        f"""SELECT {b} AS budget, n_docs, n_cut_docs,
+               round(n_cut_docs / n_docs, 6) AS cut_frac,
+               n_packs, pad_tokens,
+               round(pad_tokens / (n_packs * {b}), 6) AS pad_frac
+        FROM (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN n_tokens > 0
+                                  AND st // {b} != (st + n_tokens - 1) // {b}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_docs
+            FROM t
+        ), (
+            SELECT CAST(sum((total + {b} - 1) // {b}) AS BIGINT)
+                       AS n_packs,
+                   CAST(sum(({b} - total % {b}) % {b}) AS BIGINT)
+                       AS pad_tokens
+            FROM tot
+        )"""
+        for b in _X81_BUDGETS
+    )
+    return f"""
+        WITH t0 AS (
+            SELECT doc_id,
+                   CAST(doc_id % {X81_SHARDS} AS INT) AS shard,
+                   CAST(len({T.tokens_sql("text")}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, shard, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                   ) - n_tokens AS st
+            FROM t0
+        ),
+        tot AS (
+            SELECT shard, max(st + n_tokens) AS total
+            FROM t GROUP BY shard
+        )
+        {selects}
+    """
+
+
 EMB_DIM = 64  # fixed embedding dimensionality of the driver's table
 
 
