@@ -1382,3 +1382,101 @@ def test_assert_shuffle_free_rejects_shuffling_plan(spark):
     df = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
     with pytest.raises(RuntimeError, match="shuffle-free plan regressed"):
         assert_shuffle_free(df)
+
+
+def test_assert_skew_join_split_rejects_when_disabled(spark):
+    """j9's runtime invariant, negative direction: the same skewed
+    join shape with ``spark.sql.adaptive.skewJoin.enabled=false`` must
+    RAISE — the audit exists to make exactly this conf regression
+    loud, so the test pins that it fires (j9 itself adjudicates the
+    happy path every round)."""
+    import pytest
+
+    from financial_market_data_analysis_spark.operators.joins import (
+        assert_skew_join_split,
+    )
+
+    scoped = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        fact = (
+            spark.range(20000)
+            .repartition(8)
+            .select(
+                F.when(F.col("id") % 10 < 7, F.lit(0))
+                .otherwise(F.col("id") % 97)
+                .cast("long")
+                .alias("k"),
+                F.md5(F.col("id").cast("string")).alias("payload"),
+            )
+        )
+        dim = spark.range(97).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+        )
+        out = (
+            fact.join(dim, "k")
+            .groupBy("g")
+            .agg(F.min("payload").alias("p"))
+        )
+        with pytest.raises(RuntimeError, match="skew handling did not fire"):
+            assert_skew_join_split(out, min_splits=2)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_assert_runtime_broadcast_demotion_rejects_when_disabled(spark):
+    """j10's runtime invariant, negative direction: with
+    ``spark.sql.adaptive.autoBroadcastJoinThreshold=-1`` (the silent
+    conf regression the audit names) the SMJ must survive to the
+    executed plan and the audit must RAISE."""
+    import pytest
+
+    from financial_market_data_analysis_spark.operators.joins import (
+        assert_runtime_broadcast_demotion,
+    )
+
+    scoped = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        raw = spark.range(5000).select(
+            (F.col("id") % 40).alias("k"), F.col("id").alias("v")
+        )
+        fact = raw.repartition(8)
+        dim = (
+            raw.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 100)
+            .select("k")
+        )
+        out = (
+            fact.join(dim, "k")
+            .groupBy((F.col("k") % 7).alias("g"))
+            .agg(F.sum("v").alias("s"))
+        )
+        with pytest.raises(
+            RuntimeError, match="broadcast demotion did not fire"
+        ):
+            assert_runtime_broadcast_demotion(out)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
