@@ -3426,6 +3426,136 @@ def _s16_zorder_vs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _s17_column_pruning_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 — COLUMN pruning and filter PUSHDOWN proven from the
+    executed scan (the I/O proof trilogy completed: s13 prunes
+    partition DIRECTORIES, s14 skips ROW GROUPS, s17 proves the scan
+    reads only the needed COLUMNS — the third lever is the biggest on
+    a wide warehouse row, where 2 of 100 columns is a 50× I/O cut in
+    a columnar format). A two-column aggregate over the 11-column
+    lineitem table runs once, and the query RAISES unless the
+    executed ``FileSourceScanExec``:
+
+    1. carries a ``requiredSchema`` of EXACTLY the two referenced
+       columns — column pruning reached the scan (a select-star
+       regression, a UDF that closes over the whole row, or a schema
+       widening silently reads every byte of every other column);
+    2. reports the quantity predicate in its ``PushedFilters``
+       metadata — the filter reached the parquet reader instead of
+       running post-scan (where row-group skipping can no longer see
+       it).
+
+    Both regress silently: identical rows, full-width I/O. The audit
+    reads the scan NODE (selected by type via ``_find_file_scan``,
+    AQE-unwrapped), never the plan string. Rows ride a plain
+    aggregate oracle.
+
+    Scale shape: the proof IS the product — on a 100 TB warehouse
+    row this is the difference between reading two columns and
+    reading the table; the audit costs one fixture-scale execution
+    (the executed_plan_node_names cost note applies)."""
+    from financial_market_data_analysis_spark.sources.batch import (
+        _find_file_scan,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    if len(li.columns) <= 2:
+        raise RuntimeError(
+            "column pruning is unprovable: the table is already "
+            f"narrow ({len(li.columns)} columns)"
+        )
+    out = (
+        li.filter(F.col("l_quantity") >= 30)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 6).alias("qty_sum"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan()
+    plan.execute().count()  # run exactly this plan so AQE finalizes
+    leaf = _find_file_scan(plan)
+    if leaf is None:
+        raise RuntimeError(
+            "column pruning is unprovable: no FileSourceScanExec in "
+            f"the executed plan:\n{plan.toString()}"
+        )
+    read_cols = set(leaf.requiredSchema().fieldNames())
+    want = {"l_quantity", "l_returnflag"}
+    pushed = ""
+    it = leaf.metadata().iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() == "PushedFilters":
+            pushed = str(kv._2())
+    if read_cols != want or "GreaterThanOrEqual(l_quantity" not in pushed:
+        raise RuntimeError(
+            f"scan-level pruning regressed: requiredSchema={sorted(read_cols)} "
+            f"(want exactly {sorted(want)} of {len(li.columns)} "
+            f"columns), PushedFilters={pushed!r} (want the quantity "
+            "predicate pushed to the reader). The scan is reading "
+            "bytes the query never uses."
+        )
+    return out
+
+
+_S17_ORACLE = """
+    SELECT l_returnflag, count(*) AS n_lines,
+           round(sum(l_quantity), 6) AS qty_sum
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+"""
+
+
+def _u2_codegen_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — "UDFs are the slow path" raised to a RUNTIME INVARIANT
+    (U1's zero-scalar-UDF policy is enforced by code audits; nothing
+    asserted the EXECUTED plan at run time): the flagship candle →
+    features → indicators pipeline runs once, and the query RAISES
+    unless its executed plan (node objects, AQE-unwrapped)
+
+    1. contains ZERO Python-evaluation operators
+       (``BatchEvalPythonExec`` / ``ArrowEvalPythonExec`` /
+       ``*PandasExec`` — any of them means a Python worker
+       round-trip per batch entered the batch hot path; the declared
+       Arrow-stateful STREAMING operators are a different query
+       surface and never appear here), and
+    2. holds at least five ``WholeStageCodegenExec`` spans — the
+       scan → filter → project → aggregate → window pipeline stayed
+       inside fused JVM codegen (measured shape: 15 spans; a
+       CodegenFallback-triggering expression or a sneaked-in UDF
+       collapses spans to interpreted rows while returning identical
+       values).
+
+    Why loud: a convenience UDF added to a feature costs nothing at
+    fixture scale and a 10-100× slowdown at 100 TB (the brief's
+    'stay JVM-side' rule); this makes the regression fail the run,
+    the way j7 makes a lost broadcast fail the run. Rows ride the
+    flagship's own oracle verbatim — the invariant must hold AND the
+    answer must stay exact."""
+    from financial_market_data_analysis_spark.operators.joins import (
+        executed_plan_node_names,
+    )
+
+    out = _pipeline_bars_joined(spark, sf_dir)
+    names = executed_plan_node_names(out)
+    forbidden = sorted(
+        n
+        for n in set(names)
+        if "Python" in n or "Pandas" in n or "Fallback" in n
+    )
+    n_spans = names.count("WholeStageCodegenExec")
+    if forbidden or n_spans < 5:
+        raise RuntimeError(
+            f"hot-path codegen regressed: Python/interpreted operators "
+            f"{forbidden} (need none), {n_spans} WholeStageCodegen "
+            "spans (need >= 5). A UDF or codegen-fallback expression "
+            "entered the flagship pipeline."
+        )
+    return out
+
+
 _S16_ORACLE = f"""
     WITH e AS (
         SELECT event_id AS x,
@@ -8926,6 +9056,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table for a packing run; one window pass serves all four
         # budgets, exact integer arithmetic throughout
         "x81_pack_budget_sweep": X.q_pack_budget_sweep,
+        # s17 NEW in round 15, past the window — ROTATE IN ROUND 16:
+        # the I/O proof trilogy completed — COLUMN pruning + filter
+        # pushdown proven from the executed scan (requiredSchema ==
+        # exactly the two referenced columns of eleven; the quantity
+        # predicate present in PushedFilters) — s13 proves directories,
+        # s14 row groups, s17 columns
+        "s17_column_pruning_proof": _s17_column_pruning_proof,
+        # u2 NEW in round 15, past the window — ROTATE IN ROUND 16:
+        # "UDFs are the slow path" as a runtime invariant — the
+        # flagship pipeline's executed plan must hold zero
+        # Python-evaluation operators and ≥5 WholeStageCodegen spans;
+        # rows ride the flagship oracle verbatim
+        "u2_codegen_proof": _u2_codegen_proof,
         # -- displaced THIS round (round 15): eight thrice-or-more-
         # green queries, subsumed per the inline notes (displacement
         # set vetted in ROTATION_PLAN_r15.md); all stay
@@ -9946,6 +10089,10 @@ def oracle_sql() -> dict[str, str]:
         # new content); the value law is the same oracle verbatim
         "t31_state_metrics_proof": _t17_oracle(),
         "x81_pack_budget_sweep": X.pack_budget_sweep_oracle(),
+        "s17_column_pruning_proof": _S17_ORACLE,
+        # u2 runs the flagship pipeline (the codegen invariant is the
+        # new content); the value law is the same oracle verbatim
+        "u2_codegen_proof": _pipeline_oracle(),
         "t18_stream_kmv": X.kmv_distinct_oracle(),
         "x68_contamination_scores": X.contamination_scores_oracle(),
         "x69_lsh_tuning": X.lsh_tuning_oracle(),
