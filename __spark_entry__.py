@@ -3347,10 +3347,17 @@ def _s16_zorder_vs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             md = pq.ParquetFile(os.path.join(path, f)).metadata
             idx = next(
-                i
-                for i in range(md.num_columns)
-                if md.row_group(0).column(i).path_in_schema == col
+                (
+                    i
+                    for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema == col
+                ),
+                None,
             )
+            if idx is None:
+                raise RuntimeError(
+                    f"census column {col!r} not found in {f} footer"
+                )
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
                 n_total += 1
@@ -3363,8 +3370,11 @@ def _s16_zorder_vs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_sorted(
             ev.withColumn(
                 "zk",
+                # offset by xmin before scaling: a key range that does
+                # not start near 0 would exceed 16 bits and alias the
+                # interleave (only the low bits would survive)
                 z_value(
-                    (F.col("x") / x_scale).cast("long"),
+                    ((F.col("x") - b.xmin) / x_scale).cast("long"),
                     (F.col("y") / 2).cast("long"),
                 ),
             ),
