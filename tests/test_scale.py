@@ -1480,3 +1480,118 @@ def test_assert_runtime_broadcast_demotion_rejects_when_disabled(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_s17_audit_rejects_wide_scan_and_u2_rejects_udf(spark):
+    """Negative paths for the r15 proof births (the j9/j10 negative-
+    test precedent): s17's audit logic must flag a scan whose
+    requiredSchema is wider than the referenced columns, and u2's
+    audit must raise on a plan carrying a Python-evaluation operator.
+    Both are exercised through the same walkers the queries use."""
+    import pytest
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import LongType
+
+    from financial_market_data_analysis_spark.operators.joins import (
+        executed_plan_node_names,
+    )
+    from financial_market_data_analysis_spark.sources.batch import (
+        _find_file_scan,
+    )
+
+    # a query that references EVERY column: requiredSchema stays wide,
+    # which is exactly what s17's equality check must flag
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    wide = li.groupBy("l_returnflag").agg(
+        *[F.max(c).alias(f"m_{c}") for c in li.columns if c != "l_returnflag"]
+    )
+    plan = wide._jdf.queryExecution().executedPlan()
+    plan.execute().count()
+    leaf = _find_file_scan(plan)
+    assert leaf is not None
+    read_cols = set(leaf.requiredSchema().fieldNames())
+    assert read_cols == set(li.columns), read_cols
+    assert read_cols != {"l_quantity", "l_returnflag"}
+
+    # a scalar Python UDF on the hot path: the u2 forbidden-node scan
+    # must see a Python-evaluation operator
+    double_it = udf(lambda x: x * 2, LongType())
+    bad = spark.range(100).select(double_it(F.col("id")).alias("v"))
+    names = executed_plan_node_names(bad)
+    forbidden = [
+        n for n in set(names) if "Python" in n or "Pandas" in n
+    ]
+    assert forbidden, sorted(set(names))
+    with pytest.raises(RuntimeError, match="codegen regressed"):
+        # u2's exact raise logic, driven by the forbidden plan
+        n_spans = names.count("WholeStageCodegenExec")
+        if forbidden or n_spans < 5:
+            raise RuntimeError(
+                f"hot-path codegen regressed: {forbidden} / {n_spans}"
+            )
+
+
+def test_x81_pack_boundary_cut_condition_cross_engine(spark, duck):
+    """r15's sweep class applied to x81's cut condition: the branch is
+    ``st div B != (st + n_tokens - 1) div B`` and the corpus never
+    lands a document EXACTLY on a pack boundary. Hostile offsets per
+    budget B: a doc ending exactly at a boundary (st + n = k*B — NOT
+    cut), a doc starting exactly on one (st = k*B — not cut unless it
+    also spans), a doc spanning by exactly one token (cut), a
+    zero-token doc sitting on a boundary (never cut, the n_tokens > 0
+    gate), and a doc exactly B long starting on a boundary (fills the
+    pack, not cut). Spark's integer ``div`` and DuckDB's ``//`` must
+    agree row-for-row."""
+    import pandas as pd
+
+    rows = []
+    for b in (512, 2048):
+        rows += [
+            (b, b - 7, 7, "ends_on_boundary"),      # st+n == B: not cut
+            (b, b, 5, "starts_on_boundary"),        # inside pack 2: not cut
+            (b, b - 7, 8, "spans_by_one"),          # crosses: cut
+            (b, b, 0, "zero_tokens_on_boundary"),   # gated: not cut
+            (b, 2 * b, b, "exactly_fills_pack"),    # b..2b-1: not cut
+            (b, 2 * b - 1, 2, "last_token_spills"),  # cut
+        ]
+    df = spark.createDataFrame(rows, "b LONG, st LONG, n_tokens LONG, tag STRING")
+    got = (
+        df.select(
+            "b",
+            "tag",
+            (
+                (F.col("n_tokens") > 0)
+                & (
+                    F.expr("st div b")
+                    != F.expr("(st + n_tokens - 1) div b")
+                )
+            )
+            .cast("int")
+            .alias("is_cut"),
+        )
+        .toPandas()
+        .sort_values(["b", "tag"])
+        .reset_index(drop=True)
+    )
+    vals = ", ".join(f"({b}, {st}, {n}, '{tag}')" for b, st, n, tag in rows)
+    want = duck.execute(
+        f"""
+        WITH t(b, st, n_tokens, tag) AS (VALUES {vals})
+        SELECT b, tag,
+               CASE WHEN n_tokens > 0
+                     AND st // b != (st + n_tokens - 1) // b
+                    THEN 1 ELSE 0 END AS is_cut
+        FROM t ORDER BY b, tag
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True
+    )
+    by = {(r.b, r.tag): r.is_cut for r in got.itertuples()}
+    for b in (512, 2048):
+        assert by[(b, "ends_on_boundary")] == 0
+        assert by[(b, "starts_on_boundary")] == 0
+        assert by[(b, "spans_by_one")] == 1
+        assert by[(b, "zero_tokens_on_boundary")] == 0
+        assert by[(b, "exactly_fills_pack")] == 0
+        assert by[(b, "last_token_spills")] == 1
