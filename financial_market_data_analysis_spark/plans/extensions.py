@@ -2216,7 +2216,13 @@ def audio_frames_oracle(frame_ms: int = 25, hop_ms: int = 10) -> str:
 
 
 def q_resize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving letterbox resize geometry for images."""
+    """Aspect-preserving letterbox resize geometry for images.
+
+    The geometry published here is the CONTRACT for the real resample
+    kernel (``operators.multimodal.resize_images`` /
+    ``letterbox_resize``): both use the same all-integer ``div`` math,
+    and tests/test_ml_multimodal.py pins the two identical dim-for-dim.
+    """
     from financial_market_data_analysis_spark.operators.multimodal import (
         media_from_documents,
         resize_geometry,

@@ -468,3 +468,153 @@ def test_pq_codes_are_argmin_assignments(spark):
     assert by_vec[0] == {0}                      # centroid codes itself
     assert by_vec[CENTROID_MOD] == {CENTROID_MOD}
     assert by_vec[7] == {CENTROID_MOD}           # 0.9 is nearer to 1.0
+
+
+# --------------------------------------------------------------------
+# REAL in-container decode tier: WAV-PCM + netpbm (no PIL/ffmpeg)
+# --------------------------------------------------------------------
+
+
+def _pnm_payload(w, h, c, value=None):
+    import numpy as np
+
+    from financial_market_data_analysis_spark.operators.multimodal import encode_pnm
+
+    if value is None:
+        arr = (np.arange(w * h * c, dtype=np.int64) % 251).astype(np.uint8)
+    else:
+        arr = np.full((h, w, c), value, dtype=np.uint8)
+    return encode_pnm(arr.reshape(h, w, c))
+
+
+def _wav_payload(n_frames=100, sr=8000, nch=2, amp=1000):
+    import numpy as np
+
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        encode_wav_pcm16,
+    )
+
+    sq = np.tile(
+        np.array([[amp, -amp], [-amp, amp]], np.int16)[:, :nch], (n_frames // 2, 1)
+    )
+    return encode_wav_pcm16(sq, sr)
+
+
+def _media_df(spark, rows):
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_decode_media_real_wav_and_pnm(spark):
+    """Real decode end-to-end on Spark: stdlib-WAV and numpy-netpbm
+    payloads decode inside the mapInPandas kernel; metadata and the
+    all-integer feature vector are exact."""
+    from financial_market_data_analysis_spark.operators.multimodal import decode_media
+
+    media = _media_df(
+        spark,
+        [
+            (1, _pnm_payload(3, 2, 3)),
+            (2, _wav_payload(n_frames=100, sr=8000, nch=2, amp=1000)),
+            (3, _pnm_payload(5, 4, 1, value=200)),
+        ],
+    )
+    out = {r.media_id: r for r in decode_media(media).collect()}
+    assert out[1].format == "pnm" and (out[1].width, out[1].height, out[1].channels) == (3, 2, 3)
+    # constant-200 grayscale: mean-permille = 200*1000//255 = 784, all bright
+    assert out[3].features == [5, 4, 1, 784, 200, 200, 1000, 0]
+    w = out[2]
+    assert w.format == "wav" and w.sample_rate == 8000 and w.n_samples == 100
+    assert w.duration_ms == 12 and w.channels == 2
+    # alternating ±1000 square: peak 1000, rms-permille 1000*1000//32768=30,
+    # a sign flip between every adjacent frame pair (99), audio marker 1
+    assert w.features == [8000, 100, 2, 12, 1000, 30, 99, 1]
+
+
+def test_decode_media_mixed_corpus_accounts_boundary_formats(spark):
+    """strict=False (the 100 TB default): entropy-coded payloads emit a
+    typed null-metric row with the sniffed format instead of killing
+    the job — the corpus' undecodable tail is accounted, not fatal."""
+    from financial_market_data_analysis_spark.operators.multimodal import decode_media
+
+    media = _media_df(
+        spark,
+        [
+            (1, _pnm_payload(2, 2, 3)),
+            (2, b"\x89PNG\r\n\x1a\n" + b"\x00" * 32),
+            (3, b"\xff\xd8\xff\xe0" + b"\x00" * 32),
+            (4, b"not media at all"),
+        ],
+    )
+    rows = {r.media_id: r for r in decode_media(media, strict=False).collect()}
+    assert rows[1].format == "pnm" and rows[1].features is not None
+    assert rows[2].format == "png" and rows[2].features is None and rows[2].width is None
+    assert rows[3].format == "jpeg" and rows[3].features is None
+    assert rows[4].format == "unknown" and rows[4].features is None
+    by_fmt = (
+        decode_media(media, strict=False)
+        .groupBy("format")
+        .count()
+        .rdd.collectAsMap()
+    )
+    assert by_fmt == {"pnm": 1, "png": 1, "jpeg": 1, "unknown": 1}
+
+
+def test_decode_media_strict_raises_boundary_in_kernel(spark):
+    """strict=True surfaces the documented NotImplementedError boundary
+    from inside the Arrow kernel (Spark wraps it as a PythonException)."""
+    from financial_market_data_analysis_spark.operators.multimodal import decode_media
+
+    media = _media_df(spark, [(1, b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)])
+    with pytest.raises(Exception, match="NotImplementedError|entropy-coded"):
+        decode_media(media, strict=True).collect()
+
+
+def test_resize_images_matches_resize_geometry_plan(spark):
+    """The real numpy letterbox kernel and the declarative
+    resize_geometry plan publish IDENTICAL integer geometry, and the
+    resampled raster has the promised shape with zero-valued pads."""
+    import numpy as np
+
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        resize_geometry,
+        resize_images,
+    )
+
+    dims = [(6, 4), (4, 6), (224, 224), (17, 3), (1000, 10)]
+    media = _media_df(
+        spark,
+        [(i, _pnm_payload(w, h, 3, value=7)) for i, (w, h) in enumerate(dims)],
+    )
+    real = {r.media_id: r for r in resize_images(media, 224, 224).collect()}
+
+    geo_in = media.selectExpr("media_id", "'image' as kind").join(
+        spark.createDataFrame(
+            [(i, w, h) for i, (w, h) in enumerate(dims)],
+            ["media_id", "width", "height"],
+        ),
+        "media_id",
+    )
+    plan = {r.media_id: r for r in resize_geometry(geo_in, 224, 224).collect()}
+    assert set(real) == set(plan) == set(range(len(dims)))
+    for i in real:
+        assert (real[i].out_w, real[i].out_h, real[i].pad_x, real[i].pad_y) == (
+            plan[i].out_w,
+            plan[i].out_h,
+            plan[i].pad_x,
+            plan[i].pad_y,
+        ), f"geometry diverged for media {i}"
+        canvas = np.frombuffer(real[i].pixels, np.uint8).reshape(224, 224, 3)
+        r = real[i]
+        body = canvas[r.pad_y : r.pad_y + r.out_h, r.pad_x : r.pad_x + r.out_w]
+        assert (body == 7).all()
+        assert int((canvas == 7).all(axis=2).sum()) == r.out_w * r.out_h

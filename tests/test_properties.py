@@ -907,3 +907,46 @@ def test_widen_type_lattice_laws(a, b, c):
         assert ab == "double"
     # absorbing element: double wins every pairing
     assert widen_type(a, "double") == "double"
+
+
+# -- real letterbox resample: geometry laws (pure numpy, no Spark) ----
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=3000),
+    st.integers(min_value=1, max_value=3000),
+    st.integers(min_value=8, max_value=512),
+    st.integers(min_value=8, max_value=512),
+)
+def test_letterbox_geometry_laws(w, h, tw, th):
+    """The real resample's integer geometry obeys the letterbox laws for
+    EVERY source/target dim pair: output fits the target, at least one
+    axis is tight, aspect is preserved to integer-div rounding, pads
+    center, and the pad ring is exactly the canvas minus the body —
+    the same laws resize_geometry's oracle encodes in SQL."""
+    import numpy as np
+
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        letterbox_resize,
+    )
+
+    img = np.full((h, w, 3), 9, np.uint8)
+    canvas = letterbox_resize(img, tw, th, pad_value=0)
+    assert canvas.shape == (th, tw, 3)
+
+    wide = w * th >= h * tw
+    out_w = tw if wide else (w * th) // h
+    out_h = (h * tw) // w if wide else th
+    # extreme aspect ratios can truncate the scaled axis to 0 (an
+    # all-pad canvas) — the declarative resize_geometry plan and its
+    # SQL oracle share the identical integer-div, so plan and kernel
+    # agree even on the degenerate case
+    assert 0 <= out_w <= tw and 0 <= out_h <= th
+    assert out_w == tw or out_h == th  # one axis always tight
+    # aspect preserved to integer-div rounding: out_w/out_h ≈ w/h
+    assert abs(out_w * h - out_h * w) <= max(w, h)
+    px, py = (tw - out_w) // 2, (th - out_h) // 2
+    body = canvas[py : py + out_h, px : px + out_w]
+    assert (body == 9).all()
+    assert int((canvas == 9).sum()) == out_w * out_h * 3
