@@ -536,6 +536,82 @@ def resize_images(
     return out if id_col == "media_id" else out.withColumnRenamed("media_id", id_col)
 
 
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("start_ms", IntegerType()),
+        StructField("n_in_frame", IntegerType()),
+        StructField("peak", IntegerType()),
+        StructField("rms_milli", IntegerType()),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+def audio_frame_features(
+    media: DataFrame,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL per-frame audio features for WAV-PCM payloads: decode with
+    :func:`decode_wav_pcm` inside the Arrow kernel, frame channel 0 on
+    the SAME STFT-style grid as the declarative :func:`audio_frames`
+    plan (``n = (dur_ms − frame_ms) div hop_ms + 1``, all-integer), and
+    emit per-frame ``[peak |x|, rms‰ of int16 full-scale,
+    zero-crossings]`` — the feature row a downstream VAD / silence
+    filter consumes. Frame boundaries in samples are
+    ``start_ms·sr div 1000`` for ``frame_ms·sr div 1000`` samples, so
+    the grid is deterministic across hosts. Non-WAV payloads are
+    skipped (the corpus-robust convention of :func:`decode_media`);
+    clips shorter than one frame yield no rows, matching the plan."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                payload = bytes(p)
+                if sniff_media_format(payload) != "wav":
+                    continue
+                x, sr = decode_wav_pcm(payload)
+                ch0 = x[:, 0].astype(np.int64)
+                dur_ms = len(ch0) * 1000 // sr if sr else 0
+                if dur_ms < frame_ms:
+                    continue
+                n_frames = (dur_ms - frame_ms) // hop_ms + 1
+                flen = frame_ms * sr // 1000
+                for i in range(n_frames):
+                    start_ms = i * hop_ms
+                    s0 = start_ms * sr // 1000
+                    fr = ch0[s0 : s0 + flen]
+                    n = len(fr)
+                    if n == 0:
+                        continue
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "start_ms": start_ms,
+                            "n_in_frame": n,
+                            "peak": int(np.abs(fr).max()),
+                            "rms_milli": int(((fr**2).mean() ** 0.5) * 1000 // 32768),
+                            "zero_crossings": int(
+                                ((fr[:-1] >= 0) != (fr[1:] >= 0)).sum()
+                            )
+                            if n > 1
+                            else 0,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FRAME_SCHEMA])
+
+    out = media.select(F.col(id_col).alias("media_id"), payload_col).mapInPandas(
+        kernel, AUDIO_FRAME_SCHEMA
+    )
+    return out if id_col == "media_id" else out.withColumnRenamed("media_id", id_col)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Test/oracle fixture: treat each document's text bytes as an
     opaque payload with synthesized metadata — same shape a real

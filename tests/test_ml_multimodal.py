@@ -618,3 +618,60 @@ def test_resize_images_matches_resize_geometry_plan(spark):
         body = canvas[r.pad_y : r.pad_y + r.out_h, r.pad_x : r.pad_x + r.out_w]
         assert (body == 7).all()
         assert int((canvas == 7).all(axis=2).sum()) == r.out_w * r.out_h
+
+
+def test_audio_frame_features_real_decode_exact(spark):
+    """Per-frame features computed from REAL WAV decode: a clip whose
+    first half is an alternating ±1000 square and second half silence
+    yields exact per-frame peak/rms/zero-crossing rows on the standard
+    framing grid, and that grid matches the declarative audio_frames
+    plan frame-for-frame when the metadata duration equals the real
+    one."""
+    import numpy as np
+
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        audio_frame_features,
+        audio_frames,
+        encode_wav_pcm16,
+    )
+
+    sr = 8000
+    loud = np.tile(np.array([1000, -1000], np.int16), 100)  # 200 samples = 25 ms
+    quiet = np.zeros(200, np.int16)
+    wav = encode_wav_pcm16(np.concatenate([loud, quiet]), sr)  # 50 ms total
+    media = _media_df(spark, [(1, wav), (2, b"not audio")])
+
+    out = audio_frame_features(media, frame_ms=25, hop_ms=25).collect()
+    rows = {r.frame_idx: r for r in out}
+    # 50 ms at frame=hop=25 → frames at 0 ms and 25 ms, only media 1
+    assert {r.media_id for r in out} == {1} and set(rows) == {0, 1}
+    f0, f1 = rows[0], rows[1]
+    assert (f0.start_ms, f0.n_in_frame) == (0, 200)
+    assert f0.peak == 1000 and f0.rms_milli == 1000 * 1000 // 32768
+    assert f0.zero_crossings == 199  # sign flips between every sample
+    assert (f1.peak, f1.rms_milli, f1.zero_crossings) == (0, 0, 0)
+
+    # grid parity with the declarative plan at matching metadata
+    meta = spark.createDataFrame(
+        [(1, "audio", 50)], ["media_id", "kind", "duration_ms"]
+    )
+    plan = {
+        (r.frame_idx, r.start_ms)
+        for r in audio_frames(meta, frame_ms=25, hop_ms=25).collect()
+    }
+    assert plan == {(r.frame_idx, r.start_ms) for r in out}
+
+
+def test_audio_frame_features_short_clip_yields_no_rows(spark):
+    """A clip shorter than one frame emits nothing — the same rule the
+    declarative audio_frames grid applies from metadata."""
+    import numpy as np
+
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        audio_frame_features,
+        encode_wav_pcm16,
+    )
+
+    wav = encode_wav_pcm16(np.zeros(100, np.int16), 8000)  # 12 ms < 25 ms
+    media = _media_df(spark, [(1, wav)])
+    assert audio_frame_features(media, frame_ms=25, hop_ms=10).count() == 0
