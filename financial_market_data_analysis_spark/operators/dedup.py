@@ -658,6 +658,110 @@ def simhash_neardup_pairs(
     return out
 
 
+def long_hash_neardup_pairs(
+    hashes: DataFrame,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    bits: int = 64,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generic Hamming near-dup joiner over a 64-bit-or-narrower LONG
+    fingerprint column (perceptual dHash, any 64-bit sketch): band
+    equi-join → ``bit_count(a XOR b)`` verify. Returns
+    (id_a, id_b, hamming).
+
+    Same exact-recall design as :func:`simhash_neardup_pairs`
+    (pigeonhole: ≤ max_hamming flips can't touch all n_bands disjoint
+    bands when n_bands > max_hamming), but the sketch is a LongType so
+    banding is ``shiftrightunsigned``+mask and the Hamming distance is
+    the codegen'd ``bit_count`` popcount — zero string materialization
+    anywhere.
+
+    Scale shape mirrors the SimHash path: one groupBy collapses ids →
+    DISTINCT fingerprints (identical-fingerprint groups emit member
+    pairs row-local at hamming 0), the band self-join and popcount run
+    over distinct-fingerprint pairs only, then candidates expand back
+    to id pairs by exploding member lists."""
+    if bits % n_bands != 0:
+        raise ValueError(f"n_bands={n_bands} must divide bits={bits}")
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} <= max_hamming={max_hamming}: banding "
+            "would drop true near-dups (needs n_bands > max_hamming)"
+        )
+    width = bits // n_bands
+    mask = (1 << width) - 1
+
+    sketches = (
+        hashes.groupBy(F.col(hash_col).alias("fp"))
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .persist()
+    )
+
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
+    intra = (
+        sketches.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .withColumn("hamming", F.lit(0).cast("int"))
+    )
+
+    bands_df = sketches.select(
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("fp"), width * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("fp", "b.band_idx", "b.band")
+    left = bands_df.select(F.col("fp").alias("fp_a"), "band_idx", "band")
+    right = bands_df.select(F.col("fp").alias("fp_b"), "band_idx", "band")
+    cand = (
+        left.join(right, ["band_idx", "band"])
+        .filter(F.col("fp_a") < F.col("fp_b"))
+        .select("fp_a", "fp_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    cross = (
+        cand.join(sketches.select(F.col("fp").alias("fp_a"), F.col("ids").alias("ids_a")), "fp_a")
+        .join(sketches.select(F.col("fp").alias("fp_b"), F.col("ids").alias("ids_b")), "fp_b")
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "hamming")
+        .select("ia", F.explode("ids_b").alias("ib"), "hamming")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    out = intra.unionByName(cross).localCheckpoint(eager=True)
+    sketches.unpersist()
+    return out
+
+
 def _validate_bands(n_bands: int, max_hamming: int) -> None:
     if 32 % n_bands != 0:
         raise ValueError(f"n_bands={n_bands} must divide 32")

@@ -536,6 +536,83 @@ def resize_images(
     return out if id_col == "media_id" else out.withColumnRenamed("media_id", id_col)
 
 
+def dhash64(img: np.ndarray) -> int:
+    """Perceptual difference-hash of a decoded image: integer luma →
+    nearest-resample to an 8×9 grid (the same ``(i·src) div out`` grid
+    math as :func:`letterbox_resize`) → 64 row-wise
+    brighter-than-left-neighbor bits, packed big-endian into a SIGNED
+    64-bit int (Spark LongType). All-integer, so the hash is
+    bit-identical across hosts. Robust to resizing/re-encoding and
+    small local edits — the content-aware complement to byte-level
+    fingerprint dedup."""
+    h, w = img.shape[:2]
+    if img.ndim == 3 and img.shape[2] == 3:
+        px = img.astype(np.int64)
+        luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    else:
+        luma = img.reshape(h, w, -1)[:, :, 0].astype(np.int64)
+    yi = (np.arange(8) * h) // 8
+    xi = (np.arange(9) * w) // 9
+    g = luma[yi][:, xi]
+    bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL perceptual hashing for netpbm payloads: decode + dHash-64
+    inside the Arrow kernel, one LongType fingerprint per image.
+    Non-netpbm payloads are skipped (the corpus-robust convention)."""
+    out_schema = StructType(
+        [StructField("media_id", LongType()), StructField("dhash", LongType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                payload = bytes(p)
+                if sniff_media_format(payload) != "pnm":
+                    continue
+                rows.append({"media_id": mid, "dhash": dhash64(decode_pnm(payload))})
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    out = media.select(F.col(id_col).alias("media_id"), payload_col).mapInPandas(
+        kernel, out_schema
+    )
+    return out if id_col == "media_id" else out.withColumnRenamed("media_id", id_col)
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Content-aware image near-dup pairs: real dHash-64 per image
+    (the only Python step), then the generic sketch-granularity
+    Hamming joiner — 16-bit band equi-join with the pigeonhole recall
+    guarantee, ``bit_count`` popcount verify, everything after the
+    hash kernel JVM-side. Returns (id_a, id_b, hamming)."""
+    from financial_market_data_analysis_spark.operators.dedup import (
+        long_hash_neardup_pairs,
+    )
+
+    return long_hash_neardup_pairs(
+        image_dhash(media, id_col, payload_col),
+        hash_col="dhash",
+        id_col=id_col,
+        bits=64,
+        n_bands=n_bands,
+        max_hamming=max_hamming,
+    )
+
+
 AUDIO_FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

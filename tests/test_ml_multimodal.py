@@ -675,3 +675,78 @@ def test_audio_frame_features_short_clip_yields_no_rows(spark):
     wav = encode_wav_pcm16(np.zeros(100, np.int16), 8000)  # 12 ms < 25 ms
     media = _media_df(spark, [(1, wav)])
     assert audio_frame_features(media, frame_ms=25, hop_ms=10).count() == 0
+
+
+def test_dhash64_deterministic_and_discriminative():
+    """Pure-kernel laws: equal images → equal hash; a horizontal
+    gradient and its mirror produce near-complementary difference bits
+    (large Hamming distance)."""
+    import numpy as np
+
+    from financial_market_data_analysis_spark.operators.multimodal import dhash64
+
+    grad = np.tile(np.arange(72, dtype=np.uint8) * 3, (64, 1))
+    img = np.stack([grad, grad, grad], axis=2)
+    a = dhash64(img)
+    assert a == dhash64(img.copy())
+    mirror = img[:, ::-1]
+    ham = bin((a ^ dhash64(mirror)) & ((1 << 64) - 1)).count("1")
+    assert ham >= 48  # every row's comparisons flip
+
+
+def test_dhash64_invariant_under_integer_nearest_upscale():
+    """The (i*src) div out grid makes dHash EXACTLY equal under an
+    integer-factor nearest upsample — the rescale robustness a
+    perceptual hash exists for, here deterministic rather than
+    approximate."""
+    import numpy as np
+
+    from financial_market_data_analysis_spark.operators.multimodal import dhash64
+
+    rng_vals = (np.arange(64 * 72 * 3, dtype=np.int64) * 37 % 256).astype(np.uint8)
+    img = rng_vals.reshape(64, 72, 3)
+    up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    assert dhash64(img) == dhash64(up)
+
+
+def test_image_neardup_pairs_end_to_end(spark):
+    """Content-aware image dedup on Spark: an upscaled re-encode pairs
+    with its source at hamming 0 (identical-fingerprint intra path), a
+    lightly-edited copy pairs within the Hamming budget (banded cross
+    path), and an unrelated image pairs with nothing."""
+    import numpy as np
+
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        dhash64,
+        encode_pnm,
+        image_neardup_pairs,
+    )
+
+    grad = np.tile(np.arange(72, dtype=np.uint8) * 3, (64, 1))
+    base = np.stack([grad, grad, grad], axis=2)
+    upscaled = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    edited = base.copy()
+    edited[:8, :9] = 255  # one corner cell of the 8x9 grid flips
+    ham_edit = bin(
+        (dhash64(base) ^ dhash64(edited)) & ((1 << 64) - 1)
+    ).count("1")
+    assert 1 <= ham_edit <= 3  # construction check: stays in budget
+    unrelated = base[:, ::-1]
+
+    media = _media_df(
+        spark,
+        [
+            (1, encode_pnm(base)),
+            (2, encode_pnm(upscaled)),
+            (3, encode_pnm(edited)),
+            (4, encode_pnm(unrelated)),
+            (5, b"\xff\xd8 not an image"),
+        ],
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_neardup_pairs(media, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == ham_edit and pairs[(2, 3)] == ham_edit
+    assert not any(4 in p or 5 in p for p in pairs)

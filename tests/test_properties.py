@@ -950,3 +950,42 @@ def test_letterbox_geometry_laws(w, h, tw, th):
     body = canvas[py : py + out_h, px : px + out_w]
     assert (body == 9).all()
     assert int((canvas == 9).sum()) == out_w * out_h * 3
+
+
+# -- generic 64-bit Hamming joiner: pigeonhole recall guarantee -------
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.lists(
+        st.integers(min_value=0, max_value=63), min_size=0, max_size=3, unique=True
+    ),
+)
+def test_long_hash_neardup_pigeonhole_guarantee(spark, base, flips):
+    """long_hash_neardup_pairs NEVER misses a pair within max_hamming
+    (the pigeonhole guarantee banding exists to preserve): a random
+    64-bit fingerprint and a copy with ≤3 flipped bits are always
+    paired, at exactly the flipped-bit Hamming distance, while a
+    far fingerprint (32 flips) never survives the verify."""
+    from financial_market_data_analysis_spark.operators.dedup import (
+        long_hash_neardup_pairs,
+    )
+
+    def flip(v, positions):
+        u = v & ((1 << 64) - 1)
+        for p in positions:
+            u ^= 1 << p
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    near = flip(base, flips)
+    far = flip(base, list(range(0, 64, 2)))
+    hashes = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "media_id long, dhash long"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in long_hash_neardup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == len(flips)
+    assert (1, 3) not in pairs and (2, 3) not in pairs
