@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -611,6 +612,63 @@ def image_neardup_pairs(
         n_bands=n_bands,
         max_hamming=max_hamming,
     )
+
+
+def image_grid_embedding(
+    media: DataFrame,
+    grid: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image embedding for netpbm payloads: decode → integer luma
+    → ``grid×grid`` nearest resample (the same ``(i·src) div out``
+    grid as :func:`dhash64`, so it is exactly invariant under integer
+    nearest upscaling) → L2-normalized ``array<float>``. The output
+    plugs straight into the similarity tier
+    (``operators.similarity.brute_force_topk`` / IVF / hyperplane-LSH)
+    — the bridge from decoded media to ANN retrieval. A swapped-in
+    learned encoder keeps this exact kernel signature and schema.
+    Non-netpbm payloads are skipped (the corpus-robust convention);
+    an all-black image (zero norm) emits the zero vector rather than
+    NaNs."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                payload = bytes(p)
+                if sniff_media_format(payload) != "pnm":
+                    continue
+                img = decode_pnm(payload)
+                h, w = img.shape[:2]
+                if img.ndim == 3 and img.shape[2] == 3:
+                    px = img.astype(np.int64)
+                    luma = (
+                        299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                    ) // 1000
+                else:
+                    luma = img.reshape(h, w, -1)[:, :, 0].astype(np.int64)
+                yi = (np.arange(grid) * h) // grid
+                xi = (np.arange(grid) * w) // grid
+                v = luma[yi][:, xi].reshape(-1).astype(np.float64)
+                n = float(np.sqrt((v * v).sum()))
+                if n > 0.0:
+                    v = v / n
+                rows.append(
+                    {"media_id": mid, "embedding": v.astype(np.float32).tolist()}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "embedding"])
+
+    out = media.select(F.col(id_col).alias("media_id"), payload_col).mapInPandas(
+        kernel, out_schema
+    )
+    return out if id_col == "media_id" else out.withColumnRenamed("media_id", id_col)
 
 
 AUDIO_FRAME_SCHEMA = StructType(

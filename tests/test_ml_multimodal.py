@@ -750,3 +750,53 @@ def test_image_neardup_pairs_end_to_end(spark):
     assert pairs[(1, 2)] == 0
     assert pairs[(1, 3)] == ham_edit and pairs[(2, 3)] == ham_edit
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_image_grid_embedding_feeds_ann_retrieval(spark):
+    """The real image embedding bridges decode → ANN: unit-norm
+    vectors, exact invariance under integer nearest upscaling, and
+    brute-force cosine top-k retrieves the rescaled copy of a query
+    image at score ~1.0 ahead of unrelated images; an all-black image
+    embeds as the zero vector (no NaNs)."""
+    import numpy as np
+
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        encode_pnm,
+        image_grid_embedding,
+    )
+    from financial_market_data_analysis_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    grad = np.tile(np.arange(72, dtype=np.uint8) * 3, (64, 1))
+    base = np.stack([grad, grad, grad], axis=2)
+    upscaled = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    mirror = base[:, ::-1]
+    black = np.zeros((16, 16, 3), np.uint8)
+
+    media = _media_df(
+        spark,
+        [
+            (1, encode_pnm(base)),
+            (2, encode_pnm(upscaled)),
+            (3, encode_pnm(mirror)),
+            (4, encode_pnm(black)),
+        ],
+    )
+    emb = image_grid_embedding(media)
+    rows = {r.media_id: np.array(r.embedding) for r in emb.collect()}
+    assert all(len(v) == 64 for v in rows.values())
+    assert np.allclose(rows[1], rows[2])  # exact grid invariance
+    for mid in (1, 2, 3):
+        assert abs(float((rows[mid] ** 2).sum()) - 1.0) < 1e-6
+    assert (rows[4] == 0).all()
+
+    corpus = emb.filter(F.col("media_id") != 1).withColumnRenamed(
+        "media_id", "vec_id"
+    )
+    queries = emb.filter(F.col("media_id") == 1).withColumnRenamed(
+        "media_id", "query_id"
+    )
+    top = brute_force_topk(corpus, queries, k=2).collect()
+    best = min(top, key=lambda r: r.rank)
+    assert best.vec_id == 2 and best.cosine > 0.999999
