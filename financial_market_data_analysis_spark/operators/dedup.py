@@ -691,10 +691,21 @@ def long_hash_neardup_pairs(
             "would drop true near-dups (needs n_bands > max_hamming)"
         )
     width = bits // n_bands
+    if width >= 64:
+        # a 64-bit band mask (2^64-1) does not fit a LongType literal,
+        # and a single band is a plain equi-join anyway
+        raise ValueError(
+            f"band width {width} exceeds the 63-bit LongType mask; "
+            "use n_bands >= 2 for 64-bit fingerprints"
+        )
     mask = (1 << width) - 1
 
     sketches = (
-        hashes.groupBy(F.col(hash_col).alias("fp"))
+        # NULL fingerprints (e.g. a hash pipeline that emits NULL for
+        # undecodable media) would otherwise collapse into ONE group
+        # and emit every pair of them as an exact dup at hamming 0
+        hashes.filter(F.col(hash_col).isNotNull())
+        .groupBy(F.col(hash_col).alias("fp"))
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
         .persist()
     )

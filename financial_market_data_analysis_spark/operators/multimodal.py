@@ -336,6 +336,8 @@ def real_decode_features(payload: bytes) -> dict:
         img = decode_pnm(payload)
         h, w, c = img.shape
         n = img.size
+        if n == 0:
+            raise ValueError(f"zero-dimension image ({w}x{h})")
         flat = img.reshape(-1).astype(np.int64)
         return {
             "format": "pnm",
@@ -421,10 +423,15 @@ def decode_media(
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf[payload_col]):
-                payload = bytes(p)
+                payload = b"" if p is None else bytes(p)
                 try:
                     rec = real_decode_features(payload)
-                except NotImplementedError:
+                # corpus-robust: CORRUPT payloads of decodable formats
+                # (bad RIFF body, truncated raster, zero-dim header) are
+                # part of the undecodable tail exactly like boundary
+                # formats — account them, don't fail the job. strict=True
+                # re-raises everything (fail-fast adjudication mode).
+                except Exception:
                     if strict:
                         raise
                     rec = {
@@ -453,6 +460,21 @@ def decode_media(
     return out if id_col == "media_id" else out.withColumnRenamed("media_id", id_col)
 
 
+def _letterbox_dims(
+    w: int, h: int, target_w: int, target_h: int
+) -> tuple[int, int, int, int]:
+    """The ONE copy of the letterbox geometry — the same all-integer
+    ``div`` math as the declarative :func:`resize_geometry` plan (which
+    filters ``width > 0 AND height > 0``; callers replicate that
+    filter). Returns ``(out_w, out_h, pad_x, pad_y)``."""
+    if w <= 0 or h <= 0:
+        raise ValueError(f"zero-dimension image ({w}x{h})")
+    wide = w * target_h >= h * target_w
+    out_w = target_w if wide else (w * target_h) // h
+    out_h = (h * target_w) // w if wide else target_h
+    return out_w, out_h, (target_w - out_w) // 2, (target_h - out_h) // 2
+
+
 def letterbox_resize(
     img: np.ndarray, target_w: int = 224, target_h: int = 224, pad_value: int = 0
 ) -> np.ndarray:
@@ -464,17 +486,15 @@ def letterbox_resize(
     (integer), so the sample grid is deterministic across hosts.
     Extreme aspect ratios can truncate the scaled axis to 0 (an
     all-pad canvas) — deliberately identical to the plan/oracle's
-    integer-div, property-pinned in tests/test_properties.py."""
+    integer-div, property-pinned in tests/test_properties.py.
+    Zero-dimension inputs raise (the plan filters them out; kernels
+    skip them before calling)."""
     h, w = img.shape[:2]
-    wide = w * target_h >= h * target_w
-    out_w = target_w if wide else (w * target_h) // h
-    out_h = (h * target_w) // w if wide else target_h
+    out_w, out_h, px, py = _letterbox_dims(w, h, target_w, target_h)
     yi = (np.arange(out_h) * h) // out_h
     xi = (np.arange(out_w) * w) // out_w
     resized = img[yi][:, xi]
     canvas = np.full((target_h, target_w) + img.shape[2:], pad_value, dtype=img.dtype)
-    py = (target_h - out_h) // 2
-    px = (target_w - out_w) // 2
     canvas[py : py + out_h, px : px + out_w] = resized
     return canvas
 
@@ -502,29 +522,37 @@ def resize_images(
     """REAL decode→letterbox-resample for netpbm payloads: emits the
     resampled ``target_h × target_w × C`` raster as a binary column
     plus the geometry columns (which match :func:`resize_geometry`
-    row-for-row — tests pin that). Non-netpbm payloads are skipped
-    (the corpus-robust convention of :func:`decode_media`)."""
+    row-for-row — tests pin that, including the plan's
+    ``width > 0 AND height > 0`` filter). Non-netpbm, corrupt, and
+    zero-dimension payloads are skipped (the corpus-robust convention
+    of :func:`decode_media`)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf[payload_col]):
-                payload = bytes(p)
+                payload = b"" if p is None else bytes(p)
                 if sniff_media_format(payload) != "pnm":
                     continue
-                img = decode_pnm(payload)
-                h, w, c = img.shape
-                wide = w * target_h >= h * target_w
-                out_w = target_w if wide else (w * target_h) // h
-                out_h = (h * target_w) // w if wide else target_h
-                canvas = letterbox_resize(img, target_w, target_h)
+                try:
+                    img = decode_pnm(payload)
+                    h, w, c = img.shape
+                    out_w, out_h, pad_x, pad_y = _letterbox_dims(
+                        w, h, target_w, target_h
+                    )
+                    canvas = letterbox_resize(img, target_w, target_h)
+                except Exception:
+                    # in-format-but-bad payloads (16-bit maxval,
+                    # truncated raster, 0-dim header) are the corpus'
+                    # undecodable tail — skip, don't fail the stage
+                    continue
                 rows.append(
                     {
                         "media_id": mid,
                         "out_w": out_w,
                         "out_h": out_h,
-                        "pad_x": (target_w - out_w) // 2,
-                        "pad_y": (target_h - out_h) // 2,
+                        "pad_x": pad_x,
+                        "pad_y": pad_y,
                         "channels": c,
                         "pixels": canvas.tobytes(),
                     }
@@ -537,6 +565,26 @@ def resize_images(
     return out if id_col == "media_id" else out.withColumnRenamed("media_id", id_col)
 
 
+def _luma_grid(img: np.ndarray, grid_h: int, grid_w: int) -> np.ndarray:
+    """Integer luma (299/587/114 weights) nearest-resampled to a
+    ``grid_h × grid_w`` grid with the ``(i·src) div out`` index math —
+    the ONE copy of the conversion :func:`dhash64` and
+    :func:`image_grid_embedding` both promise is identical (their
+    upscale-invariance law depends on sharing it). Zero-dimension
+    images (legal netpbm headers) are undecodable content — raise."""
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError(f"zero-dimension image ({w}x{h})")
+    if img.ndim == 3 and img.shape[2] == 3:
+        px = img.astype(np.int64)
+        luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    else:
+        luma = img.reshape(h, w, -1)[:, :, 0].astype(np.int64)
+    yi = (np.arange(grid_h) * h) // grid_h
+    xi = (np.arange(grid_w) * w) // grid_w
+    return luma[yi][:, xi]
+
+
 def dhash64(img: np.ndarray) -> int:
     """Perceptual difference-hash of a decoded image: integer luma →
     nearest-resample to an 8×9 grid (the same ``(i·src) div out`` grid
@@ -546,15 +594,7 @@ def dhash64(img: np.ndarray) -> int:
     bit-identical across hosts. Robust to resizing/re-encoding and
     small local edits — the content-aware complement to byte-level
     fingerprint dedup."""
-    h, w = img.shape[:2]
-    if img.ndim == 3 and img.shape[2] == 3:
-        px = img.astype(np.int64)
-        luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
-    else:
-        luma = img.reshape(h, w, -1)[:, :, 0].astype(np.int64)
-    yi = (np.arange(8) * h) // 8
-    xi = (np.arange(9) * w) // 9
-    g = luma[yi][:, xi]
+    g = _luma_grid(img, 8, 9)
     bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
     v = 0
     for b in bits:
@@ -567,7 +607,8 @@ def image_dhash(
 ) -> DataFrame:
     """REAL perceptual hashing for netpbm payloads: decode + dHash-64
     inside the Arrow kernel, one LongType fingerprint per image.
-    Non-netpbm payloads are skipped (the corpus-robust convention)."""
+    Non-netpbm, corrupt, and zero-dimension payloads are skipped (the
+    corpus-robust convention)."""
     out_schema = StructType(
         [StructField("media_id", LongType()), StructField("dhash", LongType())]
     )
@@ -576,10 +617,14 @@ def image_dhash(
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf[payload_col]):
-                payload = bytes(p)
+                payload = b"" if p is None else bytes(p)
                 if sniff_media_format(payload) != "pnm":
                     continue
-                rows.append({"media_id": mid, "dhash": dhash64(decode_pnm(payload))})
+                try:
+                    fp = dhash64(decode_pnm(payload))
+                except Exception:
+                    continue  # undecodable tail (16-bit, truncated, 0-dim)
+                rows.append({"media_id": mid, "dhash": fp})
             yield pd.DataFrame(rows, columns=["media_id", "dhash"])
 
     out = media.select(F.col(id_col).alias("media_id"), payload_col).mapInPandas(
@@ -628,9 +673,9 @@ def image_grid_embedding(
     (``operators.similarity.brute_force_topk`` / IVF / hyperplane-LSH)
     — the bridge from decoded media to ANN retrieval. A swapped-in
     learned encoder keeps this exact kernel signature and schema.
-    Non-netpbm payloads are skipped (the corpus-robust convention);
-    an all-black image (zero norm) emits the zero vector rather than
-    NaNs."""
+    Non-netpbm, corrupt, and zero-dimension payloads are skipped (the
+    corpus-robust convention); an all-black image (zero norm) emits
+    the zero vector rather than NaNs."""
     out_schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -642,21 +687,14 @@ def image_grid_embedding(
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf[payload_col]):
-                payload = bytes(p)
+                payload = b"" if p is None else bytes(p)
                 if sniff_media_format(payload) != "pnm":
                     continue
-                img = decode_pnm(payload)
-                h, w = img.shape[:2]
-                if img.ndim == 3 and img.shape[2] == 3:
-                    px = img.astype(np.int64)
-                    luma = (
-                        299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
-                    ) // 1000
-                else:
-                    luma = img.reshape(h, w, -1)[:, :, 0].astype(np.int64)
-                yi = (np.arange(grid) * h) // grid
-                xi = (np.arange(grid) * w) // grid
-                v = luma[yi][:, xi].reshape(-1).astype(np.float64)
+                try:
+                    g = _luma_grid(decode_pnm(payload), grid, grid)
+                except Exception:
+                    continue  # undecodable tail (16-bit, truncated, 0-dim)
+                v = g.reshape(-1).astype(np.float64)
                 n = float(np.sqrt((v * v).sum()))
                 if n > 0.0:
                     v = v / n
@@ -677,7 +715,9 @@ AUDIO_FRAME_SCHEMA = StructType(
         StructField("frame_idx", IntegerType()),
         StructField("start_ms", IntegerType()),
         StructField("n_in_frame", IntegerType()),
-        StructField("peak", IntegerType()),
+        # LongType: a full-scale negative 32-bit PCM sample has
+        # |x| = 2^31, one past int32 max
+        StructField("peak", LongType()),
         StructField("rms_milli", IntegerType()),
         StructField("zero_crossings", IntegerType()),
     ]
@@ -699,18 +739,22 @@ def audio_frame_features(
     zero-crossings]`` — the feature row a downstream VAD / silence
     filter consumes. Frame boundaries in samples are
     ``start_ms·sr div 1000`` for ``frame_ms·sr div 1000`` samples, so
-    the grid is deterministic across hosts. Non-WAV payloads are
-    skipped (the corpus-robust convention of :func:`decode_media`);
-    clips shorter than one frame yield no rows, matching the plan."""
+    the grid is deterministic across hosts. Non-WAV, corrupt, and
+    unsupported-PCM-width payloads are skipped (the corpus-robust
+    convention of :func:`decode_media`); clips shorter than one frame
+    yield no rows, matching the plan."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf[payload_col]):
-                payload = bytes(p)
+                payload = b"" if p is None else bytes(p)
                 if sniff_media_format(payload) != "wav":
                     continue
-                x, sr = decode_wav_pcm(payload)
+                try:
+                    x, sr = decode_wav_pcm(payload)
+                except Exception:
+                    continue  # corrupt RIFF body / 24-bit PCM etc.
                 ch0 = x[:, 0].astype(np.int64)
                 dur_ms = len(ch0) * 1000 // sr if sr else 0
                 if dur_ms < frame_ms:

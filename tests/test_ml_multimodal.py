@@ -800,3 +800,110 @@ def test_image_grid_embedding_feeds_ann_retrieval(spark):
     top = brute_force_topk(corpus, queries, k=2).collect()
     best = min(top, key=lambda r: r.rank)
     assert best.vec_id == 2 and best.cosine > 0.999999
+
+
+def test_decode_media_corrupt_decodable_formats_are_accounted_not_fatal(spark):
+    """Corrupt payloads OF decodable formats (bad RIFF body, truncated
+    netpbm raster, zero-dim header, NULL payload) are part of the
+    undecodable tail under strict=False — typed null-metric rows, not
+    a dead job. strict=True fail-fast raises on the same inputs."""
+    from financial_market_data_analysis_spark.operators.multimodal import decode_media
+
+    bad_wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"garbage body"
+    truncated_pnm = b"P6\n100 100\n255\n" + b"\x00" * 10
+    zero_dim_pnm = b"P6\n0 0\n255\n"
+    media = _media_df(
+        spark,
+        [
+            (1, bad_wav),
+            (2, truncated_pnm),
+            (3, zero_dim_pnm),
+            (4, None),
+            (5, _pnm_payload(2, 2, 3)),
+        ],
+    )
+    rows = {r.media_id: r for r in decode_media(media, strict=False).collect()}
+    assert rows[1].format == "wav" and rows[1].features is None
+    assert rows[2].format == "pnm" and rows[2].features is None
+    assert rows[3].format == "pnm" and rows[3].features is None
+    assert rows[4].format == "unknown" and rows[4].features is None
+    assert rows[5].features is not None
+    with pytest.raises(Exception):
+        decode_media(media, strict=True).collect()
+
+
+def test_image_and_audio_kernels_skip_in_format_bad_payloads(spark):
+    """image_dhash / resize_images / image_grid_embedding /
+    audio_frame_features SKIP corrupt, 16-bit, and zero-dim payloads
+    of their own format instead of failing the stage — one bad file in
+    a 100 TB corpus must not kill the job."""
+    import numpy as np
+
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        audio_frame_features,
+        encode_pnm,
+        image_dhash,
+        image_grid_embedding,
+        resize_images,
+    )
+
+    sixteen_bit = b"P5\n2 2\n65535\n" + b"\x00" * 8
+    truncated = b"P6\n100 100\n255\n" + b"\x00" * 5
+    zero_dim = b"P6\n0 3\n255\n"
+    good = encode_pnm(np.full((4, 4, 3), 9, np.uint8))
+    bad_wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"junk"
+    good_wav = _wav_payload(n_frames=400, sr=8000)  # 50 ms ≥ one frame
+    media = _media_df(
+        spark,
+        [
+            (1, sixteen_bit),
+            (2, truncated),
+            (3, zero_dim),
+            (4, good),
+            (5, bad_wav),
+            (6, good_wav),
+        ],
+    )
+    assert [r.media_id for r in image_dhash(media).collect()] == [4]
+    assert [r.media_id for r in resize_images(media).collect()] == [4]
+    assert [r.media_id for r in image_grid_embedding(media).collect()] == [4]
+    frames = audio_frame_features(media, frame_ms=25, hop_ms=25).collect()
+    assert {r.media_id for r in frames} == {6}
+
+
+def test_long_hash_joiner_ignores_null_fingerprints_and_rejects_one_band(spark):
+    """NULL fingerprints never pair (they are undecodable media, not
+    exact dups of each other), and n_bands=1 is rejected up front (a
+    64-bit band mask does not fit a LongType literal)."""
+    from financial_market_data_analysis_spark.operators.dedup import (
+        long_hash_neardup_pairs,
+    )
+
+    hashes = spark.createDataFrame(
+        [(1, None), (2, None), (3, 5), (4, 5)], "media_id long, dhash long"
+    )
+    pairs = {(r.id_a, r.id_b) for r in long_hash_neardup_pairs(hashes).collect()}
+    assert pairs == {(3, 4)}
+    with pytest.raises(ValueError, match="63-bit"):
+        long_hash_neardup_pairs(hashes, n_bands=1, max_hamming=0)
+
+
+def test_resize_images_replicates_plan_zero_dim_filter(spark):
+    """resize_geometry filters width>0 AND height>0; the real kernel
+    must drop the same rows so the row-for-row parity pin holds even
+    when degenerate headers reach it."""
+    import numpy as np
+
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        encode_pnm,
+        letterbox_resize,
+        resize_images,
+    )
+
+    media = _media_df(
+        spark,
+        [(1, b"P6\n5 0\n255\n"), (2, encode_pnm(np.full((2, 2, 3), 1, np.uint8)))],
+    )
+    assert [r.media_id for r in resize_images(media).collect()] == [2]
+    with pytest.raises(ValueError, match="zero-dimension"):
+        letterbox_resize(np.zeros((0, 5, 3), np.uint8))
