@@ -1640,3 +1640,57 @@ def test_stateful_sessionize_merges_sessions_across_cut(spark, tmp_path):
         (1, 50 * m, 3, 20 * m),   # session B MERGED across the cut
         (2, 0, 1, 0),             # user 2's first session
     ]
+
+
+def test_stream_binary_files_decode_pipeline(spark, tmp_path):
+    """Streaming media ingest end-to-end: binaryFile stream →
+    decode_media (stateless mapInPandas inside the streaming query) →
+    parquet sink. The checkpoint gives exactly-once file tracking: a
+    second availableNow run over the same checkpoint picks up ONLY the
+    file added in between."""
+    import numpy as np
+
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        decode_media,
+        encode_pnm,
+        encode_wav_pcm16,
+    )
+    from financial_market_data_analysis_spark.sources.files import (
+        stream_binary_files,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    (drop / "a.ppm").write_bytes(encode_pnm(np.full((4, 6, 3), 7, np.uint8)))
+    (drop / "b.wav").write_bytes(
+        encode_wav_pcm16(np.zeros(800, np.int16), 8000)
+    )
+    (drop / "c.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+    def run_epoch():
+        q = (
+            decode_media(stream_binary_files(spark, str(drop)))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_epoch()
+    first = spark.read.parquet(out)
+    by_fmt = {r.format: r.cnt for r in first.groupBy("format").agg(F.count("*").alias("cnt")).collect()}
+    assert by_fmt == {"pnm": 1, "wav": 1, "png": 1}
+    pnm = first.filter(F.col("format") == "pnm").collect()[0]
+    assert (pnm.width, pnm.height, pnm.channels) == (6, 4, 3)
+    assert first.filter(F.col("format") == "png").collect()[0].features is None
+
+    # incremental pickup: only the new file is processed by epoch 2
+    (drop / "d.ppm").write_bytes(encode_pnm(np.full((2, 2, 1), 3, np.uint8)))
+    run_epoch()
+    second = spark.read.parquet(out)
+    assert second.count() == 4
+    assert second.filter(F.col("format") == "pnm").count() == 2
