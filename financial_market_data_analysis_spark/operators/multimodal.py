@@ -211,6 +211,11 @@ _BOUNDARY_MSG = (
     "uncompressed WAV-PCM and netpbm P5/P6 decode in-container"
 )
 
+#: decode-shaped failures the corpus-robust kernels may skip/account —
+#: deliberately NOT a bare Exception, so a genuine code bug in a kernel
+#: fails the job loudly instead of silently emptying the output
+DECODE_ERRORS = (ValueError, NotImplementedError, wave.Error, EOFError)
+
 
 def sniff_media_format(payload: bytes) -> str:
     """Magic-byte sniff: ``wav`` / ``pnm`` (decodable in-container),
@@ -431,7 +436,7 @@ def decode_media(
                 # part of the undecodable tail exactly like boundary
                 # formats — account them, don't fail the job. strict=True
                 # re-raises everything (fail-fast adjudication mode).
-                except Exception:
+                except DECODE_ERRORS:
                     if strict:
                         raise
                     rec = {
@@ -541,7 +546,7 @@ def resize_images(
                         w, h, target_w, target_h
                     )
                     canvas = letterbox_resize(img, target_w, target_h)
-                except Exception:
+                except DECODE_ERRORS:
                     # in-format-but-bad payloads (16-bit maxval,
                     # truncated raster, 0-dim header) are the corpus'
                     # undecodable tail — skip, don't fail the stage
@@ -622,7 +627,7 @@ def image_dhash(
                     continue
                 try:
                     fp = dhash64(decode_pnm(payload))
-                except Exception:
+                except DECODE_ERRORS:
                     continue  # undecodable tail (16-bit, truncated, 0-dim)
                 rows.append({"media_id": mid, "dhash": fp})
             yield pd.DataFrame(rows, columns=["media_id", "dhash"])
@@ -692,7 +697,7 @@ def image_grid_embedding(
                     continue
                 try:
                     g = _luma_grid(decode_pnm(payload), grid, grid)
-                except Exception:
+                except DECODE_ERRORS:
                     continue  # undecodable tail (16-bit, truncated, 0-dim)
                 v = g.reshape(-1).astype(np.float64)
                 n = float(np.sqrt((v * v).sum()))
@@ -753,7 +758,7 @@ def audio_frame_features(
                     continue
                 try:
                     x, sr = decode_wav_pcm(payload)
-                except Exception:
+                except DECODE_ERRORS:
                     continue  # corrupt RIFF body / 24-bit PCM etc.
                 ch0 = x[:, 0].astype(np.int64)
                 dur_ms = len(ch0) * 1000 // sr if sr else 0

@@ -475,7 +475,11 @@ def stream_binary_files(
     crashed batch replays the SAME file list).
 
     ``media_id`` is ``xxhash64(path)`` — stable across runs, LongType
-    like every media id in the multimodal tier. At scale, set
+    like every media id in the multimodal tier. A 64-bit hash of
+    distinct paths can collide (birthday bound ~n²/2⁶⁵ — about 1e-4
+    at 1e8 files), which would silently merge two files downstream;
+    ``path`` stays in the frame as the collision-proof key, so join
+    on it where exactness matters. At scale, set
     ``max_files_per_trigger`` so one epoch's decode fan-out is bounded
     (media payloads are large; an unbounded availableNow batch over a
     deep drop directory would put every byte in flight at once)."""

@@ -1678,7 +1678,7 @@ def test_stream_binary_files_decode_pipeline(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
     run_epoch()
     first = spark.read.parquet(out)
