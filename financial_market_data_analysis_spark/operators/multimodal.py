@@ -5,8 +5,9 @@ The heavy decode libraries (PIL/ffmpeg/torchaudio) are not in this
 container. The decode tier is therefore split in two:
 
 * **Real, in-container decode** for uncompressed container formats —
-  WAV/PCM audio via the stdlib ``wave`` module and netpbm P5/P6 images
-  via pure numpy (``decode_media``), plus a real nearest-neighbor
+  WAV/PCM audio via the stdlib ``wave`` module, netpbm P5/P6 and
+  24-bit BMP images via pure numpy (``decode_media``), plus a real
+  nearest-neighbor
   letterbox resample (``resize_images``) whose integer geometry is
   bit-identical to the declarative ``resize_geometry`` plan. These run
   for real inside the same Arrow-batched ``mapInPandas`` kernels a
@@ -88,8 +89,8 @@ def extract_features(
         raise NotImplementedError(
             "generic embed-grade decode needs PIL/ffmpeg (not in this "
             "image); plug the codec into the same mapInPandas kernel "
-            "below. Uncompressed WAV-PCM / netpbm payloads DO decode "
-            "in-container today via decode_media()/resize_images()."
+            "below. Uncompressed WAV-PCM / netpbm / 24-bit BMP payloads DO "
+            "decode in-container today via decode_media()/resize_images()."
         )
 
     out_schema = StructType(
@@ -197,18 +198,20 @@ def resize_geometry(
 
 
 # --------------------------------------------------------------------
-# Real in-container decode: uncompressed formats only (WAV-PCM, netpbm)
+# Real in-container decode: uncompressed formats only (WAV-PCM, netpbm, BMP)
 # --------------------------------------------------------------------
 
 #: formats the in-container kernels decode for real
-DECODABLE_FORMATS = ("wav", "pnm")
+DECODABLE_FORMATS = ("wav", "pnm", "bmp")
+#: image formats :func:`decode_image` dispatches over
+IMAGE_FORMATS = ("pnm", "bmp")
 #: entropy-coded formats behind the documented PIL/ffmpeg boundary
 BOUNDARY_FORMATS = ("jpeg", "png", "gif", "mp4")
 
 _BOUNDARY_MSG = (
     "decode for entropy-coded format %r needs an external codec "
     "(PIL/ffmpeg, not in this image) — the documented boundary; only "
-    "uncompressed WAV-PCM and netpbm P5/P6 decode in-container"
+    "uncompressed WAV-PCM, netpbm P5/P6 and 24-bit BMP decode in-container"
 )
 
 #: decode-shaped failures the corpus-robust kernels may skip/account —
@@ -218,14 +221,16 @@ DECODE_ERRORS = (ValueError, NotImplementedError, wave.Error, EOFError)
 
 
 def sniff_media_format(payload: bytes) -> str:
-    """Magic-byte sniff: ``wav`` / ``pnm`` (decodable in-container),
-    ``jpeg`` / ``png`` / ``gif`` / ``mp4`` (documented codec boundary),
-    else ``unknown``. Pure bytes-in, string-out — safe inside an Arrow
-    batch kernel."""
+    """Magic-byte sniff: ``wav`` / ``pnm`` / ``bmp`` (decodable
+    in-container), ``jpeg`` / ``png`` / ``gif`` / ``mp4`` (documented
+    codec boundary), else ``unknown``. Pure bytes-in, string-out —
+    safe inside an Arrow batch kernel."""
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:2] in (b"P5", b"P6"):
         return "pnm"
+    if payload[:2] == b"BM":
+        return "bmp"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -275,6 +280,80 @@ def decode_pnm(payload: bytes) -> np.ndarray:
     if len(payload) - off < n:
         raise ValueError("netpbm raster shorter than header promises")
     return np.frombuffer(payload, dtype=np.uint8, count=n, offset=off).reshape(h, w, c)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP decode (BITMAPINFOHEADER, BI_RGB) →
+    ``(H, W, 3)`` uint8 RGB, pure numpy: rows are 4-byte padded and
+    stored bottom-up (a negative height means top-down — both
+    handled); pixel byte order is BGR, reversed here. Palettized,
+    16-bit, and RLE-compressed BMPs stay behind the boundary."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    px_off = int.from_bytes(payload[10:14], "little")
+    dib = int.from_bytes(payload[14:18], "little")
+    if dib < 40:
+        raise NotImplementedError("pre-BITMAPINFOHEADER BMP not supported")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP decodes in-container "
+            f"(got bpp={bpp}, compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"zero-dimension image ({w}x{h})")
+    row = (w * 3 + 3) // 4 * 4
+    if len(payload) - px_off < row * h:
+        raise ValueError("BMP raster shorter than header promises")
+    raster = np.frombuffer(payload, np.uint8, count=row * h, offset=px_off)
+    img = raster.reshape(h, row)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_bmp` (fixture/sink helper): ``(H, W,
+    3)`` RGB → bottom-up uncompressed 24-bit BMP with padded rows."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_bmp takes (H, W, 3) RGB")
+    row = (w * 3 + 3) // 4 * 4
+    raster = np.zeros((h, row), np.uint8)
+    raster[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB → BGR, bottom-up
+    body = raster.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + body
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch over the in-container image codecs (netpbm / BMP) —
+    the one entry point the image kernels share, so adding a codec
+    extends dhash / resize / embedding at once."""
+    fmt = sniff_media_format(payload)
+    if fmt == "pnm":
+        return decode_pnm(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    raise ValueError(f"not an in-container image format: {fmt}")
 
 
 def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
@@ -337,15 +416,15 @@ def real_decode_features(payload: bytes) -> dict:
     must survive a mixed corpus use ``decode_media(strict=False)``.
     """
     fmt = sniff_media_format(payload)
-    if fmt == "pnm":
-        img = decode_pnm(payload)
+    if fmt in IMAGE_FORMATS:
+        img = decode_image(payload)
         h, w, c = img.shape
         n = img.size
         if n == 0:
             raise ValueError(f"zero-dimension image ({w}x{h})")
         flat = img.reshape(-1).astype(np.int64)
         return {
-            "format": "pnm",
+            "format": fmt,
             "width": w,
             "height": h,
             "channels": c,
@@ -524,7 +603,7 @@ def resize_images(
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """REAL decode→letterbox-resample for netpbm payloads: emits the
+    """REAL decode→letterbox-resample for in-container image payloads (netpbm/BMP): emits the
     resampled ``target_h × target_w × C`` raster as a binary column
     plus the geometry columns (which match :func:`resize_geometry`
     row-for-row — tests pin that, including the plan's
@@ -537,10 +616,10 @@ def resize_images(
             rows = []
             for mid, p in zip(pdf["media_id"], pdf[payload_col]):
                 payload = b"" if p is None else bytes(p)
-                if sniff_media_format(payload) != "pnm":
+                if sniff_media_format(payload) not in IMAGE_FORMATS:
                     continue
                 try:
-                    img = decode_pnm(payload)
+                    img = decode_image(payload)
                     h, w, c = img.shape
                     out_w, out_h, pad_x, pad_y = _letterbox_dims(
                         w, h, target_w, target_h
@@ -610,7 +689,7 @@ def dhash64(img: np.ndarray) -> int:
 def image_dhash(
     media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """REAL perceptual hashing for netpbm payloads: decode + dHash-64
+    """REAL perceptual hashing for in-container image payloads (netpbm/BMP): decode + dHash-64
     inside the Arrow kernel, one LongType fingerprint per image.
     Non-netpbm, corrupt, and zero-dimension payloads are skipped (the
     corpus-robust convention)."""
@@ -623,10 +702,10 @@ def image_dhash(
             rows = []
             for mid, p in zip(pdf["media_id"], pdf[payload_col]):
                 payload = b"" if p is None else bytes(p)
-                if sniff_media_format(payload) != "pnm":
+                if sniff_media_format(payload) not in IMAGE_FORMATS:
                     continue
                 try:
-                    fp = dhash64(decode_pnm(payload))
+                    fp = dhash64(decode_image(payload))
                 except DECODE_ERRORS:
                     continue  # undecodable tail (16-bit, truncated, 0-dim)
                 rows.append({"media_id": mid, "dhash": fp})
@@ -670,7 +749,7 @@ def image_grid_embedding(
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """REAL image embedding for netpbm payloads: decode → integer luma
+    """REAL image embedding for in-container image payloads (netpbm/BMP): decode → integer luma
     → ``grid×grid`` nearest resample (the same ``(i·src) div out``
     grid as :func:`dhash64`, so it is exactly invariant under integer
     nearest upscaling) → L2-normalized ``array<float>``. The output
@@ -693,10 +772,10 @@ def image_grid_embedding(
             rows = []
             for mid, p in zip(pdf["media_id"], pdf[payload_col]):
                 payload = b"" if p is None else bytes(p)
-                if sniff_media_format(payload) != "pnm":
+                if sniff_media_format(payload) not in IMAGE_FORMATS:
                     continue
                 try:
-                    g = _luma_grid(decode_pnm(payload), grid, grid)
+                    g = _luma_grid(decode_image(payload), grid, grid)
                 except DECODE_ERRORS:
                     continue  # undecodable tail (16-bit, truncated, 0-dim)
                 v = g.reshape(-1).astype(np.float64)

@@ -907,3 +907,49 @@ def test_resize_images_replicates_plan_zero_dim_filter(spark):
     assert [r.media_id for r in resize_images(media).collect()] == [2]
     with pytest.raises(ValueError, match="zero-dimension"):
         letterbox_resize(np.zeros((0, 5, 3), np.uint8))
+
+
+def test_bmp_decode_and_format_invariant_content_hash(spark):
+    """24-bit BMP decodes for real (bottom-up padded rows, BGR→RGB) and
+    the SAME pixels produce the SAME dHash whether they arrive as
+    netpbm or BMP — content-aware dedup pairs a re-encoded copy across
+    container formats. Palettized/compressed BMPs are the accounted
+    boundary tail; zero-dim and truncated BMPs are skipped by the
+    image kernels."""
+    import numpy as np
+
+    from financial_market_data_analysis_spark.operators.multimodal import (
+        decode_media,
+        encode_bmp,
+        encode_pnm,
+        image_neardup_pairs,
+    )
+
+    img = (np.arange(6 * 9 * 3, dtype=np.int64) * 13 % 256).astype(np.uint8).reshape(6, 9, 3)
+    eight_bit_bmp = (
+        b"BM" + (54).to_bytes(4, "little") + b"\x00" * 4 + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + (2).to_bytes(4, "little", signed=True)
+        + (2).to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little") + b"\x00" * 24
+    )
+    media = _media_df(
+        spark,
+        [
+            (1, encode_pnm(img)),
+            (2, encode_bmp(img)),
+            (3, eight_bit_bmp),
+            (4, b"BM" + b"\x00" * 10),  # truncated header
+        ],
+    )
+    rows = {r.media_id: r for r in decode_media(media).collect()}
+    assert rows[1].format == "pnm" and rows[2].format == "bmp"
+    assert (rows[2].width, rows[2].height, rows[2].channels) == (9, 6, 3)
+    # identical pixels → identical image features regardless of container
+    assert rows[1].features == rows[2].features
+    assert rows[3].format == "bmp" and rows[3].features is None  # 8-bit boundary
+    assert rows[4].format == "bmp" and rows[4].features is None  # corrupt
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming for r in image_neardup_pairs(media).collect()
+    }
+    assert pairs == {(1, 2): 0}  # cross-format exact dup, bad BMPs skipped
