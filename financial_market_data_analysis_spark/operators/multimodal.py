@@ -229,7 +229,12 @@ def sniff_media_format(payload: bytes) -> str:
         return "wav"
     if payload[:2] in (b"P5", b"P6"):
         return "pnm"
-    if payload[:2] == b"BM":
+    if (
+        payload[:2] == b"BM"
+        and len(payload) >= 54
+        and int.from_bytes(payload[14:18], "little")
+        in (12, 40, 52, 56, 64, 108, 124)  # known DIB header sizes
+    ):
         return "bmp"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
@@ -294,6 +299,10 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     dib = int.from_bytes(payload[14:18], "little")
     if dib < 40:
         raise NotImplementedError("pre-BITMAPINFOHEADER BMP not supported")
+    if px_off < 14 + dib:
+        # a raster offset inside the header would silently decode
+        # header bytes as pixels
+        raise ValueError(f"BMP pixel offset {px_off} overlaps the header")
     w = int.from_bytes(payload[18:22], "little", signed=True)
     h = int.from_bytes(payload[22:26], "little", signed=True)
     bpp = int.from_bytes(payload[28:30], "little")
@@ -344,11 +353,13 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + body
 
 
-def decode_image(payload: bytes) -> np.ndarray:
+def decode_image(payload: bytes, fmt: str | None = None) -> np.ndarray:
     """Dispatch over the in-container image codecs (netpbm / BMP) —
     the one entry point the image kernels share, so adding a codec
-    extends dhash / resize / embedding at once."""
-    fmt = sniff_media_format(payload)
+    extends dhash / resize / embedding at once. Pass a pre-sniffed
+    ``fmt`` to avoid re-sniffing on the hot kernel path."""
+    if fmt is None:
+        fmt = sniff_media_format(payload)
     if fmt == "pnm":
         return decode_pnm(payload)
     if fmt == "bmp":
@@ -404,7 +415,7 @@ N_REAL_FEATURES = 8
 
 
 def real_decode_features(payload: bytes) -> dict:
-    """Decode one payload (WAV or netpbm) to typed metadata + an
+    """Decode one payload (WAV, netpbm, or BMP) to typed metadata + an
     8-long all-integer feature vector (deterministic, engine-portable):
 
     * image: ``[width, height, channels, mean‰ of 255, min, max,
@@ -417,7 +428,7 @@ def real_decode_features(payload: bytes) -> dict:
     """
     fmt = sniff_media_format(payload)
     if fmt in IMAGE_FORMATS:
-        img = decode_image(payload)
+        img = decode_image(payload, fmt)
         h, w, c = img.shape
         n = img.size
         if n == 0:
@@ -492,7 +503,8 @@ def decode_media(
     payload_col: str = "payload",
     strict: bool = False,
 ) -> DataFrame:
-    """REAL decode of uncompressed payloads (WAV-PCM, netpbm P5/P6)
+    """REAL decode of uncompressed payloads (WAV-PCM, netpbm P5/P6,
+    24-bit BMP)
     via an Arrow-batched ``mapInPandas`` kernel — bytes stay in Arrow
     buffers until the per-payload numpy/stdlib decode touches them.
 
@@ -607,7 +619,7 @@ def resize_images(
     resampled ``target_h × target_w × C`` raster as a binary column
     plus the geometry columns (which match :func:`resize_geometry`
     row-for-row — tests pin that, including the plan's
-    ``width > 0 AND height > 0`` filter). Non-netpbm, corrupt, and
+    ``width > 0 AND height > 0`` filter). Non-image, corrupt, and
     zero-dimension payloads are skipped (the corpus-robust convention
     of :func:`decode_media`)."""
 
@@ -616,10 +628,11 @@ def resize_images(
             rows = []
             for mid, p in zip(pdf["media_id"], pdf[payload_col]):
                 payload = b"" if p is None else bytes(p)
-                if sniff_media_format(payload) not in IMAGE_FORMATS:
+                fmt = sniff_media_format(payload)
+                if fmt not in IMAGE_FORMATS:
                     continue
                 try:
-                    img = decode_image(payload)
+                    img = decode_image(payload, fmt)
                     h, w, c = img.shape
                     out_w, out_h, pad_x, pad_y = _letterbox_dims(
                         w, h, target_w, target_h
@@ -691,7 +704,7 @@ def image_dhash(
 ) -> DataFrame:
     """REAL perceptual hashing for in-container image payloads (netpbm/BMP): decode + dHash-64
     inside the Arrow kernel, one LongType fingerprint per image.
-    Non-netpbm, corrupt, and zero-dimension payloads are skipped (the
+    Non-image, corrupt, and zero-dimension payloads are skipped (the
     corpus-robust convention)."""
     out_schema = StructType(
         [StructField("media_id", LongType()), StructField("dhash", LongType())]
@@ -702,10 +715,11 @@ def image_dhash(
             rows = []
             for mid, p in zip(pdf["media_id"], pdf[payload_col]):
                 payload = b"" if p is None else bytes(p)
-                if sniff_media_format(payload) not in IMAGE_FORMATS:
+                fmt = sniff_media_format(payload)
+                if fmt not in IMAGE_FORMATS:
                     continue
                 try:
-                    fp = dhash64(decode_image(payload))
+                    fp = dhash64(decode_image(payload, fmt))
                 except DECODE_ERRORS:
                     continue  # undecodable tail (16-bit, truncated, 0-dim)
                 rows.append({"media_id": mid, "dhash": fp})
@@ -757,7 +771,7 @@ def image_grid_embedding(
     (``operators.similarity.brute_force_topk`` / IVF / hyperplane-LSH)
     — the bridge from decoded media to ANN retrieval. A swapped-in
     learned encoder keeps this exact kernel signature and schema.
-    Non-netpbm, corrupt, and zero-dimension payloads are skipped (the
+    Non-image, corrupt, and zero-dimension payloads are skipped (the
     corpus-robust convention); an all-black image (zero norm) emits
     the zero vector rather than NaNs."""
     out_schema = StructType(
@@ -772,10 +786,11 @@ def image_grid_embedding(
             rows = []
             for mid, p in zip(pdf["media_id"], pdf[payload_col]):
                 payload = b"" if p is None else bytes(p)
-                if sniff_media_format(payload) not in IMAGE_FORMATS:
+                fmt = sniff_media_format(payload)
+                if fmt not in IMAGE_FORMATS:
                     continue
                 try:
-                    g = _luma_grid(decode_image(payload), grid, grid)
+                    g = _luma_grid(decode_image(payload, fmt), grid, grid)
                 except DECODE_ERRORS:
                     continue  # undecodable tail (16-bit, truncated, 0-dim)
                 v = g.reshape(-1).astype(np.float64)
