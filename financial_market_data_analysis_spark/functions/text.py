@@ -254,8 +254,10 @@ def rolling_fp_sql(text_expr: str = "text") -> str:
     """
 
 
-def simhash32(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    """32-bit SimHash as a bit string.
+def simhash32_long(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """32-bit SimHash as a LONG (bit 31 = the sketch's first bit).
 
     Each token votes ±1 on 32 bit positions; the vote for position *i*
     is the parity of the *i*-th hex digit of ``md5(token)``. The final
@@ -265,45 +267,73 @@ def simhash32(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
     near-dup sketch for a 100 TB corpus.
 
     The per-token parity extraction is ONE ``translate`` (hex digit →
-    its parity char) plus one ``split``, not 32 substring+set-membership
-    probes — ~2.5× faster on the dominant-CPU path of the x15/x16
-    family, bit-identical values (the oracle's digit-parity SQL is
-    unchanged).
+    its parity char) folded to a 32-bit integer mask by ``conv``; the
+    vote update is then pure integer shift/mask arithmetic over an int
+    array — no per-token ``split`` into 32 single-char strings and no
+    per-bit string comparison (the r16 optimization: the string fold
+    allocated 32 UTF8Strings per token on the dominant-CPU path of the
+    x15/x16 family; this form is value-identical and keeps every
+    downstream shuffle/banding/Hamming step on an 8-byte LONG instead
+    of a 32-char string — guide §2.3 'narrower types').
     """
 
-    def tok_parity(t: Column) -> Column:
-        # '0123456789abcdef' → parity '0101010101010101'; split("")
-        # yields the single-char votes in order. The explicit slice to
-        # 32 pins the length: empty-separator split kept a trailing ""
-        # before Spark 3.4 (SPARK-40194), which would null-pad the
-        # zip_with accumulator to 33 on older clusters (r6 review).
-        return F.slice(
-            F.split(
-                F.translate(
-                    F.md5(t.cast("binary")),
-                    "0123456789abcdef",
-                    "0101010101010101",
-                ),
-                "",
+    def tok_mask(t: Column) -> Column:
+        # md5 hex digit i's parity becomes bit (31 - i) of the mask, so
+        # the mask's MSB-first bit order equals the hex-digit order.
+        return F.conv(
+            F.translate(
+                F.md5(t.cast("binary")),
+                "0123456789abcdef",
+                "0101010101010101",
             ),
-            1,
-            32,
-        )
+            2,
+            10,
+        ).cast("long")
 
+    bit_idx = F.sequence(F.lit(31), F.lit(0), F.lit(-1))
     zeros = F.transform(F.sequence(F.lit(1), F.lit(32)), lambda _: F.lit(0))
+    # One md5+conv per TOKEN (bound here, outside the per-bit lambda —
+    # inlining tok_mask into the bit extraction would re-hash the token
+    # 32×: higher-order-function lambdas get no common-subexpression
+    # elimination).
+    masks = F.transform(tokens(text_col), tok_mask)
     votes = F.aggregate(
-        tokens(text_col),
+        masks,
         zeros,
-        lambda acc, t: F.zip_with(
+        lambda acc, m: F.zip_with(
             acc,
-            tok_parity(t),
-            lambda a, c: a + F.when(c == "1", F.lit(1)).otherwise(F.lit(-1)),
+            F.transform(
+                bit_idx,
+                lambda i: F.call_function("shiftright", m, i).bitwiseAND(
+                    F.lit(1).cast("long")
+                ),
+            ),
+            # b is the 0/1 parity bit: a + (2b - 1) adds the ±1 vote
+            # branch-free.
+            lambda a, b: a + b.cast("int") * 2 - 1,
         ),
     )
-    bits = F.concat_ws(
-        "", F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0")))
+    sh = F.aggregate(
+        votes,
+        F.lit(0).cast("long"),
+        # MSB-first left fold: doubling shifts previous bits up, so
+        # votes[0] lands on bit 31 — same bit order as the string form.
+        lambda acc, v: acc * 2 + F.when(v > 0, F.lit(1)).otherwise(F.lit(0)),
     )
-    return df.withColumn(out_col, bits)
+    return df.withColumn(out_col, sh)
+
+
+def simhash32(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """32-bit SimHash as a bit string (the published x4 sketch form):
+    the LONG sketch of :func:`simhash32_long` rendered once per doc —
+    ``lpad(bin(v), 32)`` is exactly the MSB-first bit string the
+    previous string fold produced, at the integer fold's cost."""
+    tmp = f"__{out_col}_long"
+    return (
+        simhash32_long(df, text_col, tmp)
+        .withColumn(out_col, F.lpad(F.bin(F.col(tmp)), 32, "0"))
+        .drop(tmp)
+    )
 
 
 # ---------------------------------------------------------------------------

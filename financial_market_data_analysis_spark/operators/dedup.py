@@ -513,6 +513,15 @@ def minhash_lsh_dedup(
     """
     shingled = shingle_arrays(ensure_parallelism(df), id_col, text_col).persist()
     bands = lsh_bands(shingled, id_col, hash_method=hash_method).persist()
+    # Materialize the caches with ONE linear job before the band
+    # SELF-join consumes them: the join's two branches are built as
+    # concurrent stage subtrees, and a cold cache is raced — each
+    # branch computes the full shingle+minhash pipeline itself before
+    # either has stored a block (r16 profiling: the "once, not once
+    # per join side" claim held for the PLAN but not the first
+    # EXECUTION). One count over the hot path removes the duplicate
+    # evaluation for the price of one cheap job.
+    bands.count()
     pairs = band_candidate_pairs(bands, id_col).localCheckpoint(eager=True)
     bands.unpersist()
     cand = candidate_ids(pairs, id_col)
@@ -614,6 +623,10 @@ def simhash_neardup_pairs(
     """
     _validate_bands(n_bands, max_hamming)
     sketches = _simhash_sketches(df, id_col, text_col).persist()
+    # Fill the cache with one linear job before the branching band
+    # join below: its concurrent stage subtrees race a cold cache and
+    # would each run the SimHash fold themselves (r16 profiling).
+    sketches.count()
 
     # (2) intra-sketch pairs: all i<j member combinations, row-local.
     ids = F.col("ids")
@@ -709,6 +722,11 @@ def long_hash_neardup_pairs(
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
         .persist()
     )
+    # Fill the cache with one linear job before the branching band
+    # join below races a cold cache (r16 profiling; the caller's hash
+    # pipeline — e.g. a media decode — would otherwise run once per
+    # concurrent subtree).
+    sketches.count()
 
     ids = F.col("ids")
     combos = F.flatten(
@@ -786,11 +804,20 @@ def _validate_bands(n_bands: int, max_hamming: int) -> None:
 def _simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Collapse docs → distinct 32-bit sketches with member-id lists.
     The per-doc SimHash fold (the dominant CPU — one md5 + 32 votes per
-    token) runs exactly once per document, map-side combined."""
-    from financial_market_data_analysis_spark.functions.text import simhash32
+    token) runs exactly once per document, map-side combined.
+
+    The sketch column is a LONG (``simhash32_long``), not the 32-char
+    bit string: every downstream step — the doc→sketch collapse
+    shuffle, banding, the band self-join, the Hamming verify, and the
+    CC loop's label frames — then moves 8 bytes per sketch instead of
+    a 32-char string and compares/popcounts with integer codegen
+    (guide §2.3 'narrower types'). Bit order matches the string form
+    (``lpad(bin(v), 32)`` is the published x4 sketch), so band slices,
+    ``<`` ordering and min-labels are value-identical."""
+    from financial_market_data_analysis_spark.functions.text import simhash32_long
 
     return (
-        simhash32(ensure_parallelism(df), text_col)
+        simhash32_long(ensure_parallelism(df), text_col)
         .groupBy("simhash")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
     )
@@ -801,9 +828,16 @@ def _sketch_band_edges(
 ) -> DataFrame:
     """Verified near-dup edges between DISTINCT sketches: band
     equi-join (pigeonhole-exact for max_hamming < n_bands) then a
-    zip_with Hamming popcount over ≤ 2^32 sketch pairs — never over
-    doc pairs. Returns (sh_a, sh_b, hamming)."""
+    ``bit_count`` Hamming popcount over ≤ 2^32 sketch pairs — never
+    over doc pairs. Returns (sh_a, sh_b, hamming).
+
+    Sketches are LONGs: band *i* is ``(sh >> (32-(i+1)·w)) & (2^w − 1)``
+    (the same bits as the old ``substring`` band of the bit string, so
+    the emitted pair set is identical), and the Hamming distance is the
+    codegen'd ``bit_count(a XOR b)`` instead of splitting two 32-char
+    strings and zip_with-comparing 32 char pairs per candidate."""
     width = 32 // n_bands
+    mask = (1 << width) - 1
     bands = sketches.select(
         "simhash",
         F.explode(
@@ -811,7 +845,9 @@ def _sketch_band_edges(
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.substring("simhash", i * width + 1, width).alias("band"),
+                        F.shiftright("simhash", 32 - (i + 1) * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band"),
                     )
                     for i in range(n_bands)
                 ]
@@ -820,11 +856,8 @@ def _sketch_band_edges(
     ).select("simhash", "b.band_idx", "b.band")
     left = bands.select(F.col("simhash").alias("sh_a"), "band_idx", "band")
     right = bands.select(F.col("simhash").alias("sh_b"), "band_idx", "band")
-    chars = lambda c: F.filter(F.split(F.col(c), ""), lambda ch: ch != "")
-    hamming = F.aggregate(
-        F.zip_with(chars("sh_a"), chars("sh_b"), lambda x, y: (x != y).cast("int")),
-        F.lit(0),
-        lambda acc, d: acc + d,
+    hamming = F.bit_count(
+        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     ).cast("int")
     return (
         left.join(right, ["band_idx", "band"])
@@ -1077,6 +1110,10 @@ def simhash_dedup_clusters(
     if reliable:
         _set_checkpoint_dir(df, checkpoint_dir)
     sketches = _simhash_sketches(df, id_col, text_col).persist()
+    # Fill the cache with one linear job before the branching band
+    # join below: its concurrent stage subtrees race a cold cache and
+    # would each run the SimHash fold themselves (r16 profiling).
+    sketches.count()
     # Checkpoint the verified edge set BEFORE symmetrizing: the union
     # below references it twice, and an unmaterialized plan would pay
     # the band self-join + Hamming verify once per branch (the r2 x6

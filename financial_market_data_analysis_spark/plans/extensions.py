@@ -5036,12 +5036,18 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify and an injection-sized recall join. The truth set is
     computed once."""
     aug = docs_augmented(spark, sf_dir)
+    # EAGER checkpoints (r16): the first consumer below (the truth
+    # set's verify) builds several broadcast subtrees CONCURRENTLY,
+    # and a lazy checkpoint is raced — each future ran the full
+    # shingle scan itself (profiled: ~5× the scan's task time in the
+    # first job). Materializing once up front is the same total pass
+    # count with zero duplicate evaluation.
     sh_arr = D.shingle_arrays(D.ensure_parallelism(aug)).localCheckpoint(
-        eager=False
+        eager=True
     )
     sh = sh_arr.select(
         "doc_id", F.explode("sh_arr").alias("shingle")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # everything below operates on pair/sample/truth frames that are
     # thousands of rows at most — run the sweep under a graph-sized
     # shuffle-partition count (the x16/x61 convention: session-width
@@ -5248,12 +5254,15 @@ def q_neardup_method_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     every published number is an aggregate of candidate-volume-bounded
     frames; small-shuffle scoped like every graph-sized sweep."""
     aug = docs_augmented(spark, sf_dir)
+    # EAGER checkpoints (r16): same duplicate-evaluation race as x69 —
+    # the truth verify's concurrent broadcast builds each re-ran a
+    # lazy shingle scan (see q_lsh_tuning).
     sh_arr = D.shingle_arrays(D.ensure_parallelism(aug)).localCheckpoint(
-        eager=False
+        eager=True
     )
     sh = sh_arr.select(
         "doc_id", F.explode("sh_arr").alias("shingle")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     old_sp = push_small_shuffle(spark)  # serial-adjudication contract: functions/core.py
     try:
         present = sh_arr.select("doc_id").distinct()
