@@ -6535,7 +6535,7 @@ def _t12_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)  # feeds estimate probe + join
+        .localCheckpoint(eager=True)  # feeds estimate probe + join
     )
     top = counts.orderBy(F.desc("cnt"), "tok").limit(20)
     est = SK.countmin_estimate(sketch, top.select("tok"), "tok")
@@ -7951,7 +7951,7 @@ def _ml10_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = lab.withColumn(
         "fold",
         ((F.col("bucket_start") / F.lit(300)).cast("long") % ML10_FOLDS).cast("int"),
-    ).localCheckpoint(eager=False)  # fold sums AND scoring read it once
+    ).localCheckpoint(eager=True)  # fold sums AND scoring read it once
     fs = lab.groupBy("fold").agg(
         F.count(F.lit(1)).cast("double").alias("fn"),
         F.sum("close").alias("fx"),

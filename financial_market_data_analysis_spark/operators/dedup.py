@@ -786,7 +786,17 @@ def long_hash_neardup_pairs(
             "hamming",
         )
     )
-    out = intra.unionByName(cross).localCheckpoint(eager=True)
+    # Guard against id_a == id_b self-pairs: an id that appears in more
+    # than one input row — duplicate (id, fp) rows, or one id under two
+    # fingerprints within the Hamming budget — would otherwise pair
+    # with itself (r16 advice). Composed callers emit one row per id,
+    # so the filter is a no-op there; the generic pairs API should
+    # never emit reflexive pairs.
+    out = (
+        intra.unionByName(cross)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .localCheckpoint(eager=True)
+    )
     sketches.unpersist()
     return out
 

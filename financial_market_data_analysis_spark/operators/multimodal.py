@@ -208,6 +208,12 @@ IMAGE_FORMATS = ("pnm", "bmp")
 #: entropy-coded formats behind the documented PIL/ffmpeg boundary
 BOUNDARY_FORMATS = ("jpeg", "png", "gif", "mp4")
 
+# Drift guard (r16 advice): the kernels dispatch off IMAGE_FORMATS and a
+# literal 'wav' branch — pin the registry constants to that dispatch so
+# they cannot silently diverge from actual behavior.
+assert set(DECODABLE_FORMATS) == set(IMAGE_FORMATS) | {"wav"}
+assert not set(DECODABLE_FORMATS) & set(BOUNDARY_FORMATS)
+
 _BOUNDARY_MSG = (
     "decode for entropy-coded format %r needs an external codec "
     "(PIL/ffmpeg, not in this image) — the documented boundary; only "
@@ -231,9 +237,13 @@ def sniff_media_format(payload: bytes) -> str:
         return "pnm"
     if (
         payload[:2] == b"BM"
-        and len(payload) >= 54
+        and len(payload) >= 18
         and int.from_bytes(payload[14:18], "little")
         in (12, 40, 52, 56, 64, 108, 124)  # known DIB header sizes
+        # floor = file header + the DECLARED DIB size (min 26 for
+        # dib=12), so a small BITMAPCOREHEADER BMP is labeled 'bmp'
+        # in the accounting instead of 'unknown'
+        and len(payload) >= 14 + int.from_bytes(payload[14:18], "little")
     ):
         return "bmp"
     if payload[:2] == b"\xff\xd8":
@@ -267,6 +277,13 @@ def _pnm_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
             j += 1
         toks.append(buf[i:j])
         i = j
+    if not buf[i : i + 1].isspace():
+        # A '#' (comment with no whitespace after maxval) here would
+        # land the raster offset inside the comment text and silently
+        # decode comment bytes as pixels; the spec requires exactly one
+        # whitespace byte after maxval.
+        raise ValueError("malformed netpbm header: maxval not "
+                         "terminated by whitespace")
     i += 1  # the single whitespace byte that terminates the header
     return toks[0], int(toks[1]), int(toks[2]), int(toks[3]), i
 

@@ -371,7 +371,7 @@ def kmeans_lloyd(
             F.array(
                 *[F.round(F.col(f"__d{j}"), round_decimals) for j in range(dim)]
             ).alias(vec_col),
-        ).localCheckpoint(eager=False)  # K-row frame; truncates the
+        ).localCheckpoint(eager=True)  # K-row frame; truncates the
         # lineage so iteration N's plan doesn't embed (and re-run)
         # iterations 1..N-1 — matters once n_iter grows past the default
     return cents

@@ -123,7 +123,7 @@ def candles_multires(
     # Each level re-reads the one below; localCheckpoint the base bars
     # so the raw-event scan is paid once, not once per level in the
     # unioned plan (the whole point of the hierarchical shape).
-    base = base.localCheckpoint(eager=False)
+    base = base.localCheckpoint(eager=True)
     out_cols = [
         "granularity", "bucket_start",
         "open", "high", "low", "close", "volume", "n_events",

@@ -794,7 +794,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         S.ivf_assignments(aug, cents)
         .select("vec_id", "embedding", "__vnorm", "centroid_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     hi = assign.select(
         F.col("vec_id").alias("__id_hi"),
@@ -1089,7 +1089,7 @@ def q_pack_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(Window.partitionBy("shard").orderBy("doc_id"))
             - F.col("n_tokens"),
         )
-        .localCheckpoint(eager=False)  # one pass feeds all four budgets
+        .localCheckpoint(eager=True)  # one pass feeds all four budgets
     )
     shard_tot = t.groupBy("shard").agg(
         F.max(F.col("st") + F.col("n_tokens")).alias("total")
@@ -1326,7 +1326,7 @@ def q_ml_window_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = bars.dropna(subset=ML5_FEATURE_COLS + ["up1"])
     vec = sliding_window_vectors(
         clean, ML5_FEATURE_COLS, ML5_WINDOW, ["bucket_start"]
-    ).localCheckpoint(eager=False)  # cut + scaler + output share it
+    ).localCheckpoint(eager=True)  # cut + scaler + output share it
     cut = vec.agg(F.expr("percentile(bucket_start, 0.8)").alias("__cut"))
     train = vec.crossJoin(F.broadcast(cut)).filter(
         F.col("bucket_start") <= F.col("__cut")
@@ -2117,7 +2117,7 @@ def q_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs_augmented(spark, sf_dir).filter(
         ~((F.col("doc_id") % DECON_BENCH_MOD == 0) & (F.col("doc_id") < DUP_OFFSET))
     )
-    tsh = D.shingle_table(train).localCheckpoint(eager=False)
+    tsh = D.shingle_table(train).localCheckpoint(eager=True)
     n_sh = tsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     bsh = (
         D.shingle_table(bench)
@@ -2452,7 +2452,7 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern)
     scored = T.bigram_logprob(
         load_table(spark, "documents", sf_dir)
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     cuts = scored.agg(
         F.expr("percentile(mean_logprob, 2.0D / 3.0D)").alias("__hi"),
         F.expr("percentile(mean_logprob, 1.0D / 3.0D)").alias("__lo"),
@@ -2759,7 +2759,7 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(T.tokens("text")).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    counts = counts.localCheckpoint(eager=False)  # feeds sketch + top
+    counts = counts.localCheckpoint(eager=True)  # feeds sketch + top
     sketch = SK.countmin_sketch(counts, "tok", "cnt")
     top = counts.orderBy(F.desc("cnt"), "tok").limit(CMS_TOP)
     est = SK.countmin_estimate(sketch, top.select("tok"), "tok")
@@ -2949,11 +2949,11 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_sh = (
         D.shingle_table(bench).select("shingle").distinct()
     )
-    bench_sh = bench_sh.localCheckpoint(eager=False)  # feeds bits + exact
+    bench_sh = bench_sh.localCheckpoint(eager=True)  # feeds bits + exact
     bits = SK.bloom_bits(bench_sh, "shingle")
     # the corpus-side shingle fold is the CPU-heavy stage — spread the
     # single-file scan across slots before it (ensure_parallelism)
-    tsh = D.shingle_table(train).localCheckpoint(eager=False)
+    tsh = D.shingle_table(train).localCheckpoint(eager=True)
     maybe = SK.bloom_maybe_member(tsh, bits, "shingle")
     bloom_cnt = (
         maybe.filter(F.col("maybe_member") == 1)
@@ -3100,7 +3100,7 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "source", F.explode(T.all_grams(F.col("__toks"), 2)).alias("gram")
     )
-    grams = grams.localCheckpoint(eager=False)  # feeds sketch + truth
+    grams = grams.localCheckpoint(eager=True)  # feeds sketch + truth
     sk = SK.kmv_bottomk(grams, "gram", ["source"], k=k).localCheckpoint(
         eager=False
     )
@@ -3242,7 +3242,7 @@ def q_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_arr = D.shingle_arrays(corpus)
     # bands feed both the corpus side and (filtered) the query side —
     # checkpoint so the k-fold md5 signature work runs once
-    bands = D.lsh_bands(sh_arr).localCheckpoint(eager=False)
+    bands = D.lsh_bands(sh_arr).localCheckpoint(eager=True)
     qbands = bands.filter(
         (F.col("doc_id") % X57_QUERY_MOD == 0)
         & (F.col("doc_id") < DUP_OFFSET)
@@ -3350,7 +3350,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", T.tokens("text").alias("__toks"))
     grams = toks.select(
         "source", F.explode(T.all_grams(F.col("__toks"), 2)).alias("gram")
-    ).localCheckpoint(eager=False)  # feeds sketches + exact truth
+    ).localCheckpoint(eager=True)  # feeds sketches + exact truth
     sk = SK.kmv_bottomk(grams, "gram", ["source"], k=k).localCheckpoint(
         eager=False
     )
@@ -3668,7 +3668,7 @@ def frame_fingerprint_pairs(
             ).alias("digest"),
         )
         .distinct()
-        .localCheckpoint(eager=False)  # feeds sizes, the guard, and both join sides
+        .localCheckpoint(eager=True)  # feeds sizes, the guard, and both join sides
     )
     sizes = fr.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_fr"))
     hot = (
@@ -3809,7 +3809,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = arrivals_delta(spark, sf_dir)
     new_sh = D.shingle_arrays(D.ensure_parallelism(new))
     old_sh = D.shingle_arrays(D.ensure_parallelism(old))
-    new_bands = D.lsh_bands(new_sh).localCheckpoint(eager=False)
+    new_bands = D.lsh_bands(new_sh).localCheckpoint(eager=True)
     old_bands = D.lsh_bands(old_sh)
     # delta bands probe the combined bucket space; old-old pairs cannot
     # arise because the left side holds only new docs
@@ -4874,7 +4874,7 @@ def q_projected_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     proj = (
         corpus.select("vec_id", _rp_project_expr().alias("y"))
-        .localCheckpoint(eager=False)  # one projection pass feeds all 3 methods
+        .localCheckpoint(eager=True)  # one projection pass feeds all 3 methods
     )
     pq = proj.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), "y"
@@ -5500,7 +5500,7 @@ def _pq_codes_dtab(e: DataFrame) -> tuple[DataFrame, DataFrame]:
         .withColumn("rk", F.row_number().over(w_code))
         .filter(F.col("rk") == 1)
         .select("vec_id", "m", F.col("cid").alias("code"))
-        .localCheckpoint(eager=False)  # feeds the ADC join once per query set
+        .localCheckpoint(eager=True)  # feeds the ADC join once per query set
     )
     q_sub = (
         e.filter(F.col("vec_id") < N_QUERY_VECS)
@@ -5760,7 +5760,7 @@ def q_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", "pos")
         .agg(F.avg("v").alias("mv"))
-        .localCheckpoint(eager=False)  # feeds dots and norms
+        .localCheckpoint(eager=True)  # feeds dots and norms
     )
     # n_vecs from a DIRECT row count, not from the pos==0 slice of the
     # posexplode aggregation (r8 ADVICE): posexplode emits no rows for
@@ -5844,7 +5844,7 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir)
     ).select("source", F.explode(T.tokens("text")).alias("tok"))
     sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
-    sc = sc.localCheckpoint(eager=False)  # feeds totals, global, and the sum
+    sc = sc.localCheckpoint(eager=True)  # feeds totals, global, and the sum
     stot = sc.groupBy("source").agg(
         F.sum("c").alias("st"), F.count(F.lit(1)).alias("n_vocab")
     )
@@ -5915,10 +5915,10 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     this body (r8 verdict item)."""
     aug = docs_augmented_exact(spark, sf_dir).select("doc_id", "text")
     keepers = D.exact_dedup(aug).select(F.col("keep_id").alias("doc_id"))
-    s1 = aug.join(keepers, "doc_id").localCheckpoint(eager=False)
+    s1 = aug.join(keepers, "doc_id").localCheckpoint(eager=True)
     q = T.quality_filter(s1).select("doc_id", "kept")
     s2 = s1.join(q.filter(F.col("kept") == 1).select("doc_id"), "doc_id")
-    s2 = s2.localCheckpoint(eager=False)
+    s2 = s2.localCheckpoint(eager=True)
     bench = load_table(spark, "documents", sf_dir).filter(
         F.col("doc_id") % DECON_BENCH_MOD == 0
     )
@@ -6076,7 +6076,7 @@ def q_compression_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -- JL sweep: one 48-dim projection, three prefix budgets --------
     proj = (
         e.select("vec_id", _rp_project_expr_k(RP_SWEEP_DIMS).alias("y"))
-        .localCheckpoint(eager=False)  # one projection pass, three methods
+        .localCheckpoint(eager=True)  # one projection pass, three methods
     )
 
     def jl_approx(k: int) -> DataFrame:
@@ -6601,16 +6601,16 @@ def q_minhash_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and slicing cuts it 4x (operators/dedup.py)
     sigs = D.sliced_minhash_signatures(
         aug, n_hashes=_X80_MAX_K
-    ).localCheckpoint(eager=False)  # feeds banding AND the match counts
+    ).localCheckpoint(eager=True)  # feeds banding AND the match counts
     pairs = D.lsh_candidate_pairs(
         sigs.filter(F.col("seed") < D.N_MINHASH)
-    ).localCheckpoint(eager=False)  # feeds truth AND estimate joins
+    ).localCheckpoint(eager=True)  # feeds truth AND estimate joins
     # the TRUTH join tokenizes only candidate docs — the corpus-wide
     # shingle table costs ~5x the rest of the query and only the
     # ~pairs-sized doc set ever reaches a Jaccard verification
     sh = D.shingle_table(
         aug.join(F.broadcast(D.candidate_ids(pairs)), "doc_id")
-    ).localCheckpoint(eager=False)  # feeds sizes AND the intersection
+    ).localCheckpoint(eager=True)  # feeds sizes AND the intersection
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         pairs.join(
@@ -6662,7 +6662,7 @@ def q_minhash_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
         .withColumn("u", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-        .localCheckpoint(eager=False)  # feeds the four per-k selects
+        .localCheckpoint(eager=True)  # feeds the four per-k selects
     )
     per_k = [
         t.agg(
