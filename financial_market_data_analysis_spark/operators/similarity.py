@@ -99,6 +99,15 @@ def gaussian_planes(n_planes: int, dim: int, seed: int = 7):
     return rng.standard_normal((n_planes, dim))
 
 
+def _dlit(v: float) -> str:
+    """Exact DOUBLE literal for generated Spark-SQL text: ``repr``
+    round-trips the IEEE value and the string→double cast is constant-
+    folded at plan time, so the parsed literal is bit-identical to
+    ``F.lit(float(v))`` (a bare ``1.23`` literal in Spark SQL would be
+    DECIMAL, not double)."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
 def hyperplane_bucket_gaussian(
     vec_col: str | Column,
     n_planes: int = N_PLANES,
@@ -126,24 +135,39 @@ def hyperplane_bucket_gaussian(
     one ``size`` comparison per row gating the whole bucket expression;
     measured at sf0.1 it is within noise of the unguarded fold (the
     8×dim plane arithmetic dominates), so it stays in-row rather than
-    as a separate validation scan."""
-    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    as a separate validation scan.
+
+    The whole bucket is assembled as ONE generated-SQL expression
+    (r16, guide §4's boundary lesson applied at PLAN-BUILD time): the
+    previous per-plane ``F.array(*[F.lit(v) ...])`` construction made
+    ~n_planes × dim Py4J round trips per call (~0.8 s for one 8×64
+    bucket, multiplied by every LSH table and query that builds one);
+    a single ``F.expr`` ships the identical expression tree in one
+    call. Literals are exact (``_dlit``), so parsed plans — and every
+    published cosine/recall — are bit-identical."""
     planes = gaussian_planes(n_planes, dim, seed)
-    bits = []
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
-        dot = F.aggregate(
-            F.zip_with(c, plane, lambda x, r: x.cast("double") * r),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    if not isinstance(vec_col, str):
+        raise TypeError(
+            "hyperplane_bucket_gaussian needs a column NAME (the bucket "
+            "is assembled as generated SQL); alias the expression first"
         )
-        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    vec = vec_col
+
+    def plane_case(p: int) -> str:
+        arr = "array(" + ",".join(_dlit(v) for v in planes[p]) + ")"
+        dot = (
+            f"aggregate(zip_with({vec}, {arr}, (x, r) -> "
+            f"cast(x as double) * r), {_dlit(0.0)}, (acc, x) -> acc + x)"
+        )
+        return f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)"
+
+    bucket = "concat(" + ",".join(plane_case(p) for p in range(n_planes)) + ")"
     # Single branch: the happy path evaluates size == dim once, then the
     # bucket; a wrong-length vector raises instead of mis-bucketing.
-    return F.when(F.size(c) == dim, F.concat(*bits)).otherwise(
-        F.raise_error(
-            F.concat(F.lit(f"embedding dim != {dim}: got "), F.size(c).cast("string"))
-        )
+    return F.expr(
+        f"CASE WHEN size({vec}) = {dim} THEN {bucket} "
+        f"ELSE raise_error(concat('embedding dim != {dim}: got ', "
+        f"cast(size({vec}) as string))) END"
     )
 
 
@@ -358,19 +382,27 @@ def kmeans_lloyd(
     cents = init_centroids.select(centroid_id, vec_col)
     for _ in range(n_iter):
         assigned = ivf_assignments(corpus, cents, id_col, vec_col, centroid_id)
+        # generated-SQL per-dimension aggregates: one F.expr per column
+        # instead of ~4 Py4J calls per dim per iteration (r16; the
+        # expression trees are identical)
         dims = [
-            F.avg(F.element_at(F.col(vec_col), j + 1).cast("double")).alias(f"__d{j}")
+            F.expr(
+                f"avg(cast(element_at({vec_col}, {j + 1}) as double))"
+            ).alias(f"__d{j}")
             for j in range(dim)
         ]
         upd = assigned.groupBy(centroid_id).agg(
             F.count(F.lit(1)).alias("n_assigned"), *dims
         )
+        repack = (
+            "array("
+            + ",".join(f"round(__d{j}, {round_decimals})" for j in range(dim))
+            + ")"
+        )
         cents = upd.select(
             centroid_id,
             "n_assigned",
-            F.array(
-                *[F.round(F.col(f"__d{j}"), round_decimals) for j in range(dim)]
-            ).alias(vec_col),
+            F.expr(repack).alias(vec_col),
         ).localCheckpoint(eager=True)  # K-row frame; truncates the
         # lineage so iteration N's plan doesn't embed (and re-run)
         # iterations 1..N-1 — matters once n_iter grows past the default

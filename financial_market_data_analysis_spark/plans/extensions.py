@@ -4716,23 +4716,26 @@ def _rp_project_expr_k(k: int) -> Column:
     the projected space) and x75 (the dimension sweep) so every query
     projects identically — a pure row-local fold inside whole-stage
     codegen, zero shuffles."""
+    from financial_market_data_analysis_spark.operators.similarity import _dlit
+
     signs = _rp_signs_k(k)
     scale = float(k) ** 0.5
-    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # ONE generated-SQL expression (r16): the per-component
+    # ``F.array(*[F.lit(...)])`` construction made ~k × 64 Py4J round
+    # trips (~6 s for k=48 at plan-build time); a single F.expr ships
+    # the identical tree in one call. ``_dlit`` keeps every sign and
+    # the 1/√k scale bit-exact, so the projected doubles — and the
+    # oracle hash — are unchanged.
+    emb = "zip_with(transform(embedding, x -> cast(x as double))"
 
-    def proj(j: int):
-        lit = F.array(*[F.lit(float(s)) for s in signs[j]])
-        return F.round(
-            F.aggregate(
-                F.zip_with(emb, lit, lambda x, s: x * s),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            / F.lit(scale),
-            6,
+    def proj(j: int) -> str:
+        arr = "array(" + ",".join(_dlit(s) for s in signs[j]) + ")"
+        return (
+            f"round(aggregate({emb}, {arr}, (x, s) -> x * s), "
+            f"{_dlit(0.0)}, (acc, v) -> acc + v) / {_dlit(scale)}, 6)"
         )
 
-    return F.array(*[proj(j) for j in range(k)])
+    return F.expr("array(" + ",".join(proj(j) for j in range(k)) + ")")
 
 
 def _rp_project_expr() -> Column:
@@ -6095,14 +6098,23 @@ def q_compression_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # -- int8: asymmetric search, raw query vs dequantized corpus -----
+    # two generated-SQL array aggregates instead of 128 separately
+    # built agg columns (r16 plan-build cost; values identical)
     stats = e.agg(
-        *[F.min(F.col("embedding")[i].cast("double")).alias(f"lo_{i}")
-          for i in range(EMB_DIM_K)],
-        *[F.max(F.col("embedding")[i].cast("double")).alias(f"hi_{i}")
-          for i in range(EMB_DIM_K)],
-    ).select(
-        F.array(*[F.col(f"lo_{i}") for i in range(EMB_DIM_K)]).alias("lo"),
-        F.array(*[F.col(f"hi_{i}") for i in range(EMB_DIM_K)]).alias("hi"),
+        F.expr(
+            "array("
+            + ",".join(
+                f"min(cast(embedding[{i}] as double))" for i in range(EMB_DIM_K)
+            )
+            + ")"
+        ).alias("lo"),
+        F.expr(
+            "array("
+            + ",".join(
+                f"max(cast(embedding[{i}] as double))" for i in range(EMB_DIM_K)
+            )
+            + ")"
+        ).alias("hi"),
     )
     recon = e.crossJoin(F.broadcast(stats)).select(
         "vec_id", _x75_int8_recon_expr(emb).alias("xr")
