@@ -37,6 +37,45 @@ def main() -> int:
     import __spark_entry__ as entry
 
     qs = entry.queries()
+
+    # Named INTERNAL plans: most catalog queries return an eagerly
+    # checkpointed frame (their explain is just "Scan ExistingRDD"),
+    # so the plan evidence for operator internals is captured from the
+    # operator APIs directly, pre-checkpoint.
+    def _simhash_edges(spark, sf):
+        from financial_market_data_analysis_spark.plans.extensions import (
+            docs_augmented, SIMHASH_BANDS, SIMHASH_MAX_HAMMING)
+        from financial_market_data_analysis_spark.operators.dedup import (
+            _simhash_sketches, _sketch_band_edges)
+        sk = _simhash_sketches(docs_augmented(spark, sf), "doc_id", "text")
+        return _sketch_band_edges(sk, SIMHASH_BANDS, SIMHASH_MAX_HAMMING)
+
+    def _simhash_sketch_table(spark, sf):
+        from financial_market_data_analysis_spark.plans.extensions import (
+            docs_augmented)
+        from financial_market_data_analysis_spark.operators.dedup import (
+            _simhash_sketches)
+        return _simhash_sketches(docs_augmented(spark, sf), "doc_id", "text")
+
+    def _lsh_band_pairs(spark, sf):
+        from financial_market_data_analysis_spark.plans.extensions import (
+            docs_augmented)
+        from financial_market_data_analysis_spark.operators import dedup as D
+        sh = D.shingle_arrays(D.ensure_parallelism(docs_augmented(spark, sf)))
+        return D.band_candidate_pairs(D.lsh_bands(sh))
+
+    def _gaussian_bucket(spark, sf):
+        from financial_market_data_analysis_spark.sources.batch import load_table
+        from financial_market_data_analysis_spark.operators.similarity import (
+            bucket_expr)
+        e = load_table(spark, "embeddings", sf)
+        return e.select("vec_id", bucket_expr("embedding").alias("bucket"))
+
+    qs = dict(qs)
+    qs["internal_simhash_edges"] = _simhash_edges
+    qs["internal_simhash_sketches"] = _simhash_sketch_table
+    qs["internal_lsh_band_pairs"] = _lsh_band_pairs
+    qs["internal_gaussian_bucket"] = _gaussian_bucket
     os.makedirs(ns.out, exist_ok=True)
     for name in ns.queries:
         if name not in qs:
