@@ -4782,7 +4782,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated SQL sum are both sequential), so even pre-round values
     are bit-identical."""
     e = load_table(spark, "embeddings", sf_dir)
-    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     p = e.select("vec_id", emb.alias("x"), _rp_project_expr().alias("y"))
     a = p.select(
         F.col("vec_id").alias("id_a"),
@@ -5076,13 +5076,6 @@ def _lsh_tuning_body(spark: SparkSession, sh_arr: DataFrame, sh: DataFrame) -> D
             "doc_a",
         )
     )
-    truth = (
-        D.jaccard_verify(inj, None, shingles=sh)
-        .filter(F.col("jaccard") >= X69_THRESHOLD)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
-    n_true = truth.count()
 
     # the signature is config-independent: fold the k md5 minhashes
     # ONCE (docs x k rows, eagerly checkpointed) and derive every band
@@ -5091,39 +5084,80 @@ def _lsh_tuning_body(spark: SparkSession, sh_arr: DataFrame, sh: DataFrame) -> D
     sigs = D.minhash_signatures(None, shingle_arr=sh_arr).localCheckpoint(
         eager=True
     )
-    out = None
+
+    # ONE tagged candidate frame for all four configs (r16, guide §1.2):
+    # the four band self-joins run inside one job over the materialized
+    # signatures, replacing the per-config checkpoint+sample+aggregate
+    # job chain (profiled: 97 Spark jobs for this query, most of them
+    # sub-second fixed overhead). Every published count below is a
+    # grouped aggregate over this frame, and lsh_candidate_pairs dedups
+    # within each config, so the per-config pair sets are unchanged.
+    cand = None
     for bs in X69_BAND_SIZES:
-        pairs = D.lsh_candidate_pairs(sigs, band_size=bs).localCheckpoint(
-            eager=True  # feeds the sample, the recall join, and the count
+        p = D.lsh_candidate_pairs(sigs, band_size=bs).select(
+            F.lit(bs).alias("band_size"), "doc_a", "doc_b"
         )
-        # precision from a DETERMINISTIC 1-in-7 candidate sample: at
-        # 100 TB nobody exact-verifies the candidate flood an r=1
-        # config mints (85k pairs per 1k docs measured at sf0.1) — the
-        # production measurement is a sampled precision, and the
-        # sample predicate is mirrored verbatim by the oracle. Recall
-        # needs NO verification at all: truth pairs clear the Jaccard
-        # threshold by construction, so a truth pair is found iff it
-        # is a candidate.
-        samp = pairs.filter(
-            (F.col("doc_a") + F.col("doc_b")) % X69_SAMPLE_MOD == 0
-        ).localCheckpoint(eager=True)  # feeds verify AND the count
-        ver = D.jaccard_verify(samp, None, shingles=sh).filter(
-            F.col("jaccard") >= X69_THRESHOLD
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.localCheckpoint(eager=True)  # feeds counts, sample, recall
+
+    # precision from a DETERMINISTIC 1-in-7 candidate sample: at
+    # 100 TB nobody exact-verifies the candidate flood an r=1
+    # config mints (85k pairs per 1k docs measured at sf0.1) — the
+    # production measurement is a sampled precision, and the
+    # sample predicate is mirrored verbatim by the oracle. Recall
+    # needs NO verification at all: truth pairs clear the Jaccard
+    # threshold by construction, so a truth pair is found iff it
+    # is a candidate.
+    sampled = ((F.col("doc_a") + F.col("doc_b")) % X69_SAMPLE_MOD == 0)
+    samp = cand.filter(sampled)
+
+    # exact Jaccard is PAIR-intrinsic: verify each distinct pair once.
+    # The injected truth pairs and every config's sampled candidates
+    # share ONE jaccard_verify pass — one sizes aggregate and one
+    # intersection join over the shingle table instead of five (the
+    # sizes groupBy alone profiled at 3-8 s of task time per verify
+    # call; jaccard values per pair are identical, so the truth set
+    # and each config's verified count are unchanged).
+    need = (
+        inj.select("doc_a", "doc_b")
+        .unionByName(samp.select("doc_a", "doc_b"))
+        .distinct()
+    )
+    jac = (
+        D.jaccard_verify(need, None, shingles=sh)
+        .filter(F.col("jaccard") >= X69_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # feeds truth AND per-config verify
+    )
+    truth = inj.join(jac, ["doc_a", "doc_b"]).localCheckpoint(eager=True)
+    n_true = truth.count()
+
+    stats = cand.groupBy("band_size").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(sampled.cast("long")).alias("n_sampled"),
+    )
+    ver = (
+        samp.join(jac, ["doc_a", "doc_b"])
+        .groupBy("band_size")
+        .agg(F.count(F.lit(1)).alias("n_verified"))
+    )
+    found = (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .groupBy("band_size")
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    base = spark.createDataFrame(
+        [(bs, D.N_MINHASH // bs) for bs in X69_BAND_SIZES],
+        "band_size int, n_bands int",
+    )
+    out = (
+        base.join(stats, "band_size", "left")
+        .join(ver, "band_size", "left")
+        .join(found, "band_size", "left")
+        .na.fill(
+            {"n_candidates": 0, "n_sampled": 0, "n_verified": 0, "n_found": 0}
         )
-        row = spark.createDataFrame(
-            [(bs, D.N_MINHASH // bs)], "band_size int, n_bands int"
-        ).crossJoin(
-            pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
-        ).crossJoin(
-            samp.agg(F.count(F.lit(1)).alias("n_sampled"))
-        ).crossJoin(
-            ver.agg(F.count(F.lit(1)).alias("n_verified"))
-        ).crossJoin(
-            pairs.join(truth, ["doc_a", "doc_b"]).agg(
-                F.count(F.lit(1)).alias("n_found")
-            )
-        )
-        out = row if out is None else out.unionByName(row)
+    )
     return out.select(
         "band_size",
         "n_bands",
@@ -5283,14 +5317,6 @@ def q_neardup_method_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_a",
             )
         )
-        truth = (
-            D.jaccard_verify(inj, None, shingles=sh)
-            .filter(F.col("jaccard") >= X69_THRESHOLD)
-            .select("doc_a", "doc_b")
-            .localCheckpoint(eager=True)
-        )
-        n_true = truth.count()
-
         sigs = D.minhash_signatures(None, shingle_arr=sh_arr)
         pairs_mh = D.lsh_candidate_pairs(
             sigs, band_size=X78_MINHASH_BAND_SIZE
@@ -5302,30 +5328,79 @@ def q_neardup_method_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
         )
-        out = None
-        for method, pairs in (
-            ("minhash_b4_r2", pairs_mh),
-            ("simhash_b4_h2", pairs_sh),
-        ):
-            pairs = pairs.localCheckpoint(eager=True)
-            samp = pairs.filter(
-                (F.col("doc_a") + F.col("doc_b")) % X69_SAMPLE_MOD == 0
-            ).localCheckpoint(eager=True)
-            ver = D.jaccard_verify(samp, None, shingles=sh).filter(
-                F.col("jaccard") >= X69_THRESHOLD
+        # ONE tagged candidate frame for both methods (r16, guide §1.2):
+        # the published numbers become grouped aggregates over it,
+        # replacing the per-method checkpoint+sample+aggregate job chain
+        # (the x69 restructure; per-method pair sets are unchanged).
+        methods = ("minhash_b4_r2", "simhash_b4_h2")
+        cand = (
+            pairs_mh.select(
+                F.lit(methods[0]).alias("method"), "doc_a", "doc_b"
             )
-            row = (
-                spark.createDataFrame([(method,)], "method string")
-                .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_candidates")))
-                .crossJoin(samp.agg(F.count(F.lit(1)).alias("n_sampled")))
-                .crossJoin(ver.agg(F.count(F.lit(1)).alias("n_verified")))
-                .crossJoin(
-                    pairs.join(truth, ["doc_a", "doc_b"]).agg(
-                        F.count(F.lit(1)).alias("n_found")
-                    )
+            .unionByName(
+                pairs_sh.select(
+                    F.lit(methods[1]).alias("method"), "doc_a", "doc_b"
                 )
             )
-            out = row if out is None else out.unionByName(row)
+            .localCheckpoint(eager=True)  # feeds counts, sample, recall
+        )
+        sampled = (
+            (F.col("doc_a") + F.col("doc_b")) % X69_SAMPLE_MOD == 0
+        )
+        samp = cand.filter(sampled)
+
+        # exact Jaccard is PAIR-intrinsic: the injected truth pairs and
+        # both methods' sampled candidates share ONE jaccard_verify
+        # pass — one sizes aggregate + one intersection join over the
+        # shingle table instead of three (the x69 restructure; jaccard
+        # per pair is identical, so truth and the per-method verified
+        # counts are unchanged).
+        need = (
+            inj.select("doc_a", "doc_b")
+            .unionByName(samp.select("doc_a", "doc_b"))
+            .distinct()
+        )
+        jac = (
+            D.jaccard_verify(need, None, shingles=sh)
+            .filter(F.col("jaccard") >= X69_THRESHOLD)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)  # feeds truth AND verify counts
+        )
+        truth = inj.join(jac, ["doc_a", "doc_b"]).localCheckpoint(
+            eager=True
+        )
+        n_true = truth.count()
+
+        stats = cand.groupBy("method").agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(sampled.cast("long")).alias("n_sampled"),
+        )
+        ver = (
+            samp.join(jac, ["doc_a", "doc_b"])
+            .groupBy("method")
+            .agg(F.count(F.lit(1)).alias("n_verified"))
+        )
+        found = (
+            cand.join(truth, ["doc_a", "doc_b"])
+            .groupBy("method")
+            .agg(F.count(F.lit(1)).alias("n_found"))
+        )
+        base = spark.createDataFrame(
+            [(m,) for m in methods], "method string"
+        )
+        out = (
+            base.join(stats, "method", "left")
+            .join(ver, "method", "left")
+            .join(found, "method", "left")
+            .na.fill(
+                {
+                    "n_candidates": 0,
+                    "n_sampled": 0,
+                    "n_verified": 0,
+                    "n_found": 0,
+                }
+            )
+        )
         return out.select(
             "method",
             "n_candidates",
@@ -5464,11 +5539,15 @@ PQ_SUBDIM = EMB_DIM_K // PQ_M
 def _l2_fold(a: str, b: str) -> Column:
     """Squared-L2 between two array columns as a sequential fold
     (i ascending — the same order the oracle's generated ``+`` chain
-    evaluates in, so pre-round doubles are bit-identical)."""
-    return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    evaluates in, so pre-round doubles are bit-identical).
+
+    Built as ONE parsed SQL expression (r16): the F.aggregate/zip_with
+    higher-order builders cost two Py4J round trips each (~25 ms) per
+    call at plan-build time; the parsed tree is the same fold (lambda
+    variables, double-literal seed, identical evaluation order)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
@@ -5478,7 +5557,7 @@ def _pq_codes_dtab(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     vector) and ``dtab`` (the per-(query, m, centroid) ADC distance
     table — tiny, broadcast at the join). Code assignment is one
     corpus×M explode against a BROADCAST codebook; ties to lowest cid."""
-    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     sub = F.explode(
         F.array(*[
             F.struct(
@@ -5536,13 +5615,10 @@ def _adc_dist(codes: DataFrame, dtab: DataFrame) -> DataFrame:
         .select("vec_id", "query_id", codes.m.alias("cm"), "dpart")
         .groupBy("vec_id", "query_id")
         .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("cm", "dpart"))),
-                    lambda s: s["dpart"],
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(cm, dpart))), s -> s.dpart), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
             ).alias("adist")
         )
     )
@@ -5554,7 +5630,7 @@ def _l2_exact_topk(e: DataFrame) -> DataFrame:
     localCheckpointed by callers (it feeds every method join plus the
     query spine). One broadcast-probe corpus scan, window rank per
     query, ties to lowest vec_id."""
-    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     qv = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), emb.alias("qv")
     )
@@ -5758,7 +5834,7 @@ def q_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "label",
             F.posexplode(
-                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
             ).alias("pos", "v"),
         )
         .groupBy("label", "pos")
@@ -6072,7 +6148,7 @@ def q_compression_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_adc_dist`` rather than a shuffled partial SUM (r9 advice) — so
     both engines rank bit-identical doubles; ties break on vec_id."""
     e = load_table(spark, "embeddings", sf_dir)
-    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     exact = _l2_exact_topk(e)
     spine = exact.select("query_id").distinct()
 
@@ -6611,8 +6687,12 @@ def q_minhash_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sliced signatures: 8 md5 digests serve all 32 seeds as 32-bit
     # substrings — the k-fold md5 cost is the sweep's dominant term
     # and slicing cuts it 4x (operators/dedup.py)
+    # ensure_parallelism (r16, guide §2.5 input skew): the k-fold md5
+    # slice pass is the query's dominant CPU and aug inherits the
+    # single-file corpus scan's 2 partitions — profiled at 6.0 s on 2
+    # tasks while 30 cores idled. Row-local hashing; results identical.
     sigs = D.sliced_minhash_signatures(
-        aug, n_hashes=_X80_MAX_K
+        D.ensure_parallelism(aug), n_hashes=_X80_MAX_K
     ).localCheckpoint(eager=True)  # feeds banding AND the match counts
     pairs = D.lsh_candidate_pairs(
         sigs.filter(F.col("seed") < D.N_MINHASH)

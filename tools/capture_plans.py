@@ -71,11 +71,28 @@ def main() -> int:
         e = load_table(spark, "embeddings", sf)
         return e.select("vec_id", bucket_expr("embedding").alias("bucket"))
 
+    def _l2_exact_topk(spark, sf):
+        from financial_market_data_analysis_spark.sources.batch import load_table
+        import financial_market_data_analysis_spark.plans.extensions as X
+        # pre-checkpoint plan of the exact-topk scorer: shows the
+        # sequential L2 fold expression the generated-SQL _l2_fold
+        # parses to (r16 §8 — the change is plan-BUILD cost only, so
+        # the interesting evidence is that this plan is UNCHANGED).
+        e = load_table(spark, "embeddings", sf)
+        emb = X.F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        qv = e.filter(X.F.col("vec_id") < X.N_QUERY_VECS).select(
+            X.F.col("vec_id").alias("query_id"), emb.alias("qv")
+        )
+        return e.select("vec_id", emb.alias("cv")).crossJoin(
+            X.F.broadcast(qv)
+        ).select("query_id", "vec_id", X._l2_fold("cv", "qv").alias("d"))
+
     qs = dict(qs)
     qs["internal_simhash_edges"] = _simhash_edges
     qs["internal_simhash_sketches"] = _simhash_sketch_table
     qs["internal_lsh_band_pairs"] = _lsh_band_pairs
     qs["internal_gaussian_bucket"] = _gaussian_bucket
+    qs["internal_l2_exact_scored"] = _l2_exact_topk
     os.makedirs(ns.out, exist_ok=True)
     for name in ns.queries:
         if name not in qs:
