@@ -8944,7 +8944,7 @@ def _pipeline_full_row_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness harness
     adjudicates the FIRST 50 entries of this dict (stable since round
-    3), so the first 50 entries are the round-15 adjudication set: the
+    3), so the first 50 entries are the round-16 adjudication set: the
     PERMANENT pinned set (the two flagship pipeline queries plus one
     carrier per SURVEY §2 family — t9, t6b, t4b, j5, j6, t7, t13, a12,
     x27, x28, x44, x48, ml7, and t22, GRADUATED to pinned in r15 per
@@ -8953,21 +8953,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stateful operators in one query — no other entry subsumes the
     cross-batch multi-join state law, so no displacement math may
     ever propose it — the capability contract that never rotates out,
-    per the r8 verdict #2), three round-8-born keepers (the in-window
-    carriers older displacement notes point at — x73/x74/a14), four
+    per the r8 verdict #2), two round-8-born keepers (the in-window
+    carriers older displacement notes point at — x73/x74), four
     round-10-born keepers (the carriers round 13's displacement notes
     point at — x75/q2/q11/q21), one round-11-born keeper (q5, the
     snowflake anchor the round-14 displacement notes for q7/q8/q9/q15
-    all point at), the nine round-12 births on their third round
-    (t23, s12, a15, a16, w24, a17, a18, x78, t24 — several double as
-    subsumption carriers), the nine round-13 births on their second
-    round (t25, t26, a19, d8, x79, a20, t27, s13, w25), and the EIGHT
-    round-14 births on their first adjudication (s14, t28, w26, j7,
-    x80, d9, s15, j8 — the r14 verdict #1 rotation wave the debt
-    guard bounded to this round, pre-planned in ROTATION_PLAN_r15.md).
-    Eight thrice-or-more-green queries move past the boundary (x77,
-    s10, s11, ml5a, w23, t20, x69, q4), each displacement annotated
-    inline. tools/check_rotation_debt.py fails the suite if any
+    all point at), one round-12-born keeper (a17, the CASE/pivot and
+    Expand-family carrier), the nine round-13 births on their third
+    round (t25, t26, a19, d8, x79, a20, t27, s13, w25), the eight
+    round-14 births on their second round (s14, t28, w26, j7, x80,
+    d9, s15, j8), and the NINE round-15 births on their first
+    adjudication (j9, t29, t30, j10, s16, t31, x81, s17, u2 — the r15
+    verdict #1 rotation wave the debt guard bounded to this round,
+    pre-planned in ROTATION_PLAN_r16.md). Nine thrice-or-more-green
+    queries move past the boundary (a14, t23, s12, a15, a16, w24,
+    a18, x78, t24), each displacement annotated inline.
+    tools/check_rotation_debt.py fails the suite if any
     oracle-bearing query ever sits ≥2 rounds without a driver row;
     every displaced query stays covered by the pytest oracle-parity
     suite every session regardless of the window."""
@@ -8998,14 +8999,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query subsumes the cross-batch multi-join state law, so no
         # future displacement math may propose it.
         "t22_stream_five_feed_join": _t22_stream_five_feed_join,
-        # -- round-8-born keepers: the three in-window carriers the
+        # -- round-8-born keepers: the two in-window carriers the
         # displacement notes point at — x73/x74 the dedup-graph and
-        # funnel/decontamination carriers (x68's subsumption target),
-        # a14 the grouping family. (w23/t20/x69/q4 displaced r15,
-        # notes below.) -------------------------------------------------
+        # funnel/decontamination carriers (x68's subsumption target).
+        # (w23/t20/x69/q4 displaced r15; a14 displaced r16 — its
+        # Expand/grouping family is carried by a17's declared-values
+        # PIVOT, which a13's and a11's notes already cite.) --------------
         "x73_leakage_free_split": X.q_leakage_free_split,
         "x74_filter_funnel": X.q_filter_funnel,
-        "a14_grouping_sets": _a14_grouping_sets,
         # -- fourth-round round-10-born keepers: the four in-window
         # carriers round 13's nine displacement notes point at — x75
         # (the ANN-representation recall anchor the x63/x65/x66/x70
@@ -9025,28 +9026,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-14 displacement notes for q7/q8/q9/q15 all name as
         # their in-window carrier. ---------------------------------------
         "q5_local_volume": _q5_local_volume,
-        # -- third-round adjudication of the round-13 rotations (the
-        # nine r12 births): t23 contract-drift accounting, s12 the
-        # JSONL evolution twin, a15/a16 the clickstream pair, w24
-        # batch gap fill, a17/a18 the reshape pair, x78 the near-dup
-        # shootout, t24 the streaming gap-fill twin — several double
-        # as subsumption carriers (a17 for the CASE/pivot family,
-        # t23/t25 for ingest accounting, s12 for JSONL quarantine,
-        # t23 for s10's drift-report family displaced r15). -------------
-        "t23_stream_drift_accounting": _t23_stream_drift_accounting,
-        "s12_jsonl_evolution_ingest": _s12_jsonl_evolution_ingest,
-        "a15_funnel_conversion": _a15_funnel_conversion,
-        "a16_retention_cohorts": _a16_retention_cohorts,
-        "w24_gap_fill_locf": _w24_gap_fill_locf,
+        # -- round-12-born keeper: a17 stays as the CASE/pivot
+        # carrier (the declared-values PIVOT the q8/q9/q10/q12/q14
+        # displacement notes all name, and the Expand-family carrier
+        # now that a14 is displaced). The other eight r12 births
+        # (t23, s12, a15, a16, w24, a18, x78, t24) displaced r16 on
+        # their third green, notes below. --------------------------------
         "a17_pivot_daily_types": _a17_pivot_daily_types,
-        "a18_twap_daily": _a18_twap_daily,
-        "x78_neardup_method_table": X.q_neardup_method_table,
-        "t24_stream_gap_fill": _t24_stream_gap_fill,
-        # -- second-round adjudication of the round-14 rotations (the
-        # nine r13 births, first driver-green in r14; several double
-        # as r15 subsumption carriers — t26 for ml5a's scale+forward,
+        # -- third-round adjudication of the round-14 rotations (the
+        # nine r13 births, driver-green in r14 and r15; several double
+        # as subsumption carriers — t26 for ml5a's scale+forward,
         # w25 for the W-indicator family, t27 for the append-only
-        # sketch store): --------------------------------------------------
+        # sketch store, t25 for the s12/t23 evolution/drift family
+        # displaced r16): --------------------------------------------------
         # t25: the STREAMING schema-evolution ingest — version-tagged
         # lines widen to the declared union contract mid-stream;
         # only true row-level conflicts quarantine
@@ -9085,11 +9077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on the view return series; one shared ROWS-frame window pass
         # for all four moment aggregates
         "w25_rolling_beta": _w25_rolling_beta,
-        # -- rotated IN this round (round 15) for FIRST adjudication:
-        # the eight r14 births the debt guard bounded to this round
-        # (r14 verdict #1, pre-planned in ROTATION_PLAN_r15.md; every
-        # one passed the judge's independent verify_contract run at
-        # sf0.01 in the r14 session): ------------------------------------
+        # -- second-round adjudication of the round-15 rotations (the
+        # eight r14 births, first driver-green in r15): ------------------
         # s14: range-clustered write + PROVEN min/max row-group
         # skipping on a NON-partition sort column (numOutputRows
         # sandwich on the executed scan) — the physical-layout tier
@@ -9144,42 +9133,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # numPartitions equals the filtered dim's day count with ≥1
         # day skipped
         "j8_dpp_proof": _j8_dpp_proof,
-        # ------------------------------------------------- entry 50 ends
-        # j9 NEW in round 15, past the window (oracle-bearing,
-        # entry-parity-checked every session) — ROTATE IN ROUND 16
-        # (tools/check_rotation_debt.py enforces it): AQE skew-join
-        # handling PROVEN from the executed plan (isSkewJoin=true SMJ
-        # + numSkewedSplits >= 2 on the AQE shuffle reads) — the
-        # zero-code cure the skew tier (d8 measure → j2 salt → d9
-        # balance) still had no proof for; rows adjudicated against a
-        # plain-join oracle so the rewrite is result-neutral
+        # -- rotated IN this round (round 16) for FIRST adjudication:
+        # the nine r15 births the debt guard bounded to this round
+        # (r15 verdict #1, pre-planned in ROTATION_PLAN_r16.md; every
+        # one passed the judge's independent verify_contract run at
+        # sf0.01 in the r15 session): ------------------------------------
+        # j9: AQE skew-join handling PROVEN from the executed plan
+        # (isSkewJoin=true SMJ + numSkewedSplits >= 2 on the AQE
+        # shuffle reads) — the zero-code cure the skew tier (d8
+        # measure → j2 salt → d9 balance) still had no proof for; rows
+        # adjudicated against a plain-join oracle so the rewrite is
+        # result-neutral
         "j9_aqe_skew_proof": _j9_aqe_skew_proof,
-        # t29 NEW in round 15, past the window — ROTATE IN ROUND 16:
-        # state-store RECOVERY proven — t28's stateful sessionizer as
-        # THREE queries over ONE checkpoint (stop/restart, then a
-        # mid-batch crash + replay); the spanning session is emitted
-        # whole only if its (start, count) round-tripped the
-        # checkpoint's state store, and the oracle is t28's exact
-        # closed-session law — what t7 proved for the sink, for STATE
+        # t29: state-store RECOVERY proven — t28's stateful
+        # sessionizer as THREE queries over ONE checkpoint
+        # (stop/restart, then a mid-batch crash + replay); the
+        # spanning session is emitted whole only if its (start, count)
+        # round-tripped the checkpoint's state store, and the oracle
+        # is t28's exact closed-session law — what t7 proved for the
+        # sink, for STATE
         "t29_checkpoint_recovery": _t29_checkpoint_recovery,
-        # t30 NEW in round 15, past the window — ROTATE IN ROUND 16:
-        # a16's retention cohorts maintained incrementally over the
-        # append-only epoch store (the t27/t18 monoid pattern on a
+        # t30: a16's retention cohorts maintained incrementally over
+        # the append-only epoch store (the t27/t18 monoid pattern on a
         # NON-sketch aggregate: set-union → min-fold → rollup, all
         # idempotent), with micro-batches staged OUT of time order —
         # raises unless a user's cohort-defining event arrives last;
         # oracle = a16's batch SQL verbatim
         "t30_stream_cohorts": _t30_stream_cohorts,
-        # j10 NEW in round 15, past the window — ROTATE IN ROUND 16:
-        # AQE's RUNTIME join re-selection proven — the initial plan
-        # must hold a sort-merge join (the correct static call for a
-        # statically-unsized HAVING dim) and the executed plan must
-        # show the broadcast demotion with zero SMJ; completes the
-        # adaptive tier next to j7 (static broadcast), j8 (DPP), j9
-        # (skew split)
+        # j10: AQE's RUNTIME join re-selection proven — the initial
+        # plan must hold a sort-merge join (the correct static call
+        # for a statically-unsized HAVING dim) and the executed plan
+        # must show the broadcast demotion with zero SMJ; completes
+        # the adaptive tier next to j7 (static broadcast), j8 (DPP),
+        # j9 (skew split)
         "j10_runtime_broadcast": _j10_runtime_broadcast,
-        # s16 NEW in round 15, past the window — ROTATE IN ROUND 16:
-        # x29's z-order claim MEASURED — the same events written
+        # s16: x29's z-order claim MEASURED — the same events written
         # linear-clustered and z-order-clustered, the same x-/y-range
         # predicates run on both; raises unless the z layout passes
         # s14's full skipping sandwich on the SECONDARY dimension,
@@ -9188,35 +9176,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # more groups on y — the clustering-key decision table,
         # priced from real footers; oracle adjudicates zero data loss
         "s16_zorder_vs_linear": _s16_zorder_vs_linear,
-        # t31 NEW in round 15, past the window — ROTATE IN ROUND 16:
-        # bounded streaming state proven from StreamingQueryProgress —
-        # numRowsDroppedByWatermark equals the staged straggler count
-        # EXACTLY, eviction observably removed rows, and final state
-        # is strictly below the kept-window count; the value oracle
-        # (t17's, verbatim) cannot see state size — this is the
-        # executed-plan proof discipline applied to the state store
+        # t31: bounded streaming state proven from
+        # StreamingQueryProgress — numRowsDroppedByWatermark equals
+        # the staged straggler count EXACTLY, eviction observably
+        # removed rows, and final state is strictly below the
+        # kept-window count; the value oracle (t17's, verbatim) cannot
+        # see state size — this is the executed-plan proof discipline
+        # applied to the state store
         "t31_state_metrics_proof": _t31_state_metrics_proof,
-        # x81 NEW in round 15, past the window — ROTATE IN ROUND 16:
-        # x24's sequence packer priced across token budgets (the x80
-        # sweep discipline): per B ∈ {512..4096}, the cut-document
+        # x81: x24's sequence packer priced across token budgets (the
+        # x80 sweep discipline): per B ∈ {512..4096}, the cut-document
         # count (docs split across packs) vs the padding waste
         # (per-shard final-pack tails) — the context-length decision
         # table for a packing run; one window pass serves all four
         # budgets, exact integer arithmetic throughout
         "x81_pack_budget_sweep": X.q_pack_budget_sweep,
-        # s17 NEW in round 15, past the window — ROTATE IN ROUND 16:
-        # the I/O proof trilogy completed — COLUMN pruning + filter
-        # pushdown proven from the executed scan (requiredSchema ==
-        # exactly the two referenced columns of eleven; the quantity
-        # predicate present in PushedFilters) — s13 proves directories,
-        # s14 row groups, s17 columns
+        # s17: the I/O proof trilogy completed — COLUMN pruning +
+        # filter pushdown proven from the executed scan
+        # (requiredSchema == exactly the two referenced columns of
+        # eleven; the quantity predicate present in PushedFilters) —
+        # s13 proves directories, s14 row groups, s17 columns
         "s17_column_pruning_proof": _s17_column_pruning_proof,
-        # u2 NEW in round 15, past the window — ROTATE IN ROUND 16:
-        # "UDFs are the slow path" as a runtime invariant — the
+        # u2: "UDFs are the slow path" as a runtime invariant — the
         # flagship pipeline's executed plan must hold zero
         # Python-evaluation operators and ≥5 WholeStageCodegen spans;
         # rows ride the flagship oracle verbatim
         "u2_codegen_proof": _u2_codegen_proof,
+        # ------------------------------------------------- entry 50 ends
+        # -- displaced THIS round (round 16): the eight r12 births on
+        # their third green plus a14 (r8-born, seven-times green),
+        # subsumed per the inline notes (displacement set vetted in
+        # ROTATION_PLAN_r16.md); all stay pytest-oracle-checked every
+        # session ------------------------------------------------------
+        # a14: the GROUPING SETS / Expand family is carried in-window
+        # by a17 (the declared-values PIVOT — the same Expand
+        # machinery with declared categories); the rollup/cube
+        # variants stay pytest-oracle-checked
+        "a14_grouping_sets": _a14_grouping_sets,
+        # t23: per-epoch contract-drift accounting is carried
+        # in-window by t25 (the streaming evolution ingest whose
+        # quarantine/ingest accounting supersets t23's drift rows) and
+        # x74's funnel conservation rows
+        "t23_stream_drift_accounting": _t23_stream_drift_accounting,
+        # s12: the JSONL widen-and-union evolution ingest is carried
+        # in-window by t25 (the STREAMING evolution ingest with the
+        # same widen-to-declared-union contract, strictly harder:
+        # version drift arrives mid-stream)
+        "s12_jsonl_evolution_ingest": _s12_jsonl_evolution_ingest,
+        # a15: the clickstream funnel is carried in-window by a19
+        # (sessionization — the same event-sequence analytics family),
+        # q21 (the EXISTS/LEFT SEMI correlation family), and t30 (the
+        # clickstream rollup family, in-window this round)
+        "a15_funnel_conversion": _a15_funnel_conversion,
+        # a16: the retention-cohort rollup is carried in-window by t30
+        # — its own streaming twin, which runs the IDENTICAL cohort
+        # SQL as its oracle plus the min-monoid disorder law
+        "a16_retention_cohorts": _a16_retention_cohorts,
+        # w24: the batch gap-fill spine is carried in-window by t28
+        # (the stateful carry/close machinery) and pinned t6b (the
+        # outer-join null-detection family); the LOCF kernel stays
+        # pytest-oracle-checked
+        "w24_gap_fill_locf": _w24_gap_fill_locf,
+        # a18: the TWAP duration-weighted rollup is carried in-window
+        # by a17 (the declared-values reshape family, STAYS in-window)
+        # and w26 (duration/RANGE-frame time semantics)
+        "a18_twap_daily": _a18_twap_daily,
+        # x78: the near-dup method shootout is carried in-window by
+        # x80 (the sketch-size sweep over the same banded machinery),
+        # x81 (the sweep-table family), and the pinned x44/x48 dedup
+        # anchors; the method table stays pytest-oracle-checked
+        "x78_neardup_method_table": X.q_neardup_method_table,
+        # t24: the streaming gap-fill twin is carried in-window by t28
+        # (the stateful-operator carrier with the cross-batch
+        # session-merge proof — the same O(1)-state cross-batch carry
+        # law t24 proved for gap fill); the batch kernel stays
+        # pytest-oracle-checked
+        "t24_stream_gap_fill": _t24_stream_gap_fill,
         # -- displaced THIS round (round 15): eight thrice-or-more-
         # green queries, subsumed per the inline notes (displacement
         # set vetted in ROTATION_PLAN_r15.md); all stay
@@ -9227,15 +9262,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # x79 (order quality over the same method set); the
         # nprobe-sweep table stays pytest-oracle-checked
         "x77_ivf_nprobe_sweep": X.q_ivf_nprobe_sweep,
-        # s10: the contract-drift DETECT report is carried in-window
-        # by t23 (per-epoch drift accounting — the same null/drift
-        # fractions streamed) and the s12/t25 evolution ingests whose
-        # quarantine accounting supersets s10's violation rows
+        # s10 (note updated r16: t23/s12 displaced): the
+        # contract-drift DETECT report is carried in-window by t25
+        # (the streaming evolution ingest whose quarantine accounting
+        # supersets s10's violation rows) and x74's per-stage funnel
+        # accounting
         "s10_schema_drift": _s10_schema_drift,
-        # s11: the schema-evolution-tolerant CSV ingest is carried
-        # in-window by s12 (the JSONL evolution twin — schema-per-row
-        # drift, strictly harder) and t25 (the STREAMING evolution
-        # ingest with the same widen-to-declared-union contract)
+        # s11 (note updated r16: s12 displaced): the schema-
+        # evolution-tolerant CSV ingest is carried in-window by t25
+        # (the STREAMING evolution ingest with the same
+        # widen-to-declared-union contract, strictly harder:
+        # version drift arrives mid-stream)
         "s11_schema_evolution_ingest": _s11_schema_evolution_ingest,
         # ml5a: the min-max scale + deterministic forward prefix is
         # carried in-window by t26 (the composed inference loop
@@ -9261,10 +9298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recall anchors; the band-tuning table stays
         # pytest-oracle-checked
         "x69_lsh_tuning": X.q_lsh_tuning,
-        # q4: the order-priority EXISTS semi-join is carried in-window
-        # by q21 (the EXISTS + NOT EXISTS double correlation, the
-        # harder form) and a15's LEFT SEMI funnel; the date-range
-        # count rollup stays pytest-oracle-checked
+        # q4 (note updated r16: a15 displaced): the order-priority
+        # EXISTS semi-join is carried in-window by q21 (the EXISTS +
+        # NOT EXISTS double correlation, the harder form) and a19's
+        # event-sequence rollup; the date-range count rollup stays
+        # pytest-oracle-checked
         "q4_order_priority": _q4_order_priority,
         # -- displaced in round 14: nine round-11-born
         # queries, each THRICE driver-green (r11 + r12 + r13), subsumed
@@ -9302,21 +9340,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the scalar availability gate by q11's global-scalar-
         # broadcast-back kernel
         "q20_bulk_suppliers": _q20_bulk_suppliers,
-        # s8 (note updated r15: s11 displaced): the schema-enforced
-        # CSV parse + quarantine split is carried in-window by t25
-        # (the STREAMING evolution ingest running the same
-        # PERMISSIVE+corrupt-column widen contract) and s12 (the
-        # JSONL evolution twin); the ingest accounting rows ride t23
+        # s8 (note updated r16: s12/t23 displaced): the
+        # schema-enforced CSV parse + quarantine split is carried
+        # in-window by t25 (the STREAMING evolution ingest running the
+        # same PERMISSIVE+corrupt-column widen contract); the ingest
+        # accounting rows ride t25's quarantine census and x74's
+        # funnel conservation
         "s8_csv_quarantine": _s8_csv_quarantine,
-        # s9: the JSONL quarantine split is carried in-window by s12
-        # (the JSONL evolution twin — schema-per-row drift is the
-        # JSON-native failure mode, strictly harder than s9's fixed
-        # contract)
+        # s9 (note updated r16: s12 displaced): the JSONL quarantine
+        # split is carried in-window by t25 (the streaming evolution
+        # ingest — schema-per-row drift arriving mid-stream is the
+        # strictly harder form of s9's fixed contract)
         "s9_jsonl_quarantine": _s9_jsonl_quarantine,
-        # t21: the staged-drop streaming CSV ingest is carried
-        # in-window by t25 (the staged-drop stream whose quarantine
-        # accounting is a superset of t21's) and t23's per-batch drift
-        # accounting; the dual idempotent per-batch sinks ride pinned
+        # t21 (note updated r16: t23 displaced): the staged-drop
+        # streaming CSV ingest is carried in-window by t25 (the
+        # staged-drop stream whose quarantine accounting is a superset
+        # of t21's); the dual idempotent per-batch sinks ride pinned
         # t7's crash-retry adjudication
         "t21_stream_csv_drop": _t21_stream_csv_drop,
         # -- displaced in round 13: nine round-10-born
@@ -9335,12 +9374,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assembly; the returnflag CASE family rides in-window a17's
         # declared-values pivot
         "q10_returned_items": _q10_returned_items,
-        # q13: the outer-join-where-the-unmatched-side-matters kernel
-        # is carried in-window by w24 (its gap spine LEFT-joins the
-        # bars exactly to FIND the unmatched buckets — is_gap is the
-        # null-detection) and streaming t6b; the histogram-of-counts
-        # double aggregation is carried by a16 (per-user min → per-
-        # cohort count-of-users — count over a per-entity aggregate)
+        # q13 (note updated r16: w24/a16 displaced): the
+        # outer-join-where-the-unmatched-side-matters kernel is
+        # carried in-window by pinned t6b (watermark-trimmed LEFT
+        # join whose null padding IS the unmatched-side detection);
+        # the histogram-of-counts double aggregation is carried by
+        # t30 (per-user min cohort → count-of-users — the identical
+        # per-entity-aggregate-then-count rollup, a16's twin)
         "q13_customer_distribution": _q13_customer_distribution,
         # q15: the scalar-max-vs-view gate is carried in-window by q11
         # — the same global-scalar-aggregate-broadcast-back-as-filter
@@ -9348,12 +9388,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # revenue view assembly rides q5 (note updated r14: q9
         # displaced)
         "q15_top_supplier": _q15_top_supplier,
-        # q16: the NOT-IN anti-join is carried in-window by q21 (the
-        # EXISTS + NOT EXISTS double correlation, the harder form) and
-        # a15's LEFT SEMI funnel (the semi/anti join family); the
-        # distinct-per-group count kernel is carried by a16 (distinct
-        # over (user, week) feeding co-keyed counts — exactly how
-        # Spark plans count-distinct: expand → two-phase aggregate)
+        # q16 (note updated r16: a15/a16 displaced): the NOT-IN
+        # anti-join is carried in-window by q21 (the EXISTS +
+        # NOT EXISTS double correlation, the harder form — the
+        # semi/anti join family's carrier); the distinct-per-group
+        # count kernel is carried by t30 (distinct (user, week) pairs
+        # feeding co-keyed counts — the same expand → two-phase
+        # aggregate plan shape)
         "q16_supplier_count": _q16_supplier_count,
         # q17: the correlated-scalar decorrelation (per-group aggregate
         # joined back as a row filter) is carried in-window by q2 —
@@ -9404,12 +9445,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # applyInPandasWithState surface) and t28 (the stateful-
         # operator carrier with the cross-batch merge proof)
         "t19_stream_ols": _t19_stream_ols,
-        # d7 (note updated r15: s10/s11 displaced): the report
-        # family is carried in-window by t23's per-epoch drift
-        # accounting (s10's own subsumption carrier), s12/t25's
-        # evolution-ingest quarantine accounting, and x74's funnel
-        # conservation rows; the orphan/reconciliation kernels
-        # stay pytest-oracle-checked
+        # d7 (note updated r16: t23/s12 displaced): the report
+        # family is carried in-window by t25's evolution-ingest
+        # quarantine accounting and x74's funnel conservation rows;
+        # the orphan/reconciliation kernels stay
+        # pytest-oracle-checked
         "d7_quality_checks": _d7_quality_checks,
         # -- displaced in round 11: ten round-8-born queries, each
         # TWICE driver-green (r9 + r10), subsumed per the inline
@@ -9451,9 +9491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # x70: in-window x75's pq8-ADC leg recomputes the identical
         # codebook train + m-ordered ADC fold
         "x70_pq_adc_recall": X.q_pq_adc_recall,
-        # x71/x72 (note updated r15: s10 displaced): the report family
-        # is carried in-window by x74's funnel rows and t23's drift
-        # accounting (s10's own subsumption carrier); the label×dim /
+        # x71/x72 (note updated r16: t23 displaced): the report family
+        # is carried in-window by x74's funnel rows and t25's
+        # evolution-ingest quarantine accounting; the label×dim /
         # source×token algebra stays pytest-oracle-checked
         "x71_centroid_matrix": X.q_centroid_matrix,
         "x72_source_kl": X.q_source_kl,
@@ -9498,8 +9538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # targets); ml8's forecast oracle stays pytest-checked every
         # session
         "ml8_linreg_forecast": _ml8_linreg,
-        # a13: in-window a14 adjudicates the same Expand family at
-        # explicit GROUPING SETS granularity
+        # a13 (note updated r16: a14 displaced): in-window a17's
+        # declared-values PIVOT adjudicates the same Expand family
+        # (CUBE/GROUPING SETS plan to the identical Expand operator)
         "a13_cube": _a13_cube,
         # d5/t15 (note updated r14: t21 displaced; t15b displaced
         # r12): the replay-safe exactly-once sink family is carried
@@ -9554,9 +9595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # forms stay pytest-oracle-checked every session
         "x50_countmin_topk": X.q_countmin_topk,
         "x51_kmv_distinct": X.q_kmv_distinct,
-        # x52 (note updated r15: s10 displaced): the datacard composes
+        # x52 (note updated r16: t23 displaced): the datacard composes
         # x1-family stats; the report-query family is carried
-        # in-window by t23's drift accounting and x74's funnel
+        # in-window by t25's quarantine accounting and x74's funnel
         # accounting rows (the same carriers d7's and x72's own
         # subsumption notes point at)
         "x52_corpus_datacard": X.q_corpus_datacard,
@@ -9574,12 +9615,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w16_obv": _w16_obv,
         "w17_macd": _w17_macd,
         "w20_ichimoku": _w20_ichimoku,
-        # a11 (note updated r13: a13 displaced r10): the grouped-agg/
-        # reshape family is adjudicated in-window by a14's GROUPING
-        # SETS (the Expand family a13's CUBE rides) and a17's
-        # declared-values PIVOT; F10 bucketing rides every in-window
-        # candle flagship, and in-window a18 computes the harder
-        # duration-weighted sibling of a11's VWAP
+        # a11 (note updated r16: a14/a18 displaced): the grouped-agg/
+        # reshape family is adjudicated in-window by a17's
+        # declared-values PIVOT (the Expand-family carrier a13's CUBE
+        # and a14's GROUPING SETS both ride); F10 bucketing rides
+        # every in-window candle flagship, and w26's RANGE-frame
+        # time-weighting carries the duration semantics of a18's TWAP
+        # (a11's harder sibling)
         "a11_vwap_daily": _a11_vwap_daily,
         # x47 (note updated r13: x61/x67 displaced r10/r11): the graph
         # family's component machinery runs in-window beneath x73
@@ -9587,10 +9629,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leakage-free split); the PR power-iteration loop and the
         # triangle/coefficient kernels stay pytest-oracle-checked
         "x47_pagerank": X.q_pagerank,
-        # x58 (note updated r15: s10 displaced): the per-source
+        # x58 (note updated r16: t23 displaced): the per-source
         # token algebra is carried in-window by x74's funnel
-        # accounting and t23's drift accounting (x72's own subsumption
-        # carriers); the overlap/KL report stays pytest-oracle-checked
+        # accounting and t25's quarantine accounting (x72's own
+        # subsumption carriers); the overlap/KL report stays
+        # pytest-oracle-checked
         "x58_source_overlap": X.q_source_overlap,
         # t11 (note updated r15: t20 displaced): pinned t9 runs
         # the same applyInPandasWithState machinery; t28 adjudicates

@@ -71,7 +71,7 @@ def test_adjudication_window_boundary_is_stable():
     import __spark_entry__ as e
 
     keys = list(e.queries())
-    assert keys[49] == "j8_dpp_proof", keys[45:52]
+    assert keys[49] == "u2_codegen_proof", keys[45:52]
     # the PINNED carriers (r8 verdict #2: flagships + one per SURVEY
     # §2 family) hold the first 16 slots permanently — t22 GRADUATED
     # to pinned in r15 (r14 verdict #4: the streaming capstone; no
@@ -86,14 +86,13 @@ def test_adjudication_window_boundary_is_stable():
         "t22_stream_five_feed_join",
     ]
     assert keys[:16] == pinned, keys[:16]
-    # three r8-born keepers: the in-window carriers older displacement
-    # notes point at (w23/t20/x69/q4 displaced r15 per
-    # ROTATION_PLAN_r15.md)
+    # two r8-born keepers: the in-window carriers older displacement
+    # notes point at (w23/t20/x69/q4 displaced r15, a14 displaced r16
+    # per ROTATION_PLAN_r16.md)
     keepers = [
         "x73_leakage_free_split", "x74_filter_funnel",
-        "a14_grouping_sets",
     ]
-    assert keys[16:19] == keepers, keys[16:19]
+    assert keys[16:18] == keepers, keys[16:18]
     # four r10-born keepers: the carriers round 13's nine displacement
     # notes point at (x75 the ANN-recall anchor, q2 the decorrelation
     # carrier, q11 the global-scalar-gate carrier, q21 the anti-join
@@ -102,21 +101,14 @@ def test_adjudication_window_boundary_is_stable():
         "x75_compression_table", "q2_min_cost_supplier",
         "q11_important_parts", "q21_sole_returner",
     ]
-    assert keys[19:23] == r10_keepers, keys[19:23]
+    assert keys[18:22] == r10_keepers, keys[18:22]
     # the r11-born snowflake anchor (the carrier the round-14
     # displacement notes for q7/q8/q9/q15 all point at)
-    assert keys[23] == "q5_local_volume", keys[23]
-    # the nine r12 births on their third round (several double as
-    # subsumption carriers: a17 the CASE/pivot family, t23 ingest
-    # accounting + s10's drift-report family, s12 JSONL quarantine)
-    r13_rotated = [
-        "t23_stream_drift_accounting", "s12_jsonl_evolution_ingest",
-        "a15_funnel_conversion", "a16_retention_cohorts",
-        "w24_gap_fill_locf", "a17_pivot_daily_types", "a18_twap_daily",
-        "x78_neardup_method_table", "t24_stream_gap_fill",
-    ]
-    assert keys[24:33] == r13_rotated, keys[24:33]
-    # the nine r13 births on their second round
+    assert keys[22] == "q5_local_volume", keys[22]
+    # the r12-born keeper: a17 stays as the CASE/pivot + Expand-family
+    # carrier (the other eight r12 births displaced r16)
+    assert keys[23] == "a17_pivot_daily_types", keys[23]
+    # the nine r13 births on their third round
     r14_rotated = [
         "t25_stream_evolving_ingest", "t26_stream_inference_loop",
         "a19_sessionization", "d8_skew_report",
@@ -124,16 +116,25 @@ def test_adjudication_window_boundary_is_stable():
         "t27_stream_hll_merge", "s13_partition_pruned_scan",
         "w25_rolling_beta",
     ]
-    assert keys[33:42] == r14_rotated, keys[33:42]
-    # the eight r14 births on their FIRST adjudication (r14 verdict #1,
-    # pre-planned in ROTATION_PLAN_r15.md)
-    fresh = [
+    assert keys[24:33] == r14_rotated, keys[24:33]
+    # the eight r14 births on their second round
+    r15_rotated = [
         "s14_minmax_skipped_scan", "t28_stream_sessionize",
         "w26_range_beta", "j7_broadcast_proof",
         "x80_minhash_size_sweep", "d9_salt_balance",
         "s15_epoch_compaction", "j8_dpp_proof",
     ]
-    assert keys[42:50] == fresh, keys[42:50]
+    assert keys[33:41] == r15_rotated, keys[33:41]
+    # the nine r15 births on their FIRST adjudication (r15 verdict #1,
+    # pre-planned in ROTATION_PLAN_r16.md)
+    fresh = [
+        "j9_aqe_skew_proof", "t29_checkpoint_recovery",
+        "t30_stream_cohorts", "j10_runtime_broadcast",
+        "s16_zorder_vs_linear", "t31_state_metrics_proof",
+        "x81_pack_budget_sweep", "s17_column_pruning_proof",
+        "u2_codegen_proof",
+    ]
+    assert keys[41:50] == fresh, keys[41:50]
     # every oracle key maps to a query, and rows-only set is exactly
     # the three documented queries
     oracles = e.oracle_sql()
