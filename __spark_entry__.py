@@ -4169,10 +4169,13 @@ def _t27_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src_dir)
         )
         write = SP.epoch_idempotent_writer(store)
+        # prebuilt register closure: the ~60-expression tree is built
+        # once, not once per micro-batch (r16, guide §4 at plan-build
+        # time — the rebuild was pure py4j chatter in the batch gap)
+        registers_of = SK.hll_registers_fn("user_id", ["event_type"])
 
         def merge(batch_df: DataFrame, batch_id: int) -> None:
-            regs_b = SK.hll_registers(batch_df, "user_id", ["event_type"])
-            write(regs_b, batch_id)
+            write(registers_of(batch_df), batch_id)
 
         q = (
             stream.writeStream.foreachBatch(merge)
@@ -7124,30 +7127,32 @@ def _t18_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src_dir)
         )
 
+        # Columns prebuilt ONCE — the per-batch rebuild of the token/
+        # gram/hash tree was pure py4j chatter in the micro-batch gap
+        # (r16, guide §4 at plan-build time)
+        toks_col = T.tokens("text").alias("__toks")
+        gram_col = F.explode(T.all_grams(F.col("__toks"), 2)).alias("gram")
+        u_col = (
+            SK.md5_long(SK._salted("kmv", [F.col("gram")]), SK.KMV_HEX)
+            / SK.KMV_SCALE
+        ).alias("u")
+        rn_col = F.row_number().over(
+            SW.partitionBy("source").orderBy("u")
+        )
+        rn_flt = F.col("__rn") <= k
+
         def batch_u(df: DataFrame) -> DataFrame:
-            toks = df.select("source", T.tokens("text").alias("__toks"))
-            grams = toks.select(
-                "source",
-                F.explode(T.all_grams(F.col("__toks"), 2)).alias("gram"),
-            )
-            return grams.select(
-                "source",
-                (
-                    SK.md5_long(
-                        SK._salted("kmv", [F.col("gram")]), SK.KMV_HEX
-                    )
-                    / SK.KMV_SCALE
-                ).alias("u"),
-            ).distinct()
+            toks = df.select("source", toks_col)
+            grams = toks.select("source", gram_col)
+            return grams.select("source", u_col).distinct()
 
         write = SP.epoch_idempotent_writer(snap)
 
         def merge(batch_df: DataFrame, batch_id: int) -> None:
             arr = batch_u(batch_df)
-            w = SW.partitionBy("source").orderBy("u")
             bottom = (
-                arr.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") <= k)
+                arr.withColumn("__rn", rn_col)
+                .filter(rn_flt)
                 .select("source", "u")
             )
             write(bottom, batch_id)
@@ -7473,16 +7478,24 @@ def _t13_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("best"),
             )
         )
-        q = (
-            gate.writeStream.format("memory")
-            .queryName("t13_gate")
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("t13_stream_ingest_dedup did not finish in 300 s")
+        # the complete-mode aggregation has NO watermark: the trailing
+        # no-data micro-batch recomputes and rewrites the IDENTICAL
+        # complete table (r16 measured ~1.5 s/run; rows verified
+        # identical with the batch skipped) — emission is data-driven,
+        # so skip it per the _no_nodata_batches contract
+        with _no_nodata_batches(spark):
+            q = (
+                gate.writeStream.format("memory")
+                .queryName("t13_gate")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "t13_stream_ingest_dedup did not finish in 300 s"
+                )
     finally:
         pop_small_shuffle(spark, old_sp)
         shutil.rmtree(src, ignore_errors=True)

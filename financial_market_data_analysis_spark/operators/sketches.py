@@ -541,29 +541,32 @@ def hll_registers(
     Scale shape: one row-local projection, then ONE partial-aggregated
     groupBy on (group, register) whose output is at most 2^p rows per
     group — the shuffle carries the sketch, not the data."""
+    return hll_registers_fn(key_col, group_cols, p, salt)(df)
+
+
+def hll_registers_fn(
+    key_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    p: int = HLL_P,
+    salt: str = "hll",
+):
+    """Prebuilt ``DataFrame -> registers`` closure behind
+    :func:`hll_registers` — every Column is constructed ONCE here and
+    reused on each call. Per-batch callers (the t27 incremental merge)
+    otherwise rebuild the ~60-expression tree on every micro-batch,
+    which is pure py4j/plan-construction chatter (r16, guide §4's
+    boundary at plan-build time). Columns bind to a DataFrame only at
+    use, so reuse across micro-batches is semantics-free."""
     if p % 4 != 0:
         raise ValueError("p must be a multiple of 4 (hex-slice registers)")
     reg_hex = p // 4
+    key_ok = F.col(key_col).isNotNull()
     hx = F.md5(_salted(salt, [F.col(key_col)]).cast("binary"))
     w = HLL_W_HEX
-    d = (
-        # a NULL key is no observation — without the filter it would
-        # hash to NULL and mint a phantom NULL register that inflates
-        # nonzero_registers (and so deflates the zeros term) in the
-        # estimate; the SQL twin filters identically
-        df.filter(F.col(key_col).isNotNull())
-        .select(*group_cols, hx.alias("__hx"))
-        .withColumn(
-            "__j",
-            F.conv(F.substring("__hx", 1, reg_hex), 16, 10).cast("int"),
-        )
-        .withColumn("__sub", F.substring("__hx", reg_hex + 1, w))
-        .withColumn(
-            "__z",
-            F.lit(w) - F.length(F.expr("trim(LEADING '0' FROM __sub)")),
-        )
-        .withColumn("__fnz", F.expr("substr(__sub, __z + 1, 1)"))
-    )
+    j_col = F.conv(F.substring("__hx", 1, reg_hex), 16, 10).cast("int")
+    sub_col = F.substring("__hx", reg_hex + 1, w)
+    z_col = F.lit(w) - F.length(F.expr("trim(LEADING '0' FROM __sub)"))
+    fnz_col = F.expr("substr(__sub, __z + 1, 1)")
     clz4 = (
         F.when(F.col("__fnz") == "1", 3)
         .when(F.col("__fnz").isin("2", "3"), 2)
@@ -575,12 +578,29 @@ def hll_registers(
         .otherwise(F.col("__z") * 4 + clz4 + 1)
         .cast("int")
     )
-    return (
-        d.withColumn("__rho", rho)
-        .groupBy(*group_cols, "__j")
-        .agg(F.max("__rho").alias("rho"))
-        .withColumnRenamed("__j", "register")
-    )
+    max_rho = F.max("__rho").alias("rho")
+
+    def _registers(df: DataFrame) -> DataFrame:
+        d = (
+            # a NULL key is no observation — without the filter it would
+            # hash to NULL and mint a phantom NULL register that inflates
+            # nonzero_registers (and so deflates the zeros term) in the
+            # estimate; the SQL twin filters identically
+            df.filter(key_ok)
+            .select(*group_cols, hx.alias("__hx"))
+            .withColumn("__j", j_col)
+            .withColumn("__sub", sub_col)
+            .withColumn("__z", z_col)
+            .withColumn("__fnz", fnz_col)
+        )
+        return (
+            d.withColumn("__rho", rho)
+            .groupBy(*group_cols, "__j")
+            .agg(max_rho)
+            .withColumnRenamed("__j", "register")
+        )
+
+    return _registers
 
 
 def hll_estimate_from_registers(

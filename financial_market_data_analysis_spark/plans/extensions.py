@@ -32,6 +32,34 @@ N_QUERY_VECS = 5
 TOP_K = 10
 
 
+def _ckpt_concurrently(*dfs: DataFrame) -> list[DataFrame]:
+    """Materialize several INDEPENDENT frames as eager localCheckpoints
+    with overlapping jobs (guide §2.6 "overlap independent jobs"): each
+    frame's materialization is an independent Spark job whose tail
+    would otherwise leave the cluster idle while the driver waits to
+    submit the next one. Results are identical to sequential
+    checkpointing because localCheckpoint only materializes the frame
+    it is called on (no shared mutable state, no conf changes in these
+    call sites)."""
+    return _run_concurrently(
+        *[(lambda d: lambda: d.localCheckpoint(eager=True))(df) for df in dfs]
+    )
+
+
+def _run_concurrently(*thunks):
+    """Run independent build/materialize thunks in driver threads so
+    their Spark jobs overlap (guide §2.6). Each thunk must be
+    self-contained: no session-conf mutation, no shared mutable state —
+    the call sites here only build plans and run localCheckpoint
+    materializations, which commute."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        return list(pool.map(lambda f: f(), thunks))
+
+
 # ---------------------------------------------------------------------------
 # augmented corpora (engine + oracle twins)
 
@@ -953,10 +981,29 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     triple the most expensive scan in the plan."""
     corpus = load_table(spark, "embeddings", sf_dir)
     qv = _query_vecs(spark, sf_dir)
-    exact = (
-        S.brute_force_topk(corpus, qv, k=TOP_K)
-        .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
+    # The exact ground truth (one brute-force crossJoin topk job) and
+    # the 2-iteration Lloyd train (its own sequential jobs) are
+    # independent — overlap them (guide §2.6) instead of serializing
+    # the two materialization waits. localCheckpoint the K-row trained
+    # centroid frame: ivf_topk references its centroids twice (cell
+    # assignment + query probes), which would otherwise evaluate the
+    # whole Lloyd plan twice; same single-materialization contract as
+    # before, just concurrent.
+    exact, trained = _run_concurrently(
+        lambda: (
+            S.brute_force_topk(corpus, qv, k=TOP_K)
+            .select("query_id", "vec_id")
+            .localCheckpoint(eager=True)
+        ),
+        # the x34-trained quantizer, probed identically: the measured
+        # value of the index BUILD (raw sample 0.40 → trained 0.58 at
+        # sf0.1)
+        lambda: S.kmeans_lloyd(
+            corpus,
+            _centroids(spark, sf_dir),
+            n_iter=KMEANS_ITERS,
+            dim=EMB_DIM_K,
+        ).localCheckpoint(eager=True),
     )
     lsh = S.lsh_topk(corpus, qv, k=TOP_K).select("query_id", "vec_id")
     lsh_multi = S.lsh_topk(
@@ -966,14 +1013,6 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = S.ivf_topk(
         corpus, qv, _centroids(spark, sf_dir), k=TOP_K, nprobe=IVF_NPROBE
     ).select("query_id", "vec_id")
-    # the x34-trained quantizer, probed identically: the measured value
-    # of the index BUILD (raw sample 0.40 → trained 0.58 at sf0.1).
-    # localCheckpoint the K-row centroid frame: ivf_topk references its
-    # centroids twice (cell assignment + query probes), which would
-    # otherwise evaluate the whole 2-iteration Lloyd plan twice.
-    trained = S.kmeans_lloyd(
-        corpus, _centroids(spark, sf_dir), n_iter=KMEANS_ITERS, dim=EMB_DIM_K
-    ).localCheckpoint(eager=True)
     ivf_trained = S.ivf_topk(
         corpus, qv, trained, k=TOP_K, nprobe=IVF_NPROBE
     ).select("query_id", "vec_id")
@@ -5551,12 +5590,18 @@ def _l2_fold(a: str, b: str) -> Column:
     )
 
 
-def _pq_codes_dtab(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _pq_codes_dtab(
+    e: DataFrame, checkpoint_codes: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """The PQ index halves shared by x70 and x75: ``codes`` (one row
     per (vec_id, m) — the corpus compressed to M=8 small ints per
     vector) and ``dtab`` (the per-(query, m, centroid) ADC distance
     table — tiny, broadcast at the join). Code assignment is one
-    corpus×M explode against a BROADCAST codebook; ties to lowest cid."""
+    corpus×M explode against a BROADCAST codebook; ties to lowest cid.
+    ``checkpoint_codes=False`` returns the codes LAZY so a caller can
+    materialize them concurrently with its other independent
+    checkpoints (guide §2.6); the default keeps the eager
+    single-materialization contract."""
     emb = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     sub = F.explode(
         F.array(*[
@@ -5582,8 +5627,10 @@ def _pq_codes_dtab(e: DataFrame) -> tuple[DataFrame, DataFrame]:
         .withColumn("rk", F.row_number().over(w_code))
         .filter(F.col("rk") == 1)
         .select("vec_id", "m", F.col("cid").alias("code"))
-        .localCheckpoint(eager=True)  # feeds the ADC join once per query set
     )
+    if checkpoint_codes:
+        # feeds the ADC join once per query set
+        codes = codes.localCheckpoint(eager=True)
     q_sub = (
         e.filter(F.col("vec_id") < N_QUERY_VECS)
         .select(F.col("vec_id").alias("query_id"), sub)
@@ -5624,12 +5671,14 @@ def _adc_dist(codes: DataFrame, dtab: DataFrame) -> DataFrame:
     )
 
 
-def _l2_exact_topk(e: DataFrame) -> DataFrame:
+def _l2_exact_topk(e: DataFrame, checkpoint: bool = True) -> DataFrame:
     """Exact squared-L2 top-k over the raw 64-dim vectors — the ground
     truth x70 and x75 measure against. Computed once per query and
     localCheckpointed by callers (it feeds every method join plus the
     query spine). One broadcast-probe corpus scan, window rank per
-    query, ties to lowest vec_id."""
+    query, ties to lowest vec_id. ``checkpoint=False`` returns the
+    frame LAZY for callers that materialize it concurrently with other
+    independent checkpoints (guide §2.6)."""
     emb = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     qv = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), emb.alias("qv")
@@ -5638,12 +5687,12 @@ def _l2_exact_topk(e: DataFrame) -> DataFrame:
         F.broadcast(qv)
     ).select("query_id", "vec_id", _l2_fold("cv", "qv").alias("d"))
     w_ex = Window.partitionBy("query_id").orderBy("d", "vec_id")
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w_ex))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
     )
+    return out.localCheckpoint(eager=True) if checkpoint else out
 
 
 def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6149,14 +6198,18 @@ def q_compression_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines rank bit-identical doubles; ties break on vec_id."""
     e = load_table(spark, "embeddings", sf_dir)
     emb = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    exact = _l2_exact_topk(e)
-    spine = exact.select("query_id").distinct()
-
-    # -- JL sweep: one 48-dim projection, three prefix budgets --------
-    proj = (
-        e.select("vec_id", _rp_project_expr_k(RP_SWEEP_DIMS).alias("y"))
-        .localCheckpoint(eager=True)  # one projection pass, three methods
+    # The three eager materializations below (exact ground truth, the
+    # 48-dim JL projection, the PQ codes) are mutually independent;
+    # overlapping their jobs (guide §2.6) replaces three serialized
+    # checkpoint waits with one, results unchanged.
+    codes_lazy, dtab = _pq_codes_dtab(e, checkpoint_codes=False)
+    exact, proj, codes = _ckpt_concurrently(
+        _l2_exact_topk(e, checkpoint=False),
+        # one projection pass, three methods
+        e.select("vec_id", _rp_project_expr_k(RP_SWEEP_DIMS).alias("y")),
+        codes_lazy,
     )
+    spine = exact.select("query_id").distinct()
 
     def jl_approx(k: int) -> DataFrame:
         c = proj.select("vec_id", F.slice("y", 1, k).alias("v"))
@@ -6209,7 +6262,6 @@ def q_compression_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # -- pq8: x70's codes + ADC table, re-ranked here ------------------
-    codes, dtab = _pq_codes_dtab(e)
     adc = _adc_dist(codes, dtab)
     w_pq = Window.partitionBy("query_id").orderBy("adist", "vec_id")
     pq_approx = (
