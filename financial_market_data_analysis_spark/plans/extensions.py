@@ -1700,12 +1700,19 @@ def q_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = D.simhash_dedup_clusters(
         aug, n_bands=SIMHASH_BANDS, max_hamming=SIMHASH_MAX_HAMMING
     )
+    # Eager checkpoint: ``scored`` feeds BOTH the keeper aggregate and
+    # the final join, and the two consumers do not share a reusable
+    # exchange — without the cut the whole subtree (cluster exchange +
+    # the corpus length-scan broadcast, 2 parquet scans) executes twice
+    # in the one action (guide §1.2; plan: 8 scans → 4,
+    # plans/r16/x49_cluster_keeper_*). The frame is graph-sized (one
+    # row per clustered doc).
     scored = clusters.join(
         aug.select(
             "doc_id", F.length("text").cast("long").alias("n_len")
         ),
         "doc_id",
-    )
+    ).localCheckpoint(eager=True)
     keepers = scored.groupBy("cluster_id").agg(
         F.max_by(
             "doc_id",
