@@ -1111,6 +1111,45 @@ def test_t17_straggler_set_is_nonempty(spark):
     assert b.mx - cut > 2 * delay_us + 300 * 1_000_000
 
 
+def test_t17_folded_precounts_match_separate_counts(spark):
+    """r16 §13 pins: `_late_drop_stream` folds its three proof counts
+    (straggler rows, distinct straggler windows, distinct kept windows)
+    into ONE aggregation pass. The folded `count(when)` /
+    `count_distinct(when)` forms must equal the original three separate
+    filter+count jobs — t31's metric bounds are built from these exact
+    values, so a drift here silently weakens the state-metrics proof."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMOKE
+    from financial_market_data_analysis_spark.sources.batch import load_table
+
+    ev = load_table(spark, "events", SF_SMOKE).select("ts", "user_id", "value")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).first()
+    delay_us = 600 * 1_000_000
+    cut = (b.mn + b.mx) // 2
+    is_straggler = (F.unix_micros("ts") < cut - 2 * delay_us) & (
+        F.col("user_id") % 7 == 0
+    )
+    w_us = F.expr("unix_micros(ts) div 300000000")
+    pre = ev.agg(
+        F.count(F.when(is_straggler, F.lit(1))).alias("n_strag"),
+        F.count_distinct(F.when(is_straggler, w_us)).alias("nsw"),
+        F.count_distinct(F.when(~is_straggler, w_us)).alias("nw"),
+    ).first()
+    assert pre.n_strag == ev.filter(is_straggler).count()
+    assert (
+        pre.nsw
+        == ev.filter(is_straggler).select(w_us.alias("w")).distinct().count()
+    )
+    assert (
+        pre.nw
+        == ev.filter(~is_straggler).select(w_us.alias("w")).distinct().count()
+    )
+
+
 def test_snapshot_merge_sink_replay_is_idempotent(spark, tmp_path):
     """t15b's replay contract, driven directly: re-running a batch id
     (a micro-batch RETRY after partial failure) must leave the exact
