@@ -988,8 +988,11 @@ def stateful_momentum_suite(
     defaults — enough to recompute the ``signal`` most recent MACD
     lines, each needing ``slow`` closes), the exact integer OBV
     accumulator, the previous close, and the rows-seen counter that
-    gates the warm-up NULLs. Per-row work is O(slow·signal) float ops
-    — constant, no history re-read.
+    gates the warm-up NULLs. Per-row work is O(slow + signal) float
+    ops — constant, no history re-read: the signal fold consumes the
+    ``signal`` most recent MACD lines carried incrementally (each was
+    the ``line`` of its own row; across a batch boundary they are
+    re-derived once from the carried close tail, bit-identically).
 
     Semantics match the batch operators value-for-value on in-order
     per-key arrival: the same oldest-first weighted folds as
@@ -1022,14 +1025,22 @@ def stateful_momentum_suite(
     den_f = float(sum(dec_f**k for k in range(fast)))
     den_s = float(sum(dec_s**k for k in range(slow)))
     den_g = float(sum(dec_g**k for k in range(signal)))
+    # weight tables, one pow per weight instead of one per element per
+    # row: w[i] = decay^(period-1-i) is exactly the factor the fold
+    # multiplied inline, so every product (and hence the whole fold) is
+    # bit-identical — pow of identical operands is deterministic
+    w_f = [dec_f ** (fast - 1 - i) for i in range(fast)]
+    w_s = [dec_s ** (slow - 1 - i) for i in range(slow)]
+    w_g = [dec_g ** (signal - 1 - i) for i in range(signal)]
 
-    def ewma(closes: list, period: int, decay: float, den: float) -> float:
-        # oldest-first fold, weight decay^(period-1-i) — the exact
-        # accumulation order of rolling_ewma's transform+aggregate
+    def ewma(closes: list, period: int, w: list, den: float) -> float:
+        # oldest-first fold, weight w[i] = decay^(period-1-i) — the
+        # exact accumulation order of rolling_ewma's
+        # transform+aggregate (zip pairs frame[i] with w[i] for short
+        # head frames too, matching the inline-pow form)
         acc = 0.0
-        frame = closes[-period:]
-        for i, x in enumerate(frame):
-            acc += x * decay ** (period - 1 - i)
+        for x, wi in zip(closes[-period:], w):
+            acc += x * wi
         return acc / den
 
     def half_up_micro(v: float) -> int:
@@ -1068,6 +1079,22 @@ def stateful_momentum_suite(
             tail, obv, n_seen = list(state.get[0]), int(state.get[1]), int(state.get[2])
         else:
             tail, obv, n_seen = [], 0, 0
+        # Incremental MACD-line history: the `signal` most recent lines
+        # the per-row signal fold needs are exactly the `line` values of
+        # the `signal` most recent rows (a line j rows back is the fold
+        # over closes ending j back — the same closes, weights and
+        # order whether computed then or re-sliced now), so carry them
+        # forward per row instead of recomputing signal×2 folds per
+        # row. Across a batch boundary the carried `tail` holds the
+        # slow+signal−1 closes every pre-batch line needs; re-derive
+        # those lines once per batch here, bit-identically.
+        line_hist: list = []
+        n_pre = min(signal - 1, max(0, n_seen - slow + 1))
+        for jj in range(n_pre - 1, -1, -1):
+            seg = tail[: len(tail) - jj]
+            line_hist.append(
+                ewma(seg, fast, w_f, den_f) - ewma(seg, slow, w_s, den_s)
+            )
         rows = pd.concat(list(pdf_iter)).sort_values(ts_col)
         ts_us = (rows[ts_col].astype("datetime64[us]").astype("int64")).tolist()
         emitted = []
@@ -1104,21 +1131,24 @@ def stateful_momentum_suite(
 
             line = sig = hist = None
             if n_seen >= slow:
-                line = ewma(tail, fast, dec_f, den_f) - ewma(
-                    tail, slow, dec_s, den_s
+                line = ewma(tail, fast, w_f, den_f) - ewma(
+                    tail, slow, w_s, den_s
                 )
+                line_hist.append(line)
+                if len(line_hist) > signal:
+                    line_hist.pop(0)
                 if n_seen >= slow + signal - 1:
                     # the `signal` most recent lines, oldest first —
-                    # recomputed from the close tail (line j-back needs
-                    # the slow-frame ending j rows ago)
-                    lines = [
-                        ewma(tail[: len(tail) - j], fast, dec_f, den_f)
-                        - ewma(tail[: len(tail) - j], slow, dec_s, den_s)
-                        for j in range(signal - 1, -1, -1)
-                    ]
+                    # carried per row (+ the per-batch re-derivation
+                    # above), never recomputed from the close tail
+                    if len(line_hist) != signal:
+                        raise RuntimeError(
+                            f"macd line history holds {len(line_hist)} "
+                            f"lines, expected {signal}"
+                        )
                     acc = 0.0
-                    for i, x in enumerate(lines):
-                        acc += x * dec_g ** (signal - 1 - i)
+                    for i, x in enumerate(line_hist):
+                        acc += x * w_g[i]
                     sig = acc / den_g
                     hist = line - sig
             emitted.append([t, c, rsi, obv, line, sig, hist])

@@ -1150,6 +1150,150 @@ def test_t17_folded_precounts_match_separate_counts(spark):
     )
 
 
+def test_momentum_incremental_line_history_matches_naive(spark, tmp_path):
+    """r16 pins: `stateful_momentum_suite` carries the `signal` most
+    recent MACD lines incrementally (re-deriving the pre-batch ones
+    from the carried close tail at each batch boundary) instead of
+    recomputing signal×2 EWMA folds per row, and folds with
+    precomputed weight tables instead of per-element pow. Both must be
+    BIT-IDENTICAL to the original naive per-row recompute — this test
+    drives the real operator across THREE micro-batches (one cut
+    inside the slow warm-up, one far past it, so the boundary
+    re-derivation runs with 0 and with signal−1 pre-batch lines) and
+    compares exactly (==, not approx) against the naive form."""
+    import math
+    import os
+
+    import pandas as pd
+
+    fast, slow, signal = 12, 26, 9
+    rsi_period = 14
+    n_rows = 90
+    rows = []
+    for s, sym in enumerate(("AAA", "BBB")):
+        for i in range(n_rows):
+            # deterministic, varied, with flat repeats (OBV-neutral and
+            # potential flat-RSI branches) and fractional volumes
+            # (HALF-UP rounding exercised)
+            c = 100.0 + ((i * 37 + s * 11) % 97) * 0.25 - (i % 5) * 0.1
+            if i % 17 == 3:
+                c = rows[-1][2] if rows and rows[-1][0] == sym else c
+            v = 1000.0 + ((i * 13 + s) % 7) * 0.5
+            rows.append((sym, i * 300_000_000, c, v))
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts_us", "close", "volume"])
+    pdf["ts"] = pd.to_datetime(pdf["ts_us"], unit="us")
+    bars = spark.createDataFrame(pdf[["symbol", "ts", "close", "volume"]])
+
+    src = str(tmp_path / "mom_src")
+    cuts = [20, 45]  # row-index cuts: inside warm-up, past slow+signal
+    bounds = [0] + [c * 300_000_000 for c in cuts] + [n_rows * 300_000_000]
+    for b in range(3):
+        lo, hi = bounds[b], bounds[b + 1]
+        (
+            bars.filter(
+                (F.unix_micros("ts") >= lo) & (F.unix_micros("ts") < hi)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    # strictly increasing mtimes so FileStreamSource preserves order
+    parts = sorted(
+        (os.path.getmtime(p), p)
+        for p in __import__("glob").glob(os.path.join(src, "*.parquet"))
+    )
+    base = parts[0][0]
+    for k, (_, p) in enumerate(parts):
+        os.utime(p, (base + 2 * k, base + 2 * k))
+
+    stream = (
+        spark.readStream.schema(bars.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = P.stateful_momentum_suite(stream, ("symbol",), "ts")
+    q = (
+        out.writeStream.format("memory").queryName("mom_incr")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    emitted = {
+        (r.symbol, r.ts): (
+            r.close, r.rsi14, r.obv_micro,
+            r.macd_line, r.macd_signal, r.macd_hist,
+        )
+        for r in spark.sql("SELECT * FROM mom_incr").collect()
+    }
+    assert len(emitted) == 2 * n_rows
+
+    # naive reference: the ORIGINAL kernel math — per-row inline-pow
+    # EWMA folds and a full signal×2 recompute of the line list
+    dec_f = 1.0 - 2.0 / (fast + 1)
+    dec_s = 1.0 - 2.0 / (slow + 1)
+    dec_g = 1.0 - 2.0 / (signal + 1)
+    den_f = float(sum(dec_f**k for k in range(fast)))
+    den_s = float(sum(dec_s**k for k in range(slow)))
+    den_g = float(sum(dec_g**k for k in range(signal)))
+    max_tail = max(slow + signal - 1, rsi_period + 1)
+
+    def ewma_naive(closes, period, decay, den):
+        acc = 0.0
+        frame = closes[-period:]
+        for i, x in enumerate(frame):
+            acc += x * decay ** (period - 1 - i)
+        return acc / den
+
+    for sym in ("AAA", "BBB"):
+        srows = pdf[pdf.symbol == sym].sort_values("ts_us")
+        tail, obv, n_seen = [], 0, 0
+        for t, c, v in zip(srows.ts_us, srows.close, srows.volume):
+            prev = tail[-1] if tail else None
+            x = v * 1_000_000.0
+            vm = int(math.copysign(math.floor(abs(x) + 0.5), x))
+            if prev is not None and c > prev:
+                obv += vm
+            elif prev is not None and c < prev:
+                obv -= vm
+            tail.append(c)
+            if len(tail) > max_tail:
+                tail.pop(0)
+            n_seen += 1
+            rsi = None
+            if n_seen >= rsi_period + 1:
+                deltas = [
+                    tail[i] - tail[i - 1]
+                    for i in range(len(tail) - rsi_period, len(tail))
+                ]
+                ag = sum(d if d > 0 else 0.0 for d in deltas) / rsi_period
+                al = sum(-d if d < 0 else 0.0 for d in deltas) / rsi_period
+                if ag == 0.0 and al == 0.0:
+                    rsi = 50.0
+                elif al == 0.0:
+                    rsi = 100.0
+                else:
+                    rsi = 100.0 - 100.0 / (1.0 + ag / al)
+            line = sig = hist = None
+            if n_seen >= slow:
+                line = ewma_naive(tail, fast, dec_f, den_f) - ewma_naive(
+                    tail, slow, dec_s, den_s
+                )
+                if n_seen >= slow + signal - 1:
+                    lines = [
+                        ewma_naive(tail[: len(tail) - j], fast, dec_f, den_f)
+                        - ewma_naive(tail[: len(tail) - j], slow, dec_s, den_s)
+                        for j in range(signal - 1, -1, -1)
+                    ]
+                    acc = 0.0
+                    for i, x2 in enumerate(lines):
+                        acc += x2 * dec_g ** (signal - 1 - i)
+                    sig = acc / den_g
+                    hist = line - sig
+            got = emitted[(sym, pd.Timestamp(t, unit="us").to_pydatetime())]
+            assert got[0] == c and got[2] == obv
+            assert got[1] == rsi and got[3] == line
+            assert got[4] == sig and got[5] == hist
+
+
 def test_snapshot_merge_sink_replay_is_idempotent(spark, tmp_path):
     """t15b's replay contract, driven directly: re-running a batch id
     (a micro-batch RETRY after partial failure) must leave the exact
