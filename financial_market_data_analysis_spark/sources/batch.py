@@ -29,6 +29,32 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-path parquet SCHEMA cache (metadata only — never rows, never a
+# DataFrame). Every `load_table` call used to re-run schema inference:
+# a driver-side file listing plus a footer read per call, ~0.1-0.2 s
+# of pure fixed overhead repeated hundreds of times across the query
+# catalog (guide §6: file listing/metadata is the driver-side cost to
+# cache; manifest-based table formats exist to avoid exactly this).
+# The first read of a path infers and remembers the schema; later
+# reads pass it explicitly, which skips inference while still
+# resolving a FRESH relation per call — fresh attribute ids, so
+# self-joins of twice-loaded tables behave exactly as before. Keyed on
+# the file's real path: the same table name under a different fixture
+# directory (the layout-adaptivity tests ship events as nanos-long AND
+# as timestamp[us]) caches separately, and the adaptive branching in
+# `load_table` still runs per call from the cached schema.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    key = os.path.realpath(path)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Columnar parquet scan; filters/projections push down via Catalyst.
@@ -65,7 +91,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
                 stacklevel=2,
             )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
         ts_type = df.schema["ts"].dataType.typeName()
         if ts_type in ("long", "bigint"):  # TIMESTAMP(NANOS) read as nanos longs
             return df.withColumns(
@@ -85,7 +111,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             )
         ts = F.col("ts").cast("timestamp")  # NTZ→TS is identity under UTC session tz
         return df.withColumns({"ts_us": F.unix_micros(ts), "ts": ts})
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def write_bucketed(

@@ -56,6 +56,53 @@ def test_load_events_micros_layout(spark, tmp_path):
     assert [r.ts_us for r in rows] == us_vals
 
 
+def test_load_table_schema_cache_is_metadata_only(spark, tmp_path):
+    """r16 pins: `load_table` caches only the parquet SCHEMA per real
+    path (first call infers, later calls pass it explicitly). The pins:
+    (a) repeat loads return identical schema and identical rows;
+    (b) repeat loads are INDEPENDENT DataFrames — a self-join written
+    with df1[col] == df2[col] (the twice-loaded-table idiom the TPC-H
+    self-join queries use) must keep resolving, i.e. the cache must
+    never hand back the same resolved relation;
+    (c) the same table name under a DIFFERENT directory gets its own
+    cache entry (layout adaptivity stays per-dir);
+    (d) the unsupported-layout TypeError still raises on EVERY call,
+    not just the first (cache stores the raw schema, the check reruns)."""
+    us_vals = [1_700_000_000_123_456, 1_700_000_000_000_000]
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    sf = _write_events(tmp_path / "a", pa.timestamp("us"), us_vals)
+    d1 = load_table(spark, "events", sf)
+    d2 = load_table(spark, "events", sf)
+    assert d1.schema == d2.schema
+    assert sorted(r.ts_us for r in d1.collect()) == sorted(
+        r.ts_us for r in d2.collect()
+    )
+    joined = d1.join(d2, d1["event_id"] == d2["event_id"])
+    assert joined.count() == len(us_vals)
+
+    ns_vals = [1_700_000_000_000_000_000, 1_700_000_000_000_001_000]
+    sf_ns = _write_events(tmp_path / "b", pa.timestamp("ns"), ns_vals)
+    assert str(tmp_path / "b") == sf_ns
+    d3 = load_table(spark, "events", sf_ns)
+    assert [r.ts_us for r in d3.orderBy("event_id").collect()] == [
+        v // 1000 for v in ns_vals
+    ]
+
+    bad = tmp_path / "c"
+    bad.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([0], pa.int64()),
+            "ts": pa.array(["bogus"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(bad / "events.parquet"))
+    for _ in range(2):
+        with pytest.raises(TypeError, match="unsupported parquet type"):
+            load_table(spark, "events", str(bad))
+
+
 def test_load_events_unexpected_layout_raises(spark, tmp_path):
     """A string ts column must raise a descriptive TypeError, not cast
     to all-NULL timestamps."""
