@@ -111,6 +111,12 @@ def main() -> None:
         "queries": timings,
         "n_queries": len(timings),
         "passes": eff_passes,
+        # Provenance stamp (r16 verdict #8): the driver also runs the
+        # bench at a lower core count for the scaling block and this
+        # file is overwritten each run, so without the cpu count an
+        # 8-core scaling record is indistinguishable from the 32-core
+        # one.
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "sf": sf_val,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

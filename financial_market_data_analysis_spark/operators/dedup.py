@@ -513,15 +513,14 @@ def minhash_lsh_dedup(
     """
     shingled = shingle_arrays(ensure_parallelism(df), id_col, text_col).persist()
     bands = lsh_bands(shingled, id_col, hash_method=hash_method).persist()
-    # Materialize the caches with ONE linear job before the band
-    # SELF-join consumes them: the join's two branches are built as
-    # concurrent stage subtrees, and a cold cache is raced — each
-    # branch computes the full shingle+minhash pipeline itself before
-    # either has stored a block (r16 profiling: the "once, not once
-    # per join side" claim held for the PLAN but not the first
-    # EXECUTION). One count over the hot path removes the duplicate
-    # evaluation for the price of one cheap job.
-    bands.count()
+    # No pre-count: a cold .persist() is NOT raced by the band
+    # self-join's concurrent stage subtrees — BlockManager's per-block
+    # get-or-compute lock serializes the two readers of each partition,
+    # so the shingle+minhash fold runs once either way, and the extra
+    # blocking count job was pure critical-path cost (r17 interleaved
+    # A/B over x6/x6b/x6c/x31/x45/x73/x78: lazy ≤ eager on every
+    # query, −0.1..−0.4 s median; reverts the r16 §1 overcorrection
+    # per the r16 verdict #1).
     pairs = band_candidate_pairs(bands, id_col).localCheckpoint(eager=True)
     bands.unpersist()
     cand = candidate_ids(pairs, id_col)
@@ -623,10 +622,9 @@ def simhash_neardup_pairs(
     """
     _validate_bands(n_bands, max_hamming)
     sketches = _simhash_sketches(df, id_col, text_col).persist()
-    # Fill the cache with one linear job before the branching band
-    # join below: its concurrent stage subtrees race a cold cache and
-    # would each run the SimHash fold themselves (r16 profiling).
-    sketches.count()
+    # No pre-count (r17): the block-level cache lock already serializes
+    # the band join's concurrent readers of the cold persist — see
+    # minhash_lsh_dedup.
 
     # (2) intra-sketch pairs: all i<j member combinations, row-local.
     ids = F.col("ids")
@@ -722,11 +720,9 @@ def long_hash_neardup_pairs(
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
         .persist()
     )
-    # Fill the cache with one linear job before the branching band
-    # join below races a cold cache (r16 profiling; the caller's hash
-    # pipeline — e.g. a media decode — would otherwise run once per
-    # concurrent subtree).
-    sketches.count()
+    # No pre-count (r17): the block-level cache lock already serializes
+    # the band join's concurrent readers of the cold persist — see
+    # minhash_lsh_dedup.
 
     ids = F.col("ids")
     combos = F.flatten(
@@ -1120,10 +1116,9 @@ def simhash_dedup_clusters(
     if reliable:
         _set_checkpoint_dir(df, checkpoint_dir)
     sketches = _simhash_sketches(df, id_col, text_col).persist()
-    # Fill the cache with one linear job before the branching band
-    # join below: its concurrent stage subtrees race a cold cache and
-    # would each run the SimHash fold themselves (r16 profiling).
-    sketches.count()
+    # No pre-count (r17): the block-level cache lock already serializes
+    # the band join's concurrent readers of the cold persist — see
+    # minhash_lsh_dedup.
     # Checkpoint the verified edge set BEFORE symmetrizing: the union
     # below references it twice, and an unmaterialized plan would pay
     # the band self-join + Hamming verify once per branch (the r2 x6

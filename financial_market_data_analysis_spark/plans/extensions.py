@@ -29,6 +29,7 @@ DOC_DUP_MOD = 50
 EMB_DUP_MOD = 100
 DUP_SUFFIX = " near duplicate suffix"
 N_QUERY_VECS = 5
+
 TOP_K = 10
 
 
@@ -822,7 +823,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         S.ivf_assignments(aug, cents)
         .select("vec_id", "embedding", "__vnorm", "centroid_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     hi = assign.select(
         F.col("vec_id").alias("__id_hi"),
@@ -1128,7 +1129,7 @@ def q_pack_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(Window.partitionBy("shard").orderBy("doc_id"))
             - F.col("n_tokens"),
         )
-        .localCheckpoint(eager=True)  # one pass feeds all four budgets
+        .localCheckpoint(eager=False)  # one pass feeds all four budgets
     )
     shard_tot = t.groupBy("shard").agg(
         F.max(F.col("st") + F.col("n_tokens")).alias("total")
@@ -1365,7 +1366,7 @@ def q_ml_window_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = bars.dropna(subset=ML5_FEATURE_COLS + ["up1"])
     vec = sliding_window_vectors(
         clean, ML5_FEATURE_COLS, ML5_WINDOW, ["bucket_start"]
-    ).localCheckpoint(eager=True)  # cut + scaler + output share it
+    ).localCheckpoint(eager=False)  # cut + scaler + output share it
     cut = vec.agg(F.expr("percentile(bucket_start, 0.8)").alias("__cut"))
     train = vec.crossJoin(F.broadcast(cut)).filter(
         F.col("bucket_start") <= F.col("__cut")
@@ -2163,7 +2164,7 @@ def q_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs_augmented(spark, sf_dir).filter(
         ~((F.col("doc_id") % DECON_BENCH_MOD == 0) & (F.col("doc_id") < DUP_OFFSET))
     )
-    tsh = D.shingle_table(train).localCheckpoint(eager=True)
+    tsh = D.shingle_table(train).localCheckpoint(eager=False)
     n_sh = tsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     bsh = (
         D.shingle_table(bench)
@@ -2498,7 +2499,7 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern)
     scored = T.bigram_logprob(
         load_table(spark, "documents", sf_dir)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     cuts = scored.agg(
         F.expr("percentile(mean_logprob, 2.0D / 3.0D)").alias("__hi"),
         F.expr("percentile(mean_logprob, 1.0D / 3.0D)").alias("__lo"),
@@ -2805,7 +2806,7 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(T.tokens("text")).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    counts = counts.localCheckpoint(eager=True)  # feeds sketch + top
+    counts = counts.localCheckpoint(eager=False)  # feeds sketch + top
     sketch = SK.countmin_sketch(counts, "tok", "cnt")
     top = counts.orderBy(F.desc("cnt"), "tok").limit(CMS_TOP)
     est = SK.countmin_estimate(sketch, top.select("tok"), "tok")
@@ -2995,11 +2996,11 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_sh = (
         D.shingle_table(bench).select("shingle").distinct()
     )
-    bench_sh = bench_sh.localCheckpoint(eager=True)  # feeds bits + exact
+    bench_sh = bench_sh.localCheckpoint(eager=False)  # feeds bits + exact
     bits = SK.bloom_bits(bench_sh, "shingle")
     # the corpus-side shingle fold is the CPU-heavy stage — spread the
     # single-file scan across slots before it (ensure_parallelism)
-    tsh = D.shingle_table(train).localCheckpoint(eager=True)
+    tsh = D.shingle_table(train).localCheckpoint(eager=False)
     maybe = SK.bloom_maybe_member(tsh, bits, "shingle")
     bloom_cnt = (
         maybe.filter(F.col("maybe_member") == 1)
@@ -3146,7 +3147,7 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "source", F.explode(T.all_grams(F.col("__toks"), 2)).alias("gram")
     )
-    grams = grams.localCheckpoint(eager=True)  # feeds sketch + truth
+    grams = grams.localCheckpoint(eager=False)  # feeds sketch + truth
     sk = SK.kmv_bottomk(grams, "gram", ["source"], k=k).localCheckpoint(
         eager=False
     )
@@ -3288,7 +3289,7 @@ def q_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_arr = D.shingle_arrays(corpus)
     # bands feed both the corpus side and (filtered) the query side —
     # checkpoint so the k-fold md5 signature work runs once
-    bands = D.lsh_bands(sh_arr).localCheckpoint(eager=True)
+    bands = D.lsh_bands(sh_arr).localCheckpoint(eager=False)
     qbands = bands.filter(
         (F.col("doc_id") % X57_QUERY_MOD == 0)
         & (F.col("doc_id") < DUP_OFFSET)
@@ -3396,7 +3397,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", T.tokens("text").alias("__toks"))
     grams = toks.select(
         "source", F.explode(T.all_grams(F.col("__toks"), 2)).alias("gram")
-    ).localCheckpoint(eager=True)  # feeds sketches + exact truth
+    ).localCheckpoint(eager=False)  # feeds sketches + exact truth
     sk = SK.kmv_bottomk(grams, "gram", ["source"], k=k).localCheckpoint(
         eager=False
     )
@@ -3714,7 +3715,7 @@ def frame_fingerprint_pairs(
             ).alias("digest"),
         )
         .distinct()
-        .localCheckpoint(eager=True)  # feeds sizes, the guard, and both join sides
+        .localCheckpoint(eager=False)  # feeds sizes, the guard, and both join sides
     )
     sizes = fr.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_fr"))
     hot = (
@@ -3855,7 +3856,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = arrivals_delta(spark, sf_dir)
     new_sh = D.shingle_arrays(D.ensure_parallelism(new))
     old_sh = D.shingle_arrays(D.ensure_parallelism(old))
-    new_bands = D.lsh_bands(new_sh).localCheckpoint(eager=True)
+    new_bands = D.lsh_bands(new_sh).localCheckpoint(eager=False)
     old_bands = D.lsh_bands(old_sh)
     # delta bands probe the combined bucket space; old-old pairs cannot
     # arise because the left side holds only new docs
@@ -4923,7 +4924,7 @@ def q_projected_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     proj = (
         corpus.select("vec_id", _rp_project_expr().alias("y"))
-        .localCheckpoint(eager=True)  # one projection pass feeds all 3 methods
+        .localCheckpoint(eager=False)  # one projection pass feeds all 3 methods
     )
     pq = proj.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), "y"
@@ -5085,18 +5086,18 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify and an injection-sized recall join. The truth set is
     computed once."""
     aug = docs_augmented(spark, sf_dir)
-    # EAGER checkpoints (r16): the first consumer below (the truth
-    # set's verify) builds several broadcast subtrees CONCURRENTLY,
-    # and a lazy checkpoint is raced — each future ran the full
-    # shingle scan itself (profiled: ~5× the scan's task time in the
-    # first job). Materializing once up front is the same total pass
-    # count with zero duplicate evaluation.
+    # LAZY checkpoints (r17, reverting the r16 eagerization): after
+    # the r16 sweep restructure the FIRST consumer is the `sigs`
+    # eager checkpoint — one linear job that also fills these blocks,
+    # so no concurrent subtree ever sees them cold; the up-front
+    # materialization was one extra blocking job on the critical path
+    # (interleaved A/B: lazy −0.3 s median, 4 passes each).
     sh_arr = D.shingle_arrays(D.ensure_parallelism(aug)).localCheckpoint(
-        eager=True
+        eager=False
     )
     sh = sh_arr.select(
         "doc_id", F.explode("sh_arr").alias("shingle")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # everything below operates on pair/sample/truth frames that are
     # thousands of rows at most — run the sweep under a graph-sized
     # shuffle-partition count (the x16/x61 convention: session-width
@@ -5337,15 +5338,15 @@ def q_neardup_method_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     every published number is an aggregate of candidate-volume-bounded
     frames; small-shuffle scoped like every graph-sized sweep."""
     aug = docs_augmented(spark, sf_dir)
-    # EAGER checkpoints (r16): same duplicate-evaluation race as x69 —
-    # the truth verify's concurrent broadcast builds each re-ran a
-    # lazy shingle scan (see q_lsh_tuning).
+    # LAZY checkpoints (r17): see q_lsh_tuning — the first consumer
+    # (a single linear job) fills the blocks; the r16 eager
+    # materialization was one extra blocking job (A/B: lazy −0.3 s).
     sh_arr = D.shingle_arrays(D.ensure_parallelism(aug)).localCheckpoint(
-        eager=True
+        eager=False
     )
     sh = sh_arr.select(
         "doc_id", F.explode("sh_arr").alias("shingle")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     old_sp = push_small_shuffle(spark)  # serial-adjudication contract: functions/core.py
     try:
         present = sh_arr.select("doc_id").distinct()
@@ -5895,7 +5896,7 @@ def q_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", "pos")
         .agg(F.avg("v").alias("mv"))
-        .localCheckpoint(eager=True)  # feeds dots and norms
+        .localCheckpoint(eager=False)  # feeds dots and norms
     )
     # n_vecs from a DIRECT row count, not from the pos==0 slice of the
     # posexplode aggregation (r8 ADVICE): posexplode emits no rows for
@@ -5979,7 +5980,7 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir)
     ).select("source", F.explode(T.tokens("text")).alias("tok"))
     sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
-    sc = sc.localCheckpoint(eager=True)  # feeds totals, global, and the sum
+    sc = sc.localCheckpoint(eager=False)  # feeds totals, global, and the sum
     stot = sc.groupBy("source").agg(
         F.sum("c").alias("st"), F.count(F.lit(1)).alias("n_vocab")
     )
@@ -6050,10 +6051,10 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     this body (r8 verdict item)."""
     aug = docs_augmented_exact(spark, sf_dir).select("doc_id", "text")
     keepers = D.exact_dedup(aug).select(F.col("keep_id").alias("doc_id"))
-    s1 = aug.join(keepers, "doc_id").localCheckpoint(eager=True)
+    s1 = aug.join(keepers, "doc_id").localCheckpoint(eager=False)
     q = T.quality_filter(s1).select("doc_id", "kept")
     s2 = s1.join(q.filter(F.col("kept") == 1).select("doc_id"), "doc_id")
-    s2 = s2.localCheckpoint(eager=True)
+    s2 = s2.localCheckpoint(eager=False)
     bench = load_table(spark, "documents", sf_dir).filter(
         F.col("doc_id") % DECON_BENCH_MOD == 0
     )
@@ -6752,16 +6753,16 @@ def q_minhash_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tasks while 30 cores idled. Row-local hashing; results identical.
     sigs = D.sliced_minhash_signatures(
         D.ensure_parallelism(aug), n_hashes=_X80_MAX_K
-    ).localCheckpoint(eager=True)  # feeds banding AND the match counts
+    ).localCheckpoint(eager=False)  # feeds banding AND the match counts
     pairs = D.lsh_candidate_pairs(
         sigs.filter(F.col("seed") < D.N_MINHASH)
-    ).localCheckpoint(eager=True)  # feeds truth AND estimate joins
+    ).localCheckpoint(eager=False)  # feeds truth AND estimate joins
     # the TRUTH join tokenizes only candidate docs — the corpus-wide
     # shingle table costs ~5x the rest of the query and only the
     # ~pairs-sized doc set ever reaches a Jaccard verification
     sh = D.shingle_table(
         aug.join(F.broadcast(D.candidate_ids(pairs)), "doc_id")
-    ).localCheckpoint(eager=True)  # feeds sizes AND the intersection
+    ).localCheckpoint(eager=False)  # feeds sizes AND the intersection
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         pairs.join(
@@ -6813,7 +6814,7 @@ def q_minhash_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
         .withColumn("u", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-        .localCheckpoint(eager=True)  # feeds the four per-k selects
+        .localCheckpoint(eager=False)  # feeds the four per-k selects
     )
     per_k = [
         t.agg(
