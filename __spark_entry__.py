@@ -8958,7 +8958,7 @@ def _pipeline_full_row_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness harness
     adjudicates the FIRST 50 entries of this dict (stable since round
-    3), so the first 50 entries are the round-16 adjudication set: the
+    3), so the first 50 entries are the round-17 adjudication set: the
     PERMANENT pinned set (the two flagship pipeline queries plus one
     carrier per SURVEY §2 family — t9, t6b, t4b, j5, j6, t7, t13, a12,
     x27, x28, x44, x48, ml7, and t22, GRADUATED to pinned in r15 per
@@ -8973,15 +8973,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     point at — x75/q2/q11/q21), one round-11-born keeper (q5, the
     snowflake anchor the round-14 displacement notes for q7/q8/q9/q15
     all point at), one round-12-born keeper (a17, the CASE/pivot and
-    Expand-family carrier), the nine round-13 births on their third
-    round (t25, t26, a19, d8, x79, a20, t27, s13, w25), the eight
-    round-14 births on their second round (s14, t28, w26, j7, x80,
-    d9, s15, j8), and the NINE round-15 births on their first
-    adjudication (j9, t29, t30, j10, s16, t31, x81, s17, u2 — the r15
-    verdict #1 rotation wave the debt guard bounded to this round,
-    pre-planned in ROTATION_PLAN_r16.md). Nine thrice-or-more-green
-    queries move past the boundary (a14, t23, s12, a15, a16, w24,
-    a18, x78, t24), each displacement annotated inline.
+    Expand-family carrier), four family-carrier keepers from the
+    r13/r14 cohorts (d8 the skew diagnostic, t28 the stateful
+    sessionizer, w26 the RANGE-frame OLS, j8 the DPP proof — the
+    in-window carriers this round's displacement notes point at),
+    the nine round-15 births on their second round (j9, t29, t30,
+    j10, s16, t31, x81, s17, u2), and the THIRTEEN
+    structurally-rewritten queries the r16 optimization round touched
+    without a same-round driver row (x4, x6, x15, x16, x30, x31, x49,
+    x69, x78, t11, t17, t18, t23 — the r16 verdict #2 rotation, which
+    explicitly prioritizes rewritten queries over calendar rotation;
+    vetted in ROTATION_PLAN_r17.md). Thirteen twice-or-more-green
+    queries move past the boundary (t25, t26, a19, x79, a20, t27,
+    s13, w25 on their third green; s14, j7, x80, d9, s15 on their
+    second — the calendar-rotation candidates the r16 verdict #2
+    orders displaced), each displacement annotated inline.
     tools/check_rotation_debt.py fails the suite if any
     oracle-bearing query ever sits ≥2 rounds without a driver row;
     every displaced query stays covered by the pytest oracle-parity
@@ -9047,111 +9053,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (t23, s12, a15, a16, w24, a18, x78, t24) displaced r16 on
         # their third green, notes below. --------------------------------
         "a17_pivot_daily_types": _a17_pivot_daily_types,
-        # -- third-round adjudication of the round-14 rotations (the
-        # nine r13 births, driver-green in r14 and r15; several double
-        # as subsumption carriers — t26 for ml5a's scale+forward,
-        # w25 for the W-indicator family, t27 for the append-only
-        # sketch store, t25 for the s12/t23 evolution/drift family
-        # displaced r16): --------------------------------------------------
-        # t25: the STREAMING schema-evolution ingest — version-tagged
-        # lines widen to the declared union contract mid-stream;
-        # only true row-level conflicts quarantine
-        "t25_stream_evolving_ingest": _t25_stream_evolving_ingest,
-        # t26: the reference's composed inference loop
-        # (predict.py:124-197) as ONE streaming query: trigger stream →
-        # staleness drop → stream-static feature-store probe →
-        # broadcast min-max normalize → fixed-weight logistic forward →
-        # epoch-idempotent signal sink
-        "t26_stream_inference_loop": _t26_stream_inference_loop,
-        # a19: batch sessionization (gaps-and-islands, one shuffle on
-        # the user key) — the third classic clickstream rollup after
-        # a15's funnel and a16's cohorts, and t4b's batch twin
-        "a19_sessionization": _a19_sessionization,
+        # -- four family-carrier keepers from the r13/r14 cohorts (the
+        # in-window carriers this round's displacement notes point at;
+        # the other twelve r13/r14 births displaced this round per the
+        # r16 verdict #2, notes below): -----------------------------------
         # d8: the key-skew diagnostic (per-key counts → max/mean
         # ratio, exact p50/p99, top-10 share) — the measurement behind
-        # j2's salted join and AQE skew handling
+        # j2's salted join and AQE skew handling, and the in-window
+        # carrier d9's displacement note points at
         "d8_skew_report": _d8_skew_report,
-        # x79: graded ANN ranking quality (NDCG@10 + MRR@10 per method
-        # vs the exact top-k) — order quality, the dimension recall@k
-        # (x30/x77) cannot see
-        "x79_ann_ranking_quality": X.q_ann_ranking_quality,
-        # a20: HyperLogLog distinct-user estimation per event_type —
-        # the register-max mergeable distinct algebra next to the KMV
-        # bottom-k one (a12 family)
-        "a20_hll_distinct": _a20_hll_distinct,
-        # t27: a20's HLL registers maintained incrementally over three
-        # micro-batches through an APPEND-ONLY epoch-idempotent store;
-        # oracle = a20's SQL verbatim
-        "t27_stream_hll_merge": _t27_stream_hll_merge,
-        # s13: hive-layout partitioned write + PROVEN partition-pruned
-        # range scan (scan-metric-audited: numPartitions == in-range
-        # dirs, ≥1 skipped)
-        "s13_partition_pruned_scan": _s13_partition_pruned_scan,
-        # w25: trailing OLS beta/alpha of the purchase return series
-        # on the view return series; one shared ROWS-frame window pass
-        # for all four moment aggregates
-        "w25_rolling_beta": _w25_rolling_beta,
-        # -- second-round adjudication of the round-15 rotations (the
-        # eight r14 births, first driver-green in r15): ------------------
-        # s14: range-clustered write + PROVEN min/max row-group
-        # skipping on a NON-partition sort column (numOutputRows
-        # sandwich on the executed scan) — the physical-layout tier
-        # one level below s13's directory pruning
-        "s14_minmax_skipped_scan": _s14_minmax_skipped_scan,
         # t28: a19's sessionization as a single-pass stateful
         # streaming operator (O(1) three-long state per key,
         # data-driven close) with the cross-batch session-merge law
         # proven: the query raises unless an emitted session spans the
         # micro-batch cut, and the oracle is the exact closed-session
         # set (no watermark trim) — what t24 proved for gap-fill
-        # carry, for sessions
+        # carry, for sessions; the carrier a19's, t24's and w24's
+        # displacement notes point at
         "t28_stream_sessionize": _t28_stream_sessionize,
         # w26: w25's rolling OLS beta/alpha on a time-RANGE frame
         # (trailing 1 day of EVENT TIME, pair count floats, gated ≥5
         # pairs) — the fixed-horizon semantics an irregular series
         # needs, where the ROWS twin's horizon silently varies with
-        # density
+        # density; the W-indicator family's in-window carrier now that
+        # w25 is displaced
         "w26_range_beta": _w26_range_beta,
-        # j7: the supplier-side snowflake with its PLAN SHAPE raised
-        # to an invariant: the executed plan must hold ≥3 broadcast
-        # hash joins, zero shuffle joins, ≤1 shuffle exchange — the
-        # silent regression (hint dropped, threshold crossed, AQE
-        # flip) that returns identical rows while shuffling the fact
-        # per dim
-        "j7_broadcast_proof": _j7_broadcast_proof,
-        # x80: the MinHash SKETCH-SIZE trade-off measured (x78/x79
-        # pattern applied to the sketch itself): per k ∈ {4,8,16,32},
-        # how many candidate pairs' estimated Jaccard lands within
-        # 0.05/0.10 of the true shingle Jaccard (exact
-        # integer-arithmetic counts) plus the worst error — the
-        # bytes-vs-accuracy table consulted before sizing a
-        # corpus-scale dedup run
-        "x80_minhash_size_sweep": X.q_minhash_size_sweep,
-        # d9: the post-shuffle layout balance report before/after
-        # j2's salting cure (md5-bucket model of the hash partitioner)
-        # — d8 measures the skew, j2 applies the fix, d9 publishes
-        # what the fix does to the per-reducer distribution (fixture:
-        # balance ratio ~3.8 → ~1.4)
-        "d9_salt_balance": _d9_salt_balance,
-        # s15: compaction of the epoch-partitioned warehouse (the K1
-        # sink's promised lifecycle step and the small-files cure):
-        # raises unless the file census shrinks AND the compacted
-        # layout is skip-provable again (s14's sandwich re-run on the
-        # output); oracle adjudicates zero data loss through
-        # stage → epochs → compact → recluster
-        "s15_epoch_compaction": _s15_epoch_compaction,
         # j8: DYNAMIC partition pruning proven — the pruning trilogy's
         # third member (s13 static range, s14 min/max skipping, j8 the
         # join-derived runtime filter): raises unless the executed
         # scan carries a dynamicpruning expression AND its
         # numPartitions equals the filtered dim's day count with ≥1
-        # day skipped
+        # day skipped; the carrier s13's displacement note points at
         "j8_dpp_proof": _j8_dpp_proof,
-        # -- rotated IN this round (round 16) for FIRST adjudication:
-        # the nine r15 births the debt guard bounded to this round
-        # (r15 verdict #1, pre-planned in ROTATION_PLAN_r16.md; every
-        # one passed the judge's independent verify_contract run at
-        # sf0.01 in the r15 session): ------------------------------------
+        # -- the nine r15 births on their SECOND adjudication (first
+        # driver-green r16): ----------------------------------------------
         # j9: AQE skew-join handling PROVEN from the executed plan
         # (isSkewJoin=true SMJ + numSkewedSplits >= 2 on the AQE
         # shuffle reads) — the zero-code cure the skew tier (d8
@@ -9216,31 +9151,155 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Python-evaluation operators and ≥5 WholeStageCodegen spans;
         # rows ride the flagship oracle verbatim
         "u2_codegen_proof": _u2_codegen_proof,
+        # -- rotated IN this round (round 17) for POST-REWRITE
+        # adjudication: the thirteen queries whose internals the r16
+        # optimization round restructured without a same-round driver
+        # oracle row (r16 verdict #2 — rewritten queries take priority
+        # over calendar rotation; displacement math in
+        # ROTATION_PLAN_r17.md). Each carries a parity pin in pytest
+        # and was green in the builder's full-catalog verify; this
+        # window slot is the hard driver signal those rewrites still
+        # owe. -------------------------------------------------------------
+        # x4: published SimHash sketch — r16 rewrote the fold to a
+        # LONG sketch rendered once per doc (functions/text.py
+        # simhash32_long)
+        "x4_simhash": X.q_simhash,
+        # x6: MinHash-LSH dedup — r16 eagerization + r17 lazy revert
+        # in minhash_lsh_dedup (operators/dedup.py)
+        "x6_minhash_lsh": X.q_minhash_lsh,
+        # x15: SimHash near-dup pairs — LONG-sketch banding +
+        # bit_count Hamming (r16 §2)
+        "x15_simhash_neardup": X.q_simhash_neardup,
+        # x16: dedup clusters — LONG sketch + materialization changes
+        # feeding the CC loop
+        "x16_dedup_clusters": X.q_dedup_clusters,
+        # x30: ANN recall — generated-SQL builders + overlapped
+        # checkpoint materializations (r16 §4/§10)
+        "x30_ann_recall": X.q_ann_recall,
+        # x31: MinHash clusters — eagerization flips (r16 §1, r17
+        # revert) over the shared minhash machinery
+        "x31_minhash_clusters": X.q_minhash_clusters,
+        # x49: cluster keeper — the doubled scored-subtree checkpoint
+        # (r16 §14)
+        "x49_cluster_keeper": X.q_cluster_keeper,
+        # x69: LSH tuning sweep — one tagged candidate frame + single
+        # jaccard_verify pass (r16 §6)
+        "x69_lsh_tuning": X.q_lsh_tuning,
+        # x78: near-dup method table — same §6 restructure + LONG
+        # simhash edges
+        "x78_neardup_method_table": X.q_neardup_method_table,
+        # t11: stateful momentum — the incremental MACD line-history
+        # kernel rewrite (r16 §17)
+        "t11_stateful_momentum": _t11_stateful_momentum,
+        # t17: late-drop proof — three pre-counts folded into one
+        # aggregation pass (r16 §13)
+        "t17_late_drop": _t17_late_drop,
+        # t18: streaming KMV — foreachBatch expression trees hoisted
+        # to sink construction (r16 §9)
+        "t18_stream_kmv": _t18_stream_kmv,
+        # t23: drift accounting — quarantining_ingest_sink's static
+        # expression trees hoisted (r16 §9); also the quarantine/drift
+        # accounting family's in-window carrier now that t25 is
+        # displaced
+        "t23_stream_drift_accounting": _t23_stream_drift_accounting,
         # ------------------------------------------------- entry 50 ends
-        # -- displaced THIS round (round 16): the eight r12 births on
+        # -- displaced THIS round (round 17): the calendar-rotation
+        # candidates the r16 verdict #2 orders displaced in favor of
+        # the thirteen rewritten queries — eight r13 births on their
+        # third green (t25, t26, a19, x79, a20, t27, s13, w25) and
+        # five r14 births on their second (s14, j7, x80, d9, s15),
+        # each subsumed per the inline notes (displacement set vetted
+        # in ROTATION_PLAN_r17.md); all stay pytest-oracle-checked
+        # every session --------------------------------------------------
+        # t25: the streaming schema-evolution/quarantine accounting is
+        # carried in-window by t23 (rotated back in — the quarantining
+        # ingest sink's drift/quarantine accounting over the same
+        # PERMISSIVE+corrupt-column machinery) and x74's funnel
+        # conservation rows; the idempotent per-batch sinks ride
+        # pinned t7's crash-retry adjudication
+        "t25_stream_evolving_ingest": _t25_stream_evolving_ingest,
+        # t26: the composed inference loop is carried in-window by
+        # pinned ml7 (the IDENTICAL fixed-coefficient logistic scorer
+        # + lag matrix it re-runs every round) and pinned t7 (the
+        # epoch-idempotent sink contract); the stream-static probe
+        # rides pinned t13's stream machinery
+        "t26_stream_inference_loop": _t26_stream_inference_loop,
+        # a19: batch sessionization is carried in-window by t28 — its
+        # own streaming twin, which runs the IDENTICAL closed-session
+        # law as its oracle — and pinned t4b's streaming session
+        # windows
+        "a19_sessionization": _a19_sessionization,
+        # x79: graded ANN ranking quality is carried in-window by x75
+        # (the ANN-representation recall anchor, pinned-keeper) and
+        # x30 (rotated in — the measured-recall kernel over the same
+        # method set); the NDCG/MRR algebra stays pytest-oracle-checked
+        "x79_ann_ranking_quality": X.q_ann_ranking_quality,
+        # a20: the HLL register-max distinct algebra is carried
+        # in-window by pinned a12 (sketch-vs-exact parity) and t18
+        # (rotated in — the KMV bottom-k mergeable-distinct sketch
+        # maintained across micro-batches)
+        "a20_hll_distinct": _a20_hll_distinct,
+        # t27: the append-only epoch-idempotent sketch store is
+        # carried in-window by t30 (incremental monoid maintenance
+        # over the same append-only epoch store) and t18 (rotated in —
+        # the same sketch-across-batches machinery); oracle = a20's
+        # SQL, pytest-checked with it
+        "t27_stream_hll_merge": _t27_stream_hll_merge,
+        # s13: static directory pruning is carried in-window by j8
+        # (the join-derived runtime pruning proof over the same hive
+        # layout, scan-metric-audited the same way) and s17 (the
+        # pruning trilogy's column member)
+        "s13_partition_pruned_scan": _s13_partition_pruned_scan,
+        # w25: the ROWS-frame rolling OLS is carried in-window by w26
+        # (the RANGE-frame twin computing the same four moment
+        # aggregates, the harder time-horizon form)
+        "w25_rolling_beta": _w25_rolling_beta,
+        # s14: min/max row-group skipping is carried in-window by s16
+        # (which re-runs s14's full numOutputRows sandwich on BOTH
+        # clustered layouts every round) and s17's executed-scan proof
+        # discipline
+        "s14_minmax_skipped_scan": _s14_minmax_skipped_scan,
+        # j7: the static broadcast-plan invariant is carried in-window
+        # by j10 (whose executed-plan proof requires the broadcast
+        # hash join after the runtime demotion) and pinned j5 +
+        # keeper q5 (the broadcast-dim snowflake assemblies)
+        "j7_broadcast_proof": _j7_broadcast_proof,
+        # x80: the sketch-size sweep is carried in-window by x69
+        # (rotated in — the band-LSH tuning sweep over the same
+        # shingle→minhash→band machinery) and x81 (the sweep-table
+        # family); the bytes-vs-accuracy table stays
+        # pytest-oracle-checked
+        "x80_minhash_size_sweep": X.q_minhash_size_sweep,
+        # d9: the salt-balance layout model is carried in-window by d8
+        # (the skew measurement over the same per-key distribution,
+        # keeper) and j9 (the AQE skew proof adjudicating the runtime
+        # cure)
+        "d9_salt_balance": _d9_salt_balance,
+        # s15: the compaction lifecycle's skip re-proof is carried
+        # in-window by s16 (the footer-census clustering proofs) and
+        # pinned t7 (the epoch store's exactly-once contract); the
+        # zero-data-loss oracle stays pytest-checked
+        "s15_epoch_compaction": _s15_epoch_compaction,
+        # -- displaced in round 16: the eight r12 births on
         # their third green plus a14 (r8-born, seven-times green),
         # subsumed per the inline notes (displacement set vetted in
-        # ROTATION_PLAN_r16.md); all stay pytest-oracle-checked every
+        # ROTATION_PLAN_r16.md; t23/x78 rotated back IN r17 post-
+        # rewrite); all stay pytest-oracle-checked every
         # session ------------------------------------------------------
         # a14: the GROUPING SETS / Expand family is carried in-window
         # by a17 (the declared-values PIVOT — the same Expand
         # machinery with declared categories); the rollup/cube
         # variants stay pytest-oracle-checked
         "a14_grouping_sets": _a14_grouping_sets,
-        # t23: per-epoch contract-drift accounting is carried
-        # in-window by t25 (the streaming evolution ingest whose
-        # quarantine/ingest accounting supersets t23's drift rows) and
-        # x74's funnel conservation rows
-        "t23_stream_drift_accounting": _t23_stream_drift_accounting,
         # s12: the JSONL widen-and-union evolution ingest is carried
-        # in-window by t25 (the STREAMING evolution ingest with the
-        # same widen-to-declared-union contract, strictly harder:
-        # version drift arrives mid-stream)
+        # in-window by t23 (the quarantining ingest's drift accounting
+        # over the same PERMISSIVE widen contract, rotated back in)
+        # and pinned s8-family machinery in pytest
         "s12_jsonl_evolution_ingest": _s12_jsonl_evolution_ingest,
-        # a15: the clickstream funnel is carried in-window by a19
-        # (sessionization — the same event-sequence analytics family),
-        # q21 (the EXISTS/LEFT SEMI correlation family), and t30 (the
-        # clickstream rollup family, in-window this round)
+        # a15: the clickstream funnel is carried in-window by t28
+        # (sessionization's streaming twin — the same event-sequence
+        # analytics family), q21 (the EXISTS/LEFT SEMI correlation
+        # family), and t30 (the clickstream rollup family)
         "a15_funnel_conversion": _a15_funnel_conversion,
         # a16: the retention-cohort rollup is carried in-window by t30
         # — its own streaming twin, which runs the IDENTICAL cohort
@@ -9255,48 +9314,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by a17 (the declared-values reshape family, STAYS in-window)
         # and w26 (duration/RANGE-frame time semantics)
         "a18_twap_daily": _a18_twap_daily,
-        # x78: the near-dup method shootout is carried in-window by
-        # x80 (the sketch-size sweep over the same banded machinery),
-        # x81 (the sweep-table family), and the pinned x44/x48 dedup
-        # anchors; the method table stays pytest-oracle-checked
-        "x78_neardup_method_table": X.q_neardup_method_table,
         # t24: the streaming gap-fill twin is carried in-window by t28
         # (the stateful-operator carrier with the cross-batch
         # session-merge proof — the same O(1)-state cross-batch carry
         # law t24 proved for gap fill); the batch kernel stays
         # pytest-oracle-checked
         "t24_stream_gap_fill": _t24_stream_gap_fill,
-        # -- displaced THIS round (round 15): eight thrice-or-more-
-        # green queries, subsumed per the inline notes (displacement
-        # set vetted in ROTATION_PLAN_r15.md); all stay
-        # pytest-oracle-checked every session ---------------------------
-        # x77: the IVF nprobe recall/cost sweep is carried in-window
-        # by x75 (the ANN-representation recall anchor, same
-        # measured-recall kernel over the same IVF index family) and
-        # x79 (order quality over the same method set); the
+        # -- displaced in round 15: eight thrice-or-more-green
+        # queries, subsumed per the inline notes (displacement set
+        # vetted in ROTATION_PLAN_r15.md; x69 rotated back IN r17
+        # post-rewrite); all stay pytest-oracle-checked every
+        # session ------------------------------------------------------
+        # x77 (note updated r17: x79 displaced): the IVF nprobe
+        # recall/cost sweep is carried in-window by x75 (the
+        # ANN-representation recall anchor, same measured-recall
+        # kernel over the same IVF index family) and x30 (recall@k
+        # over the same method set, rotated back in); the
         # nprobe-sweep table stays pytest-oracle-checked
         "x77_ivf_nprobe_sweep": X.q_ivf_nprobe_sweep,
-        # s10 (note updated r16: t23/s12 displaced): the
-        # contract-drift DETECT report is carried in-window by t25
-        # (the streaming evolution ingest whose quarantine accounting
-        # supersets s10's violation rows) and x74's per-stage funnel
+        # s10 (note updated r17: t25 displaced): the contract-drift
+        # DETECT report is carried in-window by t23 (the quarantining
+        # ingest's per-column drift accounting, rotated back in —
+        # the same violation census) and x74's per-stage funnel
         # accounting
         "s10_schema_drift": _s10_schema_drift,
-        # s11 (note updated r16: s12 displaced): the schema-
-        # evolution-tolerant CSV ingest is carried in-window by t25
-        # (the STREAMING evolution ingest with the same
-        # widen-to-declared-union contract, strictly harder:
-        # version drift arrives mid-stream)
+        # s11 (note updated r17: t25 displaced): the schema-
+        # evolution-tolerant CSV ingest is carried in-window by t23
+        # (the quarantining streaming ingest over the same
+        # PERMISSIVE+corrupt-column parse contract, rotated back in);
+        # the widen-to-declared-union kernel stays
+        # pytest-oracle-checked
         "s11_schema_evolution_ingest": _s11_schema_evolution_ingest,
-        # ml5a: the min-max scale + deterministic forward prefix is
-        # carried in-window by t26 (the composed inference loop
-        # re-runs the identical broadcast min-max normalize + logistic
-        # forward every round) and pinned ml7's scorer; the windowed
+        # ml5a (note updated r17: t26 displaced): the min-max scale +
+        # deterministic forward prefix is carried in-window by pinned
+        # ml7 (the identical fixed-coefficient logistic scorer over
+        # the same lag matrix, re-run every round); the windowed
         # tensor assembly stays pytest-oracle-checked
         "ml5a_window_scaler": X.q_ml_window_scaler,
-        # w23: the bounded-frame indicator family is carried in-window
-        # by w25/w26 (the rolling-beta pair over the same per-key
-        # ordered frames) and the pinned flagships' W1-W8 (stochastic
+        # w23 (note updated r17: w25 displaced): the bounded-frame
+        # indicator family is carried in-window by w26 (the
+        # RANGE-frame rolling beta over the same per-key ordered
+        # frames) and the pinned flagships' W1-W8 (stochastic
         # %K is W5 — Williams %R is its affine twin); the kernel stays
         # pytest-oracle-checked
         "w23_williams_r": _w23_williams_r,
@@ -9306,17 +9364,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-batch merge proof); the anomaly-gate fold stays
         # pytest-pinned
         "t20_stream_anomaly": _t20_stream_anomaly,
-        # x69: the banded-LSH tuning table is carried in-window by x80
-        # (the same shingle→band machinery at the standard config PLUS
-        # the sketch-size sweep) and the pinned x44/x48/x28 dedup
-        # recall anchors; the band-tuning table stays
-        # pytest-oracle-checked
-        "x69_lsh_tuning": X.q_lsh_tuning,
-        # q4 (note updated r16: a15 displaced): the order-priority
+        # q4 (note updated r17: a19 displaced): the order-priority
         # EXISTS semi-join is carried in-window by q21 (the EXISTS +
-        # NOT EXISTS double correlation, the harder form) and a19's
-        # event-sequence rollup; the date-range count rollup stays
-        # pytest-oracle-checked
+        # NOT EXISTS double correlation, the harder form) and t28's
+        # event-sequence rollup (a19's streaming twin); the date-range
+        # count rollup stays pytest-oracle-checked
         "q4_order_priority": _q4_order_priority,
         # -- displaced in round 14: nine round-11-born
         # queries, each THRICE driver-green (r11 + r12 + r13), subsumed
@@ -9354,23 +9406,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the scalar availability gate by q11's global-scalar-
         # broadcast-back kernel
         "q20_bulk_suppliers": _q20_bulk_suppliers,
-        # s8 (note updated r16: s12/t23 displaced): the
-        # schema-enforced CSV parse + quarantine split is carried
-        # in-window by t25 (the STREAMING evolution ingest running the
-        # same PERMISSIVE+corrupt-column widen contract); the ingest
-        # accounting rows ride t25's quarantine census and x74's
+        # s8 (note updated r17: t25 displaced): the schema-enforced
+        # CSV parse + quarantine split is carried in-window by t23
+        # (the quarantining streaming ingest running the same
+        # PERMISSIVE+corrupt-column contract, rotated back in); the
+        # ingest accounting rows ride t23's drift census and x74's
         # funnel conservation
         "s8_csv_quarantine": _s8_csv_quarantine,
-        # s9 (note updated r16: s12 displaced): the JSONL quarantine
-        # split is carried in-window by t25 (the streaming evolution
-        # ingest — schema-per-row drift arriving mid-stream is the
+        # s9 (note updated r17: t25 displaced): the JSONL quarantine
+        # split is carried in-window by t23 (the quarantining
+        # streaming ingest — drift arriving mid-stream is the
         # strictly harder form of s9's fixed contract)
         "s9_jsonl_quarantine": _s9_jsonl_quarantine,
-        # t21 (note updated r16: t23 displaced): the staged-drop
-        # streaming CSV ingest is carried in-window by t25 (the
-        # staged-drop stream whose quarantine accounting is a superset
-        # of t21's); the dual idempotent per-batch sinks ride pinned
-        # t7's crash-retry adjudication
+        # t21 (note updated r17: t25 displaced): the staged-drop
+        # streaming CSV ingest is carried in-window by t23 (the
+        # staged-drop quarantining stream, rotated back in); the dual
+        # idempotent per-batch sinks ride pinned t7's crash-retry
+        # adjudication
         "t21_stream_csv_drop": _t21_stream_csv_drop,
         # -- displaced in round 13: nine round-10-born
         # queries, each THRICE driver-green (r10 + r11 + r12), subsumed
@@ -9426,29 +9478,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the harder double-correlated form); the scalar-avg-threshold
         # gate is q11's in-window global-scalar-broadcast-back kernel
         "q22_idle_balances": _q22_idle_balances,
-        # x76 (note updated r15: x69 displaced): the shingle/gram
+        # x76 (note updated r17: x80 displaced): the shingle/gram
         # build + gram-keyed partial aggregation runs in-window inside
-        # x80 (the same 8-gram scan feeding LSH banding, x69's own
-        # subsumption carrier) and x74's decontamination stage
-        # (bench-shingle gram anti-join); the novelty-fraction algebra
-        # stays pytest-oracle-checked every session
+        # x69 (the same 8-gram scan feeding LSH banding, rotated back
+        # in) and x74's decontamination stage (bench-shingle gram
+        # anti-join); the novelty-fraction algebra stays
+        # pytest-oracle-checked every session
         "x76_ngram_novelty": X.q_ngram_novelty,
         # -- displaced in round 12: five round-8-born
         # queries, each THRICE driver-green (r9 + r10 + r11), subsumed
-        # per the inline notes; all stay pytest-oracle-checked every
+        # per the inline notes (t17 rotated back IN r17 post-rewrite);
+        # all stay pytest-oracle-checked every
         # session ------------------------------------------------------
-        # t15b (note updated r14: t21 displaced): pinned t7
+        # t15b (note updated r17: t25 displaced): pinned t7
         # adjudicates the epoch-idempotent exactly-once sink and
-        # in-window t25 runs THREE idempotent sinks per batch; the CDC
-        # MERGE/snapshot-chain kernel stays pytest-pinned
-        # (test_streaming.py snapshot-merge suite)
+        # in-window t23 runs idempotent dynamic-partition sinks per
+        # batch; the CDC MERGE/snapshot-chain kernel stays
+        # pytest-pinned (test_streaming.py snapshot-merge suite)
         "t15b_stream_cdc_sink": _t15b_stream_cdc_sink,
-        # t17: watermark late-drop policy is carried in-window by t22
-        # (four watermarked joins whose cross-batch match set exists
-        # only because eviction honors the watermark inequality) and
-        # pinned t4b's watermark-finalized sessions; the one-batch-lag
-        # eviction proof stays pytest-pinned
-        "t17_late_drop": _t17_late_drop,
         # x68: the decontamination family is carried in-window by x74
         # (its funnel runs the bench-shingle decontamination stage) and
         # the pinned x28 corpus flagship; the graded-score kernel stays
@@ -9459,28 +9506,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # applyInPandasWithState surface) and t28 (the stateful-
         # operator carrier with the cross-batch merge proof)
         "t19_stream_ols": _t19_stream_ols,
-        # d7 (note updated r16: t23/s12 displaced): the report
-        # family is carried in-window by t25's evolution-ingest
-        # quarantine accounting and x74's funnel conservation rows;
+        # d7 (note updated r17: t25 displaced): the report family is
+        # carried in-window by t23's drift/quarantine accounting
+        # (rotated back in) and x74's funnel conservation rows;
         # the orphan/reconciliation kernels stay
         # pytest-oracle-checked
         "d7_quality_checks": _d7_quality_checks,
         # -- displaced in round 11: ten round-8-born queries, each
         # TWICE driver-green (r9 + r10), subsumed per the inline
-        # notes; all stay pytest-oracle-checked every session ----------
+        # notes (t18 rotated back IN r17 post-rewrite); all stay
+        # pytest-oracle-checked every session --------------------------
         # x66: in-window x75 publishes recall@10 for the same JL
         # projections (jl48/32/16 prefixes) through the same
         # measured-recall kernel
         "x66_projected_recall": X.q_projected_recall,
-        # t16 (note updated r15: t20 displaced): pinned a12
+        # t16 (note updated r17: t27 displaced): pinned a12
         # adjudicates the histogram-quantile kernel batch-side; its
         # streamed delivery rides the same foreachBatch machinery as
-        # in-window t27's incremental sketch store
+        # in-window t18's incremental sketch store (rotated back in)
         "t16_stream_hist_quantiles": _t16_stream_hist_quantiles,
-        # w22 (note updated r15: w23 displaced): the bounded-frame
-        # indicator family is carried in-window by w25/w26 (the
-        # rolling-beta pair over the same per-key ordered frames) and
-        # the pinned flagships' W1-W8
+        # w22 (note updated r17: w25 displaced): the bounded-frame
+        # indicator family is carried in-window by w26 (the
+        # RANGE-frame rolling beta over the same per-key ordered
+        # frames) and the pinned flagships' W1-W8
         "w22_cmf": _w22_cmf,
         # ml9/ml10 (note updated r15: t20 displaced): the closed-form
         # OLS normal-equation fold and the grouped/k-fold assignment
@@ -9494,21 +9542,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # beneath x73 (x16's CC); triangle/coefficient kernels stay
         # pytest-pinned
         "x67_clustering_coef": X.q_clustering_coef,
-        # t18 (reworked r14 onto t27's append-only epoch-idempotent
-        # store — the COW snapshot chain is retired for idempotent-
-        # monoid sketches; note updated r15: t20 displaced): pinned
-        # t13 + t9 carry streamed keyed state; in-window t27
-        # adjudicates the append-only store pattern itself; the KMV
-        # union algebra is unit-pinned and its batch form (x51/x55)
-        # stays pytest-oracle-checked
-        "t18_stream_kmv": _t18_stream_kmv,
         # x70: in-window x75's pq8-ADC leg recomputes the identical
         # codebook train + m-ordered ADC fold
         "x70_pq_adc_recall": X.q_pq_adc_recall,
-        # x71/x72 (note updated r16: t23 displaced): the report family
-        # is carried in-window by x74's funnel rows and t25's
-        # evolution-ingest quarantine accounting; the label×dim /
-        # source×token algebra stays pytest-oracle-checked
+        # x71/x72 (note updated r17: t25 displaced): the report family
+        # is carried in-window by x74's funnel rows and t23's
+        # drift/quarantine accounting (rotated back in); the label×dim
+        # / source×token algebra stays pytest-oracle-checked
         "x71_centroid_matrix": X.q_centroid_matrix,
         "x72_source_kl": X.q_source_kl,
         # -- displaced in round 10: the thirteen round-8-born
@@ -9529,8 +9569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the degree-oriented triangle-count kernel stays
         # pytest-oracle-checked every session
         "x61_triangle_counts": X.q_triangle_counts,
-        # w21 (note updated r15: w23 displaced): the bounded-frame
-        # indicator family is carried in-window by w25/w26 and the
+        # w21 (note updated r17: w25 displaced): the bounded-frame
+        # indicator family is carried in-window by w26 and the
         # pinned flagships' W1-W8; the Wilder recurrence is
         # pytest-pinned
         "w21_adx": _w21_adx,
@@ -9545,9 +9585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x63_embed_quantize": X.q_embed_quantize,
         # x64: DSIR importance weights are dependent-free
         "x64_dsir_weights": X.q_dsir_weights,
-        # ml8 (note updated r15: t20 displaced): the closed-form
+        # ml8 (note updated r17: w25 displaced): the closed-form
         # OLS normal-equation fold's streamed delivery is carried
-        # in-window by pinned t9's keyed-state machinery and w25/w26's
+        # in-window by pinned t9's keyed-state machinery and w26's
         # batch OLS beta/alpha moments (t19/t20's own subsumption
         # targets); ml8's forecast oracle stays pytest-checked every
         # session
@@ -9556,12 +9596,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # declared-values PIVOT adjudicates the same Expand family
         # (CUBE/GROUPING SETS plan to the identical Expand operator)
         "a13_cube": _a13_cube,
-        # d5/t15 (note updated r14: t21 displaced; t15b displaced
-        # r12): the replay-safe exactly-once sink family is carried
-        # in-window by pinned t7 (crash-retry replay) and t25's three
-        # idempotent per-batch sinks (t15b's own subsumption chain);
-        # the CDC MERGE/snapshot-chain kernel stays pytest-pinned
-        # (test_streaming.py snapshot-merge suite)
+        # d5/t15 (note updated r17: t25 displaced): the replay-safe
+        # exactly-once sink family is carried in-window by pinned t7
+        # (crash-retry replay) and t23's idempotent per-batch sinks
+        # (t15b's own subsumption chain); the CDC MERGE/snapshot-chain
+        # kernel stays pytest-pinned (test_streaming.py snapshot-merge
+        # suite)
         "d5_cdc_apply": _d5_cdc_apply,
         "t15_stream_cdc_apply": _t15_stream_cdc_apply,
         # x65: in-window x75's jl16/32/48 prefixes subsume the JL
@@ -9569,14 +9609,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x65_random_projection": X.q_random_projection,
         # -- displaced in round 9 to make room for the 22-query round-8
         # backlog; each two-rounds driver-green (r7 AND r8) and
-        # subsumed per the inline notes; all stay pytest-oracle-checked
+        # subsumed per the inline notes (t11/x49 rotated back IN r17
+        # post-rewrite); all stay pytest-oracle-checked
         # every session ------------------------------------------------
         # x25: the chunking kernel has no in-window dependents; the
         # greedy token-budget packer it feeds is adjudicated inside
         # in-window x28 every round
         "x25_chunk_docs": X.q_chunk_documents,
-        # w19 (note updated r15: w23 displaced): the bounded-frame
-        # indicator family is carried in-window by w25/w26 and the
+        # w19 (note updated r17: w25 displaced): the bounded-frame
+        # indicator family is carried in-window by w26 and the
         # pinned flagships' W1-W8 (ATR is W7, Keltner's midline/band
         # algebra composes it); the Wilder recurrence stays
         # pytest-pinned
@@ -9591,11 +9632,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity in-window every round); the KMV bottom-k sketch and
         # its union algebra stay unit- and pytest-oracle-pinned
         "x55_kmv_setops": X.q_kmv_setops,
-        # t12 (note updated r15: t20 displaced): streamed keyed-sketch
+        # t12 (note updated r17: t27 displaced): streamed keyed-sketch
         # delivery rides the same foreachBatch machinery as in-window
-        # t27's incremental sketch store; pinned a12 adjudicates the
-        # sketch-vs-exact kernel batch-side; the count-min merge
-        # algebra stays unit-pinned by the sketch-merge tests
+        # t18's incremental sketch store (rotated back in); pinned a12
+        # adjudicates the sketch-vs-exact kernel batch-side; the
+        # count-min merge algebra stays unit-pinned by the
+        # sketch-merge tests
         "t12_stream_countmin": _t12_stream_countmin,
         # x57: TF-IDF doc search is dependent-free
         "x57_doc_search": X.q_doc_search,
@@ -9609,10 +9651,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # forms stay pytest-oracle-checked every session
         "x50_countmin_topk": X.q_countmin_topk,
         "x51_kmv_distinct": X.q_kmv_distinct,
-        # x52 (note updated r16: t23 displaced): the datacard composes
+        # x52 (note updated r17: t25 displaced): the datacard composes
         # x1-family stats; the report-query family is carried
-        # in-window by t25's quarantine accounting and x74's funnel
-        # accounting rows (the same carriers d7's and x72's own
+        # in-window by t23's drift/quarantine accounting and x74's
+        # funnel accounting rows (the same carriers d7's and x72's own
         # subsumption notes point at)
         "x52_corpus_datacard": X.q_corpus_datacard,
         # x53 (note updated r13: x68 displaced r12): the bench-shingle
@@ -9620,9 +9662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # runs the decontamination stage) and the pinned x28 corpus
         # flagship; the Bloom FP-rate measurement stays pytest-pinned
         "x53_bloom_decontaminate": X.q_bloom_decontaminate,
-        # w15/w16/w17/w20 (note updated r15: w23 displaced): the
+        # w15/w16/w17/w20 (note updated r17: w25 displaced): the
         # bounded-frame indicator family is carried in-window by
-        # w25/w26 (the rolling-beta pair) and the pinned flagships'
+        # w26 (the RANGE-frame rolling beta) and the pinned flagships'
         # W1-W8 frames; the Wilder/EWMA/OBV/Donchian-midline
         # kernels stay pytest-oracle-checked every session
         "w15_rsi": _w15_rsi,
@@ -9643,19 +9685,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leakage-free split); the PR power-iteration loop and the
         # triangle/coefficient kernels stay pytest-oracle-checked
         "x47_pagerank": X.q_pagerank,
-        # x58 (note updated r16: t23 displaced): the per-source
+        # x58 (note updated r17: t25 displaced): the per-source
         # token algebra is carried in-window by x74's funnel
-        # accounting and t25's quarantine accounting (x72's own
+        # accounting and t23's drift/quarantine accounting (x72's own
         # subsumption carriers); the overlap/KL report stays
         # pytest-oracle-checked
         "x58_source_overlap": X.q_source_overlap,
-        # t11 (note updated r15: t20 displaced): pinned t9 runs
-        # the same applyInPandasWithState machinery; t28 adjudicates
-        # the stateful-operator merge law in-window
-        "t11_stateful_momentum": _t11_stateful_momentum,
-        # x49: in-window x73 RUNS the identical simhash→CC cluster
-        # resolution (x16's) underneath its split rule
-        "x49_cluster_keeper": X.q_cluster_keeper,
         # -- displaced in round 8 (each two-rounds driver-green r6+r7
         # and subsumed; all stay pytest-oracle-checked every session) --
         "x29_zorder_key": X.q_zorder_key,
@@ -9671,19 +9706,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml2b_feature_matrix": X.q_ml_feature_matrix,
         "w12_rolling_corr": _w12_rolling_corr,
         "ml5_window_mlp": X.q_ml_window_mlp,  # rows-only (no oracle;
-        # note updated r15: ml5a displaced — its deterministic
-        # scale+forward prefix is carried in-window by t26's composed
-        # inference loop; ml5a itself stays pytest-oracle-checked)
+        # note updated r17: t26 displaced — the deterministic
+        # scale+forward prefix is carried in-window by pinned ml7's
+        # scorer; ml5a itself stays pytest-oracle-checked)
 
-        # -- displaced in round 7 (multi-round driver-green) ----------
+        # -- displaced in round 7 (multi-round driver-green; x30
+        # rotated back IN r17 post-rewrite) ---------------------------
         "a9_corr_matrix": _a9_corr_matrix,
-        "x30_ann_recall": X.q_ann_recall,
         "j2_salted_join": _j2_salted_join,
         "a8_percentiles": _a8_percentiles,
         "t10_stream_static_join": _t10_stream_static_join,
         # -- rotated out in earlier rounds (multi-round driver-green
         # or, for ml2, five-rounds rows-only; each subsumed per the
-        # inline comments above) ----------------------------------------
+        # inline comments above; x16 rotated back IN r17
+        # post-rewrite) --------------------------------------------------
         "ml2_train_metrics": X.q_ml_train_metrics,  # rows-only (no oracle)
         "x19_tfidf_topk": X.q_tfidf_topk,
         "x36_source_quota": X.q_source_quota,
@@ -9694,7 +9730,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_ewma": _w14_ewma,
         "ml3_score_parity": _ml3_score_parity,
         "x34_kmeans_train": X.q_kmeans_train,
-        "x16_dedup_clusters": X.q_dedup_clusters,
         "x37_bigram_logprob": X.q_bigram_logprob,
         "x38_chunk_dedup": X.q_chunk_dedup,
         "x40_bpe_merges": X.q_bpe_merges,
@@ -9710,7 +9745,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": _q6_forecast_revenue,
         "x21_pii_scrub": X.q_pii_scrub,
         "x33_unigram_logprob": X.q_unigram_logprob,
-        "x31_minhash_clusters": X.q_minhash_clusters,
         # -- rotated out in round 5 (three-rounds driver-green, each
         # subsumed by an in-window flagship; see the window comment) ---
         "w9_partitioned_indicators": _w9_partitioned_indicators,
@@ -9745,12 +9779,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_dedup_exact": _d1_dedup_exact,
         "d3_latest_point": _d3_latest_point,
         "x5_dedup_exact_docs": X.q_dedup_exact_docs,
-        # -- variants + singles (driver-green in round 3; pytest-covered) -
-        "x6_minhash_lsh": X.q_minhash_lsh,
+        # -- variants + singles (driver-green in round 3;
+        # pytest-covered; x4/x6/x15 rotated back IN r17 post-rewrite) --
         "x8_ann_brute_topk": X.q_ann_brute_topk,
         "x11_ann_lsh_topk": X.q_ann_lsh_topk,
         "x12_ann_ivf_topk": X.q_ann_ivf_topk,
-        "x15_simhash_neardup": X.q_simhash_neardup,
         "x9_embed_neardup": X.q_embed_neardup,
         "x10_multimodal_features": X.q_multimodal_features,
         "x7_ngram_jaccard": X.q_ngram_jaccard,
@@ -9759,7 +9792,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_text_stats": X.q_text_stats,
         "x2_lang_id": X.q_lang_id,
         "x3_fingerprints": X.q_fingerprints,
-        "x4_simhash": X.q_simhash,
         "x13_rolling_fingerprint": X.q_rolling_fp,
         "x14_quality_filter": X.q_quality_filter,
         "q5_region_revenue": _q5_region_revenue,

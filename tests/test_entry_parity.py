@@ -71,7 +71,7 @@ def test_adjudication_window_boundary_is_stable():
     import __spark_entry__ as e
 
     keys = list(e.queries())
-    assert keys[49] == "u2_codegen_proof", keys[45:52]
+    assert keys[49] == "t23_stream_drift_accounting", keys[45:52]
     # the PINNED carriers (r8 verdict #2: flagships + one per SURVEY
     # §2 family) hold the first 16 slots permanently — t22 GRADUATED
     # to pinned in r15 (r14 verdict #4: the streaming capstone; no
@@ -108,33 +108,35 @@ def test_adjudication_window_boundary_is_stable():
     # the r12-born keeper: a17 stays as the CASE/pivot + Expand-family
     # carrier (the other eight r12 births displaced r16)
     assert keys[23] == "a17_pivot_daily_types", keys[23]
-    # the nine r13 births on their third round
-    r14_rotated = [
-        "t25_stream_evolving_ingest", "t26_stream_inference_loop",
-        "a19_sessionization", "d8_skew_report",
-        "x79_ann_ranking_quality", "a20_hll_distinct",
-        "t27_stream_hll_merge", "s13_partition_pruned_scan",
-        "w25_rolling_beta",
+    # the four r13/r14-cohort family-carrier keepers (the in-window
+    # carriers the r17 displacement notes point at; the other twelve
+    # r13/r14 births displaced r17 per the r16 verdict #2)
+    carrier_keepers = [
+        "d8_skew_report", "t28_stream_sessionize",
+        "w26_range_beta", "j8_dpp_proof",
     ]
-    assert keys[24:33] == r14_rotated, keys[24:33]
-    # the eight r14 births on their second round
-    r15_rotated = [
-        "s14_minmax_skipped_scan", "t28_stream_sessionize",
-        "w26_range_beta", "j7_broadcast_proof",
-        "x80_minhash_size_sweep", "d9_salt_balance",
-        "s15_epoch_compaction", "j8_dpp_proof",
-    ]
-    assert keys[33:41] == r15_rotated, keys[33:41]
-    # the nine r15 births on their FIRST adjudication (r15 verdict #1,
-    # pre-planned in ROTATION_PLAN_r16.md)
-    fresh = [
+    assert keys[24:28] == carrier_keepers, keys[24:28]
+    # the nine r15 births on their second round
+    r16_rotated = [
         "j9_aqe_skew_proof", "t29_checkpoint_recovery",
         "t30_stream_cohorts", "j10_runtime_broadcast",
         "s16_zorder_vs_linear", "t31_state_metrics_proof",
         "x81_pack_budget_sweep", "s17_column_pruning_proof",
         "u2_codegen_proof",
     ]
-    assert keys[41:50] == fresh, keys[41:50]
+    assert keys[28:37] == r16_rotated, keys[28:37]
+    # the thirteen structurally-rewritten queries rotated in for
+    # POST-REWRITE adjudication (r16 verdict #2, vetted in
+    # ROTATION_PLAN_r17.md)
+    rewritten = [
+        "x4_simhash", "x6_minhash_lsh", "x15_simhash_neardup",
+        "x16_dedup_clusters", "x30_ann_recall", "x31_minhash_clusters",
+        "x49_cluster_keeper", "x69_lsh_tuning",
+        "x78_neardup_method_table", "t11_stateful_momentum",
+        "t17_late_drop", "t18_stream_kmv",
+        "t23_stream_drift_accounting",
+    ]
+    assert keys[37:50] == rewritten, keys[37:50]
     # every oracle key maps to a query, and rows-only set is exactly
     # the three documented queries
     oracles = e.oracle_sql()
